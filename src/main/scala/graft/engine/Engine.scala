@@ -1,0 +1,132 @@
+package graft.engine
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark-native re-expression of Mallard's Flight-server capability
+  * surface (reference `flight_server.py` + client ops `demo.py`).
+  *
+  * One `Engine` ≈ one Mallard server: an independent catalog of named
+  * tables plus a registry of named stream→stream transformations
+  * ("exchangers"). Two engines over `spark.newSession()` share the
+  * cluster but have disjoint session-local temp views — the idiomatic
+  * Spark analog of Mallard's two DuckDB Flight servers
+  * (`demo.py:565-568`).
+  *
+  * Transport (gRPC/Arrow Flight) is deliberately out of scope: Spark's
+  * driver→executor scheduling and shuffle ARE the data plane. Every
+  * operation below returns a lazy DataFrame so Catalyst optimizes the
+  * whole composed pipeline, where Mallard materializes at each hop
+  * (`fetch_arrow_table`, `flight_server.py:348`) — we intentionally do
+  * not imitate that (SURVEY §4.1).
+  */
+final class Engine(val spark: SparkSession) {
+
+  val catalog = new Catalog(spark)
+
+  /** Exchanger registry, pre-seeded like `flight_server.py:255-261`.
+    * The stock exchanger appends `processed = true` to every row
+    * (`flight_server.py:92-93`) — in Spark a pipelined projection, not
+    * a buffered copy.
+    */
+  private val exchangers = TrieMap[String, DataFrame => DataFrame](
+    "my_streaming_exchanger" -> (df => df.withColumn("processed", lit(true))))
+
+  // ---- A1/A2: GET — SQL routed by leading keyword ----------------------
+
+  private val ddlPrefixes = Seq("CREATE", "DROP", "ALTER")
+
+  private def isDdl(sql: String): Boolean = {
+    val u = sql.trim.toUpperCase
+    ddlPrefixes.exists(u.startsWith)
+  }
+
+  /** Run any SQL. DDL (detected by prefix, mirroring
+    * `_is_ddl_statement` `flight_server.py:354-355`) executes for side
+    * effects and returns a one-row `{status: "OK"}` frame
+    * (`flight_server.py:357-359`); everything else returns the lazy
+    * query result. Spark's parser replaces Mallard's keyword sniffing,
+    * but the routing contract (DDL → status row) is preserved.
+    */
+  def query(sql: String): DataFrame =
+    if (isDdl(sql)) {
+      spark.sql(sql)
+      statusOk
+    } else spark.sql(sql)
+
+  def statusOk: DataFrame = spark.range(1).select(lit("OK").as("status"))
+
+  /** Readiness probe (`health_check` `flight_server.py:263-269`). */
+  def healthCheck(): Boolean = spark.sql("SELECT 1").count() == 1
+
+  // ---- A3-A5: PUT — ingest with schema-on-write + append ---------------
+
+  def put(name: String, df: DataFrame): Unit = catalog.put(name, df)
+
+  def get(name: String): DataFrame = catalog.get(name)
+
+  /** `SELECT COUNT(*) FROM t` (`demo.py:318-322`). */
+  def count(name: String): Long = catalog.get(name).count()
+
+  /** Empty frame with `df`'s schema — `CTAS … LIMIT 0`
+    * (`flight_server.py:392-395`).
+    */
+  def emptyLike(df: DataFrame): DataFrame = df.limit(0)
+
+  // ---- A7-A9: EXCHANGE — named transforms + runtime registration -------
+
+  /** Register a named transform. Mallard ships cloudpickled classes to
+    * the server (`flight_server.py:402-427`); in Spark, closures already
+    * serialize driver→executor, so registration is a registry insert.
+    * Re-registering overwrites, matching the demo's override of the
+    * default exchanger (`demo.py:500-506`).
+    */
+  def registerExchanger(command: String)(f: DataFrame => DataFrame): Unit =
+    exchangers.update(command, f)
+
+  def exchangerCommands: Seq[String] = exchangers.keys.toSeq.sorted
+
+  /** Dispatch: registry hit → apply transform; else SQL-looking command
+    * → run it (`_handle_sql_exchange` `flight_server.py:333-340`); else
+    * fail listing available commands (`flight_server.py:312-315`).
+    */
+  def exchange(command: String, df: DataFrame): DataFrame =
+    exchangers.get(command) match {
+      case Some(f) => f(df)
+      case None if isSqlQuery(command) => query(command)
+      case None =>
+        throw new IllegalArgumentException(
+          s"Unknown exchange command: '$command'. " +
+            s"Available commands: ${exchangerCommands.mkString(", ")}")
+    }
+
+  private val sqlPrefixes =
+    Seq("SELECT", "INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER", "WITH")
+
+  /** `_is_sql_query` (`flight_server.py:320-331`). */
+  def isSqlQuery(s: String): Boolean = {
+    val u = s.trim.toUpperCase
+    sqlPrefixes.exists(u.startsWith)
+  }
+
+  // ---- A10: TRANSFER — engine→engine table copy ------------------------
+
+  /** Copy a table to another engine (`transfer_table` `demo.py:127-151`):
+    * GET from this catalog, PUT into `dest`'s. Returns rows copied. The
+    * "stream pump" loop is subsumed by lazy plan handoff — both engines
+    * share one SparkContext, so no data moves until `dest` runs an
+    * action, and then it moves executor-side, never through the driver.
+    */
+  def transferTable(dest: Engine, name: String): Long = {
+    val df = catalog.get(name)
+    dest.put(name, df)
+    dest.count(name)
+  }
+}
+
+object Engine {
+  /** Two-server topology: independent session catalogs, one cluster. */
+  def pair(spark: SparkSession): (Engine, Engine) =
+    (new Engine(spark.newSession()), new Engine(spark.newSession()))
+}

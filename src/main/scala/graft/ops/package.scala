@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Shared helpers for the operator modules.
+  *
+  * Determinism rules (SURVEY §5.2) enforced here:
+  *  - money sums round to 2, averages/ratios to 6 — double summation
+  *    order differs between Spark and the DuckDB oracle, so raw sums
+  *    of binary-inexact decimals can differ in the last ulps;
+  *  - every hash used in dedup/fingerprint operators derives from md5
+  *    (identical lowercase-hex output in both engines), never from
+  *    engine-native `hash`/`xxhash64` which DuckDB cannot replicate.
+  */
+package object ops {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def r2(c: Column): Column = round(c, 2)
+  def r4(c: Column): Column = round(c, 4)
+  def r6(c: Column): Column = round(c, 6)
+
+  /** First 32 bits of md5 as a non-negative long — portable hash.
+    * DuckDB twin: `('0x' || substr(md5(x), 1, 8))::BIGINT`.
+    */
+  def h32(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast(LongType)
+
+  /** Bits 33..64 of md5 as a non-negative long (second word). */
+  def h32b(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 9, 8), 16, 10).cast(LongType)
+
+  /** Seeded portable hash: md5 of "<seed>:<value>".
+    * DuckDB twin: `('0x' || substr(md5(s::VARCHAR || ':' || x), 1, 8))::BIGINT`.
+    */
+  def h32Seeded(seed: Column, c: Column): Column =
+    conv(substring(md5(concat(seed.cast("string"), lit(":"), c.cast("string"))), 1, 8), 16, 10)
+      .cast(LongType)
+
+  /** Whitespace tokenization of `documents.text` (single-space-joined
+    * tokens per FIXTURES.md). DuckDB twin: `string_split(text, ' ')`.
+    */
+  def toks(c: Column): Column = split(c, " ")
+}

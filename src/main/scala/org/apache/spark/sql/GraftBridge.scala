@@ -1,0 +1,17 @@
+package org.apache.spark.sql
+
+/** Bridge into `private[sql]` Spark internals.
+  *
+  * `Dataset.ofRows` lets us re-bind a DataFrame's logical plan to a
+  * *different* SparkSession. Graft uses this for its two-engine
+  * topology (Mallard runs two Flight servers, reference
+  * `demo.py:565-568`): a table GET from engine A's session-local
+  * catalog can be PUT into engine B's catalog and registered as a temp
+  * view *in B's session*, without materializing anything — the logical
+  * plan is the transfer payload, and Catalyst keeps optimizing through
+  * it.
+  */
+object GraftBridge {
+  def rebind(target: SparkSession, df: DataFrame): DataFrame =
+    Dataset.ofRows(target, df.queryExecution.analyzed)
+}
