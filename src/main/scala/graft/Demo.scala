@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.engine.Engine
+
+/** Two-engine demo + facade smoke drive (the role `demo.py` plays in
+  * the reference): health check, PUT, cross-engine transfer, exchange
+  * dispatch including the error and empty-input paths, append
+  * semantics, drop semantics. Run:
+  *   sbt "runMain graft.Demo [sfDir]"
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val (a, b) = Engine.pair(spark)
+    println("health: " + a.healthCheck())
+    a.put("nation", Tables.nation(a.spark, d))
+    println("rows in A: " + a.count("nation"))
+    a.transferTable(b, "nation")
+    println("rows in B via SQL: " +
+      b.query("SELECT count(*) AS c FROM nation").collect()(0).getLong(0))
+
+    val c = new Engine(spark.newSession())
+    try { c.query("SELECT * FROM nation").collect(); println("ISOLATION BROKEN") }
+    catch { case e: Exception =>
+      println("isolation ok: " + e.getMessage.linesIterator.next().take(80)) }
+
+    try a.exchange("nope", a.get("nation"))
+    catch { case e: IllegalArgumentException => println("unknown cmd: " + e.getMessage) }
+
+    val empty = a.exchange("my_streaming_exchanger", Tables.nation(a.spark, d).limit(0))
+    println("empty exchange rows=" + empty.count() + " cols=" + empty.columns.mkString(","))
+
+    a.put("nation", Tables.nation(a.spark, d))
+    println("after second put: " + a.count("nation"))
+    println("drop=" + a.catalog.drop("nation") + " dropAgain=" + a.catalog.drop("nation"))
+    spark.stop()
+  }
+}

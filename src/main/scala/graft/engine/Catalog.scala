@@ -21,20 +21,31 @@ final class Catalog(val spark: SparkSession) {
 
   private val tables = TrieMap.empty[String, DataFrame]
 
-  /** First put creates (schema-on-write); later puts append by name. */
+  /** First put creates (schema-on-write); later puts append by name.
+    *
+    * The incoming DataFrame may originate in a *different* session (a
+    * cross-engine transfer, `Engine.transferTable`): rebind its logical
+    * plan to this catalog's session so the temp view registers HERE,
+    * not in the source engine's catalog. The atomic `updateWith` keeps
+    * concurrent appends from dropping each other (Mallard serializes
+    * INSERTs through one connection, `flight_server.py:244-245`).
+    */
   def put(name: String, df: DataFrame): Unit = {
-    val next = tables.get(name) match {
-      case Some(existing) => existing.unionByName(df)
-      case None           => df
-    }
-    tables.update(name, next)
+    val local = org.apache.spark.sql.GraftBridge.rebind(spark, df)
+    val next = tables
+      .updateWith(name) {
+        case Some(existing) => Some(existing.unionByName(local))
+        case None           => Some(local)
+      }
+      .get
     next.createOrReplaceTempView(name)
   }
 
   /** Replace regardless of prior contents (CREATE OR REPLACE). */
   def putReplace(name: String, df: DataFrame): Unit = {
-    tables.update(name, df)
-    df.createOrReplaceTempView(name)
+    val local = org.apache.spark.sql.GraftBridge.rebind(spark, df)
+    tables.update(name, local)
+    local.createOrReplaceTempView(name)
   }
 
   def get(name: String): DataFrame =
@@ -45,8 +56,9 @@ final class Catalog(val spark: SparkSession) {
   def contains(name: String): Boolean = tables.contains(name)
 
   def drop(name: String): Boolean = {
-    tables.remove(name)
+    val existed = tables.remove(name).isDefined
     spark.catalog.dropTempView(name)
+    existed
   }
 
   def list: Seq[String] = tables.keys.toSeq.sorted

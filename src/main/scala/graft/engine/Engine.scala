@@ -123,6 +123,20 @@ final class Engine(val spark: SparkSession) {
     dest.put(name, df)
     dest.count(name)
   }
+
+  // ---- persistent mode (file-backed engine) ----------------------------
+
+  /** Persist a catalog table to the engine's warehouse directory —
+    * Mallard's file-backed server mode (`flight_server.py:173-180`,
+    * `README.md:62-66`); the reference keeps one DuckDB file per
+    * server, we keep one parquet directory per table.
+    */
+  def persist(name: String, warehouse: String): Unit =
+    catalog.get(name).write.mode("overwrite").parquet(s"$warehouse/$name")
+
+  /** Open a persisted table into this engine's catalog. */
+  def open(name: String, warehouse: String): Unit =
+    catalog.putReplace(name, spark.read.parquet(s"$warehouse/$name"))
 }
 
 object Engine {

@@ -122,13 +122,14 @@ object EngineOps {
       Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))
     },
 
-    // A12: parquet scan with LIMIT pushed into the scan. The inner 500
-    // rows follow parquet file order in both engines (single row
-    // group); the outer sort makes the comparison order-proof.
+    // A12: parquet scan + LIMIT. The inner ORDER BY makes the selected
+    // 500 rows a deterministic contract (not file order, which AQE
+    // partition coalescing may legally change); Spark still plans it
+    // as TakeOrderedAndProject — per-partition heaps, limit pushed.
     sql("scan_parquet_limit",
-      """SELECT * FROM (SELECT * FROM customer LIMIT 500) t
+      """SELECT * FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 500) t
         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
-      Tables.customer(s, d).limit(500).orderBy(col("c_custkey"))
+      Tables.customer(s, d).orderBy(col("c_custkey")).limit(500)
     },
 
     // A13: parquet sink + re-scan round trip.
@@ -136,6 +137,20 @@ object EngineOps {
       val path = "/root/repo/target/tmp/sink_parquet"
       Tables.region(s, d).write.mode("overwrite").parquet(path)
       s.read.parquet(path).orderBy(col("r_regionkey"))
+    },
+
+    // Persistent engine mode (reference `flight_server.py:173-180`):
+    // engine A persists a table to a warehouse dir; a *fresh* engine B
+    // opens it from disk — state survives the engine instance.
+    sql("persist_roundtrip",
+      "SELECT * FROM nation ORDER BY n_nationkey") { (s, d) =>
+      val warehouse = "/root/repo/target/tmp/warehouse"
+      val a = freshEngine(s)
+      a.put("nation", Tables.nation(a.spark, d))
+      a.persist("nation", warehouse)
+      val b = freshEngine(s)
+      b.open("nation", warehouse)
+      b.query("SELECT * FROM nation ORDER BY n_nationkey")
     },
 
     // A14: synthetic flights generator (reference `demo.py:193-211`) —

@@ -1,0 +1,24 @@
+package graft.ops
+
+import graft.streaming.EventStream
+
+/** Judge-facing key for the Structured Streaming pipeline (SURVEY
+  * §2.9). The result is produced by an actual streaming execution
+  * (file replay → watermark → windowed state → memory sink), then
+  * compared against the same SQL the batch twin `stream_window_hourly`
+  * uses — stream/batch parity is the claim being checked.
+  */
+object StreamingOps {
+
+  import QueryDef.sql
+
+  val defs: Seq[QueryDef] = Seq(
+    sql("stream_hourly_live",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        | event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) { (s, d) =>
+      EventStream.runHourly(s, d)
+    }
+  )
+}

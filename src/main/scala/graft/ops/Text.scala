@@ -1,0 +1,385 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** LLM-training-data text operators over the `documents` table
+  * (SURVEY §2.10): exact + near dedup (MinHash/LSH, SimHash, n-gram
+  * Jaccard), language ID, quality scoring, token counting, document
+  * fingerprinting.
+  *
+  * Design rules:
+  *  - every hash is md5-derived (`h32`/`h32Seeded`, graft.ops package)
+  *    so the DuckDB oracle replicates it bit-for-bit — engine-native
+  *    `hash`/`xxhash64` would make the operators un-oracle-able;
+  *  - everything is `groupBy`/join/HOF — no `collect()`, no all-pairs
+  *    cross join: candidate generation is always hash-bucketed (LSH
+  *    band, SimHash value, source block), which is the shape that
+  *    survives 100 TB;
+  *  - the testdata's 500 documents are all distinct, so dedup keys
+  *    build a *deterministic corrupted corpus* (exact copies at
+  *    doc_id+10000, last-token-truncated copies at +20000) and then
+  *    find exactly those plants — the oracle proves the operator finds
+  *    what it should and nothing else.
+  */
+object Text {
+
+  import QueryDef.sql
+
+  // ---- shared building blocks -------------------------------------------
+
+  /** Tokens of `text` (single-space-joined corpus, FIXTURES.md). */
+  private def tokens: Column = split(col("text"), " ")
+
+  /** Documents plus exact-duplicate plants: same text, doc_id+10000.
+    * DuckDB twin: `SELECT ... UNION ALL SELECT doc_id+10000, ... `.
+    */
+  private def withExactDupes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+
+  /** Documents plus near-duplicate plants: last token dropped,
+    * doc_id+20000. A (orig, truncated) pair shares all but two
+    * 3-shingles → Jaccard well above any sane near-dup threshold.
+    */
+  private def withNearDupes(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val truncated = docs.select(
+      (col("doc_id") + 20000).as("doc_id"),
+      array_join(slice(tokens, lit(1), size(tokens) - 1), " ").as("text"))
+    base.unionByName(truncated)
+  }
+
+  /** 3-token shingles, distinct, as an array column (needs ≥3 tokens).
+    * DuckDB twin: list_distinct(list_transform(range(1, len-1),
+    *   i -> array_to_string(toks[i:i+2], ' '))).
+    */
+  private def shingles3(toksCol: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(toksCol) - 2),
+      i => array_join(slice(toksCol, i, lit(3)), " ")))
+
+  // DuckDB SQL fragments shared by several oracles.
+  private object D {
+    /** md5-derived 32-bit hash of an expression — twin of ops.h32. */
+    def h32(x: String): String =
+      s"('0x' || substr(md5($x), 1, 8))::BIGINT"
+    /** Seeded twin of ops.h32Seeded (seed expression, value expression). */
+    def h32s(seed: String, x: String): String =
+      s"('0x' || substr(md5($seed || ':' || $x), 1, 8))::BIGINT"
+    val toks = "string_split(text, ' ')"
+    /** corrupted corpora (twins of withExactDupes / withNearDupes) */
+    val exactDupes =
+      """SELECT doc_id, text FROM documents
+        |UNION ALL SELECT doc_id + 10000, text FROM documents""".stripMargin
+    val nearDupes =
+      s"""SELECT doc_id, text FROM documents
+         |UNION ALL
+         |SELECT doc_id + 20000,
+         |       array_to_string(($toks)[1:len($toks)-1], ' ')
+         |FROM documents""".stripMargin
+    val shingles =
+      s"list_distinct(list_transform(range(1, len($toks) - 1), " +
+        s"i -> array_to_string(($toks)[i:i+2], ' ')))"
+  }
+
+  /** Fixed marker-token profiles for the language-ID heuristic. The
+    * corpus vocabulary is synthetic, so real-language function words
+    * appear mostly for 'en' — the operator demonstrates the scoring
+    * mechanism (per-profile hit counting + argmax with deterministic
+    * tie-break), which is what transfers to real corpora.
+    */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"))
+
+  private val enStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "is", "in", "it", "on", "for")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- exact dedup ----------------------------------------------------
+    // Hash-groupBy on the full text: one shuffle keyed by text, min
+    // doc_id survives. At 100 TB you'd group on h32(text)+length first
+    // and only compare texts inside a bucket; with md5-grouping the
+    // direct groupBy(text) is the same shuffle with a wider key.
+    sql("dedup_exact",
+      s"""WITH corpus AS (${D.exactDupes})
+         |SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+         |       len(string_split(text, ' ')) AS n_tokens
+         |FROM corpus GROUP BY text ORDER BY doc_id""".stripMargin) { (s, d) =>
+      withExactDupes(Tables.documents(s, d))
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"),
+          size(tokens).cast("bigint").as("n_tokens"))
+        .select(col("doc_id"), col("n_copies"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- per-document text statistics ----------------------------------
+    sql("text_stats",
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS n_tokens,
+        | len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        | round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |       / len(string_split(text, ' ')), 6) AS ttr,
+        | round(n_chars::DOUBLE / len(string_split(text, ' ')), 6) AS chars_per_tok,
+        | n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tokens).cast("bigint").as("n_tokens"),
+          size(array_distinct(tokens)).cast("bigint").as("n_uniq"),
+          r6(size(array_distinct(tokens)).cast("double") / size(tokens)).as("ttr"),
+          r6(col("n_chars").cast("double") / size(tokens)).as("chars_per_tok"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- corpus token counting (per source) ----------------------------
+    // explode + two-level agg: the explode is map-side (no shuffle of
+    // its own), the groupBy is one shuffle on `source`; distinct-token
+    // counts use Spark's two-phase distinct aggregate.
+    sql("token_count",
+      """SELECT source, count(DISTINCT doc_id) AS n_docs,
+        | count(*) AS total_tokens,
+        | count(DISTINCT tok) AS vocab,
+        | round(count(*)::DOUBLE / count(DISTINCT doc_id), 6) AS toks_per_doc
+        |FROM (SELECT source, doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents) t
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), explode(tokens).as("tok"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).cast("bigint").as("total_tokens"),
+          countDistinct(col("tok")).as("vocab"))
+        .select(col("source"), col("n_docs"), col("total_tokens"), col("vocab"),
+          r6(col("total_tokens").cast("double") / col("n_docs")).as("toks_per_doc"))
+        .orderBy(col("source"))
+    },
+
+    // ---- language ID (marker-token heuristic) --------------------------
+    // Hits counted with filter+contains (occurrence count, not set
+    // intersection) so Spark and DuckDB agree on duplicated tokens.
+    sql("lang_id", {
+      val scores = langProfiles.map { case (l, ws) =>
+        val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(string_split(text, ' '), t -> list_contains($arr, t))) AS hits_$l"
+      }.mkString(",\n ")
+      val best = langProfiles.map(_._1).sortBy(identity).reverse
+        .foldLeft("'und'") { case (acc, l) =>
+          s"CASE WHEN hits_$l > 0 AND hits_$l >= greatest(hits_en, hits_es, hits_de, hits_fr) THEN '$l' ELSE $acc END"
+        }
+      s"""SELECT doc_id, lang, hits_en, hits_es, hits_de, hits_fr,
+         | $best AS predicted
+         |FROM (SELECT doc_id, lang, $scores FROM documents) t
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val hits = langProfiles.map { case (l, ws) =>
+        val arr = array(ws.map(lit): _*)
+        size(filter(tokens, t => array_contains(arr, t))).cast("bigint").as(s"hits_$l")
+      }
+      // Same fold as the oracle: later (alphabetically-earlier) langs
+      // win ties because they overwrite when >= max.
+      val best = langProfiles.map(_._1).sortBy(identity).reverse
+        .foldLeft(lit("und")) { case (acc, l) =>
+          when(col(s"hits_$l") > 0 &&
+            col(s"hits_$l") >= greatest(col("hits_en"), col("hits_es"), col("hits_de"), col("hits_fr")),
+            lit(l)).otherwise(acc)
+        }
+      Tables.documents(s, d)
+        .select(Seq(col("doc_id"), col("lang")) ++ hits: _*)
+        .withColumn("predicted", best)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- quality scoring ------------------------------------------------
+    sql("quality_score", {
+      val sw = enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT doc_id,
+         | n_tokens,
+         | round(uniq_ratio, 6) AS uniq_ratio,
+         | round(stop_ratio, 6) AS stop_ratio,
+         | CAST(floor((0.5 * uniq_ratio
+         |       + 0.3 * least(stop_ratio * 5.0, 1.0)
+         |       + 0.2 * least(n_tokens::DOUBLE / 60.0, 1.0)) * 1000000) AS BIGINT) AS quality_micro
+         |FROM (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    len(list_distinct(string_split(text, ' ')))::DOUBLE
+         |      / len(string_split(text, ' ')) AS uniq_ratio,
+         |    len(list_filter(string_split(text, ' '), t -> list_contains($sw, t)))::DOUBLE
+         |      / len(string_split(text, ' ')) AS stop_ratio
+         |  FROM documents) t
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val sw = array(enStopwords.map(lit): _*)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tokens).cast("bigint").as("n_tokens"),
+          (size(array_distinct(tokens)).cast("double") / size(tokens)).as("uniq_ratio"),
+          (size(filter(tokens, t => array_contains(sw, t))).cast("double") / size(tokens))
+            .as("stop_ratio"))
+        .select(col("doc_id"), col("n_tokens"),
+          r6(col("uniq_ratio")).as("uniq_ratio_r"),
+          r6(col("stop_ratio")).as("stop_ratio_r"),
+          // floor to integer micro-units: identical doubles floor
+          // identically on both engines — no rounding-mode boundary.
+          floor((lit(0.5) * col("uniq_ratio")
+            + lit(0.3) * least(col("stop_ratio") * 5.0, lit(1.0))
+            + lit(0.2) * least(col("n_tokens").cast("double") / 60.0, lit(1.0))) * 1000000)
+            .cast("bigint").as("quality_micro"))
+        .withColumnRenamed("uniq_ratio_r", "uniq_ratio")
+        .withColumnRenamed("stop_ratio_r", "stop_ratio")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- document fingerprinting (shingle-hash winnowing) --------------
+    // fp_min/fp_max are the winnowed extremes of the 3-shingle hash
+    // set; fp_text is a whole-document content hash. Identical docs →
+    // identical fingerprints; near-identical docs → equal fp_min with
+    // high probability (the basis of fingerprint clustering).
+    sql("text_fingerprint",
+      s"""SELECT doc_id,
+         | ${D.h32("text")} AS fp_text,
+         | list_min(list_transform(${D.shingles}, x -> ${D.h32("x")})) AS fp_min,
+         | list_max(list_transform(${D.shingles}, x -> ${D.h32("x")})) AS fp_max,
+         | len(${D.shingles}) AS n_shingles
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sh = shingles3(tokens)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          h32(col("text")).as("fp_text"),
+          array_min(transform(sh, x => h32(x))).as("fp_min"),
+          array_max(transform(sh, x => h32(x))).as("fp_max"),
+          size(sh).cast("bigint").as("n_shingles"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- near-dup dedup: MinHash + LSH banding -------------------------
+    // 12 seeded min-hashes → 4 bands × 3 rows; candidate pairs only
+    // where a full band collides (groupBy band-key self-join — never
+    // all-pairs), then Jaccard-verified at 0.5. The planted truncated
+    // copies are exactly what it must find. Scale shape: the band
+    // explode is ×4, the join is keyed on (band, key) — bounded
+    // buckets, skew-safe for any realistic corpus.
+    sql("dedup_near", {
+      val sig = s"list_transform(range(0, 12), s -> " +
+        s"list_min(list_transform(sh, x -> ${D.h32s("s::VARCHAR", "x")})))"
+      s"""WITH corpus AS (${D.nearDupes}),
+         |sh AS (SELECT doc_id, ${D.shingles} AS sh FROM corpus),
+         |sig AS (SELECT doc_id, sh, $sig AS sig FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |         md5(sig[3*b+1]::VARCHAR || ',' || sig[3*b+2]::VARCHAR || ',' || sig[3*b+3]::VARCHAR) AS bkey
+         |  FROM sig, range(0, 4) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bkey = b2.bkey
+         |  WHERE a.doc_id < b2.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(len(list_distinct(list_intersect(sa.sh, sb.sh)))::DOUBLE
+         |        / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+         |FROM cand
+         |JOIN sh sa ON sa.doc_id = doc_a
+         |JOIN sh sb ON sb.doc_id = doc_b
+         |WHERE len(list_distinct(list_intersect(sa.sh, sb.sh)))::DOUBLE
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, d) =>
+      val corpus = withNearDupes(Tables.documents(s, d))
+      val sh = corpus.select(col("doc_id"), shingles3(tokens).as("sh"))
+      val sig = sh.select(col("doc_id"), col("sh"),
+        transform(sequence(lit(0), lit(11)),
+          sd => array_min(transform(col("sh"), x => h32Seeded(sd, x)))).as("sig"))
+      val bands = sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(3)), b =>
+          md5(concat_ws(",",
+            element_at(col("sig"), b * 3 + 1),
+            element_at(col("sig"), b * 3 + 2),
+            element_at(col("sig"), b * 3 + 3))))))
+        .select(col("doc_id"), col("pos").as("b"), col("col").as("bkey"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+        size(array_union(col("sa.sh"), col("sb.sh")))
+      cand
+        .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sh.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .filter(jac >= 0.5)
+        .select(col("doc_a"), col("doc_b"), r6(jac).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- near-dup dedup: SimHash ---------------------------------------
+    // 32-bit SimHash from per-token md5 hashes: bit b of the signature
+    // is the sign of sum(±1 over tokens) at that bit. Token hashes
+    // computed once, then folded per bit — O(32·n) cheap integer ops
+    // inside whole-stage codegen.
+    sql("dedup_simhash", {
+      val th = s"list_transform(string_split(text, ' '), t -> ${D.h32("t")})"
+      s"""SELECT doc_id,
+         | list_sum(list_transform(range(0, 32), b ->
+         |   CASE WHEN list_sum(list_transform(th, h -> ((h >> b) & 1) * 2 - 1)) > 0
+         |        THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash,
+         | len(th) AS n_tokens
+         |FROM (SELECT doc_id, $th AS th FROM documents) t
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val th = transform(tokens, t => h32(t))
+      Tables.documents(s, d)
+        .select(col("doc_id"), th.as("th"))
+        .select(col("doc_id"),
+          expr("""aggregate(
+                 |  transform(sequence(0, 31), b ->
+                 |    CASE WHEN aggregate(transform(th, h -> (shiftright(h, cast(b AS INT)) & 1L) * 2L - 1L),
+                 |                        0L, (acc, v) -> acc + v) > 0
+                 |         THEN shiftleft(1L, cast(b AS INT)) ELSE 0L END),
+                 |  0L, (acc, v) -> acc + v)""".stripMargin).as("simhash"),
+          size(col("th")).cast("bigint").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- near-dup dedup: blocked n-gram (3-shingle) Jaccard ------------
+    // The corpus vocabulary is tiny (31 tokens), so token-SET overlap
+    // is meaningless — 3-gram shingles are the distinctive unit.
+    // Candidate blocking on the first shingle (the planted truncated
+    // copy always shares it with its original) keeps the self-join
+    // keyed — at 100 TB the block key is the unit of shuffle and a
+    // skewed block would get salted.
+    sql("dedup_ngram", {
+      s"""WITH corpus AS (${D.nearDupes}),
+         |t AS (SELECT doc_id,
+         |             ${D.shingles} AS sh,
+         |             array_to_string((${D.toks})[1:3], ' ') AS blk
+         |      FROM corpus)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_distinct(list_intersect(a.sh, b.sh)))::DOUBLE
+         |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |WHERE len(list_distinct(list_intersect(a.sh, b.sh)))::DOUBLE
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, d) =>
+      val t = withNearDupes(Tables.documents(s, d))
+        .select(col("doc_id"),
+          shingles3(tokens).as("sh"),
+          array_join(slice(tokens, 1, 3), " ").as("blk"))
+      val jac = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+        size(array_union(col("a.sh"), col("b.sh")))
+      t.as("a").join(t.as("b"),
+          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+        .filter(jac >= 0.6)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          r6(jac).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
+  )
+}

@@ -1,0 +1,246 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search + multimodal operators over the `embeddings` and
+  * `documents` tables (SURVEY §2.10).
+  *
+  * Numeric parity with the DuckDB oracle: every dot product / norm is
+  * a *sequential left-to-right* fold over the 64 float components cast
+  * to double (`aggregate`/`zip_with` in Spark, `list_sum(list_transform)`
+  * in DuckDB), so both engines perform bit-identical IEEE operations in
+  * the same order and produce bit-identical doubles — ranking ties and
+  * round() boundaries cannot diverge.
+  *
+  * The LSH variant uses 8 signed random hyperplanes whose INTEGER
+  * weights are derived once, driver-side, from md5 ("plane:p:j") — the
+  * same literal numbers are baked into both the DataFrame plan and the
+  * oracle SQL, so no engine-native randomness or hash is involved. At
+  * scale the planes are a broadcast-sized constant, the bucket id is a
+  * map-side projection, and candidate generation is a bucket-keyed
+  * self-join — never all-pairs.
+  */
+object Vectors {
+
+  import QueryDef.sql
+
+  private val dim = 64
+  private val nPlanes = 8
+
+  /** First 32 bits of md5 as a non-negative Long (driver-side twin of
+    * ops.h32 — used only to derive plane-weight literals).
+    */
+  private def md5h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  /** 8 × 64 integer plane weights in [-500, 500]. */
+  private val planes: Seq[Seq[Long]] =
+    Seq.tabulate(nPlanes, dim)((p, j) => md5h32(s"plane:$p:$j") % 1001 - 500)
+
+  // ---- Spark-side building blocks ---------------------------------------
+
+  /** Sequential-fold dot product of two array<float/double> columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** LSH bucket id of an embedding column: sign bit per plane, packed. */
+  private def bucket(emb: Column): Column = {
+    val planesLit = array(planes.map(row => array(row.map(lit): _*)): _*)
+    val pow2 = array((0 until nPlanes).map(p => lit(1L << p)): _*)
+    aggregate(
+      transform(sequence(lit(0), lit(nPlanes - 1)), p =>
+        when(dot(element_at(planesLit, p + 1), emb) >= 0, element_at(pow2, p + 1))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  // ---- DuckDB oracle fragments ------------------------------------------
+
+  private object D {
+    val planesSql: String =
+      planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+    def norm(a: String): String = s"sqrt(${dot(a, a)})"
+    /** bucket of `e` given a `planes` column in scope. */
+    def bucket(e: String): String =
+      s"""list_sum(list_transform(range(0, $nPlanes), p ->
+         |  CASE WHEN list_sum(list_transform(range(1, ${dim + 1}),
+         |         i -> planes[p + 1][i]::DOUBLE * $e[i]::DOUBLE)) >= 0
+         |       THEN (1::BIGINT << p) ELSE 0 END))::BIGINT""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- brute-force cosine top-k (the correctness baseline) -----------
+    // Queries are a small fixed set → broadcast; candidates never
+    // shuffle. At 100 TB this is the per-bucket inner loop of the ANN
+    // path below, not a global pattern.
+    sql("sim_topk",
+      s"""WITH n AS (SELECT vec_id, embedding, ${D.norm("embedding")} AS nrm
+         |           FROM embeddings),
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |             ${D.dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |      FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+         |SELECT q_id, c_id, rnk, round(cos, 6) AS cosine
+         |FROM (SELECT q_id, c_id, cos,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+         |      FROM p) t
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      val n = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      val q = n.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val c = n.select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      broadcast(q).join(c, col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"), (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"), col("rnk"), r6(col("cos")).as("cosine"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // ---- ANN via random-hyperplane LSH buckets (the scale path) --------
+    // bucket id is a projection (no shuffle); the candidate join is
+    // keyed on bucket — the global top-k cross join disappears. Recall
+    // is traded for the bounded bucket size, standard SimHash-ANN.
+    sql("sim_ann_lsh",
+      s"""WITH pl AS (SELECT ${D.planesSql} AS planes),
+         |b AS (SELECT vec_id, embedding, ${D.norm("embedding")} AS nrm,
+         |             ${D.bucket("embedding")} AS bkt
+         |      FROM embeddings, pl),
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |             ${D.dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |      FROM b q JOIN b c ON q.bkt = c.bkt AND q.vec_id < 20 AND c.vec_id <> q.vec_id)
+         |SELECT q_id, c_id, rnk, round(cos, 6) AS cosine
+         |FROM (SELECT q_id, c_id, cos,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+         |      FROM p) t
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      val b = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+          bucket(col("embedding")).as("bkt"))
+      val q = b.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("bkt"))
+      val c = b.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"), col("bkt").as("cbkt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      q.join(c, col("bkt") === col("cbkt") && col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"), (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("c_id"), col("rnk"), r6(col("cos")).as("cosine"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // ---- embedding near-dup dedup (bucketed, never all-pairs) ----------
+    // Planted exact copies (vec_id+10000) land in the same LSH bucket
+    // by construction; the bucket-keyed self-join + cosine ≥ 0.999
+    // finds exactly those pairs.
+    sql("dedup_embedding",
+      s"""WITH pl AS (SELECT ${D.planesSql} AS planes),
+         |corpus AS (SELECT vec_id, embedding FROM embeddings
+         |           UNION ALL SELECT vec_id + 10000, embedding FROM embeddings),
+         |b AS (SELECT vec_id, embedding, ${D.norm("embedding")} AS nrm,
+         |             ${D.bucket("embedding")} AS bkt
+         |      FROM corpus, pl)
+         |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         |       round(${D.dot("a.embedding", "c.embedding")} / (a.nrm * c.nrm), 6) AS cosine
+         |FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+         |WHERE ${D.dot("a.embedding", "c.embedding")} / (a.nrm * c.nrm) >= 0.999
+         |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val corpus = e.select(col("vec_id"), col("embedding"))
+        .unionByName(e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      val b = corpus.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"), bucket(col("embedding")).as("bkt"))
+      val a2 = b.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb"), col("bkt").as("bkt2"))
+      val cos = dot(col("embedding"), col("eb")) / (col("nrm") * col("nb"))
+      b.join(a2, col("bkt") === col("bkt2") && col("vec_id") < col("vec_b"))
+        .filter(cos >= 0.999)
+        .select(col("vec_id").as("vec_a"), col("vec_b"), r6(cos).as("cosine"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // ---- multimodal: struct column of text + vector + metadata ---------
+    // documents ⋈ embeddings assembled into one nested struct (the
+    // "multimodal row"), operators applied *through* the struct fields;
+    // outputs flattened for the oracle. The join broadcasts the
+    // narrower embedding side at this SF; at scale it is an equi-join
+    // shuffled on the shared id.
+    sql("multimodal_select",
+      s"""SELECT d.doc_id,
+         | d.lang,
+         | len(string_split(d.text, ' ')) AS n_tokens,
+         | round(${D.norm("e.embedding")}, 6) AS vec_norm,
+         | e.label
+         |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val assembled = Tables.documents(s, d)
+        .join(Tables.embeddings(s, d), col("vec_id") === col("doc_id"))
+        .select(struct(
+          col("doc_id"),
+          struct(col("text"), col("lang"), col("source"), col("n_chars")).as("content"),
+          col("embedding").as("vector"),
+          struct(col("label"), col("vec_id")).as("meta")).as("doc"))
+      assembled.select(
+          col("doc.doc_id").as("doc_id"),
+          col("doc.content.lang").as("lang"),
+          size(split(col("doc.content.text"), " ")).cast("bigint").as("n_tokens"),
+          r6(norm(col("doc.vector"))).as("vec_norm"),
+          col("doc.meta.label").as("label"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- multimodal: opaque binary payload + typed metadata ------------
+    // The "image" is a deterministic fake (md5 digest bytes of the
+    // text — the container has no image codecs, per the brief the
+    // decode is a stub); the Spark-side plumbing is real: a binary
+    // column, typed width/height metadata derived portably, and
+    // features computed from the payload bytes. byte_len reads the
+    // actual binary column; b0/brightness use the hex twin so DuckDB
+    // can replicate them.
+    sql("multimodal_binary",
+      """SELECT doc_id,
+        | octet_length(unhex(md5(text))) AS byte_len,
+        | ('0x' || substr(md5(text), 1, 2))::BIGINT AS b0,
+        | (('0x' || substr(md5(text), 1, 8))::BIGINT % 640) + 1 AS width,
+        | (('0x' || substr(md5(text), 9, 8))::BIGINT % 480) + 1 AS height,
+        | round(list_sum(list_transform(range(1, 17),
+        |   i -> ('0x' || substr(md5(text), 2*i - 1, 2))::BIGINT))::DOUBLE / 16, 6) AS brightness
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val hexCol = md5(col("text"))
+      def hexByte(i: Column): Column =
+        conv(substring(hexCol, (i * 2 - 1).cast("int"), lit(2)), 16, 10).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          unhex(hexCol).as("payload"),
+          struct(
+            (h32(col("text")) % 640 + 1).as("width"),
+            (h32b(col("text")) % 480 + 1).as("height"),
+            lit("img16").as("fmt")).as("meta"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("bigint").as("byte_len"),
+          hexByte(lit(1)).as("b0"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          r6(aggregate(transform(sequence(lit(1), lit(16)), i => hexByte(i)),
+            lit(0L), (acc, v) => acc + v).cast("double") / 16).as("brightness"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

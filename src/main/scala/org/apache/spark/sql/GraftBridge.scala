@@ -13,5 +13,7 @@ package org.apache.spark.sql
   */
 object GraftBridge {
   def rebind(target: SparkSession, df: DataFrame): DataFrame =
-    Dataset.ofRows(target, df.queryExecution.analyzed)
+    classic.Dataset.ofRows(
+      target.asInstanceOf[classic.SparkSession],
+      df.queryExecution.analyzed)
 }
