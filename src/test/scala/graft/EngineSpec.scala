@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Engine
+
+/** Mallard-semantics assertions, mirroring the reference's runtime
+  * checks (SURVEY §5.1): processed-column check `demo.py:350-355`,
+  * PUT-append `flight_server.py:391-398`, unknown-command error
+  * `flight_server.py:312-315`, empty-input exchange
+  * `flight_server.py:80-84`, transfer verification `demo.py:318-329`.
+  */
+class EngineSpec extends SparkSpec {
+
+  private def fresh() = new Engine(spark.newSession())
+
+  test("PUT twice appends: row count doubles (schema-on-write + INSERT INTO)") {
+    val e = fresh()
+    val nation = Tables.nation(e.spark, sfDir)
+    e.put("nation", nation)
+    val n1 = e.count("nation")
+    e.put("nation", nation)
+    assert(e.count("nation") == 2 * n1)
+  }
+
+  test("stock exchanger appends processed=true on every row") {
+    val e = fresh()
+    val out = e.exchange("my_streaming_exchanger", Tables.region(e.spark, sfDir))
+    assert(out.columns.contains("processed"))
+    assert(out.filter(!col("processed")).count() == 0)
+    assert(out.count() == Tables.region(e.spark, sfDir).count())
+  }
+
+  test("unknown exchange command fails listing available commands") {
+    val e = fresh()
+    e.registerExchanger("zeta")(identity)
+    val ex = intercept[IllegalArgumentException] {
+      e.exchange("nope", Tables.region(e.spark, sfDir))
+    }
+    assert(ex.getMessage.contains("nope"))
+    assert(ex.getMessage.contains("my_streaming_exchanger"))
+    assert(ex.getMessage.contains("zeta"))
+  }
+
+  test("empty-input exchange returns empty result with schema preserved") {
+    val e = fresh()
+    val out = e.exchange("my_streaming_exchanger",
+      Tables.nation(e.spark, sfDir).limit(0))
+    assert(out.count() == 0)
+    assert(out.columns.toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey", "processed"))
+  }
+
+  test("runtime registration overrides an existing command (demo.py:500-506)") {
+    val e = fresh()
+    e.registerExchanger("my_streaming_exchanger")(df =>
+      df.withColumn("processed", lit(false)))
+    val out = e.exchange("my_streaming_exchanger", Tables.region(e.spark, sfDir))
+    assert(out.filter(col("processed")).count() == 0)
+  }
+
+  test("cross-engine transfer preserves the row multiset and is SQL-visible in dest") {
+    val (a, b) = Engine.pair(spark)
+    a.put("nation", Tables.nation(a.spark, sfDir))
+    val moved = a.transferTable(b, "nation")
+    assert(moved == a.count("nation"))
+    // visible through dest's *SQL catalog*, not just the object handle
+    val viaSql = b.query("SELECT count(*) AS c FROM nation").collect()(0).getLong(0)
+    assert(viaSql == moved)
+    // multiset equality: except-all both ways is empty
+    assert(a.get("nation").exceptAll(b.get("nation")).count() == 0)
+    assert(b.get("nation").exceptAll(a.get("nation")).count() == 0)
+  }
+
+  test("engines are isolated: a third session does not see transferred views") {
+    val (a, b) = Engine.pair(spark)
+    a.put("nation", Tables.nation(a.spark, sfDir))
+    a.transferTable(b, "nation")
+    val c = new Engine(spark.newSession())
+    val ex = intercept[Exception](c.query("SELECT * FROM nation").collect())
+    assert(ex.getMessage.contains("nation"))
+  }
+
+  test("DDL routes to status OK row (flight_server.py:357-359)") {
+    val e = fresh()
+    val st = e.query("CREATE TEMPORARY VIEW graft_spec_ddl AS SELECT 1 AS x")
+    assert(st.collect().map(_.getString(0)).toSeq == Seq("OK"))
+    assert(e.query("SELECT x FROM graft_spec_ddl").collect()(0).getInt(0) == 1)
+    e.query("DROP VIEW graft_spec_ddl")
+  }
+
+  test("drop reports prior existence; dropped table is gone") {
+    val e = fresh()
+    e.put("t", Tables.region(e.spark, sfDir))
+    assert(e.catalog.drop("t"))
+    assert(!e.catalog.drop("t"))
+    intercept[NoSuchElementException](e.get("t"))
+  }
+
+  test("persistent mode: persist + open in a fresh engine round-trips") {
+    val wh = "/root/repo/target/tmp/spec_warehouse"
+    val a = fresh()
+    a.put("nation", Tables.nation(a.spark, sfDir))
+    a.persist("nation", wh)
+    val b = fresh()
+    b.open("nation", wh)
+    assert(b.count("nation") == a.count("nation"))
+    assert(a.get("nation").exceptAll(b.get("nation")).count() == 0)
+  }
+
+  test("emptyLike carries the source schema with zero rows (CTAS LIMIT 0)") {
+    val e = fresh()
+    val li = Tables.lineitem(e.spark, sfDir)
+    val empty = e.emptyLike(li)
+    assert(empty.schema == li.schema)
+    assert(empty.count() == 0)
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.engine.Engine
+
+/** Property-style checks over the engine semantics (SURVEY §5.2),
+  * sampling scalacheck generators with a fixed seed (no scalatestplus
+  * bridge in the offline cache — sampling keeps the dependency set to
+  * what build.sbt declares).
+  */
+class PropertiesSpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("PUT-append count is additive for any number of appends") {
+    samples(Gen.choose(1, 4), 4).foreach { k =>
+      val e = new Engine(spark.newSession())
+      val r = Tables.region(e.spark, sfDir)
+      val n = r.count()
+      (1 to k).foreach(_ => e.put("r", r))
+      assert(e.count("r") == k * n, s"k=$k")
+    }
+  }
+
+  test("transfer preserves the multiset for any source table") {
+    samples(Gen.oneOf("region", "nation", "supplier"), 3).distinct.foreach { t =>
+      val (a, b) = Engine.pair(spark)
+      a.put(t, Tables.load(a.spark, sfDir, t))
+      a.transferTable(b, t)
+      assert(a.get(t).exceptAll(b.get(t)).count() == 0, s"t=$t")
+      assert(b.get(t).exceptAll(a.get(t)).count() == 0, s"t=$t")
+    }
+  }
+
+  test("exact dedup is idempotent for any projected column set") {
+    samples(Gen.oneOf(Seq("lang"), Seq("lang", "source"), Seq("source")), 3)
+      .distinct.foreach { cols =>
+        val docs = Tables.documents(spark, sfDir)
+        val once = docs.dropDuplicates(cols)
+        assert(once.dropDuplicates(cols).count() == once.count(), s"cols=$cols")
+      }
+  }
+}

@@ -1,0 +1,18 @@
+package graft
+
+import graft.streaming.EventStream
+
+/** Structured Streaming ↔ batch parity: the streaming hourly window
+  * over replayed events must produce exactly the batch twin's result
+  * (`stream_window_hourly`).
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming hourly window equals the batch aggregation") {
+    val streamed = EventStream.runHourly(spark, sfDir)
+    val batch = SparkEntry.queries("stream_window_hourly")(spark, sfDir)
+    assert(streamed.schema.fieldNames.toSeq == batch.schema.fieldNames.toSeq)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+}

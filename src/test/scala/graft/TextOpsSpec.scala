@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavior of the §2.10 text operators beyond the DuckDB oracle:
+  * the semantic claims (dedup finds the plants and nothing else,
+  * idempotence, fingerprint stability).
+  */
+class TextOpsSpec extends SparkSpec {
+
+  private def run(key: String) =
+    SparkEntry.queries(key)(spark, sfDir)
+
+  test("dedup_exact finds exactly the planted copies: one row per distinct text") {
+    val out = run("dedup_exact").cache()
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(out.count() == docs) // one survivor per original doc
+    assert(out.filter(col("n_copies") =!= 2).count() == 0) // every text planted once
+    // survivor is always the original (min doc_id < 10000)
+    assert(out.filter(col("doc_id") >= 10000).count() == 0)
+  }
+
+  test("exact dedup is idempotent") {
+    val once = run("dedup_exact")
+    val d2 = once.dropDuplicates("doc_id")
+    assert(d2.count() == once.count())
+  }
+
+  test("dedup_near finds every planted truncated near-duplicate pair") {
+    val out = run("dedup_near").cache()
+    val docs = Tables.documents(spark, sfDir).count()
+    // every original pairs with its +20000 truncation
+    val planted = out.filter(col("doc_b") === col("doc_a") + 20000)
+    assert(planted.count() == docs)
+    // and jaccard for planted pairs is high
+    assert(planted.filter(col("jaccard") < 0.8).count() == 0)
+  }
+
+  test("dedup_simhash: identical texts get identical signatures, near texts close ones") {
+    val out = run("dedup_simhash")
+    // signature is a function of text only: recompute on a copy and compare
+    val again = run("dedup_simhash")
+    assert(out.exceptAll(again).count() == 0)
+    // 32-bit range
+    assert(out.filter(col("simhash") < 0 || col("simhash") > ((1L << 32) - 1)).count() == 0)
+  }
+
+  test("text_fingerprint: fp_text collides exactly for equal texts") {
+    val fp = run("text_fingerprint").select(col("doc_id"), col("fp_text"))
+    val texts = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val joined = fp.join(texts, "doc_id")
+    val collisions = joined.as("a").join(joined.as("b"),
+        col("a.fp_text") === col("b.fp_text") && col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.text") =!= col("b.text"))
+    assert(collisions.count() == 0) // no spurious 32-bit collisions in 500 docs
+  }
+
+  test("lang_id predictions are confined to profile langs + und") {
+    val out = run("lang_id")
+    val langs = out.select("predicted").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "es", "de", "fr", "und")))
+  }
+
+  test("quality_score is bounded in [0, 1e6] micro-units") {
+    val out = run("quality_score")
+    assert(out.filter(col("quality_micro") < 0 || col("quality_micro") > 1000000).count() == 0)
+  }
+}

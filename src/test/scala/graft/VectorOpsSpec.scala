@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class VectorOpsSpec extends SparkSpec {
+
+  private def run(key: String) =
+    SparkEntry.queries(key)(spark, sfDir)
+
+  test("sim_topk: k results per query, cosine within [-1, 1], ranks dense") {
+    val out = run("sim_topk").cache()
+    val perQ = out.groupBy("q_id").agg(count(lit(1)).as("n"),
+      max(col("rnk")).as("maxr"), min(col("rnk")).as("minr"))
+    assert(perQ.filter(col("n") =!= 5 || col("maxr") =!= 5 || col("minr") =!= 1).count() == 0)
+    assert(out.filter(col("cosine") > 1.000001 || col("cosine") < -1.000001).count() == 0)
+  }
+
+  test("cosine top-k is invariant under positive scaling of the corpus") {
+    import graft.ops.QueryDef
+    // scale every embedding by 3: cosine unchanged → same neighbors
+    val e = Tables.embeddings(spark, sfDir)
+    val scaled = e.withColumn("embedding",
+      expr("transform(embedding, x -> x * CAST(3.0 AS FLOAT))"))
+    scaled.createOrReplaceTempView("graft_scaled_emb")
+    def topk(df: org.apache.spark.sql.DataFrame) = {
+      val n = df.select(col("vec_id"), col("embedding"),
+        sqrt(expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)")).as("nrm"))
+      val q = n.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val c = n.select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      broadcast(q).join(c, col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"),
+          (expr("aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)")
+            / (col("qn") * col("cn"))).as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "c_id", "rnk")
+    }
+    assert(topk(e).exceptAll(topk(scaled)).count() == 0)
+  }
+
+  test("dedup_embedding finds exactly the planted exact copies") {
+    val out = run("dedup_embedding").cache()
+    val n = Tables.embeddings(spark, sfDir).count()
+    val planted = out.filter(col("vec_b") === col("vec_a") + 10000)
+    assert(planted.count() == n) // every copy found in its bucket
+    assert(planted.filter(col("cosine") < 0.999999).count() == 0)
+  }
+
+  test("multimodal_select: one row per document, norm positive") {
+    val out = run("multimodal_select")
+    assert(out.count() == Tables.documents(spark, sfDir).count())
+    assert(out.filter(col("vec_norm") <= 0).count() == 0)
+  }
+
+  test("multimodal_binary: 16-byte payloads, bytes in range, metadata bounded") {
+    val out = run("multimodal_binary")
+    assert(out.filter(col("byte_len") =!= 16).count() == 0)
+    assert(out.filter(col("b0") < 0 || col("b0") > 255).count() == 0)
+    assert(out.filter(col("width") < 1 || col("width") > 640 ||
+      col("height") < 1 || col("height") > 480).count() == 0)
+    assert(out.filter(col("brightness") < 0 || col("brightness") > 255).count() == 0)
+  }
+}
