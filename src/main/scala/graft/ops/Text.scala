@@ -96,6 +96,21 @@ object Text {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"))
 
+  /** MinHash permutation family: h ↦ (h·a + b) mod P over the md5-base
+    * shingle hash. Constants derived driver-side from md5 and baked
+    * into both plans; a < 2^31 keeps h·a inside a signed 64-bit value
+    * for h < 2^32 in both engines.
+    */
+  val minhashP: Long = 4294967291L // largest prime < 2^32
+  val minhashMix: Seq[(Long, Long)] = Seq.tabulate(12) { s =>
+    def m(tag: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mh:$tag:$s".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    (m("a") % ((1L << 31) - 1) + 1, m("b") % (1L << 31))
+  }
+
   private val enStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "is", "in", "it", "on", "for")
 
@@ -261,58 +276,77 @@ object Text {
     },
 
     // ---- near-dup dedup: MinHash + LSH banding -------------------------
-    // 12 seeded min-hashes → 4 bands × 3 rows; candidate pairs only
-    // where a full band collides (groupBy band-key self-join — never
+    // 12 min-hash permutations → 4 bands × 3 rows; candidate pairs only
+    // where a full band collides (band-key self-join — never
     // all-pairs), then Jaccard-verified at 0.5. The planted truncated
-    // copies are exactly what it must find. Scale shape: the band
-    // explode is ×4, the join is keyed on (band, key) — bounded
-    // buckets, skew-safe for any realistic corpus.
+    // copies are exactly what it must find.
+    //
+    // Cost shape (this is the 100 TB-relevant part): ONE md5 per
+    // distinct shingle, then the 12 permutations are integer universal
+    // hashes (h·A_s + B_s mod P) over that base hash — 12 multiplies,
+    // not 12 cryptographic digests. The shingle/signature frame is
+    // cached so the band self-join and the verify join read it instead
+    // of recomputing the minhash pipeline per branch. Bands explode ×4,
+    // the join is keyed on (band, key) — bounded buckets, skew-safe.
     sql("dedup_near", {
-      val sig = s"list_transform(range(0, 12), s -> " +
-        s"list_min(list_transform(sh, x -> ${D.h32s("s::VARCHAR", "x")})))"
+      val mixes = Text.minhashMix.map { case (a, b) =>
+        s"list_min(list_transform(hs, h -> (h * $a + $b) % ${Text.minhashP}))"
+      }.mkString("[", ",\n   ", "]")
       s"""WITH corpus AS (${D.nearDupes}),
-         |sh AS (SELECT doc_id, ${D.shingles} AS sh FROM corpus),
-         |sig AS (SELECT doc_id, sh, $sig AS sig FROM sh),
+         |hs AS (SELECT doc_id,
+         |  list_distinct(list_transform(${D.shingles}, x -> ${D.h32("x")})) AS hs
+         |  FROM corpus),
+         |sig AS (SELECT doc_id, hs,
+         |  $mixes AS sig
+         |  FROM hs),
          |bands AS (
          |  SELECT doc_id, b,
-         |         md5(sig[3*b+1]::VARCHAR || ',' || sig[3*b+2]::VARCHAR || ',' || sig[3*b+3]::VARCHAR) AS bkey
+         |         sig[3*b+1]::VARCHAR || ',' || sig[3*b+2]::VARCHAR || ',' || sig[3*b+3]::VARCHAR AS bkey
          |  FROM sig, range(0, 4) t(b)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
          |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bkey = b2.bkey
          |  WHERE a.doc_id < b2.doc_id)
          |SELECT doc_a, doc_b,
-         |  round(len(list_distinct(list_intersect(sa.sh, sb.sh)))::DOUBLE
-         |        / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+         |  round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
+         |        / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS jaccard
          |FROM cand
-         |JOIN sh sa ON sa.doc_id = doc_a
-         |JOIN sh sb ON sb.doc_id = doc_b
-         |WHERE len(list_distinct(list_intersect(sa.sh, sb.sh)))::DOUBLE
-         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+         |JOIN hs sa ON sa.doc_id = doc_a
+         |JOIN hs sb ON sb.doc_id = doc_b
+         |WHERE len(list_intersect(sa.hs, sb.hs))::DOUBLE
+         |      / len(list_distinct(list_concat(sa.hs, sb.hs))) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, d) =>
+      // Jaccard is computed in hash space (distinct md5-based shingle
+      // hashes): same value as string-shingle Jaccard absent 32-bit
+      // collisions, identical on both engines by construction, and the
+      // set ops compare longs, not ~20-char strings.
       val corpus = withNearDupes(Tables.documents(s, d))
-      val sh = corpus.select(col("doc_id"), shingles3(tokens).as("sh"))
-      val sig = sh.select(col("doc_id"), col("sh"),
-        transform(sequence(lit(0), lit(11)),
-          sd => array_min(transform(col("sh"), x => h32Seeded(sd, x)))).as("sig"))
+      val hsDf = corpus
+        .select(col("doc_id"),
+          array_distinct(transform(shingles3(tokens), x => h32(x))).as("hs"))
+        .cache() // read by band self-join (×2) and verify join (×2)
+      val sig = hsDf.select(col("doc_id"),
+        array(Text.minhashMix.map { case (a, b) =>
+          array_min(transform(col("hs"), h => (h * a + b) % Text.minhashP))
+        }: _*).as("sig"))
       val bands = sig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(3)), b =>
-          md5(concat_ws(",",
+          concat_ws(",",
             element_at(col("sig"), b * 3 + 1),
             element_at(col("sig"), b * 3 + 2),
-            element_at(col("sig"), b * 3 + 3))))))
+            element_at(col("sig"), b * 3 + 3)))))
         .select(col("doc_id"), col("pos").as("b"), col("col").as("bkey"))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
-        size(array_union(col("sa.sh"), col("sb.sh")))
+      val jac = size(array_intersect(col("sa.hs"), col("sb.hs"))).cast("double") /
+        size(array_union(col("sa.hs"), col("sb.hs")))
       cand
-        .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
-        .join(sh.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .join(hsDf.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(hsDf.as("sb"), col("sb.doc_id") === col("doc_b"))
         .filter(jac >= 0.5)
         .select(col("doc_a"), col("doc_b"), r6(jac).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -357,21 +391,23 @@ object Text {
     sql("dedup_ngram", {
       s"""WITH corpus AS (${D.nearDupes}),
          |t AS (SELECT doc_id,
-         |             ${D.shingles} AS sh,
+         |             list_distinct(list_transform(${D.shingles}, x -> ${D.h32("x")})) AS sh,
          |             array_to_string((${D.toks})[1:3], ' ') AS blk
          |      FROM corpus)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  round(len(list_distinct(list_intersect(a.sh, b.sh)))::DOUBLE
+         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
          |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
          |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
-         |WHERE len(list_distinct(list_intersect(a.sh, b.sh)))::DOUBLE
+         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
          |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, d) =>
+      // hash-space Jaccard, same rationale as dedup_near
       val t = withNearDupes(Tables.documents(s, d))
         .select(col("doc_id"),
-          shingles3(tokens).as("sh"),
+          array_distinct(transform(shingles3(tokens), x => h32(x))).as("sh"),
           array_join(slice(tokens, 1, 3), " ").as("blk"))
+        .cache() // both sides of the block self-join read this
       val jac = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
         size(array_union(col("a.sh"), col("b.sh")))
       t.as("a").join(t.as("b"),

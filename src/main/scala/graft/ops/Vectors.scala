@@ -131,6 +131,7 @@ object Vectors {
       val b = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
           bucket(col("embedding")).as("bkt"))
+        .cache() // bucketing (8×64 fused multiply-adds/row) feeds both join sides
       val q = b.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
           col("nrm").as("qn"), col("bkt"))
@@ -167,6 +168,7 @@ object Vectors {
         .unionByName(e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
       val b = corpus.select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("nrm"), bucket(col("embedding")).as("bkt"))
+        .cache() // both sides of the bucket self-join read this
       val a2 = b.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
         col("nrm").as("nb"), col("bkt").as("bkt2"))
       val cos = dot(col("embedding"), col("eb")) / (col("nrm") * col("nb"))
