@@ -19,7 +19,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class Catalog(val spark: SparkSession) {
 
-  private val tables = TrieMap.empty[String, DataFrame]
+  /** A table is the union of its appended parts. Keeping the parts
+    * (not an incrementally nested union plan) bounds analyzer cost per
+    * PUT, and Catalyst's CombineUnions collapses the read-side fold
+    * into one flat Union node. Past `compactAfter` parts the lineage is
+    * cut with a lazy localCheckpoint — the streaming-ingest equivalent
+    * of table compaction, without which ten thousand PUTs would build a
+    * ten-thousand-deep plan (analyzer blowup, eventual stack overflow).
+    */
+  private val tables = TrieMap.empty[String, Vector[DataFrame]]
+
+  private val compactAfter = 64
+
+  private def merged(parts: Vector[DataFrame]): DataFrame =
+    parts.reduce(_.unionByName(_))
 
   /** First put creates (schema-on-write); later puts append by name.
     *
@@ -32,26 +45,28 @@ final class Catalog(val spark: SparkSession) {
     */
   def put(name: String, df: DataFrame): Unit = {
     val local = org.apache.spark.sql.GraftBridge.rebind(spark, df)
-    val next = tables
+    val parts = tables
       .updateWith(name) {
-        case Some(existing) => Some(existing.unionByName(local))
-        case None           => Some(local)
+        case Some(v) if v.size + 1 >= compactAfter =>
+          Some(Vector(merged(v :+ local).localCheckpoint(false)))
+        case Some(v) => Some(v :+ local)
+        case None    => Some(Vector(local))
       }
       .get
-    next.createOrReplaceTempView(name)
+    merged(parts).createOrReplaceTempView(name)
   }
 
   /** Replace regardless of prior contents (CREATE OR REPLACE). */
   def putReplace(name: String, df: DataFrame): Unit = {
     val local = org.apache.spark.sql.GraftBridge.rebind(spark, df)
-    tables.update(name, local)
+    tables.update(name, Vector(local))
     local.createOrReplaceTempView(name)
   }
 
   def get(name: String): DataFrame =
-    tables.getOrElse(name,
+    merged(tables.getOrElse(name,
       throw new NoSuchElementException(
-        s"Table '$name' not found. Available: ${list.mkString(", ")}"))
+        s"Table '$name' not found. Available: ${list.mkString(", ")}")))
 
   def contains(name: String): Boolean = tables.contains(name)
 

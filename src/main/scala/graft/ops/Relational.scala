@@ -135,8 +135,13 @@ object Relational {
     },
 
     // Non-equi (range) join: event pairs within one minute, same user.
-    // Equi key on user_id keeps the shuffle keyed; the range predicate
-    // rides along as a join condition, not a cartesian filter.
+    // The join key is (user_id, minute-bucket): the left side explodes
+    // to its bucket and bucket+1, so any b within [ts_a, ts_a+1min]
+    // shares a key with exactly one exploded a-row. This bounds each
+    // task's pair space by bucket width — a hot user no longer
+    // produces O(n²) pairs in one task (that user's events spread over
+    // time buckets), which is the shape that survives skew at 100 TB.
+    // The range predicate then verifies exactly, as a post-key filter.
     sql("join_range",
       """SELECT a.user_id AS user_id, count(*) AS n_pairs
         |FROM events a JOIN events b
@@ -146,9 +151,13 @@ object Relational {
         |GROUP BY a.user_id
         |ORDER BY a.user_id""".stripMargin) { (s, d) =>
       val e = Tables.events(s, d)
-      val a = e.select(col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"))
-      val b = e.select(col("user_id"), col("event_id").as("id_b"), col("ts").as("ts_b"))
-      a.join(b, Seq("user_id"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          expr("unix_timestamp(ts) div 60").as("bkt"))
+      val a = e.select(col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"),
+        explode(array(col("bkt"), col("bkt") + 1)).as("jbkt"))
+      val b = e.select(col("user_id"), col("event_id").as("id_b"), col("ts").as("ts_b"),
+        col("bkt").as("jbkt"))
+      a.join(b, Seq("user_id", "jbkt"))
         .filter(col("id_a") < col("id_b") &&
           col("ts_b") >= col("ts_a") &&
           col("ts_b") <= col("ts_a") + expr("INTERVAL 1 MINUTE"))
@@ -220,6 +229,12 @@ object Relational {
           coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
           col("sum_price"), col("cnt"))
         .orderBy(col("rflag"), col("lstatus"))
+    },
+
+    // GROUPING SETS — the same ANSI text runs on Spark SQL and DuckDB.
+    sql("agg_grouping_sets", Sql.groupingSets) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(Sql.groupingSets)
     },
 
     // HLL sketch — engines' sketches differ, so no SQL oracle
@@ -444,6 +459,14 @@ object Relational {
 
   /** SQL shared verbatim between Spark SQL and DuckDB. */
   object Sql {
+    val groupingSets: String =
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+        |ORDER BY rflag, lstatus""".stripMargin
+
     val cte: String =
       """WITH big_spenders AS (
         |  SELECT o_custkey, count(*) AS n_big, round(sum(o_totalprice), 2) AS spent

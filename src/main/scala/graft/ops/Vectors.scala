@@ -44,11 +44,12 @@ object Vectors {
 
   // ---- Spark-side building blocks ---------------------------------------
 
-  /** Sequential-fold dot product of two array<float/double> columns. */
+  /** Sequential-fold dot product — the codegen'd Catalyst expression
+    * (graft.functions.DotProduct), bit-identical to the HOF
+    * `aggregate(zip_with(...))` formulation and to the oracle.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct.dotp(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -16,4 +16,13 @@ object GraftBridge {
     classic.Dataset.ofRows(
       target.asInstanceOf[classic.SparkSession],
       df.queryExecution.analyzed)
+
+  /** Column ⇄ catalyst Expression, for custom expressions like
+    * graft.functions.DotProduct (`ExpressionUtils` is private[sql]).
+    */
+  def column(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }
