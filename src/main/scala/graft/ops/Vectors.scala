@@ -42,6 +42,10 @@ object Vectors {
   private val planes: Seq[Seq[Long]] =
     Seq.tabulate(nPlanes, dim)((p, j) => md5h32(s"plane:$p:$j") % 1001 - 500)
 
+  /** Deterministic coarse-quantizer picks for the IVF index. */
+  private val ivfCentroidIds: Seq[Long] =
+    Seq(3L, 17L, 42L, 99L, 123L, 200L, 321L, 444L)
+
   // ---- Spark-side building blocks ---------------------------------------
 
   /** Sequential-fold dot product — the codegen'd Catalyst expression
@@ -143,6 +147,69 @@ object Vectors {
       q.join(c, col("bkt") === col("cbkt") && col("c_id") =!= col("q_id"))
         .select(col("q_id"), col("c_id"), (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
         .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("c_id"), col("rnk"), r6(col("cos")).as("cosine"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // ---- ANN via IVF (inverted-file) cells -----------------------------
+    // Coarse quantizer: 8 fixed centroids (deterministic vec_id picks —
+    // a k-means step would refine them, the search shape is identical).
+    // Every vector is assigned to its nearest centroid (argmin of
+    // squared L2, tie-broken by centroid id); search only touches the
+    // query's cell. At scale the centroid table is broadcast, the
+    // assignment is a map-side projection, and the candidate join is
+    // keyed on cell — the standard IVF trade of recall for bounded
+    // candidate lists, complementing the LSH variant above.
+    sql("sim_ivf", {
+      val cids = ivfCentroidIds.mkString("(", ", ", ")")
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id IN $cids),
+         |asg AS (
+         |  SELECT vec_id, embedding, nrm, cid AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, ${D.norm("e.embedding")} AS nrm, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${D.dot("e.embedding", "e.embedding")}
+         |                      - 2 * ${D.dot("e.embedding", "c.ce")}
+         |                      + ${D.dot("c.ce", "c.ce")}, c.cid) AS rn
+         |    FROM embeddings e, cent c) t
+         |  WHERE rn = 1),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |         ${D.dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM asg q JOIN asg c ON q.cell = c.cell
+         |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+         |SELECT q_id, c_id, rnk, round(cos, 6) AS cosine
+         |FROM (SELECT q_id, c_id, cos,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+         |      FROM p) t
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+    }) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("vec_id").isin(ivfCentroidIds: _*))
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val d2 = dot(col("embedding"), col("embedding")) -
+        lit(2) * dot(col("embedding"), col("ce")) + dot(col("ce"), col("ce"))
+      val wAsg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+      val asg = e.join(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+          col("cid"), d2.as("d2"))
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
+        .cache() // both sides of the cell join read the assignment
+      val q = asg.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("cell"))
+      val c = asg.select(col("vec_id").as("c_id"), col("embedding").as("ce2"),
+        col("nrm").as("cn"), col("cell").as("ccell"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      q.join(c, col("cell") === col("ccell") && col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"), (dot(col("qe"), col("ce2")) / (col("qn") * col("cn"))).as("cos"))
+        .withColumn("rnk", row_number().over(wTop).cast("bigint"))
         .filter(col("rnk") <= 3)
         .select(col("q_id"), col("c_id"), col("rnk"), r6(col("cos")).as("cosine"))
         .orderBy(col("q_id"), col("rnk"))
