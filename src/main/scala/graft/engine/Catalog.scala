@@ -72,7 +72,9 @@ final class Catalog(val spark: SparkSession) {
 
   def drop(name: String): Boolean = {
     val existed = tables.remove(name).isDefined
-    spark.catalog.dropTempView(name)
+    // no-cascade drop: another engine may still serve a cache of the
+    // same plan (see GraftBridge.dropTempView)
+    org.apache.spark.sql.GraftBridge.dropTempView(spark, name)
     existed
   }
 

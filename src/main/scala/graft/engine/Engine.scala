@@ -118,10 +118,15 @@ final class Engine(val spark: SparkSession) {
     * share one SparkContext, so no data moves until `dest` runs an
     * action, and then it moves executor-side, never through the driver.
     */
-  def transferTable(dest: Engine, name: String): Long = {
+  /** `verify = true` re-counts the destination after the PUT (the
+    * reference's behavior, `demo.py:318-322`); pass false to keep the
+    * transfer fully lazy — at scale the count is a full extra scan of
+    * the destination table, so it should be a choice, not a tax.
+    */
+  def transferTable(dest: Engine, name: String, verify: Boolean = true): Long = {
     val df = catalog.get(name)
     dest.put(name, df)
-    dest.count(name)
+    if (verify) dest.count(name) else -1L
   }
 
   // ---- persistent mode (file-backed engine) ----------------------------

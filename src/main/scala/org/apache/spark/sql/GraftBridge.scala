@@ -25,4 +25,15 @@ object GraftBridge {
 
   def expression(c: Column): catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Drop a session-local temp view WITHOUT the public API's cascade
+    * uncache: `spark.catalog.dropTempView` uncaches any cached plan the
+    * view resolves to, which in Graft's two-engine topology would let
+    * engine B's DROP evict a cached table engine A still serves —
+    * Mallard's servers are isolated (`flight_server.py:167-183`), so
+    * ours must be too.
+    */
+  def dropTempView(spark: SparkSession, name: String): Boolean =
+    spark.asInstanceOf[classic.SparkSession]
+      .sessionState.catalog.dropTempView(name)
 }

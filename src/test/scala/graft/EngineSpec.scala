@@ -96,6 +96,20 @@ class EngineSpec extends SparkSpec {
     intercept[NoSuchElementException](e.get("t"))
   }
 
+  test("drop in one engine does not evict a cache another engine serves") {
+    val (a, b) = Engine.pair(spark)
+    val cached = Tables.nation(a.spark, sfDir).cache()
+    cached.count() // materialize
+    a.put("nation_c", cached)
+    a.transferTable(b, "nation_c")
+    assert(cached.storageLevel.useMemory)
+    b.catalog.drop("nation_c") // must NOT cascade-uncache a's table
+    assert(cached.storageLevel.useMemory,
+      "engine B's DROP evicted engine A's cache — isolation broken")
+    assert(a.count("nation_c") == 25)
+    cached.unpersist()
+  }
+
   test("persistent mode: persist + open in a fresh engine round-trips") {
     val wh = "/root/repo/target/tmp/spec_warehouse"
     val a = fresh()
