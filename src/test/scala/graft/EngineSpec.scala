@@ -121,6 +121,23 @@ class EngineSpec extends SparkSpec {
     assert(a.get("nation").exceptAll(b.get("nation")).count() == 0)
   }
 
+  test("auth: basic login mints a token, bad credentials and tokens rejected, revocation works") {
+    import graft.engine.AuthEngine
+    val e = fresh()
+    e.put("nation", Tables.nation(e.spark, sfDir))
+    val auth = new AuthEngine(e, Map("admin" -> "password123"))
+    intercept[SecurityException](auth.authenticate("admin", "wrong"))
+    intercept[SecurityException](auth.query("not-a-token", "SELECT 1"))
+    val token = auth.authenticate("admin", "password123")
+    assert(auth.query(token, "SELECT count(*) AS c FROM nation")
+      .collect()(0).getLong(0) == 25)
+    // tokens are per-engine, like per-server middleware
+    val other = new AuthEngine(fresh(), Map("admin" -> "password123"))
+    intercept[SecurityException](other.query(token, "SELECT 1"))
+    auth.revoke(token)
+    intercept[SecurityException](auth.query(token, "SELECT 1"))
+  }
+
   test("emptyLike carries the source schema with zero rows (CTAS LIMIT 0)") {
     val e = fresh()
     val li = Tables.lineitem(e.spark, sfDir)
