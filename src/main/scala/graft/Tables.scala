@@ -50,5 +50,11 @@ object Tables {
     * name them exactly as the DuckDB oracle does.
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    register(spark, sfDir, names: _*)
+
+  /** Register only the named tables (cheaper for queries that touch
+    * one or two — no point planning scans of ten).
+    */
+  def register(spark: SparkSession, sfDir: String, which: String*): Unit =
+    which.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 }

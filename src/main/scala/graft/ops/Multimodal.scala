@@ -50,7 +50,7 @@ object Multimodal {
   /** documents → fake 16-byte payloads (md5 of text) → typed decode. */
   def decodeDocuments(spark: SparkSession, sfDir: String): Dataset[MediaFeatures] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    graft.ops.spread(Tables.documents(spark, sfDir))
       .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
       .as[MediaRow]
       .mapPartitions(decodePartition _)

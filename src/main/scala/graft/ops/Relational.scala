@@ -233,7 +233,7 @@ object Relational {
 
     // GROUPING SETS — the same ANSI text runs on Spark SQL and DuckDB.
     sql("agg_grouping_sets", Sql.groupingSets) { (s, d) =>
-      Tables.registerAll(s, d)
+      Tables.register(s, d, "lineitem")
       s.sql(Sql.groupingSets)
     },
 
@@ -323,7 +323,7 @@ object Relational {
 
     // --- CTE: the same ANSI text runs on Spark SQL and DuckDB --------
     sql("cte_query", Sql.cte) { (s, d) =>
-      Tables.registerAll(s, d)
+      Tables.register(s, d, "orders", "customer")
       s.sql(Sql.cte)
     },
 

@@ -29,6 +29,11 @@ object Text {
 
   // ---- shared building blocks -------------------------------------------
 
+  /** documents spread across the cluster (tiny single-file scan would
+    * otherwise serialize all hashing on one core — see ops.spread). */
+  private def docs(s: SparkSession, d: String): DataFrame =
+    graft.ops.spread(Tables.documents(s, d))
+
   /** Tokens of `text` (single-space-joined corpus, FIXTURES.md). */
   private def tokens: Column = split(col("text"), " ")
 
@@ -126,7 +131,7 @@ object Text {
          |SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
          |       len(string_split(text, ' ')) AS n_tokens
          |FROM corpus GROUP BY text ORDER BY doc_id""".stripMargin) { (s, d) =>
-      withExactDupes(Tables.documents(s, d))
+      withExactDupes(docs(s, d))
         .groupBy(col("text"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"),
           size(tokens).cast("bigint").as("n_tokens"))
@@ -144,7 +149,7 @@ object Text {
         | round(n_chars::DOUBLE / len(string_split(text, ' ')), 6) AS chars_per_tok,
         | n_chars
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
+      docs(s, d)
         .select(col("doc_id"),
           size(tokens).cast("bigint").as("n_tokens"),
           size(array_distinct(tokens)).cast("bigint").as("n_uniq"),
@@ -166,7 +171,7 @@ object Text {
         |FROM (SELECT source, doc_id, unnest(string_split(text, ' ')) AS tok
         |      FROM documents) t
         |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
+      docs(s, d)
         .select(col("source"), col("doc_id"), explode(tokens).as("tok"))
         .groupBy(col("source"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
@@ -206,7 +211,7 @@ object Text {
             col(s"hits_$l") >= greatest(col("hits_en"), col("hits_es"), col("hits_de"), col("hits_fr")),
             lit(l)).otherwise(acc)
         }
-      Tables.documents(s, d)
+      docs(s, d)
         .select(Seq(col("doc_id"), col("lang")) ++ hits: _*)
         .withColumn("predicted", best)
         .orderBy(col("doc_id"))
@@ -233,7 +238,7 @@ object Text {
          |ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
       val sw = array(enStopwords.map(lit): _*)
-      Tables.documents(s, d)
+      docs(s, d)
         .select(col("doc_id"),
           size(tokens).cast("bigint").as("n_tokens"),
           (size(array_distinct(tokens)).cast("double") / size(tokens)).as("uniq_ratio"),
@@ -266,7 +271,7 @@ object Text {
          | len(${D.shingles}) AS n_shingles
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       val sh = shingles3(tokens)
-      Tables.documents(s, d)
+      docs(s, d)
         .select(col("doc_id"),
           h32(col("text")).as("fp_text"),
           array_min(transform(sh, x => h32(x))).as("fp_min"),
@@ -321,7 +326,7 @@ object Text {
       // hashes): same value as string-shingle Jaccard absent 32-bit
       // collisions, identical on both engines by construction, and the
       // set ops compare longs, not ~20-char strings.
-      val corpus = withNearDupes(Tables.documents(s, d))
+      val corpus = withNearDupes(docs(s, d))
       val hsDf = corpus
         .select(col("doc_id"),
           array_distinct(transform(shingles3(tokens), x => h32(x))).as("hs"))
@@ -368,7 +373,7 @@ object Text {
          |ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
       val th = transform(tokens, t => h32(t))
-      Tables.documents(s, d)
+      docs(s, d)
         .select(col("doc_id"), th.as("th"))
         .select(col("doc_id"),
           expr("""aggregate(
@@ -403,7 +408,7 @@ object Text {
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, d) =>
       // hash-space Jaccard, same rationale as dedup_near
-      val t = withNearDupes(Tables.documents(s, d))
+      val t = withNearDupes(docs(s, d))
         .select(col("doc_id"),
           array_distinct(transform(shingles3(tokens), x => h32(x))).as("sh"),
           array_join(slice(tokens, 1, 3), " ").as("blk"))

@@ -48,6 +48,13 @@ object Vectors {
 
   // ---- Spark-side building blocks ---------------------------------------
 
+  /** embeddings/documents spread across the cluster (tiny single-file
+    * scans would serialize the per-row vector math on one core). */
+  private def emb(s: SparkSession, d: String): DataFrame =
+    graft.ops.spread(Tables.embeddings(s, d))
+  private def docs(s: SparkSession, d: String): DataFrame =
+    graft.ops.spread(Tables.documents(s, d))
+
   /** Sequential-fold dot product — the codegen'd Catalyst expression
     * (graft.functions.DotProduct), bit-identical to the HOF
     * `aggregate(zip_with(...))` formulation and to the oracle.
@@ -101,7 +108,7 @@ object Vectors {
          |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
          |      FROM p) t
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
-      val n = Tables.embeddings(s, d)
+      val n = emb(s, d)
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
       val q = n.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
@@ -133,7 +140,7 @@ object Vectors {
          |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
          |      FROM p) t
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
-      val b = Tables.embeddings(s, d)
+      val b = emb(s, d)
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
           bucket(col("embedding")).as("bkt"))
         .cache() // bucketing (8×64 fused multiply-adds/row) feeds both join sides
@@ -186,7 +193,7 @@ object Vectors {
          |      FROM p) t
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
     }) { (s, d) =>
-      val e = Tables.embeddings(s, d)
+      val e = emb(s, d)
       val cent = e.filter(col("vec_id").isin(ivfCentroidIds: _*))
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       val d2 = dot(col("embedding"), col("embedding")) -
@@ -231,7 +238,7 @@ object Vectors {
          |FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
          |WHERE ${D.dot("a.embedding", "c.embedding")} / (a.nrm * c.nrm) >= 0.999
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-      val e = Tables.embeddings(s, d)
+      val e = emb(s, d)
       val corpus = e.select(col("vec_id"), col("embedding"))
         .unionByName(e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
       val b = corpus.select(col("vec_id"), col("embedding"),
@@ -260,8 +267,8 @@ object Vectors {
          | e.label
          |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
-      val assembled = Tables.documents(s, d)
-        .join(Tables.embeddings(s, d), col("vec_id") === col("doc_id"))
+      val assembled = docs(s, d)
+        .join(emb(s, d), col("vec_id") === col("doc_id"))
         .select(struct(
           col("doc_id"),
           struct(col("text"), col("lang"), col("source"), col("n_chars")).as("content"),
@@ -296,7 +303,7 @@ object Vectors {
       val hexCol = md5(col("text"))
       def hexByte(i: Column): Column =
         conv(substring(hexCol, (i * 2 - 1).cast("int"), lit(2)), 16, 10).cast("long")
-      Tables.documents(s, d)
+      docs(s, d)
         .select(col("doc_id"), col("text"),
           unhex(hexCol).as("payload"),
           struct(

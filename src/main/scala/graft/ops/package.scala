@@ -43,4 +43,14 @@ package object ops {
     * tokens per FIXTURES.md). DuckDB twin: `string_split(text, ' ')`.
     */
   def toks(c: Column): Column = split(c, " ")
+
+  /** Spread a small-file scan across the cluster before heavy per-row
+    * compute. A sub-split-size parquet file arrives as ONE partition,
+    * which would serialize hashing/shingling on one core; the shuffle
+    * moves only the raw rows (cheap) and parallelizes everything
+    * downstream. At 100 TB inputs arrive pre-split and this is a no-op
+    * decision — it matters exactly for the small-dimension case.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }
