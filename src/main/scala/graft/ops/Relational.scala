@@ -442,6 +442,60 @@ object Relational {
         .orderBy(col("vec_id"))
     },
 
+    // --- correlated scalar subquery (Catalyst decorrelates it into a
+    //     join — RewriteCorrelatedScalarSubquery, SURVEY §4.2) --------
+    sql("subquery_scalar", Sql.scalarSubquery) { (s, d) =>
+      Tables.register(s, d, "orders", "customer")
+      s.sql(Sql.scalarSubquery)
+    },
+
+    // --- RANGE window frame: value-based peers, not row counts ------
+    sql("window_range_frame",
+      """SELECT o_orderkey,
+        | count(*) OVER (PARTITION BY o_custkey ORDER BY round(o_totalprice, 2)
+        |                RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_near
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(r2(col("o_totalprice")))
+        .rangeBetween(-10000, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), count(lit(1)).over(w).as("n_near"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // --- sessionization: gap-based event-time sessions --------------
+    // Built-in session_window (works identically in batch and
+    // Structured Streaming — the streaming twin is
+    // EventStream.runSessions, parity-checked in StreamingSpec). The
+    // oracle replicates Spark's semantics with lag + running sum:
+    // a session ENDS at last_ts + gap exclusive, so a new event at
+    // exactly the boundary starts a new session (diff >= gap breaks);
+    // ts truncated to µs to mirror the Spark-side ns→µs load.
+    sql("sessionize", Sql.sessionize) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_seen"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_seen"))
+        .select(col("user_id"), col("n_events"), col("first_seen"), col("last_seen"))
+        .orderBy(col("user_id"), col("first_seen"))
+    },
+
+    // Same sessions through the typed API: KeyValueGroupedDataset +
+    // flatMapGroups — the escape hatch for per-group logic Catalyst
+    // can't express. Groups sort in executor memory (bounded by one
+    // user's events; a pathological user would need re-chunking).
+    sql("sessionize_typed", Sql.sessionize) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups(Sessions.ofGroup _)
+        .toDF("user_id", "n_events", "first_seen", "last_seen")
+        .orderBy(col("user_id"), col("first_seen"))
+    },
+
     // --- event-time windowed aggregation (batch twin of the
     //     Structured Streaming pipeline in graft.streaming) ----------
     sql("stream_window_hourly",
@@ -457,8 +511,61 @@ object Relational {
     }
   )
 
+  /** Executor-side sessionization kernel for the typed path. Lives in
+    * an object so the flatMapGroups closure captures nothing
+    * non-serializable (the formatter initializes per JVM).
+    */
+  object Sessions {
+    private val gapUs = 30L * 60 * 1000000
+    private lazy val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+
+    private def f(us: Long): String =
+      fmt.format(java.time.Instant.ofEpochSecond(math.floorDiv(us, 1000000L), 0))
+
+    /** (user_id, event_id, ts_us) events → (user, n, first, last) sessions. */
+    def ofGroup(user: Long, it: Iterator[(Long, Long, Long)]): Iterator[(Long, Long, String, String)] = {
+      val evs = it.toArray.sortBy(e => (e._3, e._2))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, String)]
+      var start = 0
+      for (i <- 1 to evs.length) {
+        if (i == evs.length || evs(i)._3 - evs(i - 1)._3 >= gapUs) {
+          out += ((user, (i - start).toLong, f(evs(start)._3), f(evs(i - 1)._3)))
+          start = i
+        }
+      }
+      out.iterator
+    }
+  }
+
   /** SQL shared verbatim between Spark SQL and DuckDB. */
   object Sql {
+    val scalarSubquery: String =
+      """SELECT c_custkey, c_name,
+        |       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        |FROM customer ORDER BY c_custkey""".stripMargin
+
+    /** Lag + running-sum sessionization, replicating Spark's
+      * session_window semantics (end-exclusive: diff >= gap breaks)
+      * over µs-truncated timestamps.
+      */
+    val sessionize: String =
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events),
+        |o AS (SELECT user_id, event_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM o)
+        |SELECT user_id, count(*) AS n_events,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, first_seen""".stripMargin
+
     val groupingSets: String =
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
         |       coalesce(l_linestatus, 'ALL') AS lstatus,

@@ -46,6 +46,33 @@ object EventStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Streaming gap-based sessions: the same session_window aggregation
+    * the batch key `sessionize` uses, executed as a watermarked stream
+    * (session_window is one of the few stateful operators whose batch
+    * and streaming semantics are defined to coincide — StreamingSpec
+    * asserts it).
+    */
+  def runSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val sink = s"graft_stream_sessions_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = source(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_seen"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_seen"))
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(sink)
+      .select(col("user_id"), col("n_events"), col("first_seen"), col("last_seen"))
+      .orderBy(col("user_id"), col("first_seen"))
+  }
+
   /** The file-stream source lists a *directory*; the testdata table is
     * a single parquet file. Stage it (once per sfDir) into a replay
     * directory under target/ — the shape a production stream would

@@ -15,4 +15,14 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("streaming session_window equals batch sessionization (built-in AND typed)") {
+    val streamed = EventStream.runSessions(spark, sfDir)
+    val batch = SparkEntry.queries("sessionize")(spark, sfDir)
+    val typed = SparkEntry.queries("sessionize_typed")(spark, sfDir)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(typed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(typed).count() == 0)
+  }
 }
