@@ -231,6 +231,25 @@ object Relational {
         .orderBy(col("rflag"), col("lstatus"))
     },
 
+    // Salted two-phase aggregation: the skew-mitigation shape. Phase 1
+    // aggregates on (key, salt) — a hot key's rows split across 8
+    // reducers; phase 2 merges the partials. Result is identical to
+    // the direct groupBy (the oracle is exactly that), cost is one
+    // extra small shuffle. At 100 TB this is what you do when one user
+    // owns 1% of all events; here the salt is a portable md5 hash so
+    // the oracle needs no salt at all.
+    sql("agg_salted_twophase",
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("salt", h32(col("event_id")) % 8)
+        .groupBy(col("user_id"), col("salt"))
+        .agg(count(lit(1)).as("pn"), sum(col("value")).as("pt"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("pn")).as("n"), r2(sum(col("pt"))).as("total"))
+        .orderBy(col("user_id"))
+    },
+
     // GROUPING SETS — the same ANSI text runs on Spark SQL and DuckDB.
     sql("agg_grouping_sets", Sql.groupingSets) { (s, d) =>
       Tables.register(s, d, "lineitem")

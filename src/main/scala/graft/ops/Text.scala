@@ -182,6 +182,48 @@ object Text {
         .orderBy(col("source"))
     },
 
+    // ---- BPE-ish subword tokenization ----------------------------------
+    // Greedy ≤4-char alpha chunks via regexp_extract_all — the regex
+    // stand-in for a BPE merge table (both engines' regex is greedy,
+    // non-overlapping, so the chunking is identical). Corpus-level
+    // subword stats per lang.
+    sql("token_bpe",
+      """SELECT lang,
+        | count(*) AS n_subtokens,
+        | count(DISTINCT sub) AS n_uniq_sub,
+        | round(sum(length(sub))::DOUBLE / count(*), 6) AS mean_len
+        |FROM (SELECT lang, unnest(regexp_extract_all(text, '[a-z]{1,4}')) AS sub
+        |      FROM documents) t
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(col("lang"),
+          explode(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).as("sub"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_subtokens"),
+          countDistinct(col("sub")).as("n_uniq_sub"),
+          r6(sum(length(col("sub"))).cast("double") / count(lit(1))).as("mean_len"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- text normalization / stopword removal -------------------------
+    sql("text_clean", {
+      val sw = enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT doc_id,
+         | array_to_string(list_filter(string_split(lower(text), ' '),
+         |                             t -> NOT list_contains($sw, t)), ' ') AS clean,
+         | len(list_filter(string_split(lower(text), ' '),
+         |                 t -> NOT list_contains($sw, t))) AS n_kept
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val sw = array(enStopwords.map(lit): _*)
+      val kept = filter(split(lower(col("text")), " "), t => !array_contains(sw, t))
+      docs(s, d)
+        .select(col("doc_id"),
+          array_join(kept, " ").as("clean"),
+          size(kept).cast("bigint").as("n_kept"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- language ID (marker-token heuristic) --------------------------
     // Hits counted with filter+contains (occurrence count, not set
     // intersection) so Spark and DuckDB agree on duplicated tokens.
