@@ -231,6 +231,70 @@ object Relational {
         .orderBy(col("rflag"), col("lstatus"))
     },
 
+    // As-of join (time-series: each purchase matched to the user's
+    // most recent prior signup). Implemented the scalable way — a
+    // single union + one window pass (sort-merge within user
+    // partitions), NOT a range self-join: no pair explosion, state is
+    // one running "last signup" per user. The oracle uses DuckDB's
+    // native ASOF JOIN, so the two formulations check each other.
+    sql("join_asof",
+      """SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+        |       s.event_id AS signup_id,
+        |       epoch_us(p.ts::TIMESTAMP) - epoch_us(s.ts::TIMESTAMP) AS lag_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+      val tagged = Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_type") === "signup", 0).otherwise(1).as("kind"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("s_id", last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("s_ts", last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1 && col("s_id").isNotNull)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("s_id").as("signup_id"),
+          (unix_micros(col("ts")) - unix_micros(col("s_ts"))).as("lag_us"))
+        .orderBy(col("purchase_id"))
+    },
+
+    // PIVOT: row values become columns (missing combos 0-filled to
+    // match the oracle's FILTER counts).
+    sql("pivot_status",
+      """SELECT o_orderpriority,
+        | count(*) FILTER (o_orderstatus = 'F') AS F,
+        | count(*) FILTER (o_orderstatus = 'O') AS O,
+        | count(*) FILTER (o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0, Seq("F", "O", "P"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Exact interpolated percentiles (both engines implement the
+    // standard linear-interpolation definition).
+    sql("agg_percentiles",
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(r4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+          r4(expr("percentile(l_extendedprice, 0.9)")).as("p90"),
+          r4(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Salted two-phase aggregation: the skew-mitigation shape. Phase 1
     // aggregates on (key, salt) — a hot key's rows split across 8
     // reducers; phase 2 merges the partials. Result is identical to

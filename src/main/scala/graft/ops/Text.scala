@@ -373,6 +373,7 @@ object Text {
         .select(col("doc_id"),
           array_distinct(transform(shingles3(tokens), x => h32(x))).as("hs"))
         .cache() // read by band self-join (×2) and verify join (×2)
+      hsDf.count() // eager cache fill: both self-join branches would otherwise race and double-compute
       val sig = hsDf.select(col("doc_id"),
         array(Text.minhashMix.map { case (a, b) =>
           array_min(transform(col("hs"), h => (h * a + b) % Text.minhashP))
@@ -428,6 +429,47 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // ---- corpus-level source similarity via MinHash signatures ---------
+    // One 12-value signature per SOURCE (min of each permutation over
+    // every token hash in the source's documents), then pairwise
+    // signature agreement estimates token-set Jaccard between sources.
+    // The signature reduce is a plain min-aggregate — at 100 TB this is
+    // one map-side-combinable pass, and the pair comparison touches
+    // k sources, not k documents.
+    sql("source_similarity", {
+      val th = D.h32("tok")
+      val sigCols = Text.minhashMix.zipWithIndex.map { case ((a, b), i) =>
+        s"min((h * $a + $b) % ${Text.minhashP}) AS m$i"
+      }.mkString(",\n ")
+      val matches = Text.minhashMix.indices
+        .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH th AS (SELECT source, $th AS h
+         |            FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+         |                  FROM documents) t),
+         |sig AS (SELECT source,
+         | $sigCols
+         | FROM th GROUP BY source)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |       round(($matches) / 12.0, 6) AS est_jaccard
+         |FROM sig a JOIN sig b ON a.source < b.source
+         |ORDER BY src_a, src_b""".stripMargin
+    }) { (s, d) =>
+      val th = docs(s, d)
+        .select(col("source"), explode(tokens).as("tok"))
+        .select(col("source"), h32(col("tok")).as("h"))
+      val sigExprs = Text.minhashMix.zipWithIndex.map { case ((a, b), i) =>
+        min((col("h") * a + b) % Text.minhashP).as(s"m$i")
+      }
+      val sig = th.groupBy(col("source")).agg(sigExprs.head, sigExprs.tail: _*)
+      val matches = Text.minhashMix.indices
+        .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      sig.as("a").join(sig.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          r6(matches / 12.0).as("est_jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
     // ---- near-dup dedup: blocked n-gram (3-shingle) Jaccard ------------
     // The corpus vocabulary is tiny (31 tokens), so token-SET overlap
     // is meaningless — 3-gram shingles are the distinctive unit.
@@ -455,6 +497,7 @@ object Text {
           array_distinct(transform(shingles3(tokens), x => h32(x))).as("sh"),
           array_join(slice(tokens, 1, 3), " ").as("blk"))
         .cache() // both sides of the block self-join read this
+      t.count() // eager cache fill (see dedup_near)
       val jac = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
         size(array_union(col("a.sh"), col("b.sh")))
       t.as("a").join(t.as("b"),

@@ -144,6 +144,7 @@ object Vectors {
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
           bucket(col("embedding")).as("bkt"))
         .cache() // bucketing (8×64 fused multiply-adds/row) feeds both join sides
+      b.count() // eager cache fill: both join branches would otherwise race
       val q = b.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
           col("nrm").as("qn"), col("bkt"))
@@ -207,6 +208,7 @@ object Vectors {
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
         .cache() // both sides of the cell join read the assignment
+      asg.count() // eager cache fill
       val q = asg.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
           col("nrm").as("qn"), col("cell"))
@@ -244,6 +246,7 @@ object Vectors {
       val b = corpus.select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("nrm"), bucket(col("embedding")).as("bkt"))
         .cache() // both sides of the bucket self-join read this
+      b.count() // eager cache fill
       val a2 = b.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
         col("nrm").as("nb"), col("bkt").as("bkt2"))
       val cos = dot(col("embedding"), col("eb")) / (col("nrm") * col("nb"))
