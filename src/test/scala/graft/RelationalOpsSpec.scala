@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class RelationalOpsSpec extends SparkSpec {
+
+  private def run(key: String) =
+    SparkEntry.queries(key)(spark, sfDir)
+
+  test("join_asof: lag is non-negative and the matched signup precedes the purchase") {
+    val out = run("join_asof").cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("lag_us") < 0).count() == 0)
+    // matched ids really are signup events
+    val signups = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "signup").select(col("event_id"))
+    assert(out.join(signups, out("signup_id") === signups("event_id"), "left_anti")
+      .count() == 0)
+  }
+
+  test("pivot_status: pivoted counts sum to the plain groupBy totals") {
+    val out = run("pivot_status")
+    val totals = out.select(col("o_orderpriority"),
+      (col("F") + col("O") + col("P")).as("n"))
+    val direct = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    assert(totals.exceptAll(direct).count() == 0)
+  }
+
+  test("agg_salted_twophase equals the direct aggregation") {
+    val out = run("agg_salted_twophase")
+    val direct = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("user_id"))
+    assert(out.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(out).count() == 0)
+  }
+
+  test("sim_ivf: dense ranks and every query answered from its cell") {
+    val out = SparkEntry.queries("sim_ivf")(spark, sfDir).cache()
+    assert(out.count() > 0)
+    val perQ = out.groupBy("q_id").agg(min(col("rnk")).as("mn"), max(col("rnk")).as("mx"),
+      count(lit(1)).as("n"))
+    assert(perQ.filter(col("mn") =!= 1 || col("mx") =!= col("n") || col("n") > 3).count() == 0)
+  }
+}
