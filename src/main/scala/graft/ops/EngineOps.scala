@@ -95,7 +95,7 @@ object EngineOps {
     // driver→executor natively; reference cloudpickles classes,
     // `flight_server.py:402-427`). Overrides like `demo.py:500-506`.
     sql("register_transform",
-      """SELECT event_id, upper(event_type) AS event_type_u, round(value * 2, 2) AS value2
+      """SELECT event_id, upper(event_type) AS event_type_u, floor(value * 2 * 100 + 0.5) / 100 AS value2
         |FROM events WHERE event_type IN ('signup', 'purchase')
         |ORDER BY event_id""".stripMargin) { (s, d) =>
       val e = freshEngine(s)
@@ -103,7 +103,7 @@ object EngineOps {
         df.filter(col("event_type").isin("signup", "purchase"))
           .select(col("event_id"),
             upper(col("event_type")).as("event_type_u"),
-            r2(col("value") * 2).as("value2"))
+            pr2(col("value") * 2).as("value2"))
       }
       e.exchange("enrich", Tables.events(e.spark, d)).orderBy(col("event_id"))
     },

@@ -57,15 +57,15 @@ object Relational {
     },
 
     sql("filter_project",
-      """SELECT l_orderkey, l_linenumber,
-        | round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS net
-        |FROM lineitem
-        |WHERE l_quantity > 45 AND l_discount < 0.05
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      s"""SELECT l_orderkey, l_linenumber,
+         | ${sqlPr("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 100)} AS net
+         |FROM lineitem
+         |WHERE l_quantity > 45 AND l_discount < 0.05
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_quantity") > 45 && col("l_discount") < 0.05)
         .select(col("l_orderkey"), col("l_linenumber"),
-          r2(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("net"))
+          pr2(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("net"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
@@ -283,15 +283,15 @@ object Relational {
     // standard linear-interpolation definition).
     sql("agg_percentiles",
       """SELECT l_returnflag,
-        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
-        | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        | floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000 AS p50,
+        | floor(quantile_cont(l_extendedprice, 0.9) * 10000 + 0.5) / 10000 AS p90,
+        | floor(quantile_cont(l_extendedprice, 0.99) * 10000 + 0.5) / 10000 AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(r4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-          r4(expr("percentile(l_extendedprice, 0.9)")).as("p90"),
-          r4(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
+        .agg(pr4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+          pr4(expr("percentile(l_extendedprice, 0.9)")).as("p90"),
+          pr4(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -348,15 +348,15 @@ object Relational {
     },
 
     sql("window_moving_avg",
-      """SELECT event_id,
-        | round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg
-        |FROM events
-        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      s"""SELECT event_id,
+         | ${sqlPr("avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+           "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", 10000)} AS mavg
+         |FROM events
+         |ORDER BY event_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(-2, Window.currentRow)
       Tables.events(s, d)
-        .select(col("event_id"), r4(avg(col("value")).over(w)).as("mavg"))
+        .select(col("event_id"), pr4(avg(col("value")).over(w)).as("mavg"))
         .orderBy(col("event_id"))
     },
 
@@ -474,22 +474,22 @@ object Relational {
     },
 
     sql("scalar_math",
-      """SELECT l_orderkey, l_linenumber,
-        | l_orderkey % 7 AS mod7,
-        | round(abs(l_discount - 0.05), 6) AS absd,
-        | round(sqrt(l_quantity), 6) AS sqrtq,
-        | round(ln(l_extendedprice), 6) AS lnp,
-        | CAST(ceil(l_quantity) AS BIGINT) AS ceilq,
-        | CAST(floor(l_tax * 100) AS BIGINT) AS taxpct,
-        | greatest(l_discount, l_tax) AS gdt
-        |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      s"""SELECT l_orderkey, l_linenumber,
+         | l_orderkey % 7 AS mod7,
+         | ${sqlPr("abs(l_discount - 0.05)", 1000000)} AS absd,
+         | ${sqlPr("sqrt(l_quantity)", 1000000)} AS sqrtq,
+         | ${sqlPr("ln(l_extendedprice)", 1000000)} AS lnp,
+         | CAST(ceil(l_quantity) AS BIGINT) AS ceilq,
+         | CAST(floor(l_tax * 100) AS BIGINT) AS taxpct,
+         | greatest(l_discount, l_tax) AS gdt
+         |FROM lineitem
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           pmod(col("l_orderkey"), lit(7)).as("mod7"),
-          r6(abs(col("l_discount") - 0.05)).as("absd"),
-          r6(sqrt(col("l_quantity"))).as("sqrtq"),
-          r6(log(col("l_extendedprice"))).as("lnp"),
+          pr6(abs(col("l_discount") - 0.05)).as("absd"),
+          pr6(sqrt(col("l_quantity"))).as("sqrtq"),
+          pr6(log(col("l_extendedprice"))).as("lnp"),
           ceil(col("l_quantity")).cast("bigint").as("ceilq"),
           floor(col("l_tax") * 100).cast("bigint").as("taxpct"),
           greatest(col("l_discount"), col("l_tax")).as("gdt"))
@@ -510,18 +510,18 @@ object Relational {
     sql("scalar_array",
       """SELECT vec_id,
         | CAST(len(embedding) AS BIGINT) AS dim,
-        | round(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS norm,
-        | round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
-        | round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') / len(embedding), 6) AS vmean
+        | floor(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * 10000 + 0.5) / 10000 AS norm,
+        | floor(CAST(list_max(embedding) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS vmax,
+        | floor(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') / len(embedding) * 1000000 + 0.5) / 1000000 AS vmean
         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
       val sq = expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
       val sm = expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
       Tables.embeddings(s, d)
         .select(col("vec_id"),
           size(col("embedding")).cast("bigint").as("dim"),
-          r4(sqrt(sq)).as("norm"),
-          r6(array_max(col("embedding")).cast("double")).as("vmax"),
-          r6(sm / size(col("embedding"))).as("vmean"))
+          pr4(sqrt(sq)).as("norm"),
+          pr6(array_max(col("embedding")).cast("double")).as("vmax"),
+          pr6(sm / size(col("embedding"))).as("vmean"))
         .orderBy(col("vec_id"))
     },
 

@@ -144,17 +144,17 @@ object Text {
       """SELECT doc_id,
         | len(string_split(text, ' ')) AS n_tokens,
         | len(list_distinct(string_split(text, ' '))) AS n_uniq,
-        | round(len(list_distinct(string_split(text, ' ')))::DOUBLE
-        |       / len(string_split(text, ' ')), 6) AS ttr,
-        | round(n_chars::DOUBLE / len(string_split(text, ' ')), 6) AS chars_per_tok,
+        | floor(len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |       / len(string_split(text, ' ')) * 1000000 + 0.5) / 1000000 AS ttr,
+        | floor(n_chars::DOUBLE / len(string_split(text, ' ')) * 1000000 + 0.5) / 1000000 AS chars_per_tok,
         | n_chars
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       docs(s, d)
         .select(col("doc_id"),
           size(tokens).cast("bigint").as("n_tokens"),
           size(array_distinct(tokens)).cast("bigint").as("n_uniq"),
-          r6(size(array_distinct(tokens)).cast("double") / size(tokens)).as("ttr"),
-          r6(col("n_chars").cast("double") / size(tokens)).as("chars_per_tok"),
+          pr6(size(array_distinct(tokens)).cast("double") / size(tokens)).as("ttr"),
+          pr6(col("n_chars").cast("double") / size(tokens)).as("chars_per_tok"),
           col("n_chars"))
         .orderBy(col("doc_id"))
     },
@@ -167,7 +167,7 @@ object Text {
       """SELECT source, count(DISTINCT doc_id) AS n_docs,
         | count(*) AS total_tokens,
         | count(DISTINCT tok) AS vocab,
-        | round(count(*)::DOUBLE / count(DISTINCT doc_id), 6) AS toks_per_doc
+        | floor(count(*)::DOUBLE / count(DISTINCT doc_id) * 1000000 + 0.5) / 1000000 AS toks_per_doc
         |FROM (SELECT source, doc_id, unnest(string_split(text, ' ')) AS tok
         |      FROM documents) t
         |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
@@ -178,7 +178,7 @@ object Text {
           count(lit(1)).cast("bigint").as("total_tokens"),
           countDistinct(col("tok")).as("vocab"))
         .select(col("source"), col("n_docs"), col("total_tokens"), col("vocab"),
-          r6(col("total_tokens").cast("double") / col("n_docs")).as("toks_per_doc"))
+          pr6(col("total_tokens").cast("double") / col("n_docs")).as("toks_per_doc"))
         .orderBy(col("source"))
     },
 
@@ -191,7 +191,7 @@ object Text {
       """SELECT lang,
         | count(*) AS n_subtokens,
         | count(DISTINCT sub) AS n_uniq_sub,
-        | round(sum(length(sub))::DOUBLE / count(*), 6) AS mean_len
+        | floor(sum(length(sub))::DOUBLE / count(*) * 1000000 + 0.5) / 1000000 AS mean_len
         |FROM (SELECT lang, unnest(regexp_extract_all(text, '[a-z]{1,4}')) AS sub
         |      FROM documents) t
         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
@@ -201,7 +201,7 @@ object Text {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_subtokens"),
           countDistinct(col("sub")).as("n_uniq_sub"),
-          r6(sum(length(col("sub"))).cast("double") / count(lit(1))).as("mean_len"))
+          pr6(sum(length(col("sub"))).cast("double") / count(lit(1))).as("mean_len"))
         .orderBy(col("lang"))
     },
 
@@ -264,8 +264,8 @@ object Text {
       val sw = enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
       s"""SELECT doc_id,
          | n_tokens,
-         | round(uniq_ratio, 6) AS uniq_ratio,
-         | round(stop_ratio, 6) AS stop_ratio,
+         | floor(uniq_ratio * 1000000 + 0.5) / 1000000 AS uniq_ratio,
+         | floor(stop_ratio * 1000000 + 0.5) / 1000000 AS stop_ratio,
          | CAST(floor((0.5 * uniq_ratio
          |       + 0.3 * least(stop_ratio * 5.0, 1.0)
          |       + 0.2 * least(n_tokens::DOUBLE / 60.0, 1.0)) * 1000000) AS BIGINT) AS quality_micro
@@ -287,8 +287,8 @@ object Text {
           (size(filter(tokens, t => array_contains(sw, t))).cast("double") / size(tokens))
             .as("stop_ratio"))
         .select(col("doc_id"), col("n_tokens"),
-          r6(col("uniq_ratio")).as("uniq_ratio_r"),
-          r6(col("stop_ratio")).as("stop_ratio_r"),
+          pr6(col("uniq_ratio")).as("uniq_ratio_r"),
+          pr6(col("stop_ratio")).as("stop_ratio_r"),
           // floor to integer micro-units: identical doubles floor
           // identically on both engines — no rounding-mode boundary.
           floor((lit(0.5) * col("uniq_ratio")
@@ -355,8 +355,8 @@ object Text {
          |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bkey = b2.bkey
          |  WHERE a.doc_id < b2.doc_id)
          |SELECT doc_a, doc_b,
-         |  round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
-         |        / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS jaccard
+         |  floor(len(list_intersect(sa.hs, sb.hs))::DOUBLE
+         |        / len(list_distinct(list_concat(sa.hs, sb.hs))) * 1000000 + 0.5) / 1000000 AS jaccard
          |FROM cand
          |JOIN hs sa ON sa.doc_id = doc_a
          |JOIN hs sb ON sb.doc_id = doc_b
@@ -396,7 +396,7 @@ object Text {
         .join(hsDf.as("sa"), col("sa.doc_id") === col("doc_a"))
         .join(hsDf.as("sb"), col("sb.doc_id") === col("doc_b"))
         .filter(jac >= 0.5)
-        .select(col("doc_a"), col("doc_b"), r6(jac).as("jaccard"))
+        .select(col("doc_a"), col("doc_b"), pr6(jac).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -450,7 +450,7 @@ object Text {
          | $sigCols
          | FROM th GROUP BY source)
          |SELECT a.source AS src_a, b.source AS src_b,
-         |       round(($matches) / 12.0, 6) AS est_jaccard
+         |       floor(($matches) / 12.0 * 1000000 + 0.5) / 1000000 AS est_jaccard
          |FROM sig a JOIN sig b ON a.source < b.source
          |ORDER BY src_a, src_b""".stripMargin
     }) { (s, d) =>
@@ -466,7 +466,7 @@ object Text {
         .reduce(_ + _)
       sig.as("a").join(sig.as("b"), col("a.source") < col("b.source"))
         .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
-          r6(matches / 12.0).as("est_jaccard"))
+          pr6(matches / 12.0).as("est_jaccard"))
         .orderBy(col("src_a"), col("src_b"))
     },
 
@@ -484,8 +484,8 @@ object Text {
          |             array_to_string((${D.toks})[1:3], ' ') AS blk
          |      FROM corpus)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
-         |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         |  floor(len(list_intersect(a.sh, b.sh))::DOUBLE
+         |        / len(list_distinct(list_concat(a.sh, b.sh))) * 1000000 + 0.5) / 1000000 AS jaccard
          |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
          |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
@@ -504,7 +504,7 @@ object Text {
           col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
         .filter(jac >= 0.6)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          r6(jac).as("jaccard"))
+          pr6(jac).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }
   )

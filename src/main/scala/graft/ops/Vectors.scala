@@ -103,7 +103,7 @@ object Vectors {
          |p AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
          |             ${D.dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
          |      FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
-         |SELECT q_id, c_id, rnk, round(cos, 6) AS cosine
+         |SELECT q_id, c_id, rnk, floor(cos * 1000000 + 0.5) / 1000000 AS cosine
          |FROM (SELECT q_id, c_id, cos,
          |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
          |      FROM p) t
@@ -119,7 +119,7 @@ object Vectors {
         .select(col("q_id"), col("c_id"), (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
         .withColumn("rnk", row_number().over(w).cast("bigint"))
         .filter(col("rnk") <= 5)
-        .select(col("q_id"), col("c_id"), col("rnk"), r6(col("cos")).as("cosine"))
+        .select(col("q_id"), col("c_id"), col("rnk"), pr6(col("cos")).as("cosine"))
         .orderBy(col("q_id"), col("rnk"))
     },
 
@@ -135,7 +135,7 @@ object Vectors {
          |p AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
          |             ${D.dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
          |      FROM b q JOIN b c ON q.bkt = c.bkt AND q.vec_id < 20 AND c.vec_id <> q.vec_id)
-         |SELECT q_id, c_id, rnk, round(cos, 6) AS cosine
+         |SELECT q_id, c_id, rnk, floor(cos * 1000000 + 0.5) / 1000000 AS cosine
          |FROM (SELECT q_id, c_id, cos,
          |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
          |      FROM p) t
@@ -156,7 +156,7 @@ object Vectors {
         .select(col("q_id"), col("c_id"), (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
         .withColumn("rnk", row_number().over(w).cast("bigint"))
         .filter(col("rnk") <= 3)
-        .select(col("q_id"), col("c_id"), col("rnk"), r6(col("cos")).as("cosine"))
+        .select(col("q_id"), col("c_id"), col("rnk"), pr6(col("cos")).as("cosine"))
         .orderBy(col("q_id"), col("rnk"))
     },
 
@@ -188,7 +188,7 @@ object Vectors {
          |         ${D.dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
          |  FROM asg q JOIN asg c ON q.cell = c.cell
          |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
-         |SELECT q_id, c_id, rnk, round(cos, 6) AS cosine
+         |SELECT q_id, c_id, rnk, floor(cos * 1000000 + 0.5) / 1000000 AS cosine
          |FROM (SELECT q_id, c_id, cos,
          |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
          |      FROM p) t
@@ -220,7 +220,7 @@ object Vectors {
         .select(col("q_id"), col("c_id"), (dot(col("qe"), col("ce2")) / (col("qn") * col("cn"))).as("cos"))
         .withColumn("rnk", row_number().over(wTop).cast("bigint"))
         .filter(col("rnk") <= 3)
-        .select(col("q_id"), col("c_id"), col("rnk"), r6(col("cos")).as("cosine"))
+        .select(col("q_id"), col("c_id"), col("rnk"), pr6(col("cos")).as("cosine"))
         .orderBy(col("q_id"), col("rnk"))
     },
 
@@ -236,7 +236,7 @@ object Vectors {
          |             ${D.bucket("embedding")} AS bkt
          |      FROM corpus, pl)
          |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-         |       round(${D.dot("a.embedding", "c.embedding")} / (a.nrm * c.nrm), 6) AS cosine
+         |       floor(${D.dot("a.embedding", "c.embedding")} / (a.nrm * c.nrm) * 1000000 + 0.5) / 1000000 AS cosine
          |FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
          |WHERE ${D.dot("a.embedding", "c.embedding")} / (a.nrm * c.nrm) >= 0.999
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
@@ -252,7 +252,7 @@ object Vectors {
       val cos = dot(col("embedding"), col("eb")) / (col("nrm") * col("nb"))
       b.join(a2, col("bkt") === col("bkt2") && col("vec_id") < col("vec_b"))
         .filter(cos >= 0.999)
-        .select(col("vec_id").as("vec_a"), col("vec_b"), r6(cos).as("cosine"))
+        .select(col("vec_id").as("vec_a"), col("vec_b"), pr6(cos).as("cosine"))
         .orderBy(col("vec_a"), col("vec_b"))
     },
 
@@ -266,7 +266,7 @@ object Vectors {
       s"""SELECT d.doc_id,
          | d.lang,
          | len(string_split(d.text, ' ')) AS n_tokens,
-         | round(${D.norm("e.embedding")}, 6) AS vec_norm,
+         | floor(${D.norm("e.embedding")} * 1000000 + 0.5) / 1000000 AS vec_norm,
          | e.label
          |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
@@ -281,7 +281,7 @@ object Vectors {
           col("doc.doc_id").as("doc_id"),
           col("doc.content.lang").as("lang"),
           size(split(col("doc.content.text"), " ")).cast("bigint").as("n_tokens"),
-          r6(norm(col("doc.vector"))).as("vec_norm"),
+          pr6(norm(col("doc.vector"))).as("vec_norm"),
           col("doc.meta.label").as("label"))
         .orderBy(col("doc_id"))
     },
@@ -300,8 +300,8 @@ object Vectors {
         | ('0x' || substr(md5(text), 1, 2))::BIGINT AS b0,
         | (('0x' || substr(md5(text), 1, 8))::BIGINT % 640) + 1 AS width,
         | (('0x' || substr(md5(text), 9, 8))::BIGINT % 480) + 1 AS height,
-        | round(list_sum(list_transform(range(1, 17),
-        |   i -> ('0x' || substr(md5(text), 2*i - 1, 2))::BIGINT))::DOUBLE / 16, 6) AS brightness
+        | floor(list_sum(list_transform(range(1, 17),
+        |   i -> ('0x' || substr(md5(text), 2*i - 1, 2))::BIGINT))::DOUBLE / 16 * 1000000 + 0.5) / 1000000 AS brightness
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       val hexCol = md5(col("text"))
       def hexByte(i: Column): Column =
@@ -318,7 +318,7 @@ object Vectors {
           hexByte(lit(1)).as("b0"),
           col("meta.width").as("width"),
           col("meta.height").as("height"),
-          r6(aggregate(transform(sequence(lit(1), lit(16)), i => hexByte(i)),
+          pr6(aggregate(transform(sequence(lit(1), lit(16)), i => hexByte(i)),
             lit(0L), (acc, v) => acc + v).cast("double") / 16).as("brightness"))
         .orderBy(col("doc_id"))
     }

@@ -22,6 +22,22 @@ package object ops {
   def r4(c: Column): Column = round(c, 4)
   def r6(c: Column): Column = round(c, 6)
 
+  /** Portable rounding for PER-ROW continuous doubles: `round(x, n)`
+    * diverges between engines when x·10ⁿ lands near a half (Spark
+    * rounds the exact binary value via BigDecimal; DuckDB multiplies
+    * then rounds the distorted product). floor(x·10ⁿ + 0.5)/10ⁿ is the
+    * same double arithmetic on both sides → bit-identical output.
+    * Aggregate outputs (sums/avgs over many rows) keep plain round():
+    * their probability of an exact half is ~2⁻⁴⁰, and the SQL stays
+    * readable.
+    */
+  def pr2(c: Column): Column = floor(c * 100 + 0.5) / 100
+  def pr4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+  def pr6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
+
+  /** DuckDB twins of pr2/pr4/pr6 (inline SQL text). */
+  def sqlPr(x: String, pow: Long): String = s"floor(($x) * $pow + 0.5) / $pow"
+
   /** First 32 bits of md5 as a non-negative long — portable hash.
     * DuckDB twin: `('0x' || substr(md5(x), 1, 8))::BIGINT`.
     */
