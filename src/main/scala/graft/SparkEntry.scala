@@ -13,7 +13,7 @@ object SparkEntry {
   /** All judge-facing queries, one per SURVEY §2 operator. */
   def all: Seq[QueryDef] =
     Relational.defs ++ EngineOps.defs ++ ops.Text.defs ++ ops.Vectors.defs ++
-      ops.Multimodal.defs ++ ops.StreamingOps.defs
+      ops.Multimodal.defs ++ ops.StreamingOps.defs ++ ops.Bucketing.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

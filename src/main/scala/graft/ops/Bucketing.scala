@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Co-located (bucketed) join: both sides pre-bucketed on the join key
+  * with the same bucket count, so the join runs with NO shuffle of
+  * either side — at 100 TB this is the difference between a join that
+  * moves terabytes per run and one that moves nothing (you pay the
+  * shuffle once, at write time). The spec asserts the plan is
+  * exchange-free; the oracle only checks values, since DuckDB has no
+  * bucketing concept.
+  */
+object Bucketing {
+
+  import QueryDef.sql
+
+  private val nBuckets = 8
+
+  /** Write orders/customer as bucketed+sorted managed tables (idempotent
+    * per session — the in-memory catalog keeps them for the JVM).
+    */
+  def stage(s: SparkSession, d: String): Unit = {
+    if (!s.catalog.tableExists("graft_orders_bkt")) {
+      Tables.orders(s, d).write.mode("overwrite")
+        .bucketBy(nBuckets, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_orders_bkt")
+    }
+    if (!s.catalog.tableExists("graft_customer_bkt")) {
+      Tables.customer(s, d).write.mode("overwrite")
+        .bucketBy(nBuckets, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_customer_bkt")
+    }
+  }
+
+  /** The shuffle-free join over the staged tables. Broadcast is
+    * disabled on a child session so the plan must use the bucketing
+    * (otherwise the small side would broadcast and prove nothing).
+    */
+  def bucketedJoin(s: SparkSession, d: String) = {
+    val bs = s.newSession()
+    bs.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    bs.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    stage(bs, d)
+    bs.table("graft_orders_bkt")
+      .join(bs.table("graft_customer_bkt"), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    sql("join_bucketed",
+      """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON c_custkey = o_custkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      bucketedJoin(s, d)
+    }
+  )
+}
