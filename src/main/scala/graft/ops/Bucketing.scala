@@ -19,15 +19,32 @@ object Bucketing {
   private val nBuckets = 8
 
   /** Write orders/customer as bucketed+sorted managed tables (idempotent
-    * per session — the in-memory catalog keeps them for the JVM).
+    * per session — the in-memory catalog keeps them for the JVM). A
+    * table directory left by a previous JVM is swept first: the fresh
+    * in-memory catalog doesn't know the table, but saveAsTable refuses
+    * a pre-existing managed location.
     */
   def stage(s: SparkSession, d: String): Unit = {
-    if (!s.catalog.tableExists("graft_orders_bkt")) {
+    def ensure(name: String)(write: => Unit): Unit =
+      if (!s.catalog.tableExists(name)) {
+        val wh = s.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+          .stripPrefix("file:")
+        val dir = new java.io.File(s"$wh/$name")
+        if (dir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles.foreach(rm)
+            f.delete(): Unit
+          }
+          rm(dir)
+        }
+        write
+      }
+    ensure("graft_orders_bkt") {
       Tables.orders(s, d).write.mode("overwrite")
         .bucketBy(nBuckets, "o_custkey").sortBy("o_custkey")
         .saveAsTable("graft_orders_bkt")
     }
-    if (!s.catalog.tableExists("graft_customer_bkt")) {
+    ensure("graft_customer_bkt") {
       Tables.customer(s, d).write.mode("overwrite")
         .bucketBy(nBuckets, "c_custkey").sortBy("c_custkey")
         .saveAsTable("graft_customer_bkt")
