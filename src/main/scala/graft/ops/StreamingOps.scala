@@ -13,6 +13,13 @@ object StreamingOps {
   import QueryDef.sql
 
   val defs: Seq[QueryDef] = Seq(
+    // custom GroupState running counts; final state == batch GROUP BY
+    sql("stream_state_counts",
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      EventStream.runStateCounts(s, d)
+    },
+
     sql("stream_hourly_live",
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         | event_type, count(*) AS n, round(sum(value), 2) AS total

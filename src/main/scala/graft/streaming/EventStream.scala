@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming over the `events` table replayed as a file
@@ -71,6 +71,50 @@ object EventStream {
     spark.table(sink)
       .select(col("user_id"), col("n_events"), col("first_seen"), col("last_seen"))
       .orderBy(col("user_id"), col("first_seen"))
+  }
+
+  /** Custom-state streaming: running per-user event counts kept in
+    * explicit GroupState (`flatMapGroupsWithState`) — the escape hatch
+    * for stateful logic the built-in windows can't express. Update
+    * mode emits the running count every micro-batch; the final value
+    * per user must equal the batch `GROUP BY` count, which is what the
+    * `stream_state_counts` oracle checks.
+    */
+  def runStateCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sink = s"graft_stream_state_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = source(spark, sfDir)
+      .select(col("user_id"))
+      .as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(StateCounts.update _)
+      .toDF("user_id", "n")
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    // the running count is monotone, so max = final
+    spark.table(sink)
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Executor-side state transition (object: nothing non-serializable
+    * in the closure).
+    */
+  object StateCounts {
+    def update(user: Long, events: Iterator[Long],
+        state: org.apache.spark.sql.streaming.GroupState[Long]): Iterator[(Long, Long)] = {
+      val next = state.getOption.getOrElse(0L) + events.size
+      state.update(next)
+      Iterator((user, next))
+    }
   }
 
   /** The file-stream source lists a *directory*; the testdata table is

@@ -16,6 +16,16 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("flatMapGroupsWithState running counts converge to the batch counts") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.runStateCounts(spark, sfDir)
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("user_id"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming session_window equals batch sessionization (built-in AND typed)") {
     val streamed = EventStream.runSessions(spark, sfDir)
     val batch = SparkEntry.queries("sessionize")(spark, sfDir)
