@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Engine
+import graft.functions.DotProduct.dotp
+
+/** Degenerate inputs: the paths a production pipeline hits on day one. */
+class EdgeCasesSpec extends SparkSpec {
+
+  test("LSH bucket is invariant under positive scaling (sign of dot unchanged)") {
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+    val planes = (0 until 8) // same construction as Vectors.bucket, reduced
+    // scaling by 4 flips no signs → identical hyperplane-side pattern
+    val scaled = e.withColumn("embedding",
+      expr("transform(embedding, x -> x * CAST(4.0 AS FLOAT))"))
+    def signPattern(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"),
+        expr("transform(embedding, x -> CASE WHEN x >= CAST(0.0 AS FLOAT) THEN 1 ELSE 0 END)").as("sgn"))
+    assert(signPattern(e).exceptAll(signPattern(scaled)).count() == 0)
+  }
+
+  test("engine PUT of an empty frame keeps schema and appends nothing") {
+    val e = new Engine(spark.newSession())
+    val nation = Tables.nation(e.spark, sfDir)
+    e.put("t", nation.limit(0))
+    assert(e.count("t") == 0)
+    assert(e.get("t").schema == nation.schema)
+    e.put("t", nation)
+    assert(e.count("t") == 25)
+  }
+
+  test("exchange with SQL command on an engine with data routes like GET") {
+    val e = new Engine(spark.newSession())
+    e.put("nation", Tables.nation(e.spark, sfDir))
+    val viaExchange = e.exchange("SELECT count(*) AS c FROM nation", e.spark.emptyDataFrame)
+    assert(viaExchange.collect()(0).getLong(0) == 25)
+  }
+
+  test("dot product of empty arrays is 0; of orthogonal unit vectors is 0") {
+    val df = spark.sql(
+      """SELECT CAST(array() AS ARRAY<DOUBLE>) AS e,
+        |       array(1.0D, 0.0D) AS ux, array(0.0D, 1.0D) AS uy""".stripMargin)
+    val row = df.select(dotp(col("e"), col("e")).as("ee"),
+      dotp(col("ux"), col("uy")).as("xy")).collect()(0)
+    assert(row.getDouble(0) == 0.0 && row.getDouble(1) == 0.0)
+  }
+
+  test("transfer of an empty table verifies zero rows") {
+    val (a, b) = Engine.pair(spark)
+    a.put("empty", Tables.nation(a.spark, sfDir).limit(0))
+    assert(a.transferTable(b, "empty") == 0)
+  }
+}
