@@ -139,6 +139,30 @@ object EngineOps {
       s.read.parquet(path).orderBy(col("r_regionkey"))
     },
 
+    // CSV sink + source roundtrip: schema declared explicitly on read
+    // (CSV carries none); oracle is the logical projection, proving
+    // the roundtrip lost nothing.
+    sql("sink_csv_roundtrip",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val path = "/root/repo/target/tmp/sink_csv"
+      Tables.nation(s, d).write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .csv(path)
+        .orderBy(col("n_nationkey"))
+    },
+
+    // JSON-lines sink + source roundtrip, same contract.
+    sql("sink_json_roundtrip",
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin) { (s, d) =>
+      val path = "/root/repo/target/tmp/sink_json"
+      Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+        .write.mode("overwrite").json(path)
+      s.read.schema("r_regionkey INT, r_name STRING").json(path)
+        .orderBy(col("r_regionkey"))
+    },
+
     // Persistent engine mode (reference `flight_server.py:173-180`):
     // engine A persists a table to a warehouse dir; a *fresh* engine B
     // opens it from disk — state survives the engine instance.

@@ -329,6 +329,43 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // Portable cardinality sketch (Flajolet–Martin / PCSA over the md5
+    // hash): 16 buckets, per-bucket max of the lowest-set-bit position,
+    // estimate = 16·2^(mean rho)/0.77351. Unlike the engine-native HLL
+    // above, every step is deterministic arithmetic both engines
+    // reproduce bit-for-bit — an approximate-distinct that still gets
+    // a full hash-match oracle. Map-side combinable (max per bucket).
+    sql("agg_sketch_distinct",
+      s"""WITH h AS (
+         |  SELECT l_returnflag,
+         |         ${"('0x' || substr(md5(l_partkey::VARCHAR), 1, 8))::BIGINT"} AS hv
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT l_returnflag, hv % 16 AS bkt,
+         |         CAST(floor(log2(((hv // 16) & -(hv // 16))
+         |                         + ((hv // 16) = 0)::INT * 2147483648) + 0.5) AS BIGINT) AS rho
+         |  FROM h),
+         |m AS (SELECT l_returnflag, bkt, max(rho) AS mx FROM r GROUP BY 1, 2)
+         |SELECT l_returnflag,
+         |       CAST(floor(16 * pow(2.0, avg(mx::DOUBLE)) / 0.77351) AS BIGINT) AS est_ndv
+         |FROM m GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val hv = h32(col("l_partkey"))
+      val hi = (col("hv") / 16).cast("long") // integer division via long cast
+      val lowbit = hi.bitwiseAND(-hi)
+      // floor(log2 + 0.5): CAST(double AS BIGINT) rounds in DuckDB but
+      // truncates in Spark — floor on both sides removes the ambiguity
+      val rho = floor(log2(when(hi === 0, 2147483648L).otherwise(lowbit)) + 0.5).cast("long")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), hv.as("hv"))
+        .select(col("l_returnflag"), (col("hv") % 16).as("bkt"), rho.as("rho"))
+        .groupBy(col("l_returnflag"), col("bkt"))
+        .agg(max(col("rho")).as("mx"))
+        .groupBy(col("l_returnflag"))
+        .agg(floor(lit(16) * pow(lit(2.0), avg(col("mx").cast("double"))) / 0.77351)
+          .cast("bigint").as("est_ndv"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // --- window functions --------------------------------------------
     sql("window_rank",
       """SELECT o_orderkey,
