@@ -429,6 +429,47 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // ---- TF-IDF top terms per document ---------------------------------
+    // Classic two-pass shape: per-(doc, term) TF, per-term DF (both
+    // map-side-combinable aggregates), broadcast the term→DF table
+    // back, score, window top-3. The idf here is rational (N/df scaled
+    // to micro-units) instead of log(N/df): same ordering, and every
+    // step is exact integer arithmetic both engines reproduce — log()
+    // would expose libm last-ulp differences for zero analytic gain.
+    sql("tfidf_topk",
+      """WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |         tf.tf * CAST(floor(n.n_docs * 1000000.0 / df.df) AS BIGINT) AS score
+        |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+        |SELECT doc_id, tok, score, rnk FROM (
+        |  SELECT doc_id, tok, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+      val docsDf = docs(s, d)
+      val tf = docsDf
+        .select(col("doc_id"), explode(tokens).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val nDocs = docsDf.count() // one tiny job; at scale a broadcast scalar
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+      tf.join(broadcast(dfreq), "tok")
+        .select(col("doc_id"), col("tok"),
+          (col("tf") * floor(lit(nDocs) * lit(1000000.0) / col("df")).cast("bigint")).as("score"))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("tok"), col("score"), col("rnk"))
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+
     // ---- corpus-level source similarity via MinHash signatures ---------
     // One 12-value signature per SOURCE (min of each permutation over
     // every token hash in the source's documents), then pairwise

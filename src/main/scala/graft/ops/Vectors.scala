@@ -256,6 +256,47 @@ object Vectors {
         .orderBy(col("vec_a"), col("vec_b"))
     },
 
+    // ---- int8 embedding quantization -----------------------------------
+    // Per-vector symmetric quantization to int8 (scale = 127/max|x|),
+    // plus the reconstruction error — the compression step a 100 TB
+    // embedding store runs before serving. floor(x·scale + 0.5) is the
+    // portable round; all arithmetic is identical double ops on both
+    // engines.
+    sql("embed_quantize",
+      s"""WITH m AS (
+         |  SELECT vec_id, embedding,
+         |         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id, embedding, mx, 127.0 / mx AS scale,
+         |         list_transform(embedding, x -> floor(x::DOUBLE * (127.0 / mx) + 0.5)) AS qv
+         |  FROM m)
+         |SELECT vec_id,
+         |       CAST(list_max(qv) AS BIGINT) AS qmax,
+         |       CAST(list_min(qv) AS BIGINT) AS qmin,
+         |       floor(sqrt(list_sum(list_transform(range(1, ${dim + 1}),
+         |         i -> (embedding[i]::DOUBLE - qv[i] / scale)
+         |              * (embedding[i]::DOUBLE - qv[i] / scale)))) * 1000000 + 0.5) / 1000000 AS recon_err
+         |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val mx = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      val scale = lit(127.0) / col("mx")
+      emb(s, d)
+        .select(col("vec_id"), col("embedding"), mx.as("mx"))
+        .select(col("vec_id"), col("embedding"), col("mx"), scale.as("scale"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * (lit(127.0) / col("mx")) + 0.5)).as("qv"))
+        .select(col("vec_id"),
+          array_max(col("qv")).cast("bigint").as("qmax"),
+          array_min(col("qv")).cast("bigint").as("qmin"),
+          pr6(sqrt(aggregate(
+            zip_with(col("embedding"), col("qv"), (x, q) => {
+              val diff = x.cast("double") - q / col("scale")
+              diff * diff
+            }),
+            lit(0.0), (acc, v) => acc + v))).as("recon_err"))
+        .orderBy(col("vec_id"))
+    },
+
     // ---- multimodal: struct column of text + vector + metadata ---------
     // documents ⋈ embeddings assembled into one nested struct (the
     // "multimodal row"), operators applied *through* the struct fields;
