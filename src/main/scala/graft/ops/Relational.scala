@@ -420,6 +420,18 @@ object Relational {
         .orderBy(col("o_custkey"))
     },
 
+    // UNION ALL (bag union — no dedup shuffle, unlike UNION above)
+    sql("set_union_all",
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .union(o.filter(col("o_totalprice") > 200000).select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    },
+
     sql("set_intersect",
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |INTERSECT
@@ -531,6 +543,25 @@ object Relational {
           floor(col("l_tax") * 100).cast("bigint").as("taxpct"),
           greatest(col("l_discount"), col("l_tax")).as("gdt"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // regex family: extraction with groups + pattern filter (same
+    // regexp_extract(str, pattern, group) signature on both engines)
+    sql("scalar_regex",
+      """SELECT p_partkey,
+        | regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        | regexp_extract(p_type, '([A-Z]+)$', 1) AS type_tail,
+        | CAST(length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS BIGINT) AS consonants
+        |FROM part
+        |WHERE regexp_matches(p_name, '^[a-n]')
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_name").rlike("^[a-n]"))
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+          regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("type_tail"),
+          length(regexp_replace(col("p_name"), "[aeiou]", "")).cast("bigint").as("consonants"))
+        .orderBy(col("p_partkey"))
     },
 
     sql("scalar_json",
