@@ -54,6 +54,62 @@ object ScaleProbe {
       .agg(count(lit(1)))
       .count()
 
+  /** MinHash+LSH dedup at N× corpus: replicas get a distinct suffix
+    * token (new docs, same near-dup structure per replica) — times the
+    * `dedup_near` pipeline shape as the corpus grows.
+    */
+  private def dedupNear(docs: DataFrame): Long = {
+    import graft.ops._
+    val toksCol = split(col("text"), " ")
+    val sh = array_distinct(transform(
+      sequence(lit(1), size(toksCol) - 2),
+      i => array_join(slice(toksCol, i, lit(3)), " ")))
+    val hsDf = docs
+      .select(col("doc_id"), array_distinct(transform(sh, x => h32(x))).as("hs"))
+      .cache()
+    hsDf.count()
+    val sig = hsDf.select(col("doc_id"),
+      array(graft.ops.Text.minhashMix.map { case (a, b) =>
+        array_min(transform(col("hs"), h => (h * a + b) % graft.ops.Text.minhashP))
+      }: _*).as("sig"))
+    val bands = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(3)), b =>
+        concat_ws(",",
+          element_at(col("sig"), b * 3 + 1),
+          element_at(col("sig"), b * 3 + 2),
+          element_at(col("sig"), b * 3 + 3)))))
+      .select(col("doc_id"), col("pos").as("b"), col("col").as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val jac = size(array_intersect(col("sa.hs"), col("sb.hs"))).cast("double") /
+      size(array_union(col("sa.hs"), col("sb.hs")))
+    val out = cand
+      .join(hsDf.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(hsDf.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .filter(jac >= 0.5)
+      .count()
+    hsDf.unpersist()
+    out
+  }
+
+  /** Each replica deterministically shuffles the base doc's tokens
+    * (sorted by md5(r:token)), so replicas have disjoint shingle
+    * adjacencies — corpus grows N× WITHOUT growing the near-dup pair
+    * density, which is the realistic ingest-more-documents mode.
+    */
+  private def scaledDocs(docs: DataFrame, factor: Int): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(factor - 1))).as("r"))
+      .select((col("doc_id") * factor + col("r")).as("doc_id"),
+        expr("""array_join(
+               |  transform(
+               |    array_sort(transform(split(text, ' '),
+               |      t -> struct(md5(concat(cast(r AS STRING), ':', t)) AS k, t AS v))),
+               |    s -> s.v), ' ')""".stripMargin).as("text"))
+
   def main(args: Array[String]): Unit = {
     val maxFactor = args.headOption.map(_.toInt).getOrElse(8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -65,6 +121,16 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    val docsBase = Tables.documents(spark, sfDir).select("doc_id", "text")
+    for (factor <- Seq(1, maxFactor)) {
+      val dc = scaledDocs(docsBase, factor).repartition(cpus.toInt).cache()
+      val nDocs = dc.count()
+      val t0 = System.nanoTime()
+      val pairs = dedupNear(dc)
+      println(f"""{"shape":"dedup_near","factor":$factor,"rows":$nDocs,"out_rows":$pairs,"secs":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      dc.unpersist()
+    }
 
     val base = Tables.events(spark, sfDir).select("user_id", "event_id", "ts")
     for (factor <- Seq(1, maxFactor)) {
