@@ -55,6 +55,37 @@ class TextOpsSpec extends SparkSpec {
     assert(collisions.count() == 0) // no spurious 32-bit collisions in 500 docs
   }
 
+  test("text_clean removes every stopword and keeps counts consistent") {
+    val out = run("text_clean")
+    val leaked = out.filter(
+      arrays_overlap(split(col("clean"), " "),
+        array(Seq("the", "a", "of", "and", "to", "is", "in", "it", "on", "for").map(lit): _*)))
+    assert(leaked.count() == 0)
+    assert(out.filter(size(split(col("clean"), " ")) =!= col("n_kept"))
+      .filter(col("n_kept") > 0).count() == 0)
+  }
+
+  test("token_bpe: subword lengths bounded by the regex chunk size") {
+    val out = run("token_bpe")
+    assert(out.filter(col("mean_len") < 1.0 || col("mean_len") > 4.0).count() == 0)
+    assert(out.filter(col("n_uniq_sub") > col("n_subtokens")).count() == 0)
+  }
+
+  test("tfidf_topk: dense ranks, positive scores, rarest-term ordering") {
+    val out = run("tfidf_topk").cache()
+    val perDoc = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), min(col("rnk")).as("mn"), max(col("rnk")).as("mx"))
+    assert(perDoc.filter(col("mn") =!= 1 || col("mx") =!= col("n") || col("n") > 3).count() == 0)
+    assert(out.filter(col("score") <= 0).count() == 0)
+  }
+
+  test("source_similarity: estimates in [0,1] over all source pairs") {
+    val out = run("source_similarity")
+    val nSources = Tables.documents(spark, sfDir).select("source").distinct().count()
+    assert(out.count() == nSources * (nSources - 1) / 2)
+    assert(out.filter(col("est_jaccard") < 0 || col("est_jaccard") > 1).count() == 0)
+  }
+
   test("lang_id predictions are confined to profile langs + und") {
     val out = run("lang_id")
     val langs = out.select("predicted").distinct().collect().map(_.getString(0)).toSet

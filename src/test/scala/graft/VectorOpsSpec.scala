@@ -85,6 +85,15 @@ class VectorOpsSpec extends SparkSpec {
     assert(planted.filter(col("cosine") < 0.999999).count() == 0)
   }
 
+  test("embed_quantize: int8 range respected, max |q| hits 127, small error") {
+    val out = run("embed_quantize").cache()
+    assert(out.count() == Tables.embeddings(spark, sfDir).count())
+    assert(out.filter(col("qmax") > 127 || col("qmin") < -127).count() == 0)
+    // symmetric scale means the largest-magnitude component maps to ±127
+    assert(out.filter(col("qmax") =!= 127 && col("qmin") =!= -127).count() == 0)
+    assert(out.filter(col("recon_err") < 0 || col("recon_err") > 0.1).count() == 0)
+  }
+
   test("multimodal_select: one row per document, norm positive") {
     val out = run("multimodal_select")
     assert(out.count() == Tables.documents(spark, sfDir).count())
