@@ -139,6 +139,25 @@ object EngineOps {
       s.read.parquet(path).orderBy(col("r_regionkey"))
     },
 
+    // Partitioned parquet sink + pruned read: the layout decision that
+    // makes 100 TB scans cheap — the filter on the partition column
+    // becomes a directory prune (PartitionFilters in the plan, asserted
+    // by spec), not a data scan.
+    sql("sink_partitioned",
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val path = "/root/repo/target/tmp/sink_partitioned"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          r2(col("o_totalprice")).as("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+      s.read.parquet(path)
+        .filter(col("o_orderstatus") === "F") // directory prune, not scan
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // CSV sink + source roundtrip: schema declared explicitly on read
     // (CSV carries none); oracle is the logical projection, proving
     // the roundtrip lost nothing.

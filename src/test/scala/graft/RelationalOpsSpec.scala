@@ -37,6 +37,15 @@ class RelationalOpsSpec extends SparkSpec {
     assert(direct.exceptAll(out).count() == 0)
   }
 
+  test("partitioned sink read prunes partitions instead of scanning them") {
+    val out = run("sink_partitioned")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"expected a partition filter in:\n${plan.take(2000)}")
+    val expected = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F").count()
+    assert(out.count() == expected)
+  }
+
   test("sim_ivf: dense ranks and every query answered from its cell") {
     val out = SparkEntry.queries("sim_ivf")(spark, sfDir).cache()
     assert(out.count() > 0)
