@@ -13,6 +13,13 @@ object StreamingOps {
   import QueryDef.sql
 
   val defs: Seq[QueryDef] = Seq(
+    // streaming dropDuplicates with watermark state; the deduplicated
+    // key set is the deterministic contract
+    sql("stream_dedup_live",
+      "SELECT DISTINCT user_id FROM events ORDER BY user_id") { (s, d) =>
+      EventStream.runDedup(s, d)
+    },
+
     // custom GroupState running counts; final state == batch GROUP BY
     sql("stream_state_counts",
       """SELECT user_id, count(*) AS n FROM events

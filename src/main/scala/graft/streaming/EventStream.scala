@@ -73,6 +73,30 @@ object EventStream {
       .orderBy(col("user_id"), col("first_seen"))
   }
 
+  /** Streaming deduplication: `dropDuplicates` with a watermark keeps
+    * per-key state and emits each key's FIRST arrival — the shape an
+    * ingest pipeline uses to dedup continuously instead of re-scanning
+    * the corpus. Which physical row wins is arrival-order-dependent,
+    * so the surfaced result is the (deterministic) deduplicated key
+    * set.
+    */
+  def runDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sink = s"graft_stream_dedup_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = source(spark, sfDir)
+      .withWatermark("ts", "30 days")
+      .select(col("user_id"), col("ts"))
+      .dropDuplicates("user_id")
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(sink).select(col("user_id")).distinct().orderBy(col("user_id"))
+  }
+
   /** Custom-state streaming: running per-user event counts kept in
     * explicit GroupState (`flatMapGroupsWithState`) — the escape hatch
     * for stateful logic the built-in windows can't express. Update

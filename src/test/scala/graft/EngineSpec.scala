@@ -121,6 +121,24 @@ class EngineSpec extends SparkSpec {
     assert(a.get("nation").exceptAll(b.get("nation")).count() == 0)
   }
 
+  test("metrics listener records actions with rows and durations") {
+    import graft.engine.Metrics
+    val e = fresh()
+    val m = Metrics.attach(e)
+    try {
+      e.put("nation", Tables.nation(e.spark, sfDir))
+      e.count("nation")
+      e.query("SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey").collect()
+      // listener delivery is async; poll briefly
+      val deadline = System.currentTimeMillis + 30000
+      while (m.snapshot.isEmpty && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      val recs = m.snapshot
+      assert(recs.nonEmpty)
+      assert(recs.exists(r => !r.failed && r.micros >= 0))
+    } finally m.close()
+  }
+
   test("auth: basic login mints a token, bad credentials and tokens rejected, revocation works") {
     import graft.engine.AuthEngine
     val e = fresh()
