@@ -1,0 +1,34 @@
+package graft.tools
+
+/** Emits KEYS.md: every driver-contract query key, its oracle status,
+  * and which module owns it. Run: sbt "runMain graft.tools.KeyInventory"
+  */
+object KeyInventory {
+  def main(args: Array[String]): Unit = {
+    val mods: Seq[(String, Seq[graft.ops.QueryDef])] = Seq(
+      "Relational (§2B SQL verb surface)" -> graft.ops.Relational.defs,
+      "EngineOps (§2A engine operators)" -> graft.ops.EngineOps.defs,
+      "Text (§2.10 LLM text pipeline)" -> graft.ops.Text.defs,
+      "Vectors (§2.10 similarity/multimodal)" -> graft.ops.Vectors.defs,
+      "Multimodal (§2.10 typed decode)" -> graft.ops.Multimodal.defs,
+      "StreamingOps (§2.9)" -> graft.ops.StreamingOps.defs,
+      "Bucketing" -> graft.ops.Bucketing.defs)
+    val sb = new StringBuilder
+    sb ++= "# KEYS — the driver-contract query inventory (auto-generated)\n\n"
+    sb ++= "Regenerate: `sbt \"runMain graft.tools.KeyInventory\"`.\n"
+    val total = mods.map(_._2.size).sum
+    val oracled = mods.map(_._2.count(_.oracle.isDefined)).sum
+    sb ++= s"$total keys, $oracled with a full DuckDB hash-match oracle " +
+      s"(the rest are rows-only by design).\n\n"
+    for ((title, defs) <- mods) {
+      sb ++= s"## $title — ${defs.size} keys\n\n"
+      for (q <- defs.sortBy(_.name)) {
+        val o = if (q.oracle.isDefined) "oracled" else "rows-only"
+        sb ++= s"- `${q.name}` ($o)\n"
+      }
+      sb ++= "\n"
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/KEYS.md"), sb.toString)
+    println(s"KEYS.md written: $total keys, $oracled oracled")
+  }
+}

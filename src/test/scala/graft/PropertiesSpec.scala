@@ -25,6 +25,18 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("concurrent PUTs to one table never drop an append (atomic updateWith)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val e = new Engine(spark.newSession())
+    val r = Tables.region(e.spark, sfDir)
+    val n = r.count()
+    val puts = Future.traverse((1 to 8).toList)(_ => Future(e.put("t", r)))
+    Await.result(puts, 120.seconds)
+    assert(e.count("t") == 8 * n)
+  }
+
   test("transfer preserves the multiset for any source table") {
     samples(Gen.oneOf("region", "nation", "supplier"), 3).distinct.foreach { t =>
       val (a, b) = Engine.pair(spark)
