@@ -61,9 +61,7 @@ object ScaleProbe {
   private def dedupNear(docs: DataFrame): Long = {
     import graft.ops._
     val toksCol = split(col("text"), " ")
-    val sh = array_distinct(transform(
-      sequence(lit(1), size(toksCol) - 2),
-      i => array_join(slice(toksCol, i, lit(3)), " ")))
+    val sh = graft.ops.Text.shingles3(toksCol) // guarded for <3-token docs
     val hsDf = docs
       .select(col("doc_id"), array_distinct(transform(sh, x => h32(x))).as("hs"))
       .cache()

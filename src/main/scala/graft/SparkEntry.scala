@@ -11,9 +11,16 @@ import graft.ops.{QueryDef, Relational, EngineOps}
 object SparkEntry {
 
   /** All judge-facing queries, one per SURVEY §2 operator. */
-  def all: Seq[QueryDef] =
-    Relational.defs ++ EngineOps.defs ++ ops.Text.defs ++ ops.Vectors.defs ++
-      ops.Multimodal.defs ++ ops.StreamingOps.defs ++ ops.Bucketing.defs
+  def all: Seq[QueryDef] = {
+    val defs =
+      Relational.defs ++ EngineOps.defs ++ ops.Text.defs ++ ops.Vectors.defs ++
+        ops.Multimodal.defs ++ ops.StreamingOps.defs ++ ops.Bucketing.defs
+    // a duplicate name would silently drop an operator from the Maps
+    // below — one key stops being verified while KEYS.md still lists it
+    val dupes = defs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dupes.isEmpty, s"duplicate query keys: ${dupes.mkString(", ")}")
+    defs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -43,7 +43,15 @@ final class Catalog(val spark: SparkSession) {
     * concurrent appends from dropping each other (Mallard serializes
     * INSERTs through one connection, `flight_server.py:244-245`).
     */
-  def put(name: String, df: DataFrame): Unit = {
+  /** Serializes map update AND view registration: with only the atomic
+    * map update, two concurrent PUTs could register their temp views
+    * out of order and leave the SQL-visible view permanently one part
+    * behind the map. Mallard serializes INSERTs through one connection;
+    * one lock per catalog is the faithful (and simplest) equivalent.
+    */
+  private val putLock = new Object
+
+  def put(name: String, df: DataFrame): Unit = putLock.synchronized {
     val local = org.apache.spark.sql.GraftBridge.rebind(spark, df)
     val parts = tables
       .updateWith(name) {

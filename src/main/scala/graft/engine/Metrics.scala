@@ -13,7 +13,7 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 final class Metrics private (spark: SparkSession) {
 
-  final case class Record(action: String, rows: Long, micros: Long, failed: Boolean)
+  import Metrics.Record
 
   private val records = new ConcurrentLinkedQueue[Record]()
 
@@ -47,6 +47,9 @@ final class Metrics private (spark: SparkSession) {
 }
 
 object Metrics {
+  /** Top-level (not inner) so Spark can derive an Encoder for toDF. */
+  final case class Record(action: String, rows: Long, micros: Long, failed: Boolean)
+
   /** Attach a metrics recorder to an engine's session. */
   def attach(engine: Engine): Metrics = new Metrics(engine.spark)
 }

@@ -79,16 +79,21 @@ case class DotProduct(left: Expression, right: Expression)
     val la = accessor(elemType(left))
     val ra = accessor(elemType(right))
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      // every local must be freshName'd: two dot_products in one
+      // non-nullable codegen scope would otherwise declare duplicate
+      // Java locals and knock the whole stage back to interpreted mode
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double xv = $x.isNullAt($i) ? 0.0 : (double) $x.$la($i);
-         |  double yv = $y.isNullAt($i) ? 0.0 : (double) $y.$ra($i);
-         |  $acc += xv * yv;
+         |  double $xv = $x.isNullAt($i) ? 0.0 : (double) $x.$la($i);
+         |  double $yv = $y.isNullAt($i) ? 0.0 : (double) $y.$ra($i);
+         |  $acc += $xv * $yv;
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -19,11 +19,16 @@ object Bucketing {
   private val nBuckets = 8
 
   /** Write orders/customer as bucketed+sorted managed tables (idempotent
-    * per session — the in-memory catalog keeps them for the JVM). A
+    * per session — the in-memory catalog keeps them for the JVM). Table
+    * names are keyed by sfDir so a second scale factor in the same JVM
+    * stages its own tables instead of silently reusing the first's. A
     * table directory left by a previous JVM is swept first: the fresh
     * in-memory catalog doesn't know the table, but saveAsTable refuses
     * a pre-existing managed location.
     */
+  private def tag(d: String): String =
+    d.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
+
   def stage(s: SparkSession, d: String): Unit = {
     def ensure(name: String)(write: => Unit): Unit =
       if (!s.catalog.tableExists(name)) {
@@ -39,15 +44,15 @@ object Bucketing {
         }
         write
       }
-    ensure("graft_orders_bkt") {
+    ensure(s"graft_orders_bkt_${tag(d)}") {
       Tables.orders(s, d).write.mode("overwrite")
         .bucketBy(nBuckets, "o_custkey").sortBy("o_custkey")
-        .saveAsTable("graft_orders_bkt")
+        .saveAsTable(s"graft_orders_bkt_${tag(d)}")
     }
-    ensure("graft_customer_bkt") {
+    ensure(s"graft_customer_bkt_${tag(d)}") {
       Tables.customer(s, d).write.mode("overwrite")
         .bucketBy(nBuckets, "c_custkey").sortBy("c_custkey")
-        .saveAsTable("graft_customer_bkt")
+        .saveAsTable(s"graft_customer_bkt_${tag(d)}")
     }
   }
 
@@ -60,8 +65,8 @@ object Bucketing {
     bs.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     bs.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     stage(bs, d)
-    bs.table("graft_orders_bkt")
-      .join(bs.table("graft_customer_bkt"), col("c_custkey") === col("o_custkey"))
+    bs.table(s"graft_orders_bkt_${tag(d)}")
+      .join(bs.table(s"graft_customer_bkt_${tag(d)}"), col("c_custkey") === col("o_custkey"))
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
       .orderBy(col("o_custkey"))

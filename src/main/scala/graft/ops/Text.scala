@@ -60,10 +60,15 @@ object Text {
     * DuckDB twin: list_distinct(list_transform(range(1, len-1),
     *   i -> array_to_string(toks[i:i+2], ' '))).
     */
-  private def shingles3(toksCol: Column): Column =
-    array_distinct(transform(
-      sequence(lit(1), size(toksCol) - 2),
-      i => array_join(slice(toksCol, i, lit(3)), " ")))
+  private[graft] def shingles3(toksCol: Column): Column =
+    // <3 tokens → empty shingle set (sequence(1, size-2) would count
+    // DOWN for size=2 and slice(_, 0, _) throws); matches the oracle's
+    // range(1, len-1), which is empty for len<3
+    when(size(toksCol) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), size(toksCol) - 2),
+        i => array_join(slice(toksCol, i, lit(3)), " "))))
+      .otherwise(array().cast("array<string>"))
 
   // DuckDB SQL fragments shared by several oracles.
   private object D {

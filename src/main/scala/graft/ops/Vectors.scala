@@ -64,8 +64,10 @@ object Vectors {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** LSH bucket id of an embedding column: sign bit per plane, packed. */
-  private def bucket(emb: Column): Column = {
+  /** LSH bucket id of an embedding column: sign bit per plane, packed.
+    * private[graft] so the spec can assert bucket invariants directly.
+    */
+  private[graft] def bucket(emb: Column): Column = {
     val planesLit = array(planes.map(row => array(row.map(lit): _*)): _*)
     val pow2 = array((0 until nPlanes).map(p => lit(1L << p)): _*)
     aggregate(

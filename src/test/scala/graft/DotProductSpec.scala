@@ -42,4 +42,16 @@ class DotProductSpec extends SparkSpec {
     val df = spark.sql("SELECT array(1.0D, 2.0D) AS a, array(3.0D) AS b")
     assert(df.select(dotp(col("a"), col("b"))).collect()(0).getDouble(0) == 3.0)
   }
+
+  test("two dot products in one non-nullable codegen scope don't collide") {
+    // non-nullable literal arrays put both expressions in one Java
+    // scope; un-fresh locals would be a janino duplicate-variable
+    // error and a silent interpreted-mode fallback
+    val df = spark.sql("SELECT 1 AS x")
+      .select(
+        dotp(expr("array(1.0D, 2.0D)"), expr("array(3.0D, 4.0D)")).as("d1"),
+        dotp(expr("array(5.0D)"), expr("array(6.0D)")).as("d2"))
+    val row = df.collect()(0)
+    assert(row.getDouble(0) == 11.0 && row.getDouble(1) == 30.0)
+  }
 }

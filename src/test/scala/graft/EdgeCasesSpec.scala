@@ -8,15 +8,15 @@ import graft.functions.DotProduct.dotp
 class EdgeCasesSpec extends SparkSpec {
 
   test("LSH bucket is invariant under positive scaling (sign of dot unchanged)") {
-    val e = Tables.embeddings(spark, sfDir).limit(50)
-    val planes = (0 until 8) // same construction as Vectors.bucket, reduced
-    // scaling by 4 flips no signs → identical hyperplane-side pattern
+    import graft.ops.Vectors
+    val e = Tables.embeddings(spark, sfDir)
+    // scaling by 4 flips no hyperplane signs → bucket(x) == bucket(4x)
     val scaled = e.withColumn("embedding",
       expr("transform(embedding, x -> x * CAST(4.0 AS FLOAT))"))
-    def signPattern(df: org.apache.spark.sql.DataFrame) =
-      df.select(col("vec_id"),
-        expr("transform(embedding, x -> CASE WHEN x >= CAST(0.0 AS FLOAT) THEN 1 ELSE 0 END)").as("sgn"))
-    assert(signPattern(e).exceptAll(signPattern(scaled)).count() == 0)
+    def buckets(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), Vectors.bucket(col("embedding")).as("bkt"))
+    assert(buckets(e).exceptAll(buckets(scaled)).count() == 0)
+    assert(buckets(scaled).exceptAll(buckets(e)).count() == 0)
   }
 
   test("engine PUT of an empty frame keeps schema and appends nothing") {

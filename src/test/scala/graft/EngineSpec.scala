@@ -136,6 +136,10 @@ class EngineSpec extends SparkSpec {
       val recs = m.snapshot
       assert(recs.nonEmpty)
       assert(recs.exists(r => !r.failed && r.micros >= 0))
+      // toDF needs a derivable encoder (Record must stay a top-level
+      // companion-object class, not an inner class); late async events
+      // may still be arriving, so only a lower bound is stable
+      assert(m.toDF.count() >= recs.size)
     } finally m.close()
   }
 
