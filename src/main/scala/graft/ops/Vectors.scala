@@ -258,6 +258,39 @@ object Vectors {
         .orderBy(col("vec_a"), col("vec_b"))
     },
 
+    // ---- per-label centroids via a typed Aggregator --------------------
+    // Element-wise mean of 64-d vectors per label through
+    // graft.functions.VectorMean (custom Aggregator[IN,BUF,OUT]): one
+    // fixed-size buffer per group, map-side combined — vs the built-in
+    // alternative of posexplode (64× row blowup) + groupBy(dim) +
+    // re-assembly. Floored at 1e-4: aggregate summation order differs
+    // from the oracle's serial sums by last-ulps only.
+    sql("label_centroids",
+      """WITH u AS (SELECT label, i, embedding[i]::DOUBLE AS v
+        |           FROM embeddings, range(1, 65) t(i)),
+        |m AS (SELECT label, i, avg(v) AS mv FROM u GROUP BY label, i)
+        |SELECT label,
+        |       (SELECT count(*) FROM embeddings e WHERE e.label = m.label) AS n,
+        |       floor(max(CASE WHEN i = 1 THEN mv END) * 10000 + 0.5) / 10000 AS c1,
+        |       floor(max(CASE WHEN i = 2 THEN mv END) * 10000 + 0.5) / 10000 AS c2,
+        |       floor(max(CASE WHEN i = 3 THEN mv END) * 10000 + 0.5) / 10000 AS c3,
+        |       floor(max(CASE WHEN i = 4 THEN mv END) * 10000 + 0.5) / 10000 AS c4,
+        |       floor(sqrt(sum(mv * mv)) * 10000 + 0.5) / 10000 AS cnorm
+        |FROM m GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      import graft.functions.VectorMean
+      emb(s, d)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          VectorMean.centroid(col("embedding")).as("c"))
+        .select(col("label"), col("n"),
+          pr4(element_at(col("c"), 1)).as("c1"),
+          pr4(element_at(col("c"), 2)).as("c2"),
+          pr4(element_at(col("c"), 3)).as("c3"),
+          pr4(element_at(col("c"), 4)).as("c4"),
+          pr4(sqrt(dot(col("c"), col("c")))).as("cnorm"))
+        .orderBy(col("label"))
+    },
+
     // ---- int8 embedding quantization -----------------------------------
     // Per-vector symmetric quantization to int8 (scale = 127/max|x|),
     // plus the reconstruction error — the compression step a 100 TB

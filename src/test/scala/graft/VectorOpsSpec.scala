@@ -85,6 +85,21 @@ class VectorOpsSpec extends SparkSpec {
     assert(planted.filter(col("cosine") < 0.999999).count() == 0)
   }
 
+  test("VectorMean aggregator: duplication-invariant, dimension-correct centroid") {
+    import graft.functions.VectorMean
+    val e = Tables.embeddings(spark, sfDir)
+    def centroids(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("label"))
+        .agg(VectorMean.centroid(col("embedding")).as("c"))
+        .select(col("label"), expr("transform(c, x -> floor(x * 1e9 + 0.5))").as("cq"))
+    // duplicating every row leaves the mean unchanged (merge path hit
+    // harder, sums double, n doubles)
+    val doubled = e.union(e).repartition(16)
+    assert(centroids(e).exceptAll(centroids(doubled)).count() == 0)
+    val dims = SparkEntry.queries("label_centroids")(spark, sfDir)
+    assert(dims.count() == e.select("label").distinct().count())
+  }
+
   test("embed_quantize: int8 range respected, max |q| hits 127, small error") {
     val out = run("embed_quantize").cache()
     assert(out.count() == Tables.embeddings(spark, sfDir).count())
