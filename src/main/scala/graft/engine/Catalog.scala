@@ -64,8 +64,12 @@ final class Catalog(val spark: SparkSession) {
     merged(parts).createOrReplaceTempView(name)
   }
 
-  /** Replace regardless of prior contents (CREATE OR REPLACE). */
-  def putReplace(name: String, df: DataFrame): Unit = {
+  /** Replace regardless of prior contents (CREATE OR REPLACE). Takes
+    * the same lock as `put`: all three mutators of (tables, temp views)
+    * serialize, or a racing put could register its merged view after
+    * this replacement and leave SQL serving the stale union.
+    */
+  def putReplace(name: String, df: DataFrame): Unit = putLock.synchronized {
     val local = org.apache.spark.sql.GraftBridge.rebind(spark, df)
     tables.update(name, Vector(local))
     local.createOrReplaceTempView(name)
@@ -78,7 +82,7 @@ final class Catalog(val spark: SparkSession) {
 
   def contains(name: String): Boolean = tables.contains(name)
 
-  def drop(name: String): Boolean = {
+  def drop(name: String): Boolean = putLock.synchronized {
     val existed = tables.remove(name).isDefined
     // no-cascade drop: another engine may still serve a cache of the
     // same plan (see GraftBridge.dropTempView)

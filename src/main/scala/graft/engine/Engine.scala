@@ -45,15 +45,20 @@ final class Engine(val spark: SparkSession) {
   /** Run any SQL. DDL (detected by prefix, mirroring
     * `_is_ddl_statement` `flight_server.py:354-355`) executes for side
     * effects and returns a one-row `{status: "OK"}` frame
-    * (`flight_server.py:357-359`); everything else returns the lazy
-    * query result. Spark's parser replaces Mallard's keyword sniffing,
-    * but the routing contract (DDL → status row) is preserved.
+    * (`flight_server.py:357-359`); DML verbs (`UPDATE`/`DELETE`/
+    * `INSERT`, which Mallard's router passes verbatim to DuckDB,
+    * `flight_server.py:320-331`) execute as functional catalog
+    * rewrites (see [[SqlVerbs]]) and return the same status row;
+    * everything else returns the lazy query result. Spark's parser
+    * replaces Mallard's keyword sniffing, but the routing contract
+    * (statement → side effect + status row, query → stream) is
+    * preserved.
     */
   def query(sql: String): DataFrame =
     if (isDdl(sql)) {
       spark.sql(sql)
       statusOk
-    } else spark.sql(sql)
+    } else SqlVerbs.execute(this, sql).getOrElse(spark.sql(sql))
 
   def statusOk: DataFrame = spark.range(1).select(lit("OK").as("status"))
 

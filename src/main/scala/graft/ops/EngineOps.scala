@@ -196,6 +196,49 @@ object EngineOps {
       b.query("SELECT * FROM nation ORDER BY n_nationkey")
     },
 
+    // DML verbs routed through Engine.query (reference passes them
+    // verbatim to DuckDB, `flight_server.py:320-331`; Graft rewrites
+    // them functionally against the catalog — SqlVerbs). The oracle
+    // executes the *same verb* on a DuckDB temp table, so this is true
+    // statement-level parity, not a SELECT twin.
+    sql("verb_update",
+      """CREATE OR REPLACE TEMP TABLE graft_vu AS
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem;
+        |UPDATE graft_vu SET l_quantity = l_quantity + 10, l_discount = 0.0
+        |  WHERE l_discount > 0.05;
+        |SELECT * FROM graft_vu ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      val e = freshEngine(s)
+      e.put("vu", Tables.lineitem(e.spark, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount")))
+      e.query("UPDATE vu SET l_quantity = l_quantity + 10, l_discount = 0.0 WHERE l_discount > 0.05")
+      e.query("SELECT * FROM vu ORDER BY l_orderkey, l_linenumber")
+    },
+
+    sql("verb_delete",
+      """CREATE OR REPLACE TEMP TABLE graft_vd AS
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders;
+        |DELETE FROM graft_vd WHERE o_orderstatus = 'O';
+        |SELECT * FROM graft_vd ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val e = freshEngine(s)
+      e.put("vd", Tables.orders(e.spark, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+      e.query("DELETE FROM vd WHERE o_orderstatus = 'O'")
+      e.query("SELECT * FROM vd ORDER BY o_orderkey")
+    },
+
+    sql("verb_insert",
+      """CREATE OR REPLACE TEMP TABLE graft_vi AS
+        |  SELECT n_nationkey, n_name FROM nation;
+        |INSERT INTO graft_vi SELECT n_nationkey + 100, upper(n_name)
+        |  FROM nation WHERE n_regionkey = 1;
+        |SELECT * FROM graft_vi ORDER BY n_nationkey, n_name""".stripMargin) { (s, d) =>
+      val e = freshEngine(s)
+      e.put("nation", Tables.nation(e.spark, d))
+      e.put("vi", Tables.nation(e.spark, d).select(col("n_nationkey"), col("n_name")))
+      e.query("INSERT INTO vi SELECT n_nationkey + 100, upper(n_name) FROM nation WHERE n_regionkey = 1")
+      e.query("SELECT * FROM vi ORDER BY n_nationkey, n_name")
+    },
+
     // A14: synthetic flights generator (reference `demo.py:193-211`) —
     // spark.range + modular arithmetic, no driver-side loops.
     sql("gen_flights",

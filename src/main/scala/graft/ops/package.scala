@@ -64,9 +64,17 @@ package object ops {
     * compute. A sub-split-size parquet file arrives as ONE partition,
     * which would serialize hashing/shingling on one core; the shuffle
     * moves only the raw rows (cheap) and parallelizes everything
-    * downstream. At 100 TB inputs arrive pre-split and this is a no-op
-    * decision — it matters exactly for the small-dimension case.
+    * downstream.
+    *
+    * Guarded: a pre-split input (a 100 TB corpus already arrives in
+    * thousands of partitions) passes through untouched — an
+    * unconditional `repartition` there would move the entire corpus
+    * once before any work. Only a scan narrower than half the cluster
+    * gets the rebalancing shuffle.
     */
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  def spread(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < parallelism / 2) df.repartition(parallelism)
+    else df
+  }
 }

@@ -45,6 +45,19 @@ class EdgeCasesSpec extends SparkSpec {
     assert(row.getDouble(0) == 0.0 && row.getDouble(1) == 0.0)
   }
 
+  test("spread passes a pre-split input through without a shuffle") {
+    import graft.ops.spread
+    // already split ≥ parallelism/2 → must NOT insert an Exchange
+    val wide = spark.range(0, 1000, 1,
+      spark.sparkContext.defaultParallelism).toDF("i")
+    val plan = spread(wide).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    // a single-partition scan still gets rebalanced
+    val narrow = spark.range(0, 1000, 1, 1).toDF("i")
+    assert(spread(narrow).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+  }
+
   test("transfer of an empty table verifies zero rows") {
     val (a, b) = Engine.pair(spark)
     a.put("empty", Tables.nation(a.spark, sfDir).limit(0))

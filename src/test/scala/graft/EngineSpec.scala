@@ -160,6 +160,56 @@ class EngineSpec extends SparkSpec {
     intercept[SecurityException](auth.query(token, "SELECT 1"))
   }
 
+  test("DML round trip: put → UPDATE → DELETE → INSERT → get") {
+    val e = fresh()
+    e.put("n", Tables.nation(e.spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+    // UPDATE returns the status row and is visible via SQL afterwards
+    val st = e.query("UPDATE n SET n_name = lower(n_name) WHERE n_regionkey = 0")
+    assert(st.collect().map(_.getString(0)).toSeq == Seq("OK"))
+    val lowered = e.query("SELECT count(*) AS c FROM n WHERE n_name = lower(n_name)")
+      .head().getLong(0)
+    assert(lowered >= 5) // region 0 has 5 nations
+    // DELETE removes exactly the matching rows
+    e.query("DELETE FROM n WHERE n_regionkey = 0")
+    assert(e.count("n") == 20)
+    // INSERT INTO … VALUES appends (create-if-absent PUT semantics)
+    e.query("INSERT INTO n VALUES (99, 'ATLANTIS', 0)")
+    assert(e.count("n") == 21)
+    assert(e.query("SELECT n_name FROM n WHERE n_nationkey = 99")
+      .head().getString(0) == "ATLANTIS")
+    // INSERT with explicit column list fills unlisted columns with NULL
+    e.query("INSERT INTO n (n_nationkey, n_name) VALUES (100, 'MU')")
+    assert(e.query("SELECT n_regionkey FROM n WHERE n_nationkey = 100")
+      .head().isNullAt(0))
+  }
+
+  test("UPDATE SET expressions all see pre-update values (simultaneous projection)") {
+    val e = fresh()
+    e.query("CREATE TEMPORARY VIEW graft_swap_src AS SELECT 1 AS a, 2 AS b")
+    e.put("swap", e.spark.sql("SELECT a, b FROM graft_swap_src"))
+    e.query("UPDATE swap SET a = b, b = a") // swap, not overwrite
+    val r = e.query("SELECT a, b FROM swap").head()
+    assert(r.getInt(0) == 2 && r.getInt(1) == 1)
+  }
+
+  test("DELETE WHERE keeps rows where the predicate is NULL") {
+    val e = fresh()
+    e.put("d", e.spark.sql(
+      "SELECT * FROM VALUES (1, 10), (2, NULL), (3, 60) AS t(id, v)"))
+    e.query("DELETE FROM d WHERE v > 50") // NULL predicate row survives
+    assert(e.query("SELECT id FROM d ORDER BY id").collect().map(_.getInt(0)).toSeq
+      == Seq(1, 2))
+  }
+
+  test("UPDATE casts assigned columns back to their declared type") {
+    val e = fresh()
+    e.put("c", e.spark.sql("SELECT CAST(5 AS INT) AS x, 'k' AS k"))
+    e.query("UPDATE c SET x = x + 10000000000") // bigint expr into int col
+    assert(e.get("c").schema("x").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+  }
+
   test("emptyLike carries the source schema with zero rows (CTAS LIMIT 0)") {
     val e = fresh()
     val li = Tables.lineitem(e.spark, sfDir)

@@ -37,6 +37,29 @@ class PropertiesSpec extends SparkSpec {
     assert(e.count("t") == 8 * n)
   }
 
+  test("concurrent put/putReplace/drop keep map and SQL view consistent") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val e = new Engine(spark.newSession())
+    val r = Tables.region(e.spark, sfDir)
+    val n = r.count()
+    // interleave all three mutators on the same name; the per-catalog
+    // lock must serialize them so the final view matches the final map
+    val ops = Future.traverse((1 to 12).toList) { i =>
+      Future(i % 3 match {
+        case 0 => e.catalog.put("m", r)
+        case 1 => e.catalog.putReplace("m", r)
+        case 2 => e.catalog.drop("m")
+      })
+    }
+    Await.result(ops, 120.seconds)
+    // settle to a known state and check SQL-visible view == catalog map
+    e.catalog.putReplace("m", r)
+    assert(e.count("m") == n)
+    assert(e.query("SELECT count(*) AS c FROM m").head().getLong(0) == n)
+  }
+
   test("transfer preserves the multiset for any source table") {
     samples(Gen.oneOf("region", "nation", "supplier"), 3).distinct.foreach { t =>
       val (a, b) = Engine.pair(spark)
