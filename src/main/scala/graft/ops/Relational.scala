@@ -69,6 +69,46 @@ object Relational {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // --- TPC-H Q3 shape: 3-table multi-join flagship ------------------
+    // customer (filtered dim, broadcast — the filter kills 80% before
+    // the join, so the dim fits executor memory even at large SF; at
+    // true 100 TB customer scale AQE would flip this to a shuffle join,
+    // and the plan is written so that flip is legal) ⋈ orders, then ONE
+    // shuffle of the lineitem fact on the join key, partial-aggregated
+    // before the group-key exchange, TakeOrderedAndProject for the
+    // top-10 (per-partition heaps, no global sort). Plan in PLANS.md.
+    sql("q3_shipping_priority",
+      """SELECT l_orderkey,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      val cut = lit("1998-06-01 00:00:00").cast("timestamp")
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      broadcast(cust).join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
     // --- joins --------------------------------------------------------
     sql("join_inner",
       """SELECT c_custkey, c_name, count(*) AS n_orders,

@@ -46,6 +46,14 @@ object Vectors {
   private val ivfCentroidIds: Seq[Long] =
     Seq(3L, 17L, 42L, 99L, 123L, 200L, 321L, 444L)
 
+  /** Multi-probe masks: every 8-bit mask of hamming weight ≤ 2 — the
+    * query's own bucket plus all buckets within hamming distance 2
+    * (1 + 8 + 28 = 37 probes). The static variant of the standard
+    * multi-probe sequence; probe count is the recall↔cost dial.
+    */
+  private val probeMasks: Seq[Long] =
+    (0L until (1L << nPlanes)).filter(m => java.lang.Long.bitCount(m) <= 2)
+
   // ---- Spark-side building blocks ---------------------------------------
 
   /** embeddings/documents spread across the cluster (tiny single-file
@@ -155,6 +163,54 @@ object Vectors {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
       q.join(c, col("bkt") === col("cbkt") && col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"), (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("c_id"), col("rnk"), pr6(col("cos")).as("cosine"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // ---- multi-probe LSH: probe every bucket within hamming ----------
+    // distance 2 of the query's bucket (37 probes). Candidate
+    // generation stays bucket-keyed (the probe list is a bounded
+    // map-side explode — no all-pairs), but recall multiplies: a true
+    // neighbor that disagrees with the query on one or two hyperplanes
+    // is now found. Each candidate lives in exactly ONE bucket and
+    // probes are distinct, so no (q, c) pair duplicates — no dedup
+    // pass needed. The standard multi-probe trade: bounded extra
+    // candidates per query for a large recall multiple, still
+    // O(probes × bucket) not O(corpus) per query.
+    sql("sim_ann_multiprobe",
+      s"""WITH pl AS (SELECT ${D.planesSql} AS planes),
+         |b AS (SELECT vec_id, embedding, ${D.norm("embedding")} AS nrm,
+         |             ${D.bucket("embedding")} AS bkt
+         |      FROM embeddings, pl),
+         |pr AS (SELECT q.vec_id AS q_id, q.embedding AS qe, q.nrm AS qn,
+         |              xor(q.bkt, m::BIGINT) AS probe
+         |       FROM b q, (SELECT unnest([${probeMasks.mkString(", ")}]) AS m)
+         |       WHERE q.vec_id < 20),
+         |p AS (SELECT pr.q_id, c.vec_id AS c_id,
+         |             ${D.dot("pr.qe", "c.embedding")} / (pr.qn * c.nrm) AS cos
+         |      FROM pr JOIN b c ON pr.probe = c.bkt AND c.vec_id <> pr.q_id)
+         |SELECT q_id, c_id, rnk, floor(cos * 1000000 + 0.5) / 1000000 AS cosine
+         |FROM (SELECT q_id, c_id, cos,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+         |      FROM p) t
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      val b = emb(s, d)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+          bucket(col("embedding")).as("bkt"))
+        .cache() // feeds both the probe explode and the candidate side
+      b.count() // eager cache fill
+      val probeArr = array(probeMasks.map(m => col("bkt").bitwiseXOR(lit(m))): _*)
+      val q = b.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), explode(probeArr).as("probe"))
+      val c = b.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"), col("bkt").as("cbkt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      q.join(c, col("probe") === col("cbkt") && col("c_id") =!= col("q_id"))
         .select(col("q_id"), col("c_id"), (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
         .withColumn("rnk", row_number().over(w).cast("bigint"))
         .filter(col("rnk") <= 3)

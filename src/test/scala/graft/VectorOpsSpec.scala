@@ -64,6 +64,7 @@ class VectorOpsSpec extends SparkSpec {
     }
     val rLsh = recall(SparkEntry.queries("sim_ann_lsh")(spark, sfDir))
     val rIvf = recall(SparkEntry.queries("sim_ivf")(spark, sfDir))
+    val rMulti = recall(SparkEntry.queries("sim_ann_multiprobe")(spark, sfDir))
     // The testdata embeddings are uniformly random — the adversarial
     // case for ANN (a true neighbor of a random vector is still nearly
     // orthogonal, so each hyperplane agrees only with p≈0.5 and an
@@ -74,7 +75,13 @@ class VectorOpsSpec extends SparkSpec {
     // degenerate index.
     assert(rLsh > 0.0, s"LSH recall $rLsh")
     assert(rIvf > 0.08, s"IVF recall $rIvf")
-    info(f"recall@3 on uniform-random vectors: lsh=$rLsh%.3f ivf=$rIvf%.3f")
+    // multi-probe candidates are a strict superset of the single-bucket
+    // candidates (mask 0 IS the query bucket), so recall cannot drop —
+    // and the 37 hamming≤2 probes must lift it well above the
+    // single-bucket floor even on this adversarial data
+    assert(rMulti >= rLsh, s"multi-probe recall $rMulti < single-bucket $rLsh")
+    assert(rMulti >= 0.15, s"multi-probe recall $rMulti")
+    info(f"recall@3 on uniform-random vectors: lsh=$rLsh%.3f multiprobe=$rMulti%.3f ivf=$rIvf%.3f")
   }
 
   test("dedup_embedding finds exactly the planted exact copies") {
