@@ -14,31 +14,50 @@ import org.apache.spark.sql.DataFrame
   * of engine scope): it gates driver-side entry points; executors never
   * see credentials.
   */
-final class AuthEngine(val engine: Engine, credentials: Map[String, String]) {
+final class AuthEngine(val engine: Engine, credentials: Map[String, String],
+    tokenTtlMillis: Long = 60 * 60 * 1000L) {
 
-  private val tokens = TrieMap.empty[String, String] // token -> user
+  private def sha256(s: String): Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+
+  // plaintext passwords are hashed once at construction and never
+  // retained; comparisons go through MessageDigest.isEqual, which is
+  // constant-time (a plain String == leaks a timing side channel)
+  private val hashed: Map[String, Array[Byte]] =
+    credentials.map { case (u, p) => u -> sha256(p) }
+
+  private val tokens = TrieMap.empty[String, (String, Long)] // token -> (user, expiresAt)
 
   private val rng = new java.security.SecureRandom()
 
   /** Validate basic credentials, mint a bearer token
-    * (`_handle_basic_auth` `flight_server.py:134-145`).
+    * (`_handle_basic_auth` `flight_server.py:134-145`). Tokens expire
+    * after `tokenTtlMillis`, so the map cannot grow unboundedly even
+    * if `revoke` is never called.
     */
   def authenticate(user: String, password: String): String = {
-    if (!credentials.get(user).contains(password))
-      throw new SecurityException("Invalid credentials")
+    val ok = hashed.get(user)
+      .exists(h => java.security.MessageDigest.isEqual(h, sha256(password)))
+    if (!ok) throw new SecurityException("Invalid credentials")
     val bytes = new Array[Byte](32)
     rng.nextBytes(bytes)
     val token = java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
-    tokens.put(token, user)
+    tokens.put(token, (user, System.currentTimeMillis() + tokenTtlMillis))
+    // opportunistic sweep: drop every expired token while we hold one
+    val now = System.currentTimeMillis()
+    tokens.filterInPlace { case (_, (_, exp)) => exp > now }
     token
   }
 
   /** Validate a bearer token (`_handle_token_auth`
     * `flight_server.py:147-151`).
     */
-  private def check(token: String): Unit =
-    if (!tokens.contains(token))
-      throw new SecurityException("Invalid token")
+  private def check(token: String): Unit = tokens.get(token) match {
+    case Some((_, exp)) if exp > System.currentTimeMillis() => ()
+    case Some(_) => tokens.remove(token)
+      throw new SecurityException("Token expired")
+    case None => throw new SecurityException("Invalid token")
+  }
 
   def revoke(token: String): Unit = tokens.remove(token)
 

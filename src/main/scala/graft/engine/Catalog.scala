@@ -56,7 +56,15 @@ final class Catalog(val spark: SparkSession) {
     val parts = tables
       .updateWith(name) {
         case Some(v) if v.size + 1 >= compactAfter =>
-          Some(Vector(merged(v :+ local).localCheckpoint(false)))
+          // coalesce (no shuffle) before the lineage cut: 64 appended
+          // parts carry 64×N input partitions, and without the bound
+          // each compaction generation would snowball the task count —
+          // hundreds of PUTs would execute thousands of micro-tasks at
+          // first action. Capped at the cluster's parallelism the
+          // deferred materialization stays a few tasks per generation.
+          Some(Vector(merged(v :+ local)
+            .coalesce(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(false)))
         case Some(v) => Some(v :+ local)
         case None    => Some(Vector(local))
       }

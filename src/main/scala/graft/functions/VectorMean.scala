@@ -26,10 +26,18 @@ object VectorMean extends Aggregator[Seq[Float], VecMeanBuf, Seq[Double]] {
 
   override def zero: Buf = Buf(Array.empty[Double], 0L)
 
+  /** Ragged input is a data bug, not a truncation opportunity: a
+    * silently clipped sum would produce a skewed "mean" with no error.
+    */
+  private def requireDim(expected: Int, got: Int): Unit =
+    if (expected != got) throw new IllegalArgumentException(
+      s"VectorMean: inconsistent vector dimension ($got vs $expected)")
+
   override def reduce(b: Buf, v: Seq[Float]): Buf = {
     val s = if (b.sums.isEmpty) new Array[Double](v.length) else b.sums
+    requireDim(s.length, v.length)
     var i = 0
-    while (i < v.length && i < s.length) { s(i) += v(i); i += 1 }
+    while (i < s.length) { s(i) += v(i); i += 1 }
     Buf(s, b.n + 1)
   }
 
@@ -37,8 +45,9 @@ object VectorMean extends Aggregator[Seq[Float], VecMeanBuf, Seq[Double]] {
     if (a.sums.isEmpty) b
     else if (b.sums.isEmpty) a
     else {
+      requireDim(a.sums.length, b.sums.length)
       var i = 0
-      while (i < a.sums.length && i < b.sums.length) { a.sums(i) += b.sums(i); i += 1 }
+      while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
       Buf(a.sums, a.n + b.n)
     }
   }

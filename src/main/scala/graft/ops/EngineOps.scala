@@ -19,6 +19,14 @@ object EngineOps {
     */
   private def freshEngine(s: SparkSession): Engine = new Engine(s.newSession())
 
+  /** Per-process sink root: two concurrent driver mains (e.g. Verify
+    * and Bench) running the same sink key must not overwrite each
+    * other's files mid-read — the pid suffix keeps their paths
+    * disjoint (the memory-sink query names already do this via UUID).
+    */
+  private val tmpRoot =
+    s"/root/repo/target/tmp/run_${ProcessHandle.current().pid()}"
+
   val defs: Seq[QueryDef] = Seq(
 
     // A1: GET — SQL ticket routed to the engine, result streamed back.
@@ -134,7 +142,7 @@ object EngineOps {
 
     // A13: parquet sink + re-scan round trip.
     sql("sink_parquet", "SELECT * FROM region ORDER BY r_regionkey") { (s, d) =>
-      val path = "/root/repo/target/tmp/sink_parquet"
+      val path = s"$tmpRoot/sink_parquet"
       Tables.region(s, d).write.mode("overwrite").parquet(path)
       s.read.parquet(path).orderBy(col("r_regionkey"))
     },
@@ -147,7 +155,7 @@ object EngineOps {
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-      val path = "/root/repo/target/tmp/sink_partitioned"
+      val path = s"$tmpRoot/sink_partitioned"
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"),
           r2(col("o_totalprice")).as("o_totalprice"), col("o_orderstatus"))
@@ -164,7 +172,7 @@ object EngineOps {
     sql("sink_csv_roundtrip",
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
-      val path = "/root/repo/target/tmp/sink_csv"
+      val path = s"$tmpRoot/sink_csv"
       Tables.nation(s, d).write.mode("overwrite").option("header", "true").csv(path)
       s.read.option("header", "true")
         .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
@@ -175,7 +183,7 @@ object EngineOps {
     // JSON-lines sink + source roundtrip, same contract.
     sql("sink_json_roundtrip",
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin) { (s, d) =>
-      val path = "/root/repo/target/tmp/sink_json"
+      val path = s"$tmpRoot/sink_json"
       Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
         .write.mode("overwrite").json(path)
       s.read.schema("r_regionkey INT, r_name STRING").json(path)
@@ -187,7 +195,7 @@ object EngineOps {
     // opens it from disk — state survives the engine instance.
     sql("persist_roundtrip",
       "SELECT * FROM nation ORDER BY n_nationkey") { (s, d) =>
-      val warehouse = "/root/repo/target/tmp/warehouse"
+      val warehouse = s"$tmpRoot/warehouse"
       val a = freshEngine(s)
       a.put("nation", Tables.nation(a.spark, d))
       a.persist("nation", warehouse)

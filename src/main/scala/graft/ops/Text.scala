@@ -463,12 +463,16 @@ object Text {
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val nDocs = docsDf.count() // one tiny job; at scale a broadcast scalar
+      // N as a broadcast 1-row aggregate cross-joined in — no eager
+      // driver-side count(), so the whole pipeline stays one lazy plan
+      // (at 100 TB an extra full scan per invocation is a real cost)
+      val nDocsDf = docsDf.agg(count(lit(1)).as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
       tf.join(broadcast(dfreq), "tok")
+        .crossJoin(broadcast(nDocsDf))
         .select(col("doc_id"), col("tok"),
-          (col("tf") * floor(lit(nDocs) * lit(1000000.0) / col("df")).cast("bigint")).as("score"))
+          (col("tf") * floor(col("n_docs") * lit(1000000.0) / col("df")).cast("bigint")).as("score"))
         .withColumn("rnk", row_number().over(w).cast("bigint"))
         .filter(col("rnk") <= 3)
         .select(col("doc_id"), col("tok"), col("score"), col("rnk"))

@@ -149,12 +149,21 @@ object EventStream {
   private def stageDir(sfDir: String): String = {
     import java.nio.file._
     val src = Paths.get(s"$sfDir/events.parquet")
-    val dir = Paths.get(
-      s"/root/repo/target/tmp/stream_events_${src.toString.hashCode.toHexString}")
+    // key on the full sanitized path (not a 32-bit hashCode — two
+    // sfDirs must never collide into one replay directory), and
+    // re-copy when the source was regenerated (size or mtime drift;
+    // COPY_ATTRIBUTES preserves the source mtime so the comparison
+    // stays valid across copies)
+    val key = src.toString.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = Paths.get(s"/root/repo/target/tmp/stream_events_$key")
     val dst = dir.resolve("events.parquet")
-    if (!Files.exists(dst)) {
+    val stale = !Files.exists(dst) ||
+      Files.size(dst) != Files.size(src) ||
+      Files.getLastModifiedTime(dst) != Files.getLastModifiedTime(src)
+    if (stale) {
       Files.createDirectories(dir)
-      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.COPY_ATTRIBUTES)
     }
     dir.toString
   }

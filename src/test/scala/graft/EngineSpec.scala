@@ -160,6 +160,14 @@ class EngineSpec extends SparkSpec {
     intercept[SecurityException](auth.query(token, "SELECT 1"))
   }
 
+  test("auth: expired tokens are rejected and swept") {
+    import graft.engine.AuthEngine
+    val auth = new AuthEngine(fresh(), Map("u" -> "pw"), tokenTtlMillis = 1L)
+    val token = auth.authenticate("u", "pw")
+    Thread.sleep(5)
+    intercept[SecurityException](auth.query(token, "SELECT 1"))
+  }
+
   test("DML round trip: put → UPDATE → DELETE → INSERT → get") {
     val e = fresh()
     e.put("n", Tables.nation(e.spark, sfDir)

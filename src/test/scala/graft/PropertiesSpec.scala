@@ -70,6 +70,21 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("compaction: 500 PUTs keep count correct and analysis time bounded") {
+    val e = new Engine(spark.newSession())
+    // tiny parts: the point is plan depth (500 appends = ~8 compaction
+    // generations at compactAfter=64), not data volume
+    val part = e.spark.range(0, 10).toDF("i")
+    (1 to 500).foreach(_ => e.put("deep", part))
+    val t0 = System.nanoTime()
+    assert(e.count("deep") == 500L * 10)
+    // SQL path re-analyzes the registered view — the compacted lineage
+    // must keep that cheap (an uncompacted 500-deep union would not be)
+    assert(e.query("SELECT count(*) AS c FROM deep").head().getLong(0) == 5000L)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 10.0, f"analysis+exec took $secs%.1f s — compaction not bounding plan depth")
+  }
+
   test("exact dedup is idempotent for any projected column set") {
     samples(Gen.oneOf(Seq("lang"), Seq("lang", "source"), Seq("source")), 3)
       .distinct.foreach { cols =>

@@ -107,6 +107,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(dims.count() == e.select("label").distinct().count())
   }
 
+  test("VectorMean rejects ragged input instead of truncating") {
+    import graft.functions.VectorMean
+    val ragged = spark.sql(
+      """SELECT 'a' AS label, CAST(array(1.0, 2.0) AS ARRAY<FLOAT>) AS v
+        |UNION ALL
+        |SELECT 'a', CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>)""".stripMargin)
+    val ex = intercept[Exception] {
+      ragged.groupBy(col("label"))
+        .agg(VectorMean.centroid(col("v")).as("c")).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(ex).exists(_.contains("inconsistent vector dimension")))
+  }
+
   test("embed_quantize: int8 range respected, max |q| hits 127, small error") {
     val out = run("embed_quantize").cache()
     assert(out.count() == Tables.embeddings(spark, sfDir).count())
