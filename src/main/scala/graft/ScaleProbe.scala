@@ -110,6 +110,7 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val maxFactor = args.headOption.map(_.toInt).getOrElse(8)
+    val docsFactor = args.lift(1).map(_.toInt).getOrElse(maxFactor)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -121,7 +122,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val docsBase = Tables.documents(spark, sfDir).select("doc_id", "text")
-    for (factor <- Seq(1, maxFactor)) {
+    for (factor <- Seq(1, docsFactor)) {
       val dc = scaledDocs(docsBase, factor).repartition(cpus.toInt).cache()
       val nDocs = dc.count()
       val t0 = System.nanoTime()
@@ -135,10 +136,16 @@ object ScaleProbe {
       val e = scaled(base, factor)
         .repartition(cpus.toInt).cache()
       val rows = e.count() // materialize outside the timings
-      for ((shape, run) <- Seq[(String, DataFrame => Long)](
-          "range_naive" -> naiveRange,
-          "range_bucketed" -> bucketedRange,
-          "sessionize" -> sessions)) {
+      // the naive range join is the known-quadratic BASELINE; past 32×
+      // its pair space is pure waste (measured 23× growth at 32×) —
+      // the octave pushes only the shapes the engine actually bets on
+      val shapes = Seq[(String, DataFrame => Long)](
+        "range_naive" -> naiveRange,
+        "range_bucketed" -> bucketedRange,
+        "sessionize" -> sessions).filterNot {
+        case (n, _) => n == "range_naive" && factor > 32
+      }
+      for ((shape, run) <- shapes) {
         val t0 = System.nanoTime()
         val out = run(e)
         val secs = (System.nanoTime() - t0) / 1e9

@@ -78,7 +78,9 @@ object Throughput {
     // Stage the dataset as parquet, like the reference's flights.parquet
     // (loaded into DuckDB before its benchmark — generation is not
     // part of the timed ops there either).
-    val path = "/root/repo/target/tmp/flights24m"
+    // pid-scoped: a concurrently running main must not overwrite the
+    // staged dataset between this write and the timed reads
+    val path = s"/root/repo/target/tmp/flights24m_${ProcessHandle.current().pid()}"
     flights(spark, rows).write.mode("overwrite").parquet(path)
     val a = new Engine(spark.newSession())
     val b = new Engine(spark.newSession())
