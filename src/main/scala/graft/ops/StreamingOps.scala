@@ -27,6 +27,20 @@ object StreamingOps {
       EventStream.runStateCounts(s, d)
     },
 
+    // stream-static broadcast-dim join executed as a real stream; the
+    // oracle joins the same literal dim as a VALUES list in batch SQL
+    sql("stream_enrich_live", {
+      val dim = EventStream.typeCategories
+        .map { case (t, c) => s"('$t', '$c')" }.mkString(", ")
+      s"""SELECT category, count(*) AS n, round(sum(value), 2) AS total
+         |FROM events e
+         |JOIN (VALUES $dim) d(event_type, category)
+         |  ON e.event_type = d.event_type
+         |GROUP BY category ORDER BY category""".stripMargin
+    }) { (s, d) =>
+      EventStream.runEnrich(s, d)
+    },
+
     sql("stream_hourly_live",
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         | event_type, count(*) AS n, round(sum(value), 2) AS total

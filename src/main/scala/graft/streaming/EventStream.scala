@@ -97,6 +97,43 @@ object EventStream {
     spark.table(sink).select(col("user_id")).distinct().orderBy(col("user_id"))
   }
 
+  /** Event types → billing category: the static dimension for the
+    * stream-static join (kept tiny and literal so the oracle can
+    * replicate it as a VALUES list).
+    */
+  val typeCategories: Seq[(String, String)] = Seq(
+    "click" -> "engagement", "view" -> "engagement",
+    "signup" -> "growth", "purchase" -> "revenue", "error" -> "ops")
+
+  /** Stream–static join: every micro-batch equi-joins the live stream
+    * against a static dimension, then aggregates per enriched key —
+    * the canonical production enrichment shape (fact stream ⋈ dim
+    * table). The dim is broadcast, so the join adds no shuffle to any
+    * micro-batch; at 100 TB/day the same plan holds as long as the dim
+    * stays broadcast-sized, which dims do.
+    */
+  def runEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sink = s"graft_stream_enrich_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val dim = typeCategories.toDF("event_type", "category")
+    val q = source(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_raw"))
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(sink)
+      .select(col("category"), col("n"), round(col("total_raw"), 2).as("total"))
+      .orderBy(col("category"))
+  }
+
   /** Custom-state streaming: running per-user event counts kept in
     * explicit GroupState (`flatMapGroupsWithState`) — the escape hatch
     * for stateful logic the built-in windows can't express. Update

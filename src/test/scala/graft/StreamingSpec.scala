@@ -26,6 +26,22 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-static broadcast-dim join equals the batch enrichment") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.runEnrich(spark, sfDir)
+    val dim = {
+      import spark.implicits._
+      EventStream.typeCategories.toDF("event_type", "category")
+    }
+    val batch = Tables.events(spark, sfDir)
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("category"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming session_window equals batch sessionization (built-in AND typed)") {
     val streamed = EventStream.runSessions(spark, sfDir)
     val batch = SparkEntry.queries("sessionize")(spark, sfDir)
