@@ -538,7 +538,7 @@ object Relational {
           upper(col("p_brand")).as("brand_u"),
           substring(col("p_name"), 1, 12).as("name12"),
           length(col("p_name")).cast("bigint").as("name_len"),
-          regexp_replace(col("p_type"), " ", "_").as("type_u"),
+          translate(col("p_type"), " ", "_").as("type_u"), // literal replace, no regex engine
           lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
           reverse(col("p_brand")).as("brand_rev"))
         .orderBy(col("p_partkey"))

@@ -27,6 +27,18 @@ object StreamingOps {
       EventStream.runStateCounts(s, d)
     },
 
+    // stream-stream watermarked inner join (conversion attribution);
+    // the oracle is the same interval join in batch SQL
+    sql("stream_join_live",
+      """SELECT s.event_id AS signup_event, p.event_id AS purchase_event
+        |FROM events s JOIN events p
+        |  ON s.user_id = p.user_id
+        | AND s.event_type = 'signup' AND p.event_type = 'purchase'
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+        |ORDER BY signup_event, purchase_event""".stripMargin) { (s, d) =>
+      EventStream.runPairJoin(s, d)
+    },
+
     // stream-static broadcast-dim join executed as a real stream; the
     // oracle joins the same literal dim as a VALUES list in batch SQL
     sql("stream_enrich_live", {

@@ -97,6 +97,44 @@ object EventStream {
     spark.table(sink).select(col("user_id")).distinct().orderBy(col("user_id"))
   }
 
+  /** Stream–stream inner join with watermarks: signup events joined to
+    * the same user's purchase events within 7 days — the canonical
+    * conversion-attribution shape. Both sides are watermarked and the
+    * join condition carries the event-time range, so each side's
+    * buffered state is bounded (rows older than watermark + range are
+    * evicted); matches emit in append mode as they are found. At scale
+    * the join shuffles both streams on user_id once per micro-batch —
+    * the same partitioning a batch join would use, but with bounded
+    * state instead of a full-history rescan.
+    */
+  def runPairJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val sink = s"graft_stream_join_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val signups = source(spark, sfDir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"),
+        col("event_id").as("signup_event"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "30 days")
+    val purchases = source(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_event"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 days")
+    val q = signups.join(purchases,
+        col("s_user") === col("p_user") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"))
+      .select(col("signup_event"), col("purchase_event"))
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(sink).orderBy(col("signup_event"), col("purchase_event"))
+  }
+
   /** Event types → billing category: the static dimension for the
     * stream-static join (kept tiny and literal so the oracle can
     * replicate it as a VALUES list).

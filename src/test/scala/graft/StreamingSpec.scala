@@ -42,6 +42,24 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-stream watermarked join equals the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.runPairJoin(spark, sfDir)
+    val e = Tables.events(spark, sfDir)
+    val s = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_event"), col("ts").as("s_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_event"), col("ts").as("p_ts"))
+    val batch = s.join(p,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"))
+      .select(col("signup_event"), col("purchase_event"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming session_window equals batch sessionization (built-in AND typed)") {
     val streamed = EventStream.runSessions(spark, sfDir)
     val batch = SparkEntry.queries("sessionize")(spark, sfDir)
