@@ -124,6 +124,14 @@ object Text {
   private val enStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "is", "in", "it", "on", "for")
 
+  /** Per-source retention rates (micro-units) for the stratified
+    * sampling key — three mixing tiers over the fixture's 20 sources,
+    * literal so the oracle replicates the dim as a VALUES list.
+    */
+  val sampleTiers: Seq[(String, Long)] = (0 until 20).map { i =>
+    s"src$i" -> (if (i < 5) 800000L else if (i < 10) 500000L else 200000L)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup ----------------------------------------------------
@@ -556,6 +564,59 @@ object Text {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           pr6(jac).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- deterministic stratified sampling (corpus mixing) -------------
+    // The data-mixing step of a training pipeline: each source gets a
+    // target retention rate, and a document is kept iff a seeded
+    // portable hash of its id lands under the rate. No randomness, no
+    // state, no shuffle — a map-side filter that re-runs to the byte
+    // on any engine and any cluster, which is exactly what makes a
+    // 100 TB mixing run reproducible and resumable.
+    sql("sample_stratified", {
+      val tiers = Text.sampleTiers
+        .map { case (src, r) => s"('$src', $r)" }.mkString(", ")
+      s"""SELECT d.doc_id, d.source
+         |FROM documents d
+         |JOIN (VALUES $tiers) r(source, rate_micro)
+         |  ON d.source = r.source
+         |WHERE ('0x' || substr(md5('samp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      % 1000000 < r.rate_micro
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val rates = broadcast(Text.sampleTiers.toDF("r_source", "rate_micro"))
+      docs(s, d)
+        .join(rates, col("source") === col("r_source"))
+        .filter(h32Seeded(lit("samp"), col("doc_id")) % 1000000 < col("rate_micro"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- hash-based train/val/test split assignment --------------------
+    // Same portable-hash idea pointed at dataset splitting: bucket =
+    // seeded-hash(doc_id) mod 100 → 80/10/10. Assignment is a pure
+    // projection (joins/shuffles: zero), stable across reruns and
+    // engines, and stratification-safe because the hash is independent
+    // of every document feature.
+    sql("split_assign",
+      """SELECT doc_id,
+        | CASE WHEN bucket < 80 THEN 'train'
+        |      WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        | bucket
+        |FROM (SELECT doc_id,
+        |        ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          (h32Seeded(lit("split"), col("doc_id")) % 100).as("bucket"))
+        .select(col("doc_id"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"),
+          col("bucket"))
+        .orderBy(col("doc_id"))
     }
   )
 }
