@@ -56,7 +56,48 @@ object Multimodal {
       .mapPartitions(decodePartition _)
   }
 
+  /** One sampled "frame": index, byte offset, and the stub-decoded
+    * frame payload (one byte — a real sampler would emit a frame
+    * tensor; the row shape and fan-out are what transfer).
+    */
+  final case class FrameRow(
+      doc_id: Long, frame_idx: Long, offset: Long, frame_byte: Long)
+
+  /** Frame sampling: each media payload fans out to its strided
+    * frames, batch-at-a-time per partition. The fan-out is bounded by
+    * payload_len / stride — the video analog of the decode stage, and
+    * the shape (bounded flatMap inside mapPartitions, no shuffle until
+    * someone aggregates frames) is exactly how a 100 TB video corpus
+    * gets frame-sampled: decode parallelism = input partitions.
+    */
+  def sampleFrames(rows: Iterator[MediaRow], stride: Int): Iterator[FrameRow] =
+    rows.flatMap { m =>
+      Iterator.range(0, m.payload.length, stride).zipWithIndex.map {
+        case (off, idx) =>
+          FrameRow(m.doc_id, idx.toLong, off.toLong, (m.payload(off) & 0xff).toLong)
+      }
+    }
+
+  def sampleDocuments(spark: SparkSession, sfDir: String): Dataset[FrameRow] = {
+    import spark.implicits._
+    graft.ops.spread(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
+      .as[MediaRow]
+      .mapPartitions(rows => sampleFrames(rows, stride = 4))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // Frame sampling over the fake 16-byte "video" payloads: 4 frames
+    // per doc at stride 4; the oracle reads the same bytes out of the
+    // md5 hex twin.
+    sql("multimodal_frames",
+      """SELECT doc_id, f AS frame_idx, f * 4 AS "offset",
+        | ('0x' || substr(md5(text), f * 8 + 1, 2))::BIGINT AS frame_byte
+        |FROM documents, range(0, 4) t(f)
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      sampleDocuments(s, d).toDF().orderBy(col("doc_id"), col("frame_idx"))
+    },
+
     // Oracle replicates the stub decoder arithmetically from the md5
     // hex twin of the payload bytes.
     sql("multimodal_decode",
