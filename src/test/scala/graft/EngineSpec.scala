@@ -218,6 +218,42 @@ class EngineSpec extends SparkSpec {
       org.apache.spark.sql.types.IntegerType)
   }
 
+  test("TcpGate serves SQL over a real socket: rows, errors, DML, concurrent clients") {
+    import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+    import java.net.Socket
+    val e = fresh()
+    e.put("nation", Tables.nation(e.spark, sfDir))
+    val gate = new graft.engine.TcpGate(e)
+    try {
+      def client(): (Socket, PrintWriter, BufferedReader) = {
+        val s = new Socket("127.0.0.1", gate.boundPort)
+        (s, new PrintWriter(s.getOutputStream, true),
+          new BufferedReader(new InputStreamReader(s.getInputStream)))
+      }
+      def ask(out: PrintWriter, in: BufferedReader, sql: String): Seq[String] = {
+        out.println(sql)
+        Iterator.continually(in.readLine()).takeWhile(_ != "##end").toSeq
+      }
+      val (s1, out1, in1) = client()
+      // query → one JSON line per row
+      val rows = ask(out1, in1, "SELECT count(*) AS c FROM nation")
+      assert(rows == Seq("""{"c":25}"""))
+      // DML verb through the same socket → status row, then visible
+      assert(ask(out1, in1, "DELETE FROM nation WHERE n_regionkey = 0")
+        == Seq("""{"status":"OK"}"""))
+      assert(ask(out1, in1, "SELECT count(*) AS c FROM nation")
+        == Seq("""{"c":20}"""))
+      // error keeps the connection alive
+      val err = ask(out1, in1, "SELECT * FROM graft_no_such_table")
+      assert(err.size == 1 && err.head.startsWith("##error"))
+      assert(ask(out1, in1, "SELECT 1 AS x") == Seq("""{"x":1}"""))
+      // a second concurrent client is served by the pool
+      val (s2, out2, in2) = client()
+      assert(ask(out2, in2, "SELECT 2 AS y") == Seq("""{"y":2}"""))
+      s1.close(); s2.close()
+    } finally gate.close()
+  }
+
   test("emptyLike carries the source schema with zero rows (CTAS LIMIT 0)") {
     val e = fresh()
     val li = Tables.lineitem(e.spark, sfDir)
