@@ -210,6 +210,22 @@ class EngineSpec extends SparkSpec {
       == Seq(1, 2))
   }
 
+  test("DML parser is not confused by keywords/commas inside strings and subqueries") {
+    val e = fresh()
+    e.put("p", e.spark.sql(
+      "SELECT * FROM VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30) AS t(id, tag, v)"))
+    // literal containing WHERE, comma, equals and parens must not split
+    e.query("UPDATE p SET tag = 'WHERE , = (x)' WHERE id = 1")
+    assert(e.query("SELECT tag FROM p WHERE id = 1").head().getString(0)
+      == "WHERE , = (x)")
+    // scalar subquery (with its own WHERE) inside a SET expression
+    e.query("UPDATE p SET v = (SELECT max(v) FROM p WHERE id < 3) WHERE id = 3")
+    assert(e.query("SELECT v FROM p WHERE id = 3").head().getInt(0) == 20)
+    // DELETE with a subquery predicate containing WHERE
+    e.query("DELETE FROM p WHERE v = (SELECT min(v) FROM p WHERE id >= 1)")
+    assert(e.count("p") == 2)
+  }
+
   test("UPDATE casts assigned columns back to their declared type") {
     val e = fresh()
     e.put("c", e.spark.sql("SELECT CAST(5 AS INT) AS x, 'k' AS k"))
