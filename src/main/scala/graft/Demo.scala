@@ -39,6 +39,27 @@ object Demo {
 
     a.put("nation", Tables.nation(a.spark, d))
     println("after second put: " + a.count("nation"))
+
+    // DML verbs through the router (reference flight_server.py:320-331)
+    a.query("DELETE FROM nation WHERE n_regionkey = 4")
+    a.query("UPDATE nation SET n_name = lower(n_name) WHERE n_regionkey = 0")
+    println("after verbs: " + a.count("nation") + " lowered=" +
+      a.query("SELECT count(*) AS c FROM nation WHERE n_name = lower(n_name)")
+        .collect()(0).getLong(0))
+
+    // network facade: SQL over a real socket, JSON rows back
+    val gate = new graft.engine.TcpGate(a)
+    try {
+      val sock = new java.net.Socket("127.0.0.1", gate.boundPort)
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream))
+      out.println("SELECT count(*) AS c FROM nation")
+      println("tcp gate: " +
+        Iterator.continually(in.readLine()).takeWhile(_ != "##end").mkString)
+      sock.close()
+    } finally gate.close()
+
     println("drop=" + a.catalog.drop("nation") + " dropAgain=" + a.catalog.drop("nation"))
     spark.stop()
   }
