@@ -109,6 +109,53 @@ object Relational {
         .limit(10)
     },
 
+    // --- TPC-H Q5 shape: 6-table join with a join-graph cycle ---------
+    // region → nation chain broadcast into supplier AND customer; the
+    // "local supplier" condition (c_nationkey = s_nationkey) closes a
+    // cycle in the join graph, which exercises join-order planning in
+    // a way tree-shaped queries can't. The lineitem fact takes the
+    // only large shuffle (on orderkey); supplier and the dim chain
+    // ride along as broadcasts; partial aggregation precedes the final
+    // group-key exchange. At true customer scale AQE flips the
+    // customer join to a shuffle join with no code change.
+    sql("q5_local_supplier",
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY r_name, n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+      val hi = lit("1999-01-01 00:00:00").cast("timestamp")
+      val natReg = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(natReg), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"), col("r_name"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey")) // the Q5 cycle
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .select(col("r_name"), col("n_name"), col("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
     // --- joins --------------------------------------------------------
     sql("join_inner",
       """SELECT c_custkey, c_name, count(*) AS n_orders,
@@ -650,6 +697,30 @@ object Relational {
         .rangeBetween(-10000, Window.currentRow)
       Tables.orders(s, d)
         .select(col("o_orderkey"), count(lit(1)).over(w).as("n_near"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // distribution windows: ntile / percent_rank / cume_dist — the
+    // ranking family the other window keys don't cover. The window
+    // order (o_totalprice, o_orderkey) is a total order, so tile
+    // boundaries and rank fractions are deterministic; the fractions
+    // are exact rational arithmetic ((rank-1)/(n-1), rank/n) computed
+    // identically by both engines, floored at 1e-6 anyway.
+    sql("window_distribution",
+      """SELECT o_orderkey,
+        | ntile(4) OVER w AS quartile,
+        | floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+        | floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          ntile(4).over(w).cast("bigint").as("quartile"),
+          pr6(percent_rank().over(w)).as("pct_rank"),
+          pr6(cume_dist().over(w)).as("cume"))
         .orderBy(col("o_orderkey"))
     },
 
