@@ -69,6 +69,30 @@ object Relational {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // full outer join: both sides keep their unmatched keys with NULL
+    // padding — the one join type the inner/left/semi/anti keys don't
+    // cover. Both inputs are pre-aggregated (map-side combinable), so
+    // the outer join runs key-to-key, not row-to-row.
+    sql("join_outer",
+      """WITH c AS (SELECT c_nationkey AS k, count(*) AS n_cust
+        |           FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+        |     s AS (SELECT s_nationkey AS k, count(*) AS n_supp
+        |           FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+        |SELECT coalesce(c.k, s.k) AS nationkey, n_cust, n_supp
+        |FROM c FULL OUTER JOIN s ON c.k = s.k
+        |ORDER BY nationkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+        .select(col("c_nationkey").as("ck"), col("n_cust"))
+      val sp = Tables.supplier(s, d).filter(col("s_acctbal") > 9000)
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+        .select(col("s_nationkey").as("sk"), col("n_supp"))
+      c.join(sp, col("ck") === col("sk"), "full_outer")
+        .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+          col("n_cust"), col("n_supp"))
+        .orderBy(col("nationkey"))
+    },
+
     // --- TPC-H Q3 shape: 3-table multi-join flagship ------------------
     // customer (filtered dim, broadcast — the filter kills 80% before
     // the join, so the dim fits executor memory even at large SF; at
