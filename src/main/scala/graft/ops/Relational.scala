@@ -724,6 +724,38 @@ object Relational {
         .orderBy(col("o_orderkey"))
     },
 
+    // FILTER-clause aggregation: per-group conditional aggregates in
+    // one pass (no self-join, no pivot) — issued through Spark's SQL
+    // parser via expr() to exercise the verb itself. Still a single
+    // map-side-combinable hash aggregate.
+    sql("agg_filtered",
+      """SELECT l_returnflag,
+        | count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        | round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS disc_base
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("count(*) FILTER (WHERE l_quantity > 25)").as("n_big"),
+          r2(expr("sum(l_extendedprice) FILTER (WHERE l_discount > 0.05)")).as("disc_base"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // collection aggregate: collect_list is ordering-nondeterministic
+    // under parallel aggregation, so the deterministic contract is the
+    // SORTED collection — emitted as a joined string because the
+    // oracle compare is row-text-based. The aggregate remains one
+    // shuffle of (key, name) pairs.
+    sql("agg_collect",
+      """SELECT n_regionkey,
+        | array_to_string(list_sort(list(n_name)), ',') AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, d) =>
+      Tables.nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("names"))
+        .orderBy(col("n_regionkey"))
+    },
+
     // distribution windows: ntile / percent_rank / cume_dist — the
     // ranking family the other window keys don't cover. The window
     // order (o_totalprice, o_orderkey) is a total order, so tile
