@@ -79,8 +79,10 @@ object Throughput {
     // (loaded into DuckDB before its benchmark — generation is not
     // part of the timed ops there either).
     // pid-scoped: a concurrently running main must not overwrite the
-    // staged dataset between this write and the timed reads
-    val path = s"/root/repo/target/tmp/flights24m_${ProcessHandle.current().pid()}"
+    // staged dataset between this write and the timed reads; purged at
+    // exit so repeated runs don't accumulate ~200 MB each
+    val path = graft.ops.purgeOnExit(
+      s"/root/repo/target/tmp/flights24m_${ProcessHandle.current().pid()}")
     flights(spark, rows).write.mode("overwrite").parquet(path)
     val a = new Engine(spark.newSession())
     val b = new Engine(spark.newSession())

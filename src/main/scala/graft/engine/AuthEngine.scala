@@ -20,11 +20,15 @@ final class AuthEngine(val engine: Engine, credentials: Map[String, String],
   private def sha256(s: String): Array[Byte] =
     java.security.MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
 
-  // plaintext passwords are hashed once at construction and never
+  // plaintext passwords are hashed once at construction (salted with
+  // the user name so equal passwords get distinct digests) and never
   // retained; comparisons go through MessageDigest.isEqual, which is
   // constant-time (a plain String == leaks a timing side channel)
+  private def saltedHash(user: String, password: String): Array[Byte] =
+    sha256(s"$user:$password")
+
   private val hashed: Map[String, Array[Byte]] =
-    credentials.map { case (u, p) => u -> sha256(p) }
+    credentials.map { case (u, p) => u -> saltedHash(u, p) }
 
   private val tokens = TrieMap.empty[String, (String, Long)] // token -> (user, expiresAt)
 
@@ -36,8 +40,11 @@ final class AuthEngine(val engine: Engine, credentials: Map[String, String],
     * if `revoke` is never called.
     */
   def authenticate(user: String, password: String): String = {
+    // hash BEFORE the user lookup: an unknown user must cost the same
+    // as a wrong password, or response time enumerates valid users
+    val given = saltedHash(user, password)
     val ok = hashed.get(user)
-      .exists(h => java.security.MessageDigest.isEqual(h, sha256(password)))
+      .exists(h => java.security.MessageDigest.isEqual(h, given))
     if (!ok) throw new SecurityException("Invalid credentials")
     val bytes = new Array[Byte](32)
     rng.nextBytes(bytes)

@@ -83,6 +83,14 @@ final class Catalog(val spark: SparkSession) {
     local.createOrReplaceTempView(name)
   }
 
+  /** Atomic read-modify-write: build a replacement from the CURRENT
+    * table under the same lock every other mutator takes, so a
+    * concurrent put/putReplace/drop can neither interleave with the
+    * read nor be lost by the swap (the DML verbs' UPDATE/DELETE path).
+    */
+  def replaceWith(name: String)(f: DataFrame => DataFrame): Unit =
+    putLock.synchronized { putReplace(name, f(get(name))) }
+
   def get(name: String): DataFrame =
     merged(tables.getOrElse(name,
       throw new NoSuchElementException(

@@ -16,12 +16,23 @@ import org.apache.spark.sql.functions._
   * the plan stays lazy, so Catalyst optimizes through the rewrite
   * (e.g. a later filter pushes below the UPDATE's projection).
   *
-  * The skeleton scan is top-level-aware (parens + single-quoted
-  * strings), so `WHERE`/`,`/`=` inside subqueries, function calls, or
-  * string literals do not confuse it. Statement-level SQL semantics are
-  * preserved deliberately:
+  * Routing contract: this layer claims a statement ONLY when (a) its
+  * skeleton matches the simple form the catalog can rewrite AND (b)
+  * the target is a catalog table. Anything else — `INSERT OVERWRITE`,
+  * qualified names, a target that lives in Spark's own catalog —
+  * returns None and falls through to `spark.sql`, so no statement
+  * that worked before this layer existed can regress.
+  *
+  * The skeleton scan is top-level-aware (parens, single- AND
+  * double-quoted strings, backslash escapes), so `WHERE`/`,`/`=`
+  * inside subqueries, function calls, or string literals do not
+  * confuse it. Statement-level SQL semantics are preserved
+  * deliberately:
   *  - all `SET` expressions evaluate against PRE-update rows (one
   *    simultaneous projection, not a `withColumn` chain);
+  *  - a SET/INSERT column that does not exist in the target errors
+  *    (DuckDB raises a binder error; silently dropping an assignment
+  *    while answering OK would be corruption);
   *  - `DELETE … WHERE c` removes rows where `c` IS TRUE — rows where
   *    `c` is NULL survive;
   *  - updated columns cast back to their declared type (a DuckDB
@@ -29,37 +40,50 @@ import org.apache.spark.sql.functions._
   *  - `INSERT` aligns columns positionally (with an optional explicit
   *    column list), casts to the target schema, and APPENDS via
   *    `Catalog.put` — the reference's create-if-absent + INSERT
-  *    semantics (`flight_server.py:388-400`).
+  *    semantics (`flight_server.py:388-400`);
+  *  - UPDATE/DELETE read-modify-write runs under the catalog's
+  *    mutator lock (`Catalog.replaceWith`), so a concurrent PUT can
+  *    neither interleave nor be lost.
   */
 private[graft] object SqlVerbs {
 
-  /** Execute `sqlText` if it is a DML verb; None → not DML. */
+  /** Execute `sqlText` if it is a DML verb this layer can rewrite;
+    * None → not claimed, caller falls through to `spark.sql`.
+    */
   def execute(engine: Engine, sqlText: String): Option[DataFrame] = {
     val t = sqlText.trim
     t.split("\\s+", 2)(0).toUpperCase match {
-      case "UPDATE" => update(engine, t); Some(engine.statusOk)
-      case "DELETE" => delete(engine, t); Some(engine.statusOk)
-      case "INSERT" => insert(engine, t); Some(engine.statusOk)
+      case "UPDATE" => update(engine, t).map(_ => engine.statusOk)
+      case "DELETE" => delete(engine, t).map(_ => engine.statusOk)
+      case "INSERT" => insert(engine, t).map(_ => engine.statusOk)
       case _        => None
     }
   }
 
   // ---- skeleton scanning (top-level aware) -----------------------------
 
-  /** Positions in `s` that are outside parens and '…' literals. */
+  /** Positions in `s` that are outside parens and quoted literals.
+    * Tracks both '…' and "…" (Spark's parser treats both as strings)
+    * and skips backslash-escaped characters inside them.
+    */
   private def topLevel(s: String): Array[Boolean] = {
     val out = new Array[Boolean](s.length)
-    var depth = 0; var inQ = false; var i = 0
+    var depth = 0; var quote: Char = 0; var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inQ) { if (c == '\'') inQ = false }
-      else c match {
-        case '\'' => inQ = true
+      var escaped = false
+      if (quote != 0) {
+        if (c == '\\' && i + 1 < s.length) { out(i) = false; i += 1; escaped = true }
+        else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' => quote = c
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
       }
-      out(i) = !inQ && depth == 0 && c != '(' && c != ')'
+      if (!escaped)
+        out(i) = quote == 0 && depth == 0 && c != '(' && c != ')' && c != '\'' && c != '"'
+      else out(i) = false
       i += 1
     }
     out
@@ -93,12 +117,17 @@ private[graft] object SqlVerbs {
   private def fail(sqlText: String, what: String): Nothing =
     throw new IllegalArgumentException(s"Cannot parse $what: $sqlText")
 
+  private def unknownColumn(table: String, colName: String, known: Seq[String]): Nothing =
+    throw new IllegalArgumentException(
+      s"Column '$colName' does not exist in table '$table'. " +
+        s"Columns: ${known.mkString(", ")}")
+
   // ---- UPDATE t SET a = e1, b = e2 [WHERE c] ---------------------------
 
   private val UpdateRe = "(?is)^UPDATE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+SET\\s+(.*)$".r
 
-  private def update(e: Engine, sqlText: String): Unit = sqlText match {
-    case UpdateRe(table, rest) =>
+  private def update(e: Engine, sqlText: String): Option[Unit] = sqlText match {
+    case UpdateRe(table, rest) if e.catalog.contains(table) =>
       val wherePos = findKeyword(rest, "WHERE")
       val (setPart, cond) =
         if (wherePos < 0) (rest, None)
@@ -111,45 +140,58 @@ private[graft] object SqlVerbs {
             .getOrElse(fail(sqlText, "SET assignment"))
           a.substring(0, eq).trim.toLowerCase -> expr(a.substring(eq + 1))
         }.toMap
-      val df = e.catalog.get(table)
-      // one simultaneous projection: every SET expression sees the
-      // pre-update row, matching statement-level UPDATE semantics
-      val proj = df.schema.fields.map { f =>
-        assigns.get(f.name.toLowerCase) match {
-          case Some(ex) =>
-            val v = cond.map(c => when(c, ex).otherwise(col(f.name))).getOrElse(ex)
-            v.cast(f.dataType).as(f.name)
-          case None => col(f.name)
+      // read + swap under the catalog's mutator lock: a concurrent PUT
+      // can neither interleave with the snapshot nor be lost
+      e.catalog.replaceWith(table) { df =>
+        val fields = df.schema.fields
+        val known = fields.map(_.name.toLowerCase)
+        assigns.keys.find(!known.contains(_))
+          .foreach(unknownColumn(table, _, fields.map(_.name).toIndexedSeq))
+        // one simultaneous projection: every SET expression sees the
+        // pre-update row, matching statement-level UPDATE semantics
+        val proj = fields.map { f =>
+          assigns.get(f.name.toLowerCase) match {
+            case Some(ex) =>
+              val v = cond.map(c => when(c, ex).otherwise(col(f.name))).getOrElse(ex)
+              v.cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
         }
+        df.select(proj.toIndexedSeq: _*)
       }
-      e.catalog.putReplace(table, df.select(proj.toIndexedSeq: _*))
-    case _ => fail(sqlText, "UPDATE")
+      Some(())
+    case _ => None // not a catalog table / not the simple form → spark.sql
   }
 
   // ---- DELETE FROM t [WHERE c] -----------------------------------------
 
   private val DeleteRe = "(?is)^DELETE\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(.*)$".r
 
-  private def delete(e: Engine, sqlText: String): Unit = sqlText match {
-    case DeleteRe(table, rest0) =>
+  private def delete(e: Engine, sqlText: String): Option[Unit] = sqlText match {
+    case DeleteRe(table, rest0) if e.catalog.contains(table) =>
       val rest = rest0.trim
-      val df = e.catalog.get(table)
-      val out =
+      e.catalog.replaceWith(table) { df =>
         if (rest.isEmpty) df.limit(0)
         else if (rest.toUpperCase.startsWith("WHERE"))
           // keep rows where the predicate is FALSE *or* NULL
           df.filter(!coalesce(expr(rest.substring(5)), lit(false)))
         else fail(sqlText, "DELETE tail")
-      e.catalog.putReplace(table, out)
-    case _ => fail(sqlText, "DELETE")
+      }
+      Some(())
+    case _ => None
   }
 
   // ---- INSERT INTO t [(cols)] SELECT …|VALUES … ------------------------
 
   private val InsertRe = "(?is)^INSERT\\s+INTO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+(.*)$".r
 
-  private def insert(e: Engine, sqlText: String): Unit = sqlText match {
-    case InsertRe(table, rest0) =>
+  private def insert(e: Engine, sqlText: String): Option[Unit] = sqlText match {
+    case InsertRe(table, rest0)
+        // claim the statement unless the name belongs to a table in
+        // Spark's own catalog that graft's catalog doesn't manage —
+        // shadowing a real table with a surprise temp view would break
+        // `CREATE TABLE` DDL issued through query()
+        if e.catalog.contains(table) || !e.spark.catalog.tableExists(table) =>
       var rest = rest0.trim
       val colList: Option[Seq[String]] =
         if (rest.startsWith("(")) {
@@ -167,6 +209,9 @@ private[graft] object SqlVerbs {
         e.catalog.put(table, named)
       } else {
         val target = e.catalog.get(table).schema
+        val known = target.fieldNames.map(_.toLowerCase)
+        colList.foreach(_.find(c => !known.contains(c.toLowerCase))
+          .foreach(unknownColumn(table, _, target.fieldNames.toIndexedSeq)))
         val order = colList.getOrElse(target.fieldNames.toIndexedSeq)
         require(src.columns.length == order.length,
           s"INSERT expects ${order.length} columns, query produced ${src.columns.length}")
@@ -178,6 +223,7 @@ private[graft] object SqlVerbs {
         }
         e.catalog.put(table, named.select(aligned.toIndexedSeq: _*))
       }
-    case _ => fail(sqlText, "INSERT")
+      Some(())
+    case _ => None // INSERT OVERWRITE / qualified / Spark-catalog target
   }
 }

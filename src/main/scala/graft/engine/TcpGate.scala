@@ -35,6 +35,13 @@ final class TcpGate(val engine: Engine, port: Int = 0) extends AutoCloseable {
   private val pool = Executors.newCachedThreadPool()
   @volatile private var running = true
 
+  /** Live client sockets — socket reads are not interruptible, so
+    * close() must close these directly to unblock their readLine and
+    * let the (non-daemon) pool threads exit.
+    */
+  private val clients =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
+
   /** The actual bound port (pass 0 to let the OS pick). */
   def boundPort: Int = server.getLocalPort
 
@@ -43,6 +50,7 @@ final class TcpGate(val engine: Engine, port: Int = 0) extends AutoCloseable {
       while (running)
         try {
           val sock = server.accept()
+          clients.add(sock)
           pool.submit(new Runnable { def run(): Unit = serve(sock) })
         } catch {
           case _: SocketException => () // closed during accept — shutdown
@@ -71,13 +79,19 @@ final class TcpGate(val engine: Engine, port: Int = 0) extends AutoCloseable {
         line = in.readLine()
       }
     } catch {
-      case _: SocketException => () // client went away
-    } finally sock.close()
+      case _: SocketException => () // client went away or gate closed
+    } finally {
+      clients.remove(sock)
+      sock.close()
+    }
   }
 
   override def close(): Unit = {
     running = false
     server.close()
+    // unblock every serve thread parked in readLine — interrupt alone
+    // cannot (socket I/O ignores it)
+    clients.forEach(s => try s.close() catch { case _: Exception => () })
     pool.shutdownNow()
     ()
   }

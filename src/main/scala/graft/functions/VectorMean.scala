@@ -34,16 +34,19 @@ object VectorMean extends Aggregator[Seq[Float], VecMeanBuf, Seq[Double]] {
       s"VectorMean: inconsistent vector dimension ($got vs $expected)")
 
   override def reduce(b: Buf, v: Seq[Float]): Buf = {
-    val s = if (b.sums.isEmpty) new Array[Double](v.length) else b.sums
-    requireDim(s.length, v.length)
+    // gate on n, not sums.isEmpty: a zero-length FIRST vector leaves
+    // sums empty with n=1, and the next row must still be compared
+    // against dimension 0, not silently re-size the buffer
+    val s = if (b.n == 0) new Array[Double](v.length) else b.sums
+    if (b.n > 0) requireDim(s.length, v.length)
     var i = 0
     while (i < s.length) { s(i) += v(i); i += 1 }
     Buf(s, b.n + 1)
   }
 
   override def merge(a: Buf, b: Buf): Buf = {
-    if (a.sums.isEmpty) b
-    else if (b.sums.isEmpty) a
+    if (a.n == 0) b
+    else if (b.n == 0) a
     else {
       requireDim(a.sums.length, b.sums.length)
       var i = 0

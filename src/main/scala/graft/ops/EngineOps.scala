@@ -23,9 +23,11 @@ object EngineOps {
     * and Bench) running the same sink key must not overwrite each
     * other's files mid-read — the pid suffix keeps their paths
     * disjoint (the memory-sink query names already do this via UUID).
+    * Purged on JVM exit: pids are unique per run, so without the hook
+    * every bench/verify cycle would leave its staging data behind.
     */
-  private val tmpRoot =
-    s"/root/repo/target/tmp/run_${ProcessHandle.current().pid()}"
+  private val tmpRoot = graft.ops.purgeOnExit(
+    s"/root/repo/target/tmp/run_${ProcessHandle.current().pid()}")
 
   val defs: Seq[QueryDef] = Seq(
 

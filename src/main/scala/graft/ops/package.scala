@@ -72,9 +72,28 @@ package object ops {
     * once before any work. Only a scan narrower than half the cluster
     * gets the rebalancing shuffle.
     */
+  /** Register `path` for recursive deletion at JVM exit and return it
+    * — for pid-scoped staging directories that would otherwise
+    * accumulate one copy per run.
+    */
+  def purgeOnExit(path: String): String = {
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+    }
+    path
+  }
+
   def spread(df: DataFrame): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < parallelism / 2) df.repartition(parallelism)
+    // max(2, …): at parallelism 2-3 the halved threshold would round
+    // down to 1 and never rebalance the single-partition scan this
+    // helper exists for
+    if (df.rdd.getNumPartitions < math.max(2, parallelism / 2))
+      df.repartition(parallelism)
     else df
   }
 }

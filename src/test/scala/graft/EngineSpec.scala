@@ -226,6 +226,56 @@ class EngineSpec extends SparkSpec {
     assert(e.count("p") == 2)
   }
 
+  test("DML errors on unknown columns instead of silently answering OK") {
+    val e = fresh()
+    e.put("u", e.spark.sql("SELECT 1 AS id, CAST(10.0 AS DOUBLE) AS price"))
+    val ex1 = intercept[IllegalArgumentException](
+      e.query("UPDATE u SET pricee = 0")) // typo must not no-op
+    assert(ex1.getMessage.contains("pricee"))
+    val ex2 = intercept[IllegalArgumentException](
+      e.query("INSERT INTO u (id, wrongcol) VALUES (2, 3)"))
+    assert(ex2.getMessage.contains("wrongcol"))
+    // nothing was mutated by either failed statement
+    assert(e.count("u") == 1)
+    assert(e.query("SELECT price FROM u").head().getDouble(0) == 10.0)
+  }
+
+  test("unclaimed DML forms fall through to spark.sql instead of failing to parse") {
+    val e = fresh()
+    // INSERT OVERWRITE is not the simple claimed form → Spark's parser
+    // and resolver handle it (and produce Spark's error, not ours)
+    val ex = intercept[Exception](
+      e.query("INSERT OVERWRITE TABLE graft_nope SELECT 1 AS x").collect())
+    assert(!ex.getMessage.contains("Cannot parse"), ex.getMessage)
+    // UPDATE on a table graft doesn't manage likewise reaches Spark
+    val ex2 = intercept[Exception](
+      e.query("UPDATE graft_nope SET x = 1").collect())
+    assert(!ex2.getMessage.contains("Cannot parse"), ex2.getMessage)
+  }
+
+  test("DML parser handles backslash-escaped and double-quoted literals") {
+    val e = fresh()
+    e.put("q", e.spark.sql("SELECT 1 AS id, 'x' AS tag, 'y' AS tag2"))
+    e.query("UPDATE q SET tag = 'don\\'t, stop', tag2 = \"a, b\" WHERE id = 1")
+    val r = e.query("SELECT tag, tag2 FROM q").head()
+    assert(r.getString(0) == "don't, stop" && r.getString(1) == "a, b")
+  }
+
+  test("TcpGate close() promptly disconnects an idle client") {
+    val e = fresh()
+    val gate = new graft.engine.TcpGate(e)
+    val sock = new java.net.Socket("127.0.0.1", gate.boundPort)
+    sock.setSoTimeout(10000)
+    val t0 = System.nanoTime()
+    gate.close() // must close the accepted socket, not wait for the client
+    // the client observes EOF (readLine -> null) rather than hanging
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(sock.getInputStream))
+    assert(in.readLine() == null)
+    assert((System.nanoTime() - t0) / 1e9 < 5.0)
+    sock.close()
+  }
+
   test("UPDATE casts assigned columns back to their declared type") {
     val e = fresh()
     e.put("c", e.spark.sql("SELECT CAST(5 AS INT) AS x, 'k' AS k"))

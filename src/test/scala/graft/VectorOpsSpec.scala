@@ -121,6 +121,17 @@ class VectorOpsSpec extends SparkSpec {
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
         .map(x => Option(x.getMessage).getOrElse("")).toSeq
     assert(chain(ex).exists(_.contains("inconsistent vector dimension")))
+    // a zero-length FIRST vector must not bypass the dimension check
+    val emptyFirst = spark.sql(
+      """SELECT 'a' AS label, CAST(array() AS ARRAY<FLOAT>) AS v
+        |UNION ALL
+        |SELECT 'a', CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)""".stripMargin)
+      .coalesce(1) // one partition → the empty row can arrive first
+    val ex2 = intercept[Exception] {
+      emptyFirst.groupBy(col("label"))
+        .agg(VectorMean.centroid(col("v")).as("c")).collect()
+    }
+    assert(chain(ex2).exists(_.contains("inconsistent vector dimension")))
   }
 
   test("embed_quantize: int8 range respected, max |q| hits 127, small error") {
