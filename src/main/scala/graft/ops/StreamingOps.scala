@@ -27,6 +27,21 @@ object StreamingOps {
       EventStream.runStateCounts(s, d)
     },
 
+    // checkpointed parquet file sink (the production egress path);
+    // exactly-once across restarts is spec-asserted in StreamingSpec
+    sql("stream_sink_parquet",
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'error' ORDER BY event_id""".stripMargin) { (s, d) =>
+      val out = graft.ops.purgeOnExit(
+        s"/root/repo/target/tmp/stream_sink_${ProcessHandle.current().pid()}") +
+        s"/${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      EventStream.runFileSink(s, d, out)
+      import org.apache.spark.sql.functions.col
+      s.read.parquet(out)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    },
+
     // stream-stream watermarked inner join (conversion attribution);
     // the oracle is the same interval join in batch SQL
     sql("stream_join_live",

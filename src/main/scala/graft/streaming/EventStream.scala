@@ -135,6 +135,30 @@ object EventStream {
     spark.table(sink).orderBy(col("signup_event"), col("purchase_event"))
   }
 
+  /** Checkpointed file sink — the production egress path (the memory
+    * sink the other keys use is a test harness; real pipelines land
+    * parquet). The checkpoint makes delivery exactly-once ACROSS
+    * RESTARTS: a second start() against the same checkpoint replays
+    * nothing (the spec asserts it), which is the property that lets a
+    * 100 TB/day ingest job crash and resume without dedup passes.
+    * Returns the sink directory; caller reads it back with a batch
+    * scan.
+    */
+  def runFileSink(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val q = source(spark, sfDir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$outDir-chk")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+  }
+
   /** Event types → billing category: the static dimension for the
     * stream-static join (kept tiny and literal so the oracle can
     * replicate it as a VALUES list).

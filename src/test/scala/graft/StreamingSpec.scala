@@ -60,6 +60,21 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("checkpointed file sink is exactly-once across restarts") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.purgeOnExit(
+      s"/root/repo/target/tmp/spec_stream_sink_${ProcessHandle.current().pid()}") +
+      s"/${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    EventStream.runFileSink(spark, sfDir, out)
+    val n1 = spark.read.parquet(out).count()
+    val expected = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "error").count()
+    assert(n1 == expected)
+    // restart against the same checkpoint: nothing replays, no dupes
+    EventStream.runFileSink(spark, sfDir, out)
+    assert(spark.read.parquet(out).count() == n1)
+  }
+
   test("streaming session_window equals batch sessionization (built-in AND typed)") {
     val streamed = EventStream.runSessions(spark, sfDir)
     val batch = SparkEntry.queries("sessionize")(spark, sfDir)
