@@ -1,4 +1,5 @@
 package graft
+// (sampling-operator semantics appended at the bottom of this suite)
 
 import org.apache.spark.sql.functions._
 
@@ -95,5 +96,35 @@ class TextOpsSpec extends SparkSpec {
   test("quality_score is bounded in [0, 1e6] micro-units") {
     val out = run("quality_score")
     assert(out.filter(col("quality_micro") < 0 || col("quality_micro") > 1000000).count() == 0)
+  }
+
+  test("sample_stratified keeps roughly the tier rate per source and is idempotent") {
+    val kept = run("sample_stratified").cache()
+    val perSource = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalPerSource = Tables.documents(spark, sfDir)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.ops.Text.sampleTiers.foreach { case (src, rateMicro) =>
+      val n = totalPerSource(src).toDouble
+      val got = perSource.getOrElse(src, 0L).toDouble / n
+      val want = rateMicro / 1e6
+      // binomial tolerance: 4 standard deviations at this sample size
+      val tol = 4 * math.sqrt(want * (1 - want) / n)
+      assert(math.abs(got - want) <= tol, f"$src: got $got%.2f want $want%.2f ±$tol%.2f")
+    }
+    // deterministic: a second run keeps the exact same set
+    assert(run("sample_stratified").exceptAll(kept).count() == 0)
+  }
+
+  test("split_assign partitions every doc once with ~80/10/10 proportions") {
+    val out = run("split_assign").cache()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(out.count() == total) // every doc assigned exactly once
+    val frac = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble / total).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.1)
+    assert(math.abs(frac("val") - 0.1) < 0.06)
+    assert(math.abs(frac("test") - 0.1) < 0.06)
   }
 }
