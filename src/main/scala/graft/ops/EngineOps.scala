@@ -168,6 +168,19 @@ object EngineOps {
         .orderBy(col("o_orderkey"))
     },
 
+    // ORC sink + source roundtrip — Spark's other first-class columnar
+    // format (own writer/reader stack, predicate pushdown, zlib by
+    // default). Oracle is the logical projection, proving losslessness.
+    sql("sink_orc_roundtrip",
+      """SELECT s_suppkey, s_name, s_nationkey FROM supplier
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val path = s"$tmpRoot/sink_orc"
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path).orderBy(col("s_suppkey"))
+    },
+
     // CSV sink + source roundtrip: schema declared explicitly on read
     // (CSV carries none); oracle is the logical projection, proving
     // the roundtrip lost nothing.

@@ -74,16 +74,20 @@ object Vectors {
 
   /** LSH bucket id of an embedding column: sign bit per plane, packed.
     * private[graft] so the spec can assert bucket invariants directly.
+    *
+    * Unrolled to 8 explicit codegen'd DotProduct terms: the previous
+    * `aggregate(transform(...))` formulation evaluated the inner dot
+    * product through the interpreted lambda path (HOF functions do not
+    * participate in whole-stage codegen), paying boxed evaluation for
+    * all 8×64 multiply-adds per row. The unrolled sum is the same
+    * exact arithmetic (independent integer terms; per-plane dot is the
+    * identical left-to-right fold) fused into the generated code.
     */
-  private[graft] def bucket(emb: Column): Column = {
-    val planesLit = array(planes.map(row => array(row.map(lit): _*)): _*)
-    val pow2 = array((0 until nPlanes).map(p => lit(1L << p)): _*)
-    aggregate(
-      transform(sequence(lit(0), lit(nPlanes - 1)), p =>
-        when(dot(element_at(planesLit, p + 1), emb) >= 0, element_at(pow2, p + 1))
-          .otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc + v)
-  }
+  private[graft] def bucket(emb: Column): Column =
+    (0 until nPlanes).map { p =>
+      val plane = array(planes(p).map(lit): _*)
+      when(dot(plane, emb) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   // ---- DuckDB oracle fragments ------------------------------------------
 
