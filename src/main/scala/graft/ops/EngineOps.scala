@@ -205,6 +205,21 @@ object EngineOps {
         .orderBy(col("r_regionkey"))
     },
 
+    // Plain-text sink + source roundtrip (spark.read.text — the line
+    // format raw corpora arrive in). Line order is file/partition
+    // dependent, so the deterministic contract is the aggregate.
+    // oracle casts the sum: DuckDB sum(BIGINT) widens to HUGEINT,
+    // which pandas renders as a float — same value, different text
+    sql("sink_text_roundtrip",
+      """SELECT count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS chars
+        |FROM documents""".stripMargin) { (s, d) =>
+      val path = s"$tmpRoot/sink_text"
+      Tables.documents(s, d).select(col("text"))
+        .write.mode("overwrite").text(path)
+      s.read.text(path)
+        .agg(count(lit(1)).as("n"), sum(length(col("value"))).as("chars"))
+    },
+
     // Persistent engine mode (reference `flight_server.py:173-180`):
     // engine A persists a table to a warehouse dir; a *fresh* engine B
     // opens it from disk — state survives the engine instance.
