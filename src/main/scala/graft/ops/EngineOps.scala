@@ -234,6 +234,26 @@ object EngineOps {
       b.query("SELECT * FROM nation ORDER BY n_nationkey")
     },
 
+    // LATERAL correlated subquery (top-N per group, the canonical
+    // use): the SAME SQL text runs on both engines — Spark plans the
+    // lateral as a rewritten join with per-group limit, no UDF, no
+    // driver loop.
+    sql("lateral_topn", Sql.lateralTopn) { (s, d) =>
+      val e = freshEngine(s)
+      e.put("nation", Tables.nation(e.spark, d))
+      e.put("customer", Tables.customer(e.spark, d))
+      e.query(Sql.lateralTopn)
+    },
+
+    // EXISTS-correlated subquery — the verb form behind semi joins;
+    // same SQL text on both engines (Spark rewrites to a left-semi).
+    sql("subquery_exists", Sql.existsRich) { (s, d) =>
+      val e = freshEngine(s)
+      e.put("nation", Tables.nation(e.spark, d))
+      e.put("customer", Tables.customer(e.spark, d))
+      e.query(Sql.existsRich)
+    },
+
     // DML verbs routed through Engine.query (reference passes them
     // verbatim to DuckDB, `flight_server.py:320-331`; Graft rewrites
     // them functionally against the catalog — SqlVerbs). The oracle
@@ -309,5 +329,22 @@ object EngineOps {
     val exchange: String =
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+    /** Top-2 customers per nation via LATERAL — identical text for
+      * Spark and the DuckDB oracle. */
+    val lateralTopn: String =
+      """SELECT n.n_name, t.c_name FROM nation n,
+        |LATERAL (SELECT c_name FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n_name, c_name""".stripMargin
+
+    /** Nations having a high-balance customer, via EXISTS. */
+    val existsRich: String =
+      """SELECT n_name FROM nation n
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |              WHERE c.c_nationkey = n.n_nationkey
+        |                AND c.c_acctbal > 9000)
+        |ORDER BY n_name""".stripMargin
   }
 }
