@@ -56,7 +56,9 @@ object Demo {
         new java.io.InputStreamReader(sock.getInputStream))
       out.println("SELECT count(*) AS c FROM nation")
       println("tcp gate: " +
-        Iterator.continually(in.readLine()).takeWhile(_ != "##end").mkString)
+        // stop on EOF too: a dropped connection returns null forever
+        Iterator.continually(in.readLine())
+          .takeWhile(l => l != null && l != "##end").mkString)
       sock.close()
     } finally gate.close()
 

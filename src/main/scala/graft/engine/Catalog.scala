@@ -98,6 +98,21 @@ final class Catalog(val spark: SparkSession) {
 
   def contains(name: String): Boolean = tables.contains(name)
 
+  /** Registry move (`ALTER TABLE … RENAME TO …`): one critical section
+    * covering remove + re-register, so no reader can observe a window
+    * where neither name (or both names) serves the table.
+    */
+  def rename(from: String, to: String): Unit = putLock.synchronized {
+    if (contains(to))
+      throw new IllegalArgumentException(s"Table '$to' already exists")
+    val parts = tables.remove(from).getOrElse(
+      throw new NoSuchElementException(
+        s"Table '$from' not found. Available: ${list.mkString(", ")}"))
+    tables.update(to, parts)
+    org.apache.spark.sql.GraftBridge.dropTempView(spark, from)
+    merged(parts).createOrReplaceTempView(to)
+  }
+
   def drop(name: String): Boolean = putLock.synchronized {
     val existed = tables.remove(name).isDefined
     // no-cascade drop: another engine may still serve a cache of the

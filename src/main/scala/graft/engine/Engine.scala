@@ -42,23 +42,25 @@ final class Engine(val spark: SparkSession) {
     ddlPrefixes.exists(u.startsWith)
   }
 
-  /** Run any SQL. DDL (detected by prefix, mirroring
-    * `_is_ddl_statement` `flight_server.py:354-355`) executes for side
-    * effects and returns a one-row `{status: "OK"}` frame
-    * (`flight_server.py:357-359`); DML verbs (`UPDATE`/`DELETE`/
-    * `INSERT`, which Mallard's router passes verbatim to DuckDB,
-    * `flight_server.py:320-331`) execute as functional catalog
-    * rewrites (see [[SqlVerbs]]) and return the same status row;
-    * everything else returns the lazy query result. Spark's parser
-    * replaces Mallard's keyword sniffing, but the routing contract
-    * (statement → side effect + status row, query → stream) is
-    * preserved.
+  /** Run any SQL. DML/DDL verbs the catalog can rewrite (`UPDATE`/
+    * `DELETE`/`INSERT`/`ALTER` on catalog tables, which Mallard's
+    * router passes verbatim to DuckDB, `flight_server.py:320-331`,
+    * `:354-355`) execute as functional catalog rewrites (see
+    * [[SqlVerbs]]) and return a one-row `{status: "OK"}` frame
+    * (`flight_server.py:357-359`); unclaimed DDL (detected by prefix,
+    * mirroring `_is_ddl_statement`) goes to `spark.sql` for side
+    * effects and returns the same status row; everything else returns
+    * the lazy query result. Spark's parser replaces Mallard's keyword
+    * sniffing, but the routing contract (statement → side effect +
+    * status row, query → stream) is preserved.
     */
   def query(sql: String): DataFrame =
-    if (isDdl(sql)) {
-      spark.sql(sql)
-      statusOk
-    } else SqlVerbs.execute(this, sql).getOrElse(spark.sql(sql))
+    SqlVerbs.execute(this, sql).getOrElse {
+      if (isDdl(sql)) {
+        spark.sql(sql)
+        statusOk
+      } else spark.sql(sql)
+    }
 
   def statusOk: DataFrame = spark.range(1).select(lit("OK").as("status"))
 

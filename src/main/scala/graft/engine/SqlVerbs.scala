@@ -56,6 +56,7 @@ private[graft] object SqlVerbs {
       case "UPDATE" => update(engine, t).map(_ => engine.statusOk)
       case "DELETE" => delete(engine, t).map(_ => engine.statusOk)
       case "INSERT" => insert(engine, t).map(_ => engine.statusOk)
+      case "ALTER"  => alter(engine, t).map(_ => engine.statusOk)
       case _        => None
     }
   }
@@ -89,15 +90,22 @@ private[graft] object SqlVerbs {
     out
   }
 
+  /** Identifier characters for word-boundary tests: letters, digits AND
+    * underscore — `col_where_x` must not be read as containing a
+    * top-level WHERE.
+    */
+  private def isIdentChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
   /** First top-level, word-bounded, case-insensitive `kw` at/after `from`. */
   private def findKeyword(s: String, kw: String, from: Int = 0): Int = {
     val tl = topLevel(s)
     var i = from
     while (i + kw.length <= s.length) {
       if (tl(i) && s.regionMatches(true, i, kw, 0, kw.length) &&
-        (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+        (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
         (i + kw.length == s.length ||
-          !Character.isLetterOrDigit(s.charAt(i + kw.length)))) return i
+          !isIdentChar(s.charAt(i + kw.length)))) return i
       i += 1
     }
     -1
@@ -133,13 +141,21 @@ private[graft] object SqlVerbs {
         if (wherePos < 0) (rest, None)
         else (rest.substring(0, wherePos),
           Some(expr(rest.substring(wherePos + 5))))
-      val assigns: Map[String, Column] =
+      val assignList: Seq[(String, Column)] =
         splitTopLevel(setPart, ',').map { a =>
           val tl = topLevel(a)
           val eq = (0 until a.length).find(i => tl(i) && a.charAt(i) == '=')
             .getOrElse(fail(sqlText, "SET assignment"))
           a.substring(0, eq).trim.toLowerCase -> expr(a.substring(eq + 1))
-        }.toMap
+        }
+      // duplicate assignment (SET a=1, a=2) is a binder error in DuckDB;
+      // keeping the last one silently would drop an assignment while
+      // answering OK — the corruption this file's contract forbids
+      assignList.groupBy(_._1).collectFirst { case (c, as) if as.size > 1 =>
+        throw new IllegalArgumentException(
+          s"Duplicate assignment to column '$c' in UPDATE: $sqlText")
+      }
+      val assigns: Map[String, Column] = assignList.toMap
       // read + swap under the catalog's mutator lock: a concurrent PUT
       // can neither interleave with the snapshot nor be lost
       e.catalog.replaceWith(table) { df =>
@@ -186,12 +202,13 @@ private[graft] object SqlVerbs {
   private val InsertRe = "(?is)^INSERT\\s+INTO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+(.*)$".r
 
   private def insert(e: Engine, sqlText: String): Option[Unit] = sqlText match {
-    case InsertRe(table, rest0)
-        // claim the statement unless the name belongs to a table in
-        // Spark's own catalog that graft's catalog doesn't manage —
-        // shadowing a real table with a surprise temp view would break
-        // `CREATE TABLE` DDL issued through query()
-        if e.catalog.contains(table) || !e.spark.catalog.tableExists(table) =>
+    // claim ONLY catalog-resident targets. The reference hands INSERT
+    // to DuckDB, which raises a catalog error for a missing table —
+    // create-if-absent is its *PUT* semantic (`flight_server.py:388-400`),
+    // not its SQL semantic. An unmanaged target falls through to
+    // `spark.sql`, which raises the resolution error (or inserts into a
+    // real Spark-catalog table, which is its business).
+    case InsertRe(table, rest0) if e.catalog.contains(table) =>
       var rest = rest0.trim
       val colList: Option[Seq[String]] =
         if (rest.startsWith("(")) {
@@ -203,27 +220,86 @@ private[graft] object SqlVerbs {
         } else None
       // SELECT / WITH / VALUES are all valid standalone Spark queries
       val src = e.spark.sql(rest)
-      if (!e.catalog.contains(table)) {
-        // create-if-absent: first INSERT fixes the schema, like PUT
-        val named = colList.map(src.toDF(_: _*)).getOrElse(src)
-        e.catalog.put(table, named)
-      } else {
-        val target = e.catalog.get(table).schema
-        val known = target.fieldNames.map(_.toLowerCase)
-        colList.foreach(_.find(c => !known.contains(c.toLowerCase))
-          .foreach(unknownColumn(table, _, target.fieldNames.toIndexedSeq)))
-        val order = colList.getOrElse(target.fieldNames.toIndexedSeq)
-        require(src.columns.length == order.length,
-          s"INSERT expects ${order.length} columns, query produced ${src.columns.length}")
-        val named = src.toDF(order: _*) // positional → target names
-        val aligned = target.fields.map { f =>
-          if (order.exists(_.equalsIgnoreCase(f.name)))
-            col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name) // unlisted → NULL
-        }
-        e.catalog.put(table, named.select(aligned.toIndexedSeq: _*))
+      val target = e.catalog.get(table).schema
+      val known = target.fieldNames.map(_.toLowerCase)
+      colList.foreach(_.find(c => !known.contains(c.toLowerCase))
+        .foreach(unknownColumn(table, _, target.fieldNames.toIndexedSeq)))
+      val order = colList.getOrElse(target.fieldNames.toIndexedSeq)
+      require(src.columns.length == order.length,
+        s"INSERT expects ${order.length} columns, query produced ${src.columns.length}")
+      val named = src.toDF(order: _*) // positional → target names
+      val aligned = target.fields.map { f =>
+        if (order.exists(_.equalsIgnoreCase(f.name)))
+          col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name) // unlisted → NULL
       }
+      e.catalog.put(table, named.select(aligned.toIndexedSeq: _*))
       Some(())
-    case _ => None // INSERT OVERWRITE / qualified / Spark-catalog target
+    case _ => None // absent target / INSERT OVERWRITE / qualified name
+  }
+
+  // ---- ALTER TABLE t ADD|DROP|RENAME COLUMN … / RENAME TO … -------------
+
+  private val AlterRe =
+    "(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+(.*)$".r
+  private val AddColRe =
+    "(?is)^ADD\\s+(?:COLUMN\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s+(.+)$".r
+  private val DropColRe =
+    "(?is)^DROP\\s+(?:COLUMN\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+  private val RenameColRe =
+    "(?is)^RENAME\\s+(?:COLUMN\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s+TO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+  private val RenameTableRe =
+    "(?is)^RENAME\\s+TO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+
+  /** Schema evolution as a projection rewrite — the Mallard router
+    * accepts ALTER by prefix and DuckDB executes it
+    * (`flight_server.py:354-355`, `:324-331`). Spark cannot ALTER a
+    * temp view, so for catalog tables the statement becomes a catalog
+    * swap under the mutator lock:
+    *  - `ADD COLUMN c t`   → project existing columns + NULL::t AS c
+    *    (DuckDB's added column is NULL-filled);
+    *  - `DROP COLUMN c`    → project all but c;
+    *  - `RENAME COLUMN a TO b` → same projection, one alias;
+    *  - `RENAME TO t2`     → registry move (see `Catalog.rename`).
+    * Unknown/duplicate columns error (DuckDB binder parity). Anything
+    * else — not a catalog table, IF EXISTS, multi-action — returns
+    * None and falls through to `spark.sql`.
+    */
+  private def alter(e: Engine, sqlText: String): Option[Unit] = sqlText match {
+    case AlterRe(table, action) if e.catalog.contains(table) =>
+      action.trim match {
+        case AddColRe(colName, typeDdl) =>
+          val dt = org.apache.spark.sql.types.DataType.fromDDL(typeDdl.trim)
+          e.catalog.replaceWith(table) { df =>
+            if (df.columns.exists(_.equalsIgnoreCase(colName)))
+              throw new IllegalArgumentException(
+                s"Column '$colName' already exists in table '$table'")
+            df.withColumn(colName, lit(null).cast(dt))
+          }
+          Some(())
+        case DropColRe(colName) =>
+          e.catalog.replaceWith(table) { df =>
+            if (!df.columns.exists(_.equalsIgnoreCase(colName)))
+              unknownColumn(table, colName, df.columns.toIndexedSeq)
+            df.select(df.columns.filterNot(_.equalsIgnoreCase(colName))
+              .map(col).toIndexedSeq: _*)
+          }
+          Some(())
+        case RenameColRe(from, to) =>
+          e.catalog.replaceWith(table) { df =>
+            if (!df.columns.exists(_.equalsIgnoreCase(from)))
+              unknownColumn(table, from, df.columns.toIndexedSeq)
+            if (df.columns.exists(_.equalsIgnoreCase(to)))
+              throw new IllegalArgumentException(
+                s"Column '$to' already exists in table '$table'")
+            df.withColumnRenamed(from, to)
+          }
+          Some(())
+        case RenameTableRe(to) =>
+          e.catalog.rename(table, to)
+          Some(())
+        case _ => None // multi-action / constraint forms → spark.sql
+      }
+    case _ => None // not a catalog table → spark.sql (e.g. real tables)
   }
 }

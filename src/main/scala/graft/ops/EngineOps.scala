@@ -297,6 +297,32 @@ object EngineOps {
       e.query("SELECT * FROM vi ORDER BY n_nationkey, n_name")
     },
 
+    // ALTER routed through Engine.query (the reference accepts ALTER by
+    // prefix and DuckDB executes it, `flight_server.py:354-355`; Graft
+    // rewrites it as a catalog projection swap — SqlVerbs.alter). The
+    // oracle executes the SAME statements on a DuckDB temp table:
+    // add-column (NULL-filled), fill via UPDATE, drop, rename column,
+    // rename table — full schema-evolution parity.
+    sql("verb_alter",
+      """CREATE OR REPLACE TEMP TABLE graft_va AS
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation;
+        |ALTER TABLE graft_va ADD COLUMN note DOUBLE;
+        |UPDATE graft_va SET note = n_nationkey * 1.5;
+        |ALTER TABLE graft_va DROP COLUMN n_regionkey;
+        |ALTER TABLE graft_va RENAME COLUMN n_name TO nation_name;
+        |ALTER TABLE graft_va RENAME TO graft_vb;
+        |SELECT * FROM graft_vb ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val e = freshEngine(s)
+      e.put("va", Tables.nation(e.spark, d)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+      e.query("ALTER TABLE va ADD COLUMN note DOUBLE")
+      e.query("UPDATE va SET note = n_nationkey * 1.5")
+      e.query("ALTER TABLE va DROP COLUMN n_regionkey")
+      e.query("ALTER TABLE va RENAME COLUMN n_name TO nation_name")
+      e.query("ALTER TABLE va RENAME TO vb")
+      e.query("SELECT * FROM vb ORDER BY n_nationkey")
+    },
+
     // A14: synthetic flights generator (reference `demo.py:193-211`) —
     // spark.range + modular arithmetic, no driver-side loops.
     sql("gen_flights",

@@ -181,7 +181,7 @@ class EngineSpec extends SparkSpec {
     // DELETE removes exactly the matching rows
     e.query("DELETE FROM n WHERE n_regionkey = 0")
     assert(e.count("n") == 20)
-    // INSERT INTO … VALUES appends (create-if-absent PUT semantics)
+    // INSERT INTO … VALUES appends to the existing catalog table
     e.query("INSERT INTO n VALUES (99, 'ATLANTIS', 0)")
     assert(e.count("n") == 21)
     assert(e.query("SELECT n_name FROM n WHERE n_nationkey = 99")
@@ -298,7 +298,9 @@ class EngineSpec extends SparkSpec {
       }
       def ask(out: PrintWriter, in: BufferedReader, sql: String): Seq[String] = {
         out.println(sql)
-        Iterator.continually(in.readLine()).takeWhile(_ != "##end").toSeq
+        // stop on EOF too: a dropped connection returns null forever
+        Iterator.continually(in.readLine())
+          .takeWhile(l => l != null && l != "##end").toSeq
       }
       val (s1, out1, in1) = client()
       // query → one JSON line per row
@@ -318,6 +320,61 @@ class EngineSpec extends SparkSpec {
       assert(ask(out2, in2, "SELECT 2 AS y") == Seq("""{"y":2}"""))
       s1.close(); s2.close()
     } finally gate.close()
+  }
+
+  test("ALTER TABLE: add/drop/rename column and rename table as catalog rewrites") {
+    val e = fresh()
+    e.put("a", Tables.nation(e.spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+    val st = e.query("ALTER TABLE a ADD COLUMN score DOUBLE")
+    assert(st.collect().map(_.getString(0)).toSeq == Seq("OK"))
+    assert(e.get("a").schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(e.query("SELECT count(*) AS c FROM a WHERE score IS NULL")
+      .head().getLong(0) == 25) // new column arrives NULL-filled
+    e.query("UPDATE a SET score = n_nationkey * 2.0")
+    e.query("ALTER TABLE a DROP COLUMN n_regionkey")
+    assert(!e.get("a").columns.contains("n_regionkey"))
+    e.query("ALTER TABLE a RENAME COLUMN n_name TO name")
+    assert(e.get("a").columns.toSeq == Seq("n_nationkey", "name", "score"))
+    e.query("ALTER TABLE a RENAME TO b")
+    assert(!e.catalog.contains("a"))
+    // renamed table is SQL-visible and carries the mutated data
+    assert(e.query("SELECT sum(score) AS s FROM b").head().getDouble(0) ==
+      (0 until 25).map(_ * 2.0).sum)
+    // binder-parity errors: unknown column, duplicate add
+    intercept[IllegalArgumentException](e.query("ALTER TABLE b DROP COLUMN nope"))
+    intercept[IllegalArgumentException](e.query("ALTER TABLE b ADD COLUMN score DOUBLE"))
+    // an unmanaged table falls through to spark.sql's resolution error
+    val ex = intercept[Exception](
+      e.query("ALTER TABLE graft_nope ADD COLUMN x INT"))
+    assert(!ex.getMessage.contains("Cannot parse"), ex.getMessage)
+  }
+
+  test("INSERT into a nonexistent table errors instead of creating it") {
+    val e = fresh()
+    // DuckDB raises a catalog error here; create-if-absent is the PUT
+    // semantic, not the SQL semantic — a typo'd name must not
+    // materialize a surprise table
+    intercept[Exception](
+      e.query("INSERT INTO graft_absent VALUES (1)"))
+    assert(!e.catalog.contains("graft_absent"))
+  }
+
+  test("duplicate SET assignment errors instead of keeping the last") {
+    val e = fresh()
+    e.put("dup", e.spark.sql("SELECT 1 AS a"))
+    val ex = intercept[IllegalArgumentException](
+      e.query("UPDATE dup SET a = 2, a = 3"))
+    assert(ex.getMessage.toLowerCase.contains("duplicate"))
+    assert(e.query("SELECT a FROM dup").head().getInt(0) == 1) // unchanged
+  }
+
+  test("identifier containing a keyword substring is not mis-split (col_where_x)") {
+    val e = fresh()
+    e.put("w", e.spark.sql("SELECT 1 AS id, 5 AS col_where_x"))
+    e.query("UPDATE w SET id = col_where_x") // '_' is an identifier char
+    assert(e.query("SELECT id FROM w").head().getInt(0) == 5)
   }
 
   test("emptyLike carries the source schema with zero rows (CTAS LIMIT 0)") {
