@@ -431,12 +431,24 @@ object Relational {
       s.sql(Sql.groupingSets)
     },
 
-    // HLL sketch — engines' sketches differ, so no SQL oracle
-    // (driver records rows-only). Exact NDV alongside for the spec.
-    QueryDef.rowsOnly("agg_approx_distinct") { (s, d) =>
+    // HLL sketch — engines' sketches differ, so the raw estimate can't
+    // hash-match. The oracled contract is the ERROR BOUND: Spark emits
+    // its exact NDV (which DuckDB verifies exactly) plus a boolean
+    // |approx − exact| ≤ 5%·exact, which the oracle pins to TRUE — a
+    // drifting HLL implementation now fails the hash gate instead of
+    // hiding behind rows-only.
+    sql("agg_approx_distinct",
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS exact_parts,
+        | TRUE AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.05)).as("within_5pct"))
         .orderBy(col("l_returnflag"))
     },
 
