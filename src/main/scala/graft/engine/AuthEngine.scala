@@ -68,6 +68,12 @@ final class AuthEngine(val engine: Engine, credentials: Map[String, String],
 
   def revoke(token: String): Unit = tokens.remove(token)
 
+  /** Connection-scoped validation (the TcpGate handshake): throws on
+    * an invalid/expired token, like the reference's per-call middleware
+    * header check (`flight_server.py:147-151`).
+    */
+  def validate(token: String): Unit = check(token)
+
   // gated capability surface
   def query(token: String, sql: String): DataFrame = { check(token); engine.query(sql) }
   def put(token: String, name: String, df: DataFrame): Unit = { check(token); engine.put(name, df) }

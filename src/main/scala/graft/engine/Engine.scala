@@ -92,6 +92,25 @@ final class Engine(val spark: SparkSession) {
   def registerExchanger(command: String)(f: DataFrame => DataFrame): Unit =
     exchangers.update(command, f)
 
+  /** Register a transform DEFINED IN SQL — the remote-registration
+    * path (TcpGate `REGISTER <name> AS <sql>`). The reference ships
+    * exchanger *code* to a running server (cloudpickle via `do_action`,
+    * `flight_server.py:402-427`); a wire protocol can't ship JVM
+    * closures, but it can ship SQL, which covers the overwhelming share
+    * of real transforms. The SQL text sees the exchange input as the
+    * relation `__input__`; the input is registered under a collision-free
+    * temp name for exactly the duration of analysis (spark.sql resolves
+    * eagerly), then dropped, so concurrent exchanges cannot cross wires.
+    */
+  def registerSqlExchanger(name: String, sqlText: String): Unit =
+    registerExchanger(name) { df =>
+      val v = s"graft_xin_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      val local = org.apache.spark.sql.GraftBridge.rebind(spark, df)
+      local.createOrReplaceTempView(v)
+      try spark.sql(sqlText.replaceAll("(?i)\\b__input__\\b", v))
+      finally org.apache.spark.sql.GraftBridge.dropTempView(spark, v)
+    }
+
   def exchangerCommands: Seq[String] = exchangers.keys.toSeq.sorted
 
   /** Dispatch: registry hit → apply transform; else SQL-looking command

@@ -1,9 +1,11 @@
 package graft.engine
 
 import java.io.{BufferedReader, InputStreamReader, PrintWriter}
-import java.net.{ServerSocket, Socket, SocketException}
+import java.net.{InetAddress, ServerSocket, Socket, SocketException}
 import java.nio.charset.StandardCharsets
 import java.util.concurrent.Executors
+
+import org.apache.spark.sql.DataFrame
 
 /** Minimal network transport facade over an [[Engine]] — the analog of
   * Mallard's Flight server *listening on a port*
@@ -12,12 +14,30 @@ import java.util.concurrent.Executors
   * this offline environment.
   *
   * Protocol (newline-delimited, UTF-8):
-  *  - client sends ONE SQL statement per line;
+  *  - client sends ONE statement per line;
+  *  - `REGISTER <name> AS <sql>` registers a SQL-defined exchanger in
+  *    the engine registry (the SQL sees the exchange input as
+  *    `__input__`) — the wire version of the reference's runtime code
+  *    shipping (`flight_server.py:402-427`);
+  *  - `EXCHANGE <name> FROM <table>` applies a registered exchanger to
+  *    a catalog table and streams the result back;
+  *  - anything else routes through `Engine.query` (SQL, DML, DDL);
   *  - server replies with one JSON object per result row (Spark's
   *    canonical `toJSON` encoding), then one `##end` terminator line;
   *  - on failure it replies `##error <message>` then `##end` — the
   *    connection survives, matching the reference server's
   *    error-as-response behavior (`flight_server.py:312-315`).
+  *
+  * Security: binds the loopback address by default — an unauthenticated
+  * wildcard bind would expose DROP/DELETE to any host that can reach
+  * the port. Passing an [[AuthEngine]] requires a handshake as the
+  * FIRST line of every connection (the reference gates connections the
+  * same way, basic→bearer middleware `flight_server.py:110-161`):
+  *  - `##auth <user> <password>` validates credentials and replies
+  *    `##ok <token>` (the token works on other connections too);
+  *  - `##token <token>` presents an existing bearer token, `##ok`;
+  *  - anything else (or invalid credentials) → `##error …` and the
+  *    connection closes.
   *
   * Result rows stream through `toLocalIterator` — one partition in
   * driver memory at a time, never the whole result. A single socket is
@@ -29,9 +49,12 @@ import java.util.concurrent.Executors
   * use the gate for control-plane SQL (DDL, DML verbs, small results)
   * and sinks (`sink_*` keys) for bulk egress.
   */
-final class TcpGate(val engine: Engine, port: Int = 0) extends AutoCloseable {
+final class TcpGate(val engine: Engine, port: Int = 0,
+    auth: Option[AuthEngine] = None,
+    bindAddress: InetAddress = InetAddress.getLoopbackAddress)
+  extends AutoCloseable {
 
-  private val server = new ServerSocket(port)
+  private val server = new ServerSocket(port, 50, bindAddress)
   private val pool = Executors.newCachedThreadPool()
   @volatile private var running = true
 
@@ -57,26 +80,64 @@ final class TcpGate(val engine: Engine, port: Int = 0) extends AutoCloseable {
         }
   })
 
+  private val RegisterRe =
+    "(?is)^REGISTER\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+(.+)$".r
+  private val ExchangeRe =
+    "(?is)^EXCHANGE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+
+  private def runLine(line: String): DataFrame = line match {
+    case RegisterRe(name, sqlText) =>
+      engine.registerSqlExchanger(name, sqlText); engine.statusOk
+    case ExchangeRe(name, table) =>
+      engine.exchange(name, engine.get(table))
+    case sql => engine.query(sql)
+  }
+
+  private val AuthRe = "(?s)^##auth\\s+(\\S+)\\s+(.+)$".r
+  private val TokenRe = "(?s)^##token\\s+(\\S+)\\s*$".r
+
+  /** Returns true when the connection may proceed. Writes its own
+    * protocol lines either way.
+    */
+  private def handshake(a: AuthEngine, in: BufferedReader, out: PrintWriter): Boolean = {
+    val ok = try {
+      in.readLine() match {
+        case AuthRe(user, password) => Some(a.authenticate(user, password))
+        case TokenRe(token)         => a.validate(token); Some(token)
+        case _                      => None
+      }
+    } catch { case _: SecurityException => None }
+    ok match {
+      case Some(token) =>
+        out.println(s"##ok $token"); out.println("##end"); out.flush(); true
+      case None =>
+        out.println("##error authentication required")
+        out.println("##end"); out.flush(); false
+    }
+  }
+
   private def serve(sock: Socket): Unit = {
     val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
     val out = new PrintWriter(
       new java.io.OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8), false)
     try {
-      var line = in.readLine()
-      while (line != null && running) {
-        if (line.trim.nonEmpty) {
-          try {
-            val it = engine.query(line).toJSON.toLocalIterator()
-            while (it.hasNext) out.println(it.next())
-          } catch {
-            case e: Exception =>
-              out.println(s"##error ${Option(e.getMessage).getOrElse(e.toString).replaceAll("\\R", " ")}")
+      if (auth.forall(a => handshake(a, in, out))) {
+        var line = in.readLine()
+        while (line != null && running) {
+          if (line.trim.nonEmpty) {
+            try {
+              val it = runLine(line).toJSON.toLocalIterator()
+              while (it.hasNext) out.println(it.next())
+            } catch {
+              case e: Exception =>
+                out.println(s"##error ${Option(e.getMessage).getOrElse(e.toString).replaceAll("\\R", " ")}")
+            }
+            out.println("##end")
+            out.flush()
           }
-          out.println("##end")
-          out.flush()
+          line = in.readLine()
         }
-        line = in.readLine()
       }
     } catch {
       case _: SocketException => () // client went away or gate closed

@@ -377,6 +377,79 @@ class EngineSpec extends SparkSpec {
     assert(e.query("SELECT id FROM w").head().getInt(0) == 5)
   }
 
+  private def gateClient(port: Int): (java.net.Socket, java.io.PrintWriter, java.io.BufferedReader) = {
+    val s = new java.net.Socket("127.0.0.1", port)
+    (s, new java.io.PrintWriter(s.getOutputStream, true),
+      new java.io.BufferedReader(new java.io.InputStreamReader(s.getInputStream)))
+  }
+
+  private def gateAsk(out: java.io.PrintWriter, in: java.io.BufferedReader,
+      line: String): Seq[String] = {
+    out.println(line)
+    Iterator.continually(in.readLine())
+      .takeWhile(l => l != null && l != "##end").toSeq
+  }
+
+  test("TcpGate REGISTER: transform registered on one socket, exchanged on another") {
+    val e = fresh()
+    e.put("events_t", Tables.events(e.spark, sfDir).limit(100))
+    val gate = new graft.engine.TcpGate(e)
+    try {
+      val (s1, out1, in1) = gateClient(gate.boundPort)
+      // remote registration: SQL-defined transform over the wire
+      assert(gateAsk(out1, in1,
+        "REGISTER top_types AS SELECT event_type, count(*) AS n FROM __input__ " +
+          "GROUP BY event_type ORDER BY event_type")
+        == Seq("""{"status":"OK"}"""))
+      // a SECOND client exchanges through the transform just registered
+      val (s2, out2, in2) = gateClient(gate.boundPort)
+      val rows = gateAsk(out2, in2, "EXCHANGE top_types FROM events_t")
+      assert(rows.nonEmpty && rows.forall(_.contains("\"event_type\"")))
+      // the registry rejects an unknown command listing what exists
+      val err = gateAsk(out2, in2, "EXCHANGE nope FROM events_t")
+      assert(err.size == 1 && err.head.startsWith("##error") &&
+        err.head.contains("top_types"))
+      // and the SQL exchanger also dispatches in-process
+      assert(e.exchangerCommands.contains("top_types"))
+      assert(e.exchange("top_types", e.get("events_t")).count() == rows.size)
+      s1.close(); s2.close()
+    } finally gate.close()
+  }
+
+  test("TcpGate auth: handshake required, bad credentials rejected, token reusable") {
+    import graft.engine.AuthEngine
+    val e = fresh()
+    e.put("nation", Tables.nation(e.spark, sfDir))
+    val auth = new AuthEngine(e, Map("admin" -> "secret1"))
+    val gate = new graft.engine.TcpGate(e, auth = Some(auth))
+    try {
+      // no handshake: first line is treated as a failed handshake and
+      // the connection closes without executing the statement
+      val (s0, out0, in0) = gateClient(gate.boundPort)
+      val r0 = gateAsk(out0, in0, "SELECT count(*) AS c FROM nation")
+      assert(r0.size == 1 && r0.head.startsWith("##error"))
+      assert(in0.readLine() == null) // closed
+      s0.close()
+      // bad credentials
+      val (s1, out1, in1) = gateClient(gate.boundPort)
+      val r1 = gateAsk(out1, in1, "##auth admin wrong")
+      assert(r1.size == 1 && r1.head.startsWith("##error"))
+      s1.close()
+      // good credentials: ##ok <token>, then statements flow
+      val (s2, out2, in2) = gateClient(gate.boundPort)
+      val ok = gateAsk(out2, in2, "##auth admin secret1")
+      assert(ok.size == 1 && ok.head.startsWith("##ok "))
+      val token = ok.head.stripPrefix("##ok ")
+      assert(gateAsk(out2, in2, "SELECT count(*) AS c FROM nation")
+        == Seq("""{"c":25}"""))
+      // the minted bearer token authenticates a NEW connection
+      val (s3, out3, in3) = gateClient(gate.boundPort)
+      assert(gateAsk(out3, in3, s"##token $token").head == s"##ok $token")
+      assert(gateAsk(out3, in3, "SELECT 1 AS x") == Seq("""{"x":1}"""))
+      s2.close(); s3.close()
+    } finally gate.close()
+  }
+
   test("emptyLike carries the source schema with zero rows (CTAS LIMIT 0)") {
     val e = fresh()
     val li = Tables.lineitem(e.spark, sfDir)
