@@ -49,6 +49,42 @@ object ScaleProbe {
       .count()
   }
 
+  /** The `join_skewed` shape at probe scale: 90% of left rows on one
+    * hot key, shuffled join (broadcast disabled), toggling AQE skew
+    * handling. With handling OFF the hot partition is one straggler
+    * task; ON, the runtime splits it at map-block granularity and the
+    * other 31 cores share the work — the wall-clock gap is the
+    * measured value of `OptimizeSkewedJoin` at scale.
+    */
+  private def skewJoin(e: DataFrame, handle: Boolean): Long = {
+    val ss = e.sparkSession
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.adaptive.skewJoin.enabled", handle.toString)
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+    val left = e.select(
+      when(col("event_id") % 10 =!= 7, lit(0L)).otherwise(col("event_id")).as("k"),
+      (col("event_id") % 1000).cast("double").as("value"))
+    val right = e.sparkSession.range(1).select(lit(0L).as("k"), lit("hub").as("tag"))
+      .unionByName(e.filter(col("event_id") % 10 === 7)
+        .select(col("event_id").as("k"),
+          concat(lit("t"), col("event_id") % 5).as("tag")))
+    val n = left.join(right, "k")
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .count()
+    // restore defaults so later probe shapes are unaffected
+    ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    ss.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    ss.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    ss.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    ss.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    ss.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    n
+  }
+
   private def sessions(e: DataFrame): Long =
     e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)))
@@ -150,6 +186,12 @@ object ScaleProbe {
         val out = run(e)
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"""{"shape":"$shape","factor":$factor,"rows":$rows,"out_rows":$out,"secs":$secs%.2f}""")
+      }
+      for (handle <- Seq(false, true)) {
+        val t0 = System.nanoTime()
+        val out = skewJoin(e, handle)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"""{"shape":"skew_join","handling":$handle,"factor":$factor,"rows":$rows,"out_rows":$out,"secs":$secs%.2f}""")
       }
       e.unpersist()
     }

@@ -277,6 +277,28 @@ object Relational {
         .orderBy(col("user_id"))
     },
 
+    // AQE skew join: 90% of the left rows share one hot key, so a
+    // plain hash-partitioned join would put 90% of the work in one
+    // task — the straggler shape that kills 100 TB joins. With AQE
+    // skew handling on (thresholds scaled to testdata), the runtime
+    // splits the hot partition across tasks and duplicates the
+    // matching right rows; the spec asserts `skew=true` appears in the
+    // executed plan. The salted two-phase agg (`agg_salted_twophase`)
+    // covers aggregation skew; this key covers join skew.
+    sql("join_skewed",
+      """WITH l AS (
+        |  SELECT CASE WHEN event_id % 10 <> 7 THEN 0 ELSE event_id END AS k, value
+        |  FROM events),
+        |r AS (
+        |  SELECT 0 AS k, 'hub' AS tag
+        |  UNION ALL
+        |  SELECT event_id AS k, event_type AS tag FROM events WHERE event_id % 10 = 7)
+        |SELECT tag, count(*) AS n, round(sum(value), 2) AS total
+        |FROM l JOIN r ON l.k = r.k
+        |GROUP BY tag ORDER BY tag""".stripMargin) { (s, d) =>
+      skewedJoin(s, d)
+    },
+
     // --- aggregation variants ----------------------------------------
     sql("agg_having",
       """SELECT o_orderpriority, count(*) AS n,
@@ -866,6 +888,40 @@ object Relational {
       }
       out.iterator
     }
+  }
+
+  /** The `join_skewed` builder (public so the spec can assert the
+    * executed plan). Runs on a cloned session with the AQE skew-join
+    * thresholds scaled down to testdata partition sizes — at
+    * production scale the DEFAULT thresholds (256 MB) play the same
+    * role; nothing about the query changes, which is the point: skew
+    * handling is a runtime property, not a query rewrite. Broadcast is
+    * disabled so the join actually shuffles (the right side is small
+    * here only because testdata is; the modeled workload is
+    * fact-to-fact). `spread` gives the single-file scan multiple map
+    * blocks — AQE splits a skewed reduce partition at map-block
+    * granularity, so a one-mapper shuffle cannot be split at all.
+    */
+  def skewedJoin(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.adaptive.enabled", "true")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+    val ev = Tables.events(ss, d)
+    val left = spread(ev.select(
+      when(col("event_id") % 10 =!= 7, lit(0L)).otherwise(col("event_id")).as("k"),
+      col("value")))
+    val right = ss.range(1).select(lit(0L).as("k"), lit("hub").as("tag"))
+      .unionByName(ev.filter(col("event_id") % 10 === 7)
+        .select(col("event_id").as("k"), col("event_type").as("tag")))
+    left.join(right, "k")
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("total"))
+      .orderBy(col("tag"))
   }
 
   /** SQL shared verbatim between Spark SQL and DuckDB. */

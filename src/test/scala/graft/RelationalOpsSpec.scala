@@ -46,6 +46,19 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out.count() == expected)
   }
 
+  test("join_skewed: AQE OptimizeSkewedJoin splits the hot partition (skew=true in plan)") {
+    val out = graft.ops.Relational.skewedJoin(spark, sfDir)
+    val rows = out.collect() // execute so AQE finalizes the plan
+    assert(rows.nonEmpty)
+    // hot key dominates: the hub group carries ~90% of the left rows
+    val total = rows.map(_.getLong(1)).sum
+    val hub = rows.find(_.getString(0) == "hub").map(_.getLong(1)).getOrElse(0L)
+    assert(hub >= (total * 8) / 10, s"hub=$hub total=$total")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      "OptimizeSkewedJoin did not fire:\n" + plan.take(3000))
+  }
+
   test("sim_ivf: dense ranks and every query answered from its cell") {
     val out = SparkEntry.queries("sim_ivf")(spark, sfDir).cache()
     assert(out.count() > 0)
