@@ -74,7 +74,10 @@ final class TcpGate(val engine: Engine, port: Int = 0,
         try {
           val sock = server.accept()
           clients.add(sock)
-          pool.submit(new Runnable { def run(): Unit = serve(sock) })
+          // raced with close(): it may have swept `clients` before the
+          // add above — close the straggler ourselves
+          if (!running) { clients.remove(sock); sock.close() }
+          else pool.submit(new Runnable { def run(): Unit = serve(sock) })
         } catch {
           case _: SocketException => () // closed during accept — shutdown
         }
@@ -154,6 +157,10 @@ final class TcpGate(val engine: Engine, port: Int = 0,
     // cannot (socket I/O ignores it)
     clients.forEach(s => try s.close() catch { case _: Exception => () })
     pool.shutdownNow()
+    // second sweep: a connection accepted concurrently with the first
+    // sweep may have been added after it ran (the accept loop also
+    // self-closes on the same race — belt and braces)
+    clients.forEach(s => try s.close() catch { case _: Exception => () })
     ()
   }
 }

@@ -89,6 +89,99 @@ object Vectors {
       when(dot(plane, emb) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  // ---- streaming index build + search (stream_embed_index) --------------
+
+  /** Replay directory for the embeddings file stream (the file source
+    * lists a directory; testdata is a single file — same staging move
+    * as EventStream).
+    */
+  private def stageEmb(sfDir: String): String = {
+    import java.nio.file._
+    val src = Paths.get(s"$sfDir/embeddings.parquet")
+    val key = src.toString.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = Paths.get(s"/root/repo/target/tmp/stream_emb_$key")
+    val dst = dir.resolve("embeddings.parquet")
+    val stale = !Files.exists(dst) ||
+      Files.size(dst) != Files.size(src) ||
+      Files.getLastModifiedTime(dst) != Files.getLastModifiedTime(src)
+    if (stale) {
+      Files.createDirectories(dir)
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    dir.toString
+  }
+
+  /** Stream the embeddings corpus into a bucket-partitioned parquet
+    * index and return its path. Per micro-batch the bucket id and norm
+    * are map-side projections (no shuffle, no state store); the
+    * checkpointed file sink gives exactly-once across restarts. The
+    * directory layout `bkt=N/` means a literal-probe lookup reads 37
+    * of 256 directories — partition pruning is the probe. Returns a
+    * fresh path per call so concurrent drivers can't collide;
+    * private[graft] so the spec can restart against one checkpoint.
+    */
+  private[graft] def buildStreamedIndex(s: SparkSession, d: String,
+      fixedPath: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ss = s.newSession()
+    // tiny per-batch data: the sink itself is stateless, but the read-
+    // back search below shuffles; 8 partitions is plenty (see
+    // EventStream.streamSession for the rationale)
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val idx = fixedPath.getOrElse(
+      graft.ops.purgeOnExit(
+        s"/root/repo/target/tmp/emb_index_${ProcessHandle.current().pid()}") +
+        s"/${java.util.UUID.randomUUID.toString.replace("-", "")}")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val q = ss.readStream.schema(schema).parquet(stageEmb(d))
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"), bucket(col("embedding")).as("bkt"))
+      .writeStream
+      .format("parquet")
+      .option("path", idx)
+      .option("checkpointLocation", s"$idx-chk")
+      .partitionBy("bkt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    // partition-column type is inferred from directory names (int);
+    // restore the bigint the probes XOR against
+    ss.read.parquet(idx)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("bkt").cast("bigint").as("bkt"))
+  }
+
+  /** Multi-probe top-3 search over a (streamed) bucket index for
+    * queries 0-9 — identical probe/rank semantics to
+    * `sim_ann_multiprobe`, reading the index instead of re-bucketing
+    * the corpus.
+    */
+  private[graft] def searchStreamedIndex(b0: DataFrame): DataFrame = {
+    val b = b0.cache() // feeds probe explode + candidate side
+    b.count() // eager cache fill
+    val probeArr = array(probeMasks.map(m => col("bkt").bitwiseXOR(lit(m))): _*)
+    val q = b.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), explode(probeArr).as("probe"))
+    val c = b.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+      col("nrm").as("cn"), col("bkt").as("cbkt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    q.join(c, col("probe") === col("cbkt") && col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("c_id"), col("rnk"), pr6(col("cos")).as("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   // ---- DuckDB oracle fragments ------------------------------------------
 
   private object D {
@@ -220,6 +313,39 @@ object Vectors {
         .filter(col("rnk") <= 3)
         .select(col("q_id"), col("c_id"), col("rnk"), pr6(col("cos")).as("cosine"))
         .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // ---- streaming ANN ingest: embeddings stream into the LSH index ----
+    // The shape that makes the ANN path continuously maintainable: new
+    // vectors arrive as a stream, the bucket id is computed as a
+    // map-side projection per micro-batch (same codegen'd bucket() as
+    // the batch path — index and query can never disagree), and the
+    // index lands as parquet PARTITIONED BY bucket via the checkpointed
+    // file sink (exactly-once across restarts, like stream_sink_parquet).
+    // A point lookup with literal probe ids then prunes to 37 bucket
+    // directories out of 256 — the index layout IS the search
+    // structure. The search below is the same multi-probe top-3 as
+    // sim_ann_multiprobe, over the STREAMED index, for queries 0-9;
+    // the oracle computes it from the raw table, so the key proves the
+    // stream wrote a complete, correct index.
+    sql("stream_embed_index",
+      s"""WITH pl AS (SELECT ${D.planesSql} AS planes),
+         |b AS (SELECT vec_id, embedding, ${D.norm("embedding")} AS nrm,
+         |             ${D.bucket("embedding")} AS bkt
+         |      FROM embeddings, pl),
+         |pr AS (SELECT q.vec_id AS q_id, q.embedding AS qe, q.nrm AS qn,
+         |              xor(q.bkt, m::BIGINT) AS probe
+         |       FROM b q, (SELECT unnest([${probeMasks.mkString(", ")}]) AS m)
+         |       WHERE q.vec_id < 10),
+         |p AS (SELECT pr.q_id, c.vec_id AS c_id,
+         |             ${D.dot("pr.qe", "c.embedding")} / (pr.qn * c.nrm) AS cos
+         |      FROM pr JOIN b c ON pr.probe = c.bkt AND c.vec_id <> pr.q_id)
+         |SELECT q_id, c_id, rnk, floor(cos * 1000000 + 0.5) / 1000000 AS cosine
+         |FROM (SELECT q_id, c_id, cos,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+         |      FROM p) t
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      searchStreamedIndex(buildStreamedIndex(s, d))
     },
 
     // ---- ANN via IVF (inverted-file) cells -----------------------------

@@ -18,8 +18,8 @@ object KeyInventory {
     sb ++= "Regenerate: `sbt \"runMain graft.tools.KeyInventory\"`.\n"
     val total = mods.map(_._2.size).sum
     val oracled = mods.map(_._2.count(_.oracle.isDefined)).sum
-    sb ++= s"$total keys, $oracled with a full DuckDB hash-match oracle " +
-      s"(the rest are rows-only by design).\n\n"
+    sb ++= s"$total keys, $oracled with a full DuckDB hash-match oracle" +
+      (if (total > oracled) " (the rest are rows-only by design).\n\n" else ".\n\n")
     for ((title, defs) <- mods) {
       sb ++= s"## $title — ${defs.size} keys\n\n"
       for (q <- defs.sortBy(_.name)) {

@@ -157,4 +157,26 @@ class VectorOpsSpec extends SparkSpec {
       col("height") < 1 || col("height") > 480).count() == 0)
     assert(out.filter(col("brightness") < 0 || col("brightness") > 255).count() == 0)
   }
+
+  test("stream_embed_index: streamed index is complete, bucket-partitioned, exactly-once, searchable") {
+    val root = graft.ops.purgeOnExit(
+      s"/root/repo/target/tmp/spec_emb_idx_${ProcessHandle.current().pid()}")
+    val path = s"$root/idx"
+    val idx1 = graft.ops.Vectors.buildStreamedIndex(spark, sfDir, Some(path))
+    val n1 = idx1.count()
+    assert(n1 == Tables.embeddings(spark, sfDir).count()) // every vector ingested
+    // layout IS the search structure: parquet partitioned by bucket
+    val dirs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+    assert(dirs.exists(_.getName.startsWith("bkt=")))
+    // restart against the same checkpoint: exactly-once, nothing replays
+    val idx2 = graft.ops.Vectors.buildStreamedIndex(spark, sfDir, Some(path))
+    assert(idx2.count() == n1)
+    // vectors inserted through the stream are found by the multi-probe
+    // search, identically to the key's own (fresh-index) run
+    val viaSpec = graft.ops.Vectors.searchStreamedIndex(idx2)
+    val viaKey = SparkEntry.queries("stream_embed_index")(spark, sfDir)
+    assert(viaSpec.count() > 0)
+    assert(viaSpec.exceptAll(viaKey).count() == 0)
+    assert(viaKey.exceptAll(viaSpec).count() == 0)
+  }
 }
