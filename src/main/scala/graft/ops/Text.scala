@@ -132,6 +132,14 @@ object Text {
     s"src$i" -> (if (i < 5) 800000L else if (i < 10) 500000L else 200000L)
   }
 
+  /** RE2-and-Java-compatible PII patterns (no lookaround, lowercase
+    * corpus): shared verbatim by the Spark plan and the DuckDB oracle.
+    * Declared BEFORE `defs` — the strict Seq below interpolates them
+    * at object init, and a later val would still be null then.
+    */
+  private val PiiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PiiPhone = "555-[0-9]{4}"
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup ----------------------------------------------------
@@ -616,6 +624,246 @@ object Text {
             .when(col("bucket") < 90, "val")
             .otherwise("test").as("split"),
           col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- PII scrubbing --------------------------------------------------
+    // Redaction is a pure projection (regexp_replace chains inside
+    // whole-stage codegen — zero shuffles, linear scan), which is why
+    // it belongs at ingest: scrubbing 100 TB costs one pass. The
+    // corpus is synthetic, so PII is PLANTED deterministically (an
+    // email for doc_id % 7 == 0, a phone for % 11 == 0 — identical
+    // construction in the oracle); the patterns are RE2-and-Java-
+    // compatible (no lookaround), so both engines redact identically.
+    // `still_dirty` must come back false for every row — the oracle
+    // pins that, so a regex that stops matching fails the gate.
+    sql("pii_scrub", {
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |         text ||
+         |         CASE WHEN doc_id % 7 = 0
+         |              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |              ELSE '' END ||
+         |         CASE WHEN doc_id % 11 = 0
+         |              THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |              ELSE '' END AS text
+         |  FROM documents),
+         |scrubbed AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(text, '$PiiEmail')) AS n_emails,
+         |    len(regexp_extract_all(text, '$PiiPhone')) AS n_phones,
+         |    regexp_replace(regexp_replace(text, '$PiiEmail', '<EMAIL>', 'g'),
+         |                   '$PiiPhone', '<PHONE>', 'g') AS clean
+         |  FROM corpus)
+         |SELECT doc_id, n_emails, n_phones, length(clean) AS clean_len,
+         |       (len(regexp_extract_all(clean, '$PiiEmail'))
+         |        + len(regexp_extract_all(clean, '$PiiPhone'))) > 0 AS still_dirty
+         |FROM scrubbed ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val planted = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(""),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(""))
+      val clean = regexp_replace(
+        regexp_replace(col("text"), PiiEmail, "<EMAIL>"), PiiPhone, "<PHONE>")
+      docs(s, d)
+        .select(col("doc_id"), planted.as("text"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(PiiEmail), lit(0))).cast("bigint").as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(PiiPhone), lit(0))).cast("bigint").as("n_phones"),
+          clean.as("clean"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          length(col("clean")).cast("bigint").as("clean_len"),
+          ((size(regexp_extract_all(col("clean"), lit(PiiEmail), lit(0))) +
+            size(regexp_extract_all(col("clean"), lit(PiiPhone), lit(0)))) > 0).as("still_dirty"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- repetition filter (Gopher/C4-style) ---------------------------
+    // Duplicate-token and duplicate-bigram fractions per document — the
+    // classic low-quality-generation signal. Pure projection over the
+    // token array (no explode, no shuffle): distinct-count arithmetic
+    // inside codegen. Repetitive docs are PLANTED (doc_id % 13 == 0
+    // gets its own first HALF appended — dup-bigram fraction lands
+    // near 1/3 regardless of doc length, every plant clears the 0.2
+    // threshold; corpus min length is 10 tokens, FIXTURES.md).
+    sql("doc_repetition", {
+      val toks = "string_split(text, ' ')"
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0
+         |         THEN text || ' ' || array_to_string(($toks)[1:len($toks)//2], ' ')
+         |         ELSE text END AS text
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, $toks AS toks,
+         |    list_transform(range(1, len($toks)),
+         |                   i -> ($toks)[i] || ' ' || ($toks)[i + 1]) AS bigrams
+         |  FROM corpus)
+         |SELECT doc_id,
+         |  floor((1.0 - len(list_distinct(toks))::DOUBLE / len(toks)) * 1000000 + 0.5) / 1000000 AS dup_tok_frac,
+         |  floor((1.0 - len(list_distinct(bigrams))::DOUBLE / greatest(len(bigrams), 1)) * 1000000 + 0.5) / 1000000 AS dup_bigram_frac,
+         |  (1.0 - len(list_distinct(bigrams))::DOUBLE / greatest(len(bigrams), 1)) > 0.2 AS repetitive
+         |FROM t ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val planted = when(col("doc_id") % 13 === 0,
+        concat(col("text"), lit(" "),
+          array_join(slice(tokens, lit(1), (size(tokens) / 2).cast("int")), " ")))
+        .otherwise(col("text"))
+      val toks = split(col("text"), " ")
+      // guard: sequence(1, 0) counts DOWN in Spark (1-token doc would
+      // index element 0 and throw); DuckDB's range(1, 1) is empty
+      val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val dupTok = lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)
+      val dupBi = lit(1.0) -
+        size(array_distinct(bigrams)).cast("double") / greatest(size(bigrams), lit(1))
+      docs(s, d)
+        .select(col("doc_id"), planted.as("text"))
+        .select(col("doc_id"),
+          pr6(dupTok).as("dup_tok_frac"),
+          pr6(dupBi).as("dup_bigram_frac"),
+          (dupBi > 0.2).as("repetitive"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- incremental dedup: new batch vs existing corpus ---------------
+    // The shape continuous ingest actually needs: dedup the NEW batch
+    // against the already-deduped corpus without ever re-comparing
+    // old×old. Exact dups drop via an anti-join on text; near-dups via
+    // the same MinHash band join as dedup_near, but new-bands ⋈
+    // OLD-bands only (in production the old side is a stored band
+    // index the stream appends to — stream_embed_index is the vector
+    // twin of that layout); within the batch, min doc_id per text
+    // survives. Plants: every old doc re-arrives as an exact copy
+    // (+30000) and a truncated near-copy (+40000); all must drop.
+    sql("dedup_incremental", {
+      val mixes = minhashMix.map { case (a, b) =>
+        s"list_min(list_transform(hs, h -> (h * $a + $b) % $minhashP))"
+      }.mkString("[", ",\n   ", "]")
+      val hsExpr = s"list_distinct(list_transform(${D.shingles}, x -> ${D.h32("x")}))"
+      s"""WITH old_docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+         |new_batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+         |  UNION ALL SELECT doc_id + 30000, text FROM documents WHERE doc_id < 250
+         |  UNION ALL SELECT doc_id + 40000,
+         |         array_to_string((${D.toks})[1:len(${D.toks})-1], ' ')
+         |  FROM documents WHERE doc_id < 250),
+         |old_hs AS (SELECT doc_id, text, $hsExpr AS hs FROM old_docs),
+         |new_hs AS (SELECT doc_id, text, $hsExpr AS hs FROM new_batch),
+         |old_bands AS (
+         |  SELECT s.doc_id, b,
+         |         sig[3*b+1]::VARCHAR || ',' || sig[3*b+2]::VARCHAR || ',' || sig[3*b+3]::VARCHAR AS bkey
+         |  FROM (SELECT doc_id, $mixes AS sig FROM old_hs) s, range(0, 4) t(b)),
+         |new_bands AS (
+         |  SELECT s.doc_id, b,
+         |         sig[3*b+1]::VARCHAR || ',' || sig[3*b+2]::VARCHAR || ',' || sig[3*b+3]::VARCHAR AS bkey
+         |  FROM (SELECT doc_id, $mixes AS sig FROM new_hs) s, range(0, 4) t(b)),
+         |near_dup AS (
+         |  SELECT DISTINCT n.doc_id
+         |  FROM new_bands n
+         |  JOIN old_bands o ON n.b = o.b AND n.bkey = o.bkey
+         |  JOIN new_hs nh ON nh.doc_id = n.doc_id
+         |  JOIN old_hs oh ON oh.doc_id = o.doc_id
+         |  WHERE len(list_intersect(nh.hs, oh.hs))::DOUBLE
+         |        / len(list_distinct(list_concat(nh.hs, oh.hs))) >= 0.5),
+         |exact_dup AS (
+         |  SELECT DISTINCT n.doc_id FROM new_batch n JOIN old_docs o ON n.text = o.text),
+         |batch_keep AS (SELECT min(doc_id) AS doc_id FROM new_batch GROUP BY text)
+         |SELECT doc_id FROM new_batch
+         |WHERE doc_id IN (SELECT doc_id FROM batch_keep)
+         |  AND doc_id NOT IN (SELECT doc_id FROM exact_dup)
+         |  AND doc_id NOT IN (SELECT doc_id FROM near_dup)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val old = base.filter(col("doc_id") < 250)
+      val newBatch = base.filter(col("doc_id") >= 250)
+        .unionByName(old.select((col("doc_id") + 30000).as("doc_id"), col("text")))
+        .unionByName(old.select((col("doc_id") + 40000).as("doc_id"),
+          array_join(slice(tokens, lit(1), size(tokens) - 1), " ").as("text")))
+      def hsOf(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"), col("text"),
+        array_distinct(transform(shingles3(split(col("text"), " ")), x => h32(x))).as("hs"))
+      def bandsOf(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(3)), b =>
+          concat_ws(",",
+            element_at(col("sig"), b * 3 + 1),
+            element_at(col("sig"), b * 3 + 2),
+            element_at(col("sig"), b * 3 + 3)))))
+        .select(col("doc_id"), col("pos").as("b"), col("col").as("bkey"))
+      def sigOf(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+        array(minhashMix.map { case (a, b) =>
+          array_min(transform(col("hs"), h => (h * a + b) % minhashP))
+        }: _*).as("sig"))
+      val oldHs = hsOf(old).cache(); oldHs.count() // band + verify sides
+      val newHs = hsOf(newBatch).cache(); newHs.count()
+      val jac = size(array_intersect(col("nh.hs"), col("oh.hs"))).cast("double") /
+        size(array_union(col("nh.hs"), col("oh.hs")))
+      val nearDup = bandsOf(sigOf(newHs)).as("n")
+        .join(bandsOf(sigOf(oldHs)).as("o"),
+          col("n.b") === col("o.b") && col("n.bkey") === col("o.bkey"))
+        .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+        .distinct()
+        .join(newHs.as("nh"), col("nh.doc_id") === col("new_id"))
+        .join(oldHs.as("oh"), col("oh.doc_id") === col("old_id"))
+        .filter(jac >= 0.5)
+        .select(col("new_id").as("doc_id"))
+        .distinct()
+      val batchKeep = newBatch.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      newBatch
+        .join(batchKeep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .join(old.select(col("text")), Seq("text"), "left_anti") // exact vs corpus
+        .join(nearDup, Seq("doc_id"), "left_anti")               // near vs corpus
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- benchmark decontamination -------------------------------------
+    // Train/eval overlap detection by 5-gram collision — the
+    // contamination check every training corpus needs before a model
+    // claims an eval number. Grams are distinct per doc, the join is
+    // hash-keyed on the gram, and the eval side is tiny by definition
+    // → broadcast at scale; cost is one pass over the train corpus.
+    // Plants: every eval doc leaks back into train verbatim (+50000);
+    // each must surface with a large shared-gram count.
+    sql("decontaminate", {
+      val grams5 =
+        s"list_distinct(list_transform(range(1, len(${D.toks}) - 3), " +
+          s"i -> array_to_string((${D.toks})[i:i+4], ' ')))"
+      s"""WITH eval_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+         |train_docs AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+         |  UNION ALL SELECT doc_id + 50000, text FROM eval_docs),
+         |eg AS (SELECT doc_id AS eval_id, unnest($grams5) AS gram FROM eval_docs),
+         |tg AS (SELECT doc_id, unnest($grams5) AS gram FROM train_docs)
+         |SELECT t.doc_id, count(DISTINCT t.gram) AS n_shared_grams,
+         |       count(DISTINCT e.eval_id) AS n_eval_docs
+         |FROM tg t JOIN eg e ON t.gram = e.gram
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+    }) { (s, d) =>
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val evalDocs = base.filter(col("doc_id") % 50 === 0)
+      val trainDocs = base.filter(col("doc_id") % 50 =!= 0)
+        .unionByName(evalDocs.select((col("doc_id") + 50000).as("doc_id"), col("text")))
+      def grams(df: org.apache.spark.sql.DataFrame) = {
+        val toks = split(col("text"), " ")
+        val g = when(size(toks) >= 5,
+          array_distinct(transform(sequence(lit(1), size(toks) - 4),
+            i => array_join(slice(toks, i, lit(5)), " "))))
+          .otherwise(array().cast("array<string>"))
+        df.select(col("doc_id"), explode(g).as("gram"))
+      }
+      grams(trainDocs)
+        .join(broadcast(grams(evalDocs).select(col("gram"), col("doc_id").as("eval_id"))),
+          Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram")).as("n_shared_grams"),
+          countDistinct(col("eval_id")).as("n_eval_docs"))
         .orderBy(col("doc_id"))
     }
   )

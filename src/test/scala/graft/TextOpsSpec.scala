@@ -127,4 +127,52 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(frac("val") - 0.1) < 0.06)
     assert(math.abs(frac("test") - 0.1) < 0.06)
   }
+
+  test("pii_scrub: every planted email/phone is found and nothing survives redaction") {
+    val out = run("pii_scrub").cache()
+    // planted exactly where the corpus construction says
+    assert(out.filter(col("doc_id") % 7 === 0 && col("n_emails") =!= 1).count() == 0)
+    assert(out.filter(col("doc_id") % 7 =!= 0 && col("n_emails") =!= 0).count() == 0)
+    assert(out.filter(col("doc_id") % 11 === 0 && col("n_phones") =!= 1).count() == 0)
+    assert(out.filter(col("doc_id") % 11 =!= 0 && col("n_phones") =!= 0).count() == 0)
+    // the redacted text re-scans clean — the property that matters
+    assert(out.filter(col("still_dirty")).count() == 0)
+  }
+
+  test("doc_repetition: planted repeats are flagged, clean docs are not") {
+    val out = run("doc_repetition").cache()
+    // every planted doc (first 5 tokens appended twice) crosses the bar
+    assert(out.filter(col("doc_id") % 13 === 0 && !col("repetitive")).count() == 0)
+    // the synthetic corpus is drawn from a small vocabulary, so some
+    // natural bigram repetition exists — but flagged non-planted docs
+    // must stay a small minority
+    val nonPlanted = out.filter(col("doc_id") % 13 =!= 0)
+    assert(nonPlanted.filter(col("repetitive")).count() < nonPlanted.count() / 4)
+    assert(out.filter(col("dup_tok_frac") < 0 || col("dup_tok_frac") > 1).count() == 0)
+  }
+
+  test("dedup_incremental: every re-arriving copy drops, genuine new docs survive") {
+    val out = run("dedup_incremental").cache()
+    // planted exact copies (+30000) and near copies (+40000) of the
+    // existing corpus must ALL be dropped
+    assert(out.filter(col("doc_id") >= 30000).count() == 0)
+    // survivors are genuinely new ids
+    assert(out.filter(col("doc_id") < 250).count() == 0)
+    // and most of the genuinely-new half survives (only natural dups drop)
+    val newDocs = Tables.documents(spark, sfDir).filter(col("doc_id") >= 250).count()
+    assert(out.count() > (newDocs * 9) / 10)
+  }
+
+  test("decontaminate: every leaked eval doc surfaces with its overlap count") {
+    val out = run("decontaminate").cache()
+    val evalIds = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 50 === 0).select(col("doc_id")).collect().map(_.getLong(0))
+    // each planted leak (+50000) must be reported, sharing all its grams
+    val leaked = out.filter(col("doc_id") >= 50000).cache()
+    assert(leaked.count() == evalIds.length)
+    assert(leaked.filter(col("n_shared_grams") < 1 || col("n_eval_docs") < 1).count() == 0)
+    // contamination is rare among genuine train docs on this corpus
+    assert(out.filter(col("doc_id") < 50000).count() <
+      Tables.documents(spark, sfDir).count() / 10)
+  }
 }
