@@ -129,6 +129,48 @@ object ScaleProbe {
     out
   }
 
+  /** Incremental dedup at N× corpus (the `dedup_incremental` shape):
+    * even doc_ids are the existing corpus, odd the arriving batch.
+    * Candidate generation is new-bands ⋈ old-bands ONLY — cost tracks
+    * (new × collision rate), not corpus², which is the property that
+    * lets a 100 TB corpus absorb a daily batch without re-deduping
+    * itself.
+    */
+  private def dedupIncremental(docs: DataFrame): Long = {
+    import graft.ops._
+    def hsOf(df: DataFrame) = df.select(col("doc_id"), col("text"),
+      array_distinct(transform(graft.ops.Text.shingles3(split(col("text"), " ")),
+        x => h32(x))).as("hs"))
+    def sigOf(df: DataFrame) = df.select(col("doc_id"),
+      array(graft.ops.Text.minhashMix.map { case (a, b) =>
+        array_min(transform(col("hs"), h => (h * a + b) % graft.ops.Text.minhashP))
+      }: _*).as("sig"))
+    def bandsOf(df: DataFrame) = df.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(3)), b =>
+        concat_ws(",",
+          element_at(col("sig"), b * 3 + 1),
+          element_at(col("sig"), b * 3 + 2),
+          element_at(col("sig"), b * 3 + 3)))))
+      .select(col("doc_id"), col("pos").as("b"), col("col").as("bkey"))
+    val oldHs = hsOf(docs.filter(col("doc_id") % 2 === 0)).cache()
+    val newHs = hsOf(docs.filter(col("doc_id") % 2 =!= 0)).cache()
+    oldHs.count(); newHs.count()
+    val jac = size(array_intersect(col("nh.hs"), col("oh.hs"))).cast("double") /
+      size(array_union(col("nh.hs"), col("oh.hs")))
+    val out = bandsOf(sigOf(newHs)).as("n")
+      .join(bandsOf(sigOf(oldHs)).as("o"),
+        col("n.b") === col("o.b") && col("n.bkey") === col("o.bkey"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .distinct()
+      .join(newHs.as("nh"), col("nh.doc_id") === col("new_id"))
+      .join(oldHs.as("oh"), col("oh.doc_id") === col("old_id"))
+      .filter(jac >= 0.5)
+      .select(col("new_id")).distinct()
+      .count()
+    oldHs.unpersist(); newHs.unpersist()
+    out
+  }
+
   /** Each replica deterministically shuffles the base doc's tokens
     * (sorted by md5(r:token)), so replicas have disjoint shingle
     * adjacencies — corpus grows N× WITHOUT growing the near-dup pair
@@ -164,6 +206,9 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val pairs = dedupNear(dc)
       println(f"""{"shape":"dedup_near","factor":$factor,"rows":$nDocs,"out_rows":$pairs,"secs":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      val t1 = System.nanoTime()
+      val dups = dedupIncremental(dc)
+      println(f"""{"shape":"dedup_incremental","factor":$factor,"rows":$nDocs,"out_rows":$dups,"secs":${(System.nanoTime() - t1) / 1e9}%.2f}""")
       dc.unpersist()
     }
 
