@@ -21,15 +21,23 @@ object Bench {
       spark.sql("SELECT 1").count()
       SparkEntry.queries("count_star")(spark, sfDir).count()
     } catch { case _: Throwable => () }
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // (succeeded, seconds): failures must NOT feed the min — a run that
+    // throws after 0.05s would otherwise beat the honest 3s run and be
+    // published as an excellent timing with no error signal
+    def once(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Boolean, Double) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
       val secs = (System.nanoTime() - t0) / 1e9
       // each query's own cache fills inside its timing; dropping them
       // between queries keeps 100+ successive runs from evicting each
       // other (a long-lived server would scope caches the same way)
       try spark.catalog.clearCache() catch { case _: Throwable => () }
-      secs
+      (ok, secs)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -37,12 +45,13 @@ object Bench {
         // min-of-2 (min-of-3 for sub-second keys): a single timing is
         // at the mercy of machine contention — round 3's driver bench
         // showed untouched keys "regressing" 4-7× from background load
-        // alone. The minimum is the run least polluted by noise, which
-        // is the number that reflects the code.
-        val a = once(fn); val b = once(fn)
-        val best = if (math.min(a, b) < 1.0) math.min(math.min(a, b), once(fn))
-                   else math.min(a, b)
-        name -> best
+        // alone. The minimum over SUCCESSFUL runs is the number that
+        // reflects the code; all-failed keys report the max elapsed
+        // (pessimistic, and the stderr line names the error).
+        val two = Seq(once(name, fn), once(name, fn))
+        val runs = if (two.exists(r => r._1 && r._2 < 1.0)) two :+ once(name, fn) else two
+        val good = runs.filter(_._1).map(_._2)
+        name -> (if (good.nonEmpty) good.min else runs.map(_._2).max)
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -94,25 +94,15 @@ object ScaleProbe {
     * token (new docs, same near-dup structure per replica) — times the
     * `dedup_near` pipeline shape as the corpus grows.
     */
+  /** The `dedup_near` pipeline shape, via the SAME canonical
+    * shingle/sig/band helpers the oracled keys use (graft.ops.Text) —
+    * the probe cannot silently measure a different shape than the
+    * operator it models.
+    */
   private def dedupNear(docs: DataFrame): Long = {
-    import graft.ops._
-    val toksCol = split(col("text"), " ")
-    val sh = graft.ops.Text.shingles3(toksCol) // guarded for <3-token docs
-    val hsDf = docs
-      .select(col("doc_id"), array_distinct(transform(sh, x => h32(x))).as("hs"))
-      .cache()
+    val hsDf = graft.ops.Text.shingleHashes(docs).cache()
     hsDf.count()
-    val sig = hsDf.select(col("doc_id"),
-      array(graft.ops.Text.minhashMix.map { case (a, b) =>
-        array_min(transform(col("hs"), h => (h * a + b) % graft.ops.Text.minhashP))
-      }: _*).as("sig"))
-    val bands = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(3)), b =>
-        concat_ws(",",
-          element_at(col("sig"), b * 3 + 1),
-          element_at(col("sig"), b * 3 + 2),
-          element_at(col("sig"), b * 3 + 3)))))
-      .select(col("doc_id"), col("pos").as("b"), col("col").as("bkey"))
+    val bands = graft.ops.Text.minhashBands(hsDf)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -137,28 +127,13 @@ object ScaleProbe {
     * itself.
     */
   private def dedupIncremental(docs: DataFrame): Long = {
-    import graft.ops._
-    def hsOf(df: DataFrame) = df.select(col("doc_id"), col("text"),
-      array_distinct(transform(graft.ops.Text.shingles3(split(col("text"), " ")),
-        x => h32(x))).as("hs"))
-    def sigOf(df: DataFrame) = df.select(col("doc_id"),
-      array(graft.ops.Text.minhashMix.map { case (a, b) =>
-        array_min(transform(col("hs"), h => (h * a + b) % graft.ops.Text.minhashP))
-      }: _*).as("sig"))
-    def bandsOf(df: DataFrame) = df.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(3)), b =>
-        concat_ws(",",
-          element_at(col("sig"), b * 3 + 1),
-          element_at(col("sig"), b * 3 + 2),
-          element_at(col("sig"), b * 3 + 3)))))
-      .select(col("doc_id"), col("pos").as("b"), col("col").as("bkey"))
-    val oldHs = hsOf(docs.filter(col("doc_id") % 2 === 0)).cache()
-    val newHs = hsOf(docs.filter(col("doc_id") % 2 =!= 0)).cache()
+    val oldHs = graft.ops.Text.shingleHashes(docs.filter(col("doc_id") % 2 === 0)).cache()
+    val newHs = graft.ops.Text.shingleHashes(docs.filter(col("doc_id") % 2 =!= 0)).cache()
     oldHs.count(); newHs.count()
     val jac = size(array_intersect(col("nh.hs"), col("oh.hs"))).cast("double") /
       size(array_union(col("nh.hs"), col("oh.hs")))
-    val out = bandsOf(sigOf(newHs)).as("n")
-      .join(bandsOf(sigOf(oldHs)).as("o"),
+    val out = graft.ops.Text.minhashBands(newHs).as("n")
+      .join(graft.ops.Text.minhashBands(oldHs).as("o"),
         col("n.b") === col("o.b") && col("n.bkey") === col("o.bkey"))
       .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
       .distinct()

@@ -98,19 +98,23 @@ final class Catalog(val spark: SparkSession) {
 
   def contains(name: String): Boolean = tables.contains(name)
 
-  /** Registry move (`ALTER TABLE … RENAME TO …`): one critical section
-    * covering remove + re-register, so no reader can observe a window
-    * where neither name (or both names) serves the table.
+  /** Registry move (`ALTER TABLE … RENAME TO …`). Mutators serialize on
+    * putLock, but READERS (get, spark.sql) are lock-free — so the new
+    * name is registered BEFORE the old one is dropped: a concurrent
+    * reader sees the old name, or both, never neither. The collision
+    * check also consults Spark's catalog: renaming onto an unrelated
+    * temp view would silently clobber it (DuckDB raises a conflict).
     */
   def rename(from: String, to: String): Unit = putLock.synchronized {
-    if (contains(to))
+    if (contains(to) || spark.catalog.tableExists(to))
       throw new IllegalArgumentException(s"Table '$to' already exists")
-    val parts = tables.remove(from).getOrElse(
+    val parts = tables.getOrElse(from,
       throw new NoSuchElementException(
         s"Table '$from' not found. Available: ${list.mkString(", ")}"))
     tables.update(to, parts)
-    org.apache.spark.sql.GraftBridge.dropTempView(spark, from)
     merged(parts).createOrReplaceTempView(to)
+    tables.remove(from)
+    org.apache.spark.sql.GraftBridge.dropTempView(spark, from)
   }
 
   def drop(name: String): Boolean = putLock.synchronized {

@@ -107,7 +107,9 @@ final class Engine(val spark: SparkSession) {
       val v = s"graft_xin_${java.util.UUID.randomUUID.toString.replace("-", "")}"
       val local = org.apache.spark.sql.GraftBridge.rebind(spark, df)
       local.createOrReplaceTempView(v)
-      try spark.sql(sqlText.replaceAll("(?i)\\b__input__\\b", v))
+      // quote-aware substitution: '__input__' inside a string literal
+      // is data, not a relation reference
+      try spark.sql(SqlVerbs.replaceIdent(sqlText, "__input__", v))
       finally org.apache.spark.sql.GraftBridge.dropTempView(spark, v)
     }
 

@@ -111,6 +111,37 @@ private[graft] object SqlVerbs {
     -1
   }
 
+  /** Replace every word-bounded occurrence of identifier `from` with
+    * `to`, EXCEPT inside string literals (used by
+    * `Engine.registerSqlExchanger` for `__input__`; a textual
+    * replaceAll would rewrite quoted literals too). Unlike
+    * `topLevel`-based scanning, paren depth does NOT suppress the
+    * replacement — subqueries legitimately reference the input
+    * relation. Case-insensitive, like SQL identifiers.
+    */
+  private[engine] def replaceIdent(s: String, from: String, to: String): String = {
+    val out = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        out += c
+        if (c == '\\' && i + 1 < s.length) { out += s.charAt(i + 1); i += 1 }
+        else if (c == quote) quote = 0
+        i += 1
+      } else if (c == '\'' || c == '"') {
+        quote = c; out += c; i += 1
+      } else if (i + from.length <= s.length &&
+        s.regionMatches(true, i, from, 0, from.length) &&
+        (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+        (i + from.length == s.length || !isIdentChar(s.charAt(i + from.length)))) {
+        out ++= to; i += from.length
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
   /** Split on top-level `sep` characters. */
   private def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val tl = topLevel(s)
@@ -243,9 +274,9 @@ private[graft] object SqlVerbs {
   private val AlterRe =
     "(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+(.*)$".r
   private val AddColRe =
-    "(?is)^ADD\\s+(?:COLUMN\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s+(.+)$".r
+    "(?is)^ADD\\s+(?:COLUMN\\s+)?(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s+(.+)$".r
   private val DropColRe =
-    "(?is)^DROP\\s+(?:COLUMN\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+    "(?is)^DROP\\s+(?:COLUMN\\s+)?(IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
   private val RenameColRe =
     "(?is)^RENAME\\s+(?:COLUMN\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s+TO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
   private val RenameTableRe =
@@ -268,20 +299,26 @@ private[graft] object SqlVerbs {
   private def alter(e: Engine, sqlText: String): Option[Unit] = sqlText match {
     case AlterRe(table, action) if e.catalog.contains(table) =>
       action.trim match {
-        case AddColRe(colName, typeDdl) =>
+        // "ADD COLUMNS (a INT, b INT)" is Spark's multi-column form —
+        // the regex would read colName="COLUMNS"; not the simple form,
+        // fall through rather than mis-parse
+        case AddColRe(ifNotExists, colName, typeDdl)
+            if !colName.equalsIgnoreCase("COLUMNS") =>
           val dt = org.apache.spark.sql.types.DataType.fromDDL(typeDdl.trim)
           e.catalog.replaceWith(table) { df =>
-            if (df.columns.exists(_.equalsIgnoreCase(colName)))
-              throw new IllegalArgumentException(
+            if (df.columns.exists(_.equalsIgnoreCase(colName))) {
+              if (ifNotExists != null) df // IF NOT EXISTS: no-op, DuckDB parity
+              else throw new IllegalArgumentException(
                 s"Column '$colName' already exists in table '$table'")
-            df.withColumn(colName, lit(null).cast(dt))
+            } else df.withColumn(colName, lit(null).cast(dt))
           }
           Some(())
-        case DropColRe(colName) =>
+        case DropColRe(ifExists, colName) =>
           e.catalog.replaceWith(table) { df =>
-            if (!df.columns.exists(_.equalsIgnoreCase(colName)))
-              unknownColumn(table, colName, df.columns.toIndexedSeq)
-            df.select(df.columns.filterNot(_.equalsIgnoreCase(colName))
+            if (!df.columns.exists(_.equalsIgnoreCase(colName))) {
+              if (ifExists != null) df // IF EXISTS: no-op, DuckDB parity
+              else unknownColumn(table, colName, df.columns.toIndexedSeq)
+            } else df.select(df.columns.filterNot(_.equalsIgnoreCase(colName))
               .map(col).toIndexedSeq: _*)
           }
           Some(())

@@ -121,6 +121,38 @@ object Text {
     (m("a") % ((1L << 31) - 1) + 1, m("b") % (1L << 31))
   }
 
+  /** (doc_id, hs): distinct md5-based 3-shingle hashes of a
+    * (doc_id, text) frame — the input to every MinHash consumer. ONE
+    * canonical implementation (dedup_near, dedup_incremental, and both
+    * ScaleProbe probes share it): a band-count or shingle-width change
+    * cannot silently diverge between the oracled keys and the probe
+    * that claims to measure them.
+    */
+  private[graft] def shingleHashes(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      array_distinct(transform(shingles3(split(col("text"), " ")), x => h32(x))).as("hs"))
+
+  /** 12-slot MinHash signature of an `hs` frame (h·a+b mod P per
+    * permutation — integer universal hashes over the md5 base hash).
+    */
+  private[graft] def minhashSig(hsDf: DataFrame): DataFrame =
+    hsDf.select(col("doc_id"),
+      array(minhashMix.map { case (a, b) =>
+        array_min(transform(col("hs"), h => (h * a + b) % minhashP))
+      }: _*).as("sig"))
+
+  /** 4 bands × 3 signature slots as (doc_id, b, bkey) — the LSH
+    * candidate-generation key.
+    */
+  private[graft] def minhashBands(hsDf: DataFrame): DataFrame =
+    minhashSig(hsDf).select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(3)), b =>
+        concat_ws(",",
+          element_at(col("sig"), b * 3 + 1),
+          element_at(col("sig"), b * 3 + 2),
+          element_at(col("sig"), b * 3 + 3)))))
+      .select(col("doc_id"), col("pos").as("b"), col("col").as("bkey"))
+
   private val enStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "is", "in", "it", "on", "for")
 
@@ -390,22 +422,10 @@ object Text {
       // collisions, identical on both engines by construction, and the
       // set ops compare longs, not ~20-char strings.
       val corpus = withNearDupes(docs(s, d))
-      val hsDf = corpus
-        .select(col("doc_id"),
-          array_distinct(transform(shingles3(tokens), x => h32(x))).as("hs"))
+      val hsDf = shingleHashes(corpus)
         .cache() // read by band self-join (×2) and verify join (×2)
       hsDf.count() // eager cache fill: both self-join branches would otherwise race and double-compute
-      val sig = hsDf.select(col("doc_id"),
-        array(Text.minhashMix.map { case (a, b) =>
-          array_min(transform(col("hs"), h => (h * a + b) % Text.minhashP))
-        }: _*).as("sig"))
-      val bands = sig.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(3)), b =>
-          concat_ws(",",
-            element_at(col("sig"), b * 3 + 1),
-            element_at(col("sig"), b * 3 + 2),
-            element_at(col("sig"), b * 3 + 3)))))
-        .select(col("doc_id"), col("pos").as("b"), col("col").as("bkey"))
+      val bands = minhashBands(hsDf)
       val cand = bands.as("x").join(bands.as("y"),
           col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -787,25 +807,12 @@ object Text {
         .unionByName(old.select((col("doc_id") + 30000).as("doc_id"), col("text")))
         .unionByName(old.select((col("doc_id") + 40000).as("doc_id"),
           array_join(slice(tokens, lit(1), size(tokens) - 1), " ").as("text")))
-      def hsOf(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"), col("text"),
-        array_distinct(transform(shingles3(split(col("text"), " ")), x => h32(x))).as("hs"))
-      def bandsOf(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(3)), b =>
-          concat_ws(",",
-            element_at(col("sig"), b * 3 + 1),
-            element_at(col("sig"), b * 3 + 2),
-            element_at(col("sig"), b * 3 + 3)))))
-        .select(col("doc_id"), col("pos").as("b"), col("col").as("bkey"))
-      def sigOf(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
-        array(minhashMix.map { case (a, b) =>
-          array_min(transform(col("hs"), h => (h * a + b) % minhashP))
-        }: _*).as("sig"))
-      val oldHs = hsOf(old).cache(); oldHs.count() // band + verify sides
-      val newHs = hsOf(newBatch).cache(); newHs.count()
+      val oldHs = shingleHashes(old).cache(); oldHs.count() // band + verify sides
+      val newHs = shingleHashes(newBatch).cache(); newHs.count()
       val jac = size(array_intersect(col("nh.hs"), col("oh.hs"))).cast("double") /
         size(array_union(col("nh.hs"), col("oh.hs")))
-      val nearDup = bandsOf(sigOf(newHs)).as("n")
-        .join(bandsOf(sigOf(oldHs)).as("o"),
+      val nearDup = minhashBands(newHs).as("n")
+        .join(minhashBands(oldHs).as("o"),
           col("n.b") === col("o.b") && col("n.bkey") === col("o.bkey"))
         .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
         .distinct()

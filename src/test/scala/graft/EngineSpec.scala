@@ -358,6 +358,37 @@ class EngineSpec extends SparkSpec {
     assert(!ex.getMessage.contains("Cannot parse"), ex.getMessage)
   }
 
+  test("ALTER IF (NOT) EXISTS variants are no-ops on conflict, and RENAME cannot clobber a view") {
+    val e = fresh()
+    e.put("t", e.spark.sql("SELECT 1 AS a, 2.0 AS b"))
+    // IF NOT EXISTS on an existing column: OK answered, nothing changes
+    e.query("ALTER TABLE t ADD COLUMN IF NOT EXISTS a INT")
+    assert(e.get("t").columns.toSeq == Seq("a", "b"))
+    // IF NOT EXISTS on a new column adds it
+    e.query("ALTER TABLE t ADD COLUMN IF NOT EXISTS c STRING")
+    assert(e.get("t").columns.toSeq == Seq("a", "b", "c"))
+    // DROP IF EXISTS on a missing column: no-op, not an error
+    e.query("ALTER TABLE t DROP COLUMN IF EXISTS nope")
+    assert(e.get("t").columns.toSeq == Seq("a", "b", "c"))
+    e.query("ALTER TABLE t DROP COLUMN IF EXISTS c")
+    assert(e.get("t").columns.toSeq == Seq("a", "b"))
+    // renaming onto a name Spark's catalog already serves must error,
+    // not silently clobber the view (DuckDB raises a conflict)
+    e.query("CREATE TEMPORARY VIEW graft_occupied AS SELECT 9 AS z")
+    intercept[IllegalArgumentException](e.query("ALTER TABLE t RENAME TO graft_occupied"))
+    assert(e.query("SELECT z FROM graft_occupied").head().getInt(0) == 9)
+  }
+
+  test("SQL exchanger: '__input__' in a string literal is data, in a subquery a relation") {
+    val e = fresh()
+    e.put("src", e.spark.sql("SELECT * FROM VALUES (1), (2), (3) AS t(x)"))
+    e.registerSqlExchanger("probe",
+      "SELECT '__input__' AS tag, n FROM (SELECT count(*) AS n FROM (SELECT * FROM __input__) i) c")
+    val r = e.exchange("probe", e.get("src")).head()
+    assert(r.getString(0) == "__input__") // literal survived
+    assert(r.getLong(1) == 3)             // subquery reference rewrote
+  }
+
   test("INSERT into a nonexistent table errors instead of creating it") {
     val e = fresh()
     // DuckDB raises a catalog error here; create-if-absent is the PUT
