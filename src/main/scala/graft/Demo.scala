@@ -47,6 +47,11 @@ object Demo {
       a.query("SELECT count(*) AS c FROM nation WHERE n_name = lower(n_name)")
         .collect()(0).getLong(0))
 
+    // ALTER routed as catalog rewrites (schema evolution over the verbs)
+    a.query("ALTER TABLE nation ADD COLUMN note DOUBLE")
+    a.query("ALTER TABLE nation DROP COLUMN note")
+    println("alter roundtrip cols: " + a.get("nation").columns.length)
+
     // network facade: SQL over a real socket, JSON rows back
     val gate = new graft.engine.TcpGate(a)
     try {
@@ -54,13 +59,39 @@ object Demo {
       val out = new java.io.PrintWriter(sock.getOutputStream, true)
       val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(sock.getInputStream))
-      out.println("SELECT count(*) AS c FROM nation")
-      println("tcp gate: " +
-        // stop on EOF too: a dropped connection returns null forever
+      // stop on EOF too: a dropped connection returns null forever
+      def ask(line: String): String = {
+        out.println(line)
         Iterator.continually(in.readLine())
-          .takeWhile(l => l != null && l != "##end").mkString)
+          .takeWhile(l => l != null && l != "##end").mkString
+      }
+      println("tcp gate: " + ask("SELECT count(*) AS c FROM nation"))
+      // remote transform registration over the same socket (the wire
+      // version of the reference's runtime code shipping)
+      println("tcp register: " +
+        ask("REGISTER region_counts AS SELECT n_regionkey, count(*) AS n " +
+          "FROM __input__ GROUP BY n_regionkey ORDER BY n_regionkey"))
+      println("tcp exchange: " + ask("EXCHANGE region_counts FROM nation"))
       sock.close()
     } finally gate.close()
+
+    // authenticated gate: handshake-first protocol
+    val auth = new graft.engine.AuthEngine(a, Map("admin" -> "secret1"))
+    val gated = new graft.engine.TcpGate(a, auth = Some(auth))
+    try {
+      val sock = new java.net.Socket("127.0.0.1", gated.boundPort)
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream))
+      def ask(line: String): String = {
+        out.println(line)
+        Iterator.continually(in.readLine())
+          .takeWhile(l => l != null && l != "##end").mkString
+      }
+      println("tcp auth: " + ask("##auth admin secret1").startsWith("##ok"))
+      println("tcp authed query: " + ask("SELECT 1 AS ok"))
+      sock.close()
+    } finally gated.close()
 
     println("drop=" + a.catalog.drop("nation") + " dropAgain=" + a.catalog.drop("nation"))
     spark.stop()
