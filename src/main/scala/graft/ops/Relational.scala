@@ -180,6 +180,39 @@ object Relational {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // TPC-H Q18 shape (large-volume orders): the HAVING subquery is
+    // computed ONCE as an aggregate over lineitem and reused as the
+    // driving side of the join — Spark-first, no second lineitem scan
+    // (the SQL IN-subquery form rescans the fact). One shuffle agg on
+    // orderkey, the qualifying-orders frame is tiny (rare qty>250) so
+    // AQE broadcasts the downstream joins at scale; TakeOrderedAndProject
+    // caps the output.
+    sql("q18_large_orders",
+      """SELECT c_name, c_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        | round(o_totalprice, 2) AS total_price,
+        | CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_date, total_price
+        |ORDER BY total_price DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 250) // the HAVING subquery, computed once
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          r2(col("o_totalprice")).as("total_price"),
+          col("qty").cast("bigint").as("total_qty"))
+        .orderBy(col("total_price").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
     // --- joins --------------------------------------------------------
     sql("join_inner",
       """SELECT c_custkey, c_name, count(*) AS n_orders,
