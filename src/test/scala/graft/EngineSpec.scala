@@ -379,6 +379,31 @@ class EngineSpec extends SparkSpec {
     assert(e.query("SELECT z FROM graft_occupied").head().getInt(0) == 9)
   }
 
+  test("rename never exposes a window where neither name resolves to lock-free readers") {
+    val e = fresh()
+    e.put("flip", Tables.region(e.spark, sfDir))
+    @volatile var stop = false
+    @volatile var neitherName = 0
+    val reader = new Thread(() => {
+      while (!stop) {
+        // a reader must find the table under ONE of the two names at
+        // any instant — the swap is old-visible-until-new-registered
+        val a = try { e.catalog.get("flip"); true } catch { case _: Exception => false }
+        val b = try { e.catalog.get("flop"); true } catch { case _: Exception => false }
+        if (!a && !b) neitherName += 1
+      }
+    })
+    reader.start()
+    for (_ <- 1 to 50) {
+      e.query("ALTER TABLE flip RENAME TO flop")
+      e.query("ALTER TABLE flop RENAME TO flip")
+    }
+    stop = true
+    reader.join(10000)
+    assert(neitherName == 0, s"readers saw neither name $neitherName times")
+    assert(e.count("flip") == 5)
+  }
+
   test("SQL exchanger: '__input__' in a string literal is data, in a subquery a relation") {
     val e = fresh()
     e.put("src", e.spark.sql("SELECT * FROM VALUES (1), (2), (3) AS t(x)"))

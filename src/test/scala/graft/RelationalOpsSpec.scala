@@ -59,6 +59,20 @@ class RelationalOpsSpec extends SparkSpec {
       "OptimizeSkewedJoin did not fire:\n" + plan.take(3000))
   }
 
+  test("q18_large_orders: one fact shuffle, broadcast joins, TakeOrderedAndProject") {
+    val df = run("q18_large_orders")
+    df.collect() // finalize the adaptive plan
+    // AQE's toString appends the pre-adaptive "Initial Plan" — count
+    // exchanges only in the final plan section
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    // exactly one data shuffle: the lineitem group-key exchange (the
+    // rest are broadcast exchanges)
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+    assert(shuffles <= 1, s"expected <=1 shuffle exchange, plan:\n${plan.take(2000)}")
+  }
+
   test("sim_ivf: dense ranks and every query answered from its cell") {
     val out = SparkEntry.queries("sim_ivf")(spark, sfDir).cache()
     assert(out.count() > 0)
