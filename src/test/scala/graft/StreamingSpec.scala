@@ -60,6 +60,43 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("multi-micro-batch replay (3 files, maxFilesPerTrigger=1) converges to the batch answer") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    // stage the events table as 3 separate files so the stream
+    // genuinely processes multiple micro-batches with state carried
+    // across them — the single-file replay the keys use is the
+    // degenerate one-batch case
+    val dir = graft.ops.purgeOnExit(
+      s"/root/repo/target/tmp/spec_multibatch_${ProcessHandle.current().pid()}")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = ss.read.parquet(s"$sfDir/events.parquet")
+    raw.withColumn("part", pmod(col("event_id"), lit(3)))
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    val schema = raw.schema
+    val sink = s"graft_multibatch_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // force one staged file per micro-batch
+      .parquet(s"$dir/part=*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_raw"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected multiple non-empty micro-batches")
+    val streamed = ss.table(sink)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), round(col("total_raw"), 2).as("total"))
+    val batch = SparkEntry.queries("stream_window_hourly")(spark, sfDir)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("checkpointed file sink is exactly-once across restarts") {
     import org.apache.spark.sql.functions._
     val out = graft.ops.purgeOnExit(
