@@ -771,6 +771,33 @@ object Relational {
         .orderBy(col("vec_id"))
     },
 
+    // MAP-typed scalars: build per-row maps, extract / inspect. DuckDB
+    // MAP extraction `m['k']` returns a LIST (1.0 semantics) — the
+    // oracle appends `[1]`; Spark's element_at returns the scalar
+    // directly. Key order is insertion order in both engines.
+    sql("scalar_map",
+      """SELECT doc_id,
+        | m['toks'][1] AS toks,
+        | m['chars'][1] AS chars,
+        | CAST(cardinality(m) AS BIGINT) AS n_entries,
+        | array_to_string(map_keys(m), ',') AS keys
+        |FROM (SELECT doc_id,
+        |        MAP(['toks', 'chars'],
+        |            [CAST(len(string_split(text, ' ')) AS BIGINT), n_chars]) AS m
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val m = map(lit("toks"), size(split(col("text"), " ")).cast("bigint"),
+        lit("chars"), col("n_chars"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), m.as("m"))
+        .select(col("doc_id"),
+          element_at(col("m"), "toks").as("toks"),
+          element_at(col("m"), "chars").as("chars"),
+          size(col("m")).cast("bigint").as("n_entries"),
+          array_join(map_keys(col("m")), ",").as("keys"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- correlated scalar subquery (Catalyst decorrelates it into a
     //     join — RewriteCorrelatedScalarSubquery, SURVEY §4.2) --------
     sql("subquery_scalar", Sql.scalarSubquery) { (s, d) =>
