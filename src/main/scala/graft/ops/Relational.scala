@@ -771,6 +771,27 @@ object Relational {
         .orderBy(col("vec_id"))
     },
 
+    // Statistical aggregates (corr/covar/stddev/var): definitionally
+    // identical in both engines; results floored at 1e-4 (aggregate
+    // merge order differs ulps-deep between engines). Map-side
+    // combinable like any algebraic aggregate — one shuffle on the
+    // group key at any scale.
+    sql("agg_stats",
+      """SELECT l_returnflag,
+        | floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS qp_corr,
+        | floor(covar_pop(l_quantity, l_discount) * 10000 + 0.5) / 10000 AS qd_covar,
+        | floor(stddev_pop(l_quantity) * 10000 + 0.5) / 10000 AS q_sd,
+        | floor(var_pop(l_quantity) * 10000 + 0.5) / 10000 AS q_var
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(pr4(corr(col("l_quantity"), col("l_extendedprice"))).as("qp_corr"),
+          pr4(covar_pop(col("l_quantity"), col("l_discount"))).as("qd_covar"),
+          pr4(stddev_pop(col("l_quantity"))).as("q_sd"),
+          pr4(var_pop(col("l_quantity"))).as("q_var"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // MAP-typed scalars: build per-row maps, extract / inspect. DuckDB
     // MAP extraction `m['k']` returns a LIST (1.0 semantics) — the
     // oracle appends `[1]`; Spark's element_at returns the scalar
