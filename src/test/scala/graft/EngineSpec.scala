@@ -513,6 +513,37 @@ class EngineSpec extends SparkSpec {
     } finally gate.close()
   }
 
+  test("TcpGate serves 16 concurrent clients without cross-talk") {
+    val e = fresh()
+    e.put("nation", Tables.nation(e.spark, sfDir))
+    val gate = new graft.engine.TcpGate(e)
+    try {
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val threads = (0 until 16).map { i =>
+        new Thread(() => {
+          try {
+            val (s, out, in) = gateClient(gate.boundPort)
+            // each client asks for ITS OWN constant + a shared count;
+            // a response delivered to the wrong socket is caught by
+            // the per-client constant
+            for (_ <- 1 to 5) {
+              val mine = gateAsk(out, in, s"SELECT $i AS me")
+              if (mine != Seq(s"""{"me":$i}"""))
+                errors.add(s"client $i got $mine")
+              val cnt = gateAsk(out, in, "SELECT count(*) AS c FROM nation")
+              if (cnt != Seq("""{"c":25}"""))
+                errors.add(s"client $i count got $cnt")
+            }
+            s.close()
+          } catch { case t: Throwable => errors.add(s"client $i threw: $t") }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      assert(errors.isEmpty, errors.toString)
+    } finally gate.close()
+  }
+
   test("emptyLike carries the source schema with zero rows (CTAS LIMIT 0)") {
     val e = fresh()
     val li = Tables.lineitem(e.spark, sfDir)
