@@ -895,6 +895,34 @@ object Relational {
         .orderBy(col("o_orderkey"))
     },
 
+    // Navigation window functions (first/last/nth): last_value needs
+    // the full-partition frame (the default frame ends at CURRENT ROW,
+    // where last_value degenerates to the current row) — identical
+    // framing rules in both engines; ordering is total (orderkey
+    // tiebreak) so every navigated value is deterministic.
+    sql("window_first_last",
+      """SELECT o_orderkey,
+        | first_value(o_orderkey) OVER w AS first_ok,
+        | last_value(o_orderkey) OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+        | nth_value(o_orderkey, 2) OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(full).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_ok"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // --- sessionization: gap-based event-time sessions --------------
     // Built-in session_window (works identically in batch and
     // Structured Streaming — the streaming twin is
