@@ -26,7 +26,11 @@ import graft.engine.Engine
 object Throughput {
 
   private val refRowsPerSec =
-    Map("GET" -> 118119463L, "TRANSFER" -> 52093044L, "EXCHANGE" -> 50808383L)
+    Map("GET" -> 118119463L, "TRANSFER" -> 52093044L, "EXCHANGE" -> 50808383L,
+      // SOCKET_GET is the honest twin of the reference's GET (client
+      // receives all Arrow batches over loopback, `demo.py:112-114`):
+      // same baseline number, but measured through TcpGate's Arrow wire
+      "SOCKET_GET" -> 118119463L)
 
   /** The reference flights schema (`demo.py:198-210`), generated
     * distributed — spark.range + expressions, no driver loop.
@@ -72,6 +76,17 @@ object Throughput {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // SOCKET_GET funnels the full Arrow-encoded result through the
+      // driver (that IS the benchmark — the reference server
+      // materializes the table before streaming, flight_server.py:348);
+      // the default 1g result-size fuse would abort the 24M-row fetch
+      .config("spark.driver.maxResultSize", "0")
+      // send encoded Arrow partitions straight back with the task
+      // status instead of parking them in the block manager for a
+      // second fetch+copy (each ~55 MB partition clears the default
+      // 1 MB direct-result cutoff)
+      .config("spark.task.maxDirectResultSize", "100m")
+      .config("spark.rpc.message.maxSize", "256")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -108,6 +123,37 @@ object Throughput {
     timed("EXCHANGE", rows) {
       materialize(a.exchange("my_streaming_exchanger", a.get("flights")))
     }
+    // SOCKET_GET: full table through TcpGate's Arrow wire — executor-
+    // side batch encode, loopback socket, client-side Arrow decode.
+    // Bigger record batches cut per-batch framing/flush overhead on
+    // the single-socket funnel.
+    a.spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+    if (args.contains("profile")) {
+      import org.apache.spark.sql.GraftBridge
+      for (_ <- 1 to 3) {
+        // encode tasks only: results never leave the executors
+        val t0 = System.nanoTime()
+        val n = GraftBridge.arrowEncodeOnlyBytes(a.query("SELECT * FROM flights"))
+        println(f"encode-in-task: ${(System.nanoTime() - t0) / 1e9}%.3f s, $n bytes")
+        // encode + fetch to driver, no socket
+        var bytes = 0L; var batches = 0
+        val t1 = System.nanoTime()
+        GraftBridge.arrowBatchesPipelined(a.query("SELECT * FROM flights")) { b =>
+          bytes += b.length; batches += 1
+        }
+        println(f"encode+fetch: ${(System.nanoTime() - t1) / 1e9}%.3f s, $bytes bytes, $batches batches")
+      }
+    }
+    val gate = new graft.engine.TcpGate(a)
+    try {
+      val client = new graft.engine.GateClient("127.0.0.1", gate.boundPort)
+      client.format("arrow")
+      require(client.sqlArrowRowCount("SELECT * FROM flights LIMIT 1000") == 1000) // warm
+      timed("SOCKET_GET", rows) {
+        require(client.sqlArrowRowCount("SELECT * FROM flights") == rows)
+      }
+      client.close()
+    } finally gate.close() // non-daemon pool: an unclosed gate pins the JVM
     spark.stop()
   }
 }

@@ -1,11 +1,11 @@
 package graft.engine
 
-import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.io.{BufferedInputStream, BufferedOutputStream, BufferedReader, ByteArrayOutputStream, DataInputStream, DataOutputStream, InputStreamReader, OutputStreamWriter, PrintWriter}
 import java.net.{InetAddress, ServerSocket, Socket, SocketException}
 import java.nio.charset.StandardCharsets
 import java.util.concurrent.Executors
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftBridge}
 
 /** Minimal network transport facade over an [[Engine]] — the analog of
   * Mallard's Flight server *listening on a port*
@@ -27,6 +27,25 @@ import org.apache.spark.sql.DataFrame
   *  - on failure it replies `##error <message>` then `##end` — the
   *    connection survives, matching the reference server's
   *    error-as-response behavior (`flight_server.py:312-315`).
+  *
+  * Arrow mode (`##format arrow`, per connection; `##format text`
+  * switches back): results ship as Arrow RecordBatch streams — the
+  * reference's actual wire format (`flight_server.py:336-339`,
+  * `demo.py:112-114`) — instead of JSON text rows. Reply framing per
+  * statement:
+  *  - one `##schema <StructType json>` text line;
+  *  - length-prefixed binary chunks (4-byte big-endian length, then
+  *    payload) that concatenate to ONE spec-valid Arrow IPC stream:
+  *    schema header, one chunk per record batch, end-of-stream marker;
+  *  - a zero-length chunk terminator, then the usual `##end` line.
+  * Rows are encoded to record batches ON THE EXECUTORS
+  * (`GraftBridge.arrowBatches` runs Spark's own `toArrowBatchRdd`);
+  * the driver never materializes rows, it pumps one partition of
+  * opaque byte payloads at a time. Errors before any binary byte are
+  * plain `##error` lines; a failure mid-stream terminates the chunk
+  * sequence (zero-length chunk) and then reports `##error` — the
+  * client drops the partial stream. [[GateClient]] implements the
+  * client half.
   *
   * Security: binds the loopback address by default — an unauthenticated
   * wildcard bind would expose DROP/DELETE to any host that can reach
@@ -119,22 +138,67 @@ final class TcpGate(val engine: Engine, port: Int = 0,
     }
   }
 
+  private val FormatRe = "(?i)^##format\\s+(arrow|text)\\s*$".r
+
   private def serve(sock: Socket): Unit = {
     val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
-    val out = new PrintWriter(
-      new java.io.OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8), false)
+    // text and binary interleave on ONE buffered stream; the PrintWriter
+    // is always flushed before binary bytes follow it, so ordering on
+    // the socket is exactly write order
+    val raw = new BufferedOutputStream(sock.getOutputStream, 1 << 16)
+    val out = new PrintWriter(new OutputStreamWriter(raw, StandardCharsets.UTF_8), false)
+    val bin = new DataOutputStream(raw)
+    var arrowMode = false
+
+    def sendError(e: Exception): Unit =
+      out.println(s"##error ${Option(e.getMessage).getOrElse(e.toString).replaceAll("\\R", " ")}")
+
+    def sendArrow(df: DataFrame): Unit = {
+      val spark = engine.spark
+      val schema = df.schema
+      // forcing the schema surfaces analysis errors as a clean ##error
+      // line before any reply byte; runtime failures take the
+      // mid-stream path below
+      out.println(s"##schema ${schema.json}")
+      out.flush()
+      def chunk(b: Array[Byte]): Unit =
+        if (b.nonEmpty) { bin.writeInt(b.length); bin.write(b) }
+      try {
+        chunk(GraftBridge.arrowStreamHeader(spark, schema))
+        // one parallel encode job; batches stream through in partition
+        // order as tasks finish (see GraftBridge.arrowBatchesPipelined)
+        GraftBridge.arrowBatchesPipelined(df)(chunk)
+        chunk(GraftBridge.arrowStreamFooter(spark, schema))
+        bin.writeInt(0)
+        bin.flush()
+      } catch {
+        case e: Exception =>
+          // mid-stream failure: close the chunk sequence so the client
+          // regains line framing, then report — connection survives
+          bin.writeInt(0); bin.flush()
+          sendError(e)
+      }
+    }
+
     try {
       if (auth.forall(a => handshake(a, in, out))) {
         var line = in.readLine()
         while (line != null && running) {
           if (line.trim.nonEmpty) {
-            try {
-              val it = runLine(line).toJSON.toLocalIterator()
-              while (it.hasNext) out.println(it.next())
-            } catch {
-              case e: Exception =>
-                out.println(s"##error ${Option(e.getMessage).getOrElse(e.toString).replaceAll("\\R", " ")}")
+            line.trim match {
+              case FormatRe(mode) =>
+                arrowMode = mode.equalsIgnoreCase("arrow")
+                out.println(s"##ok $mode")
+              case stmt =>
+                try {
+                  val df = runLine(stmt)
+                  if (arrowMode) sendArrow(df)
+                  else {
+                    val it = df.toJSON.toLocalIterator()
+                    while (it.hasNext) out.println(it.next())
+                  }
+                } catch { case e: Exception => sendError(e) }
             }
             out.println("##end")
             out.flush()
@@ -163,4 +227,123 @@ final class TcpGate(val engine: Engine, port: Int = 0,
     clients.forEach(s => try s.close() catch { case _: Exception => () })
     ()
   }
+}
+
+/** Client half of the gate protocol — the analog of the reference's
+  * `FlightClient` wrapper (`demo.py:95-125`). One socket, blocking,
+  * text and Arrow modes. Line reads go through the SAME buffered
+  * stream as binary reads (a separate `BufferedReader` would read
+  * ahead and swallow binary bytes).
+  */
+final class GateClient(host: String, port: Int) extends AutoCloseable {
+  private val sock = new Socket(host, port)
+  sock.setTcpNoDelay(true)
+  private val in = new DataInputStream(
+    new BufferedInputStream(sock.getInputStream, 1 << 16))
+  private val out = new PrintWriter(new OutputStreamWriter(
+    new BufferedOutputStream(sock.getOutputStream, 1 << 16),
+    StandardCharsets.UTF_8), false)
+
+  def send(line: String): Unit = { out.println(line); out.flush() }
+
+  /** One protocol line (UTF-8, LF-terminated); null on EOF. */
+  def readLine(): String = {
+    val buf = new ByteArrayOutputStream(128)
+    var b = in.read()
+    if (b < 0) return null
+    while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+    val s = new String(buf.toByteArray, StandardCharsets.UTF_8)
+    if (s.endsWith("\r")) s.dropRight(1) else s
+  }
+
+  private def linesUntilEnd(): Seq[String] =
+    Iterator.continually(readLine())
+      .takeWhile(l => l != null && l != "##end").toSeq
+
+  /** Text-mode statement: reply lines (JSON rows or `##error …`). */
+  def sql(stmt: String): Seq[String] = { send(stmt); linesUntilEnd() }
+
+  /** `##auth`/`##token` handshake; returns the reply lines. */
+  def handshake(line: String): Seq[String] = sql(line)
+
+  /** Switch the connection's result format (`arrow` | `text`). */
+  def format(mode: String): Unit = { send(s"##format $mode"); linesUntilEnd(); () }
+
+  /** Read the length-prefixed chunk sequence of one Arrow reply into
+    * `sink`; stops after the zero-length terminator.
+    */
+  private def readChunks(sink: Array[Byte] => Unit): Unit = {
+    var len = in.readInt()
+    while (len > 0) {
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      sink(b)
+      len = in.readInt()
+    }
+  }
+
+  /** Arrow-mode statement: (schema json, complete Arrow IPC stream).
+    * Throws on a server-side error (before or mid-stream).
+    */
+  def sqlArrow(stmt: String): (String, Array[Byte]) = {
+    send(stmt)
+    val first = readLine()
+    if (first == null || !first.startsWith("##schema "))
+      { linesUntilEnd(); throw new RuntimeException(s"gate error: $first") }
+    val ipc = new ByteArrayOutputStream(1 << 16)
+    readChunks(b => ipc.write(b, 0, b.length))
+    val tail = linesUntilEnd()
+    tail.find(_.startsWith("##error"))
+      .foreach(e => throw new RuntimeException(s"gate error mid-stream: $e"))
+    (first.stripPrefix("##schema "), ipc.toByteArray)
+  }
+
+  /** Arrow-mode statement, streaming decode: validates and loads every
+    * record batch through Arrow's own stream reader WITHOUT buffering
+    * the stream, and returns the total row count — the client side of
+    * a bulk GET (`demo.py:112-114` `read_all()` equivalent, minus
+    * materializing).
+    */
+  def sqlArrowRowCount(stmt: String): Long = {
+    send(stmt)
+    val first = readLine()
+    if (first == null || !first.startsWith("##schema "))
+      { linesUntilEnd(); throw new RuntimeException(s"gate error: $first") }
+    // InputStream view over the chunk frames: Arrow reads a contiguous
+    // IPC stream, the frame boundaries disappear
+    val frames = new java.io.InputStream {
+      private var remaining = 0
+      private var done = false
+      private def ensure(): Boolean = {
+        while (remaining == 0 && !done) {
+          val len = in.readInt()
+          if (len == 0) done = true else remaining = len
+        }
+        !done
+      }
+      def read(): Int =
+        if (!ensure()) -1 else { remaining -= 1; in.read() }
+      override def read(b: Array[Byte], off: Int, n: Int): Int =
+        if (!ensure()) -1
+        else {
+          val got = in.read(b, off, math.min(n, remaining))
+          if (got > 0) remaining -= got
+          got
+        }
+    }
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(frames, alloc)
+    var rows = 0L
+    try {
+      while (reader.loadNextBatch()) rows += reader.getVectorSchemaRoot.getRowCount
+    } finally { reader.close(); alloc.close() }
+    // drain any unread terminator frames, then the ##end line
+    while (frames.read() >= 0) ()
+    val tail = linesUntilEnd()
+    tail.find(_.startsWith("##error"))
+      .foreach(e => throw new RuntimeException(s"gate error mid-stream: $e"))
+    rows
+  }
+
+  override def close(): Unit = sock.close()
 }

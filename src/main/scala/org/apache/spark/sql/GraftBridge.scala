@@ -36,4 +36,115 @@ object GraftBridge {
   def dropTempView(spark: SparkSession, name: String): Boolean =
     spark.asInstanceOf[classic.SparkSession]
       .sessionState.catalog.dropTempView(name)
+
+  // ---- Arrow IPC (TcpGate's columnar wire format) -----------------------
+  //
+  // The reference's data plane is Arrow RecordBatch streams end-to-end
+  // (`flight_server.py:336-339`, `demo.py:112-114`). Spark already owns
+  // a production Arrow encoder — the one backing `toPandas()` /
+  // collectAsArrowToPython — so the gate reuses it instead of
+  // hand-rolling vector writers: rows are encoded to record batches ON
+  // THE EXECUTORS (`toArrowBatchRdd` is a Spark job), and the driver
+  // only concatenates opaque byte payloads onto the socket.
+
+  private def arrowConf(spark: SparkSession) = {
+    val conf = spark.asInstanceOf[classic.SparkSession].sessionState.conf
+    (conf.sessionLocalTimeZone,
+      // matches toArrowBatchRdd's own flags, so the stream header this
+      // bridge writes always agrees with the batch encoding
+      conf.pandasStructHandlingMode == "legacy",
+      conf.arrowUseLargeVarTypes)
+  }
+
+  /** Per-record-batch IPC message payloads of `df`, one partition at a
+    * time through the driver (encode distributed, pump sequential).
+    * Each element is a complete RecordBatch message; prepend the header
+    * from [[arrowStreamHeader]] and append [[arrowStreamFooter]] to
+    * form a spec-valid Arrow IPC stream.
+    */
+  def arrowBatches(df: DataFrame): Iterator[Array[Byte]] =
+    df.asInstanceOf[classic.Dataset[Row]].toArrowBatchRdd.toLocalIterator
+
+  /** Stream `df`'s Arrow record batches to `sink` in partition order,
+    * encoding ALL partitions in parallel in ONE Spark job.
+    *
+    * `toLocalIterator` would run one job per partition sequentially —
+    * on a 32-partition result that serializes the encode onto one core
+    * at a time (measured 18 s for 24M rows). This is the same
+    * out-of-order-arrival / in-order-emit pump Spark's own
+    * `collectAsArrowToPython` uses: results are handed to the driver as
+    * tasks finish, buffered only while a predecessor partition is still
+    * running, and written the moment they become contiguous. Worst-case
+    * driver buffering is the full result (exactly the reference
+    * server's behavior — it materializes the table before streaming,
+    * `flight_server.py:348`); typical buffering is a small out-of-order
+    * prefix.
+    */
+  /** Diagnostic: run the Arrow encode job but return only byte counts
+    * (results never shipped to the driver) — isolates encode cost from
+    * task-result fetch cost.
+    */
+  def arrowEncodeOnlyBytes(df: DataFrame): Long =
+    df.asInstanceOf[classic.Dataset[Row]].toArrowBatchRdd
+      .mapPartitions(it => Iterator.single(it.map(_.length.toLong).sum))
+      .collect().sum
+
+  def arrowBatchesPipelined(df: DataFrame)(sink: Array[Byte] => Unit): Unit = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val rdd = ds.toArrowBatchRdd
+    val n = rdd.getNumPartitions
+    if (n == 0) return
+    val slots = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Byte]]]()
+    val ready = new java.util.concurrent.Semaphore(0)
+    val fut = ds.sparkSession.sparkContext.submitJob[Array[Byte], Array[Array[Byte]], Unit](
+      rdd, _.toArray, 0 until n,
+      // runs on the scheduler event loop — enqueue only, never block
+      (pid, data) => { slots.put(pid, data); ready.release() },
+      ())
+    var next = 0
+    while (next < n) {
+      // poll instead of a blind block: a failed job never delivers the
+      // missing partition, and the failure must propagate, not deadlock
+      if (!ready.tryAcquire(100, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        fut.value.foreach(_.fold(e => throw e, identity))
+      }
+      while (next < n && slots.containsKey(next)) {
+        slots.remove(next).foreach(sink)
+        next += 1
+      }
+    }
+  }
+
+  /** Serialized IPC stream header (schema message) for `schema`. */
+  def arrowStreamHeader(spark: SparkSession, schema: types.StructType): Array[Byte] = {
+    val (tz, strict, large) = arrowConf(spark)
+    val out = new java.io.ByteArrayOutputStream()
+    new execution.arrow.ArrowBatchStreamWriter(schema, out, tz, strict, large)
+    out.toByteArray // the writer serializes the schema in its constructor
+  }
+
+  /** Serialized IPC end-of-stream marker. */
+  def arrowStreamFooter(spark: SparkSession, schema: types.StructType): Array[Byte] = {
+    val (tz, strict, large) = arrowConf(spark)
+    val out = new java.io.ByteArrayOutputStream()
+    val w = new execution.arrow.ArrowBatchStreamWriter(schema, out, tz, strict, large)
+    out.reset() // drop the header; keep only what end() appends
+    w.end()
+    out.toByteArray
+  }
+
+  /** Decode a complete Arrow IPC stream (header + batches + footer)
+    * back into a local DataFrame — the client half of the gate's wire
+    * format. Rows are copied out before the Arrow buffers close.
+    */
+  def fromArrowIPC(spark: SparkSession, ipc: Array[Byte]): DataFrame = {
+    val (iter, schema) = execution.arrow.ArrowConverters.fromIPCStream(ipc)
+    try {
+      val rows = iter.map(_.copy()).toIndexedSeq
+      classic.Dataset.ofRows(
+        spark.asInstanceOf[classic.SparkSession],
+        catalyst.plans.logical.LocalRelation(
+          catalyst.types.DataTypeUtils.toAttributes(schema), rows))
+    } finally iter.close()
+  }
 }

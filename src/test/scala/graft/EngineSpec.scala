@@ -544,6 +544,65 @@ class EngineSpec extends SparkSpec {
     } finally gate.close()
   }
 
+  test("TcpGate arrow mode: schema + rows round-trip byte-exactly via Arrow IPC") {
+    import graft.engine.GateClient
+    import org.apache.spark.sql.GraftBridge
+    val e = fresh()
+    e.put("nation", Tables.nation(e.spark, sfDir))
+    // a result with varied types: long, string, double, array, null
+    val stmt = "SELECT n_nationkey, n_name, CAST(n_regionkey AS DOUBLE) / 2 AS half, " +
+      "array(n_nationkey, n_regionkey) AS pair, " +
+      "CASE WHEN n_nationkey % 2 = 0 THEN NULL ELSE n_name END AS maybe " +
+      "FROM nation ORDER BY n_nationkey"
+    val expected = e.query(stmt)
+    val gate = new graft.engine.TcpGate(e)
+    try {
+      val c = new GateClient("127.0.0.1", gate.boundPort)
+      c.format("arrow")
+      val (schemaJson, ipc) = c.sqlArrow(stmt)
+      // schema line matches the in-process schema exactly
+      assert(org.apache.spark.sql.types.DataType.fromJson(schemaJson) == expected.schema)
+      // decoded stream reproduces schema and every row value
+      val decoded = GraftBridge.fromArrowIPC(e.spark, ipc)
+      assert(decoded.schema == expected.schema)
+      assert(decoded.collect().toSeq == expected.collect().toSeq)
+      // streaming row-count client agrees (validates the IPC framing
+      // through Arrow's own reader, not Spark's)
+      assert(c.sqlArrowRowCount("SELECT * FROM nation") == 25)
+      // errors still text-framed in arrow mode; connection survives
+      val err = intercept[RuntimeException](c.sqlArrow("SELECT * FROM graft_no_such"))
+      assert(err.getMessage.contains("gate error"))
+      assert(c.sqlArrow("SELECT 1 AS x")._2.nonEmpty)
+      // ##format text switches the same connection back to JSON rows
+      c.format("text")
+      assert(c.sql("SELECT 1 AS x") == Seq("""{"x":1}"""))
+      c.close()
+    } finally gate.close()
+  }
+
+  test("TcpGate arrow mode: empty result and DML status rows frame correctly") {
+    import graft.engine.GateClient
+    import org.apache.spark.sql.GraftBridge
+    val e = fresh()
+    e.put("nation", Tables.nation(e.spark, sfDir))
+    val gate = new graft.engine.TcpGate(e)
+    try {
+      val c = new GateClient("127.0.0.1", gate.boundPort)
+      c.format("arrow")
+      // empty result: valid IPC stream, zero rows, schema preserved
+      val (sj, ipc) = c.sqlArrow("SELECT n_name FROM nation WHERE n_nationkey < 0")
+      val empty = GraftBridge.fromArrowIPC(e.spark, ipc)
+      assert(empty.schema.fieldNames.toSeq == Seq("n_name") && empty.count() == 0)
+      assert(sj.contains("n_name"))
+      // DML verbs reply with the OK status row as a 1-row Arrow stream
+      val (_, st) = c.sqlArrow("DELETE FROM nation WHERE n_regionkey = 0")
+      val status = GraftBridge.fromArrowIPC(e.spark, st)
+      assert(status.collect().map(_.getString(0)).toSeq == Seq("OK"))
+      assert(c.sqlArrowRowCount("SELECT * FROM nation") == 20)
+      c.close()
+    } finally gate.close()
+  }
+
   test("emptyLike carries the source schema with zero rows (CTAS LIMIT 0)") {
     val e = fresh()
     val li = Tables.lineitem(e.spark, sfDir)
