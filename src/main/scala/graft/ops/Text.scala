@@ -172,6 +172,141 @@ object Text {
   private val PiiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PiiPhone = "555-[0-9]{4}"
 
+  // ---- stored band index (the production shape of incremental dedup) ----
+
+  /** Build (or reuse) the persisted MinHash index of the "old" corpus
+    * half (doc_id < 250) at `sfDir`: `<dir>/hs` holds (doc_id, hs) for
+    * the Jaccard-verify join, `<dir>/bands` holds (doc_id, bkey)
+    * parquet-partitioned by band number. This is the layout
+    * `stream_embed_index` proves for vectors, applied to text dedup:
+    * the old side's shingling + 12-permutation MinHash is computed ONCE
+    * at index-build time, and every later batch only scans it — the
+    * O(batch)-not-O(corpus) compute story (`PLANS.md`). Staleness is
+    * checked against the source parquet; concurrent builders stage
+    * under a pid-unique directory and atomically rename, so a lost race
+    * costs a duplicate build, never a torn index.
+    */
+  private[graft] def stagedBandIndex(s: SparkSession, d: String): String = {
+    import java.nio.file._
+    val src = Paths.get(s"$d/documents.parquet")
+    val key = src.toString.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = Paths.get(s"/root/repo/target/tmp/band_index_$key")
+    val marker = dir.resolve("_built")
+    val stamp = s"${Files.size(src)}:${Files.getLastModifiedTime(src)}"
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == stamp
+    if (!fresh) {
+      val stage = Paths.get(s"$dir.build-${ProcessHandle.current().pid()}")
+      val old = docs(s, d).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 250)
+      val oldHs = shingleHashes(old)
+      oldHs.write.mode("overwrite").parquet(s"$stage/hs")
+      // bands derive from the WRITTEN hs (not a recompute) so index
+      // halves can never disagree
+      minhashBands(s.read.parquet(s"$stage/hs"))
+        .write.mode("overwrite").partitionBy("b").parquet(s"$stage/bands")
+      Files.write(stage.resolve("_built"), stamp.getBytes("UTF-8"))
+      // atomic publish; a concurrent winner keeps its copy
+      try {
+        if (Files.exists(dir)) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(dir.toFile)
+        }
+        Files.move(stage, dir, StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case _: FileAlreadyExistsException | _: DirectoryNotEmptyException =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(stage.toFile)
+      }
+    }
+    dir.toString
+  }
+
+  /** Shared oracle for both incremental-dedup variants — the indexed
+    * key must produce byte-identical output to the recomputing one.
+    */
+  private val incrementalOracle: String = {
+    val mixes = minhashMix.map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $minhashP))"
+    }.mkString("[", ",\n   ", "]")
+    val hsExpr = s"list_distinct(list_transform(${D.shingles}, x -> ${D.h32("x")}))"
+    s"""WITH old_docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+       |new_batch AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+       |  UNION ALL SELECT doc_id + 30000, text FROM documents WHERE doc_id < 250
+       |  UNION ALL SELECT doc_id + 40000,
+       |         array_to_string((${D.toks})[1:len(${D.toks})-1], ' ')
+       |  FROM documents WHERE doc_id < 250),
+       |old_hs AS (SELECT doc_id, text, $hsExpr AS hs FROM old_docs),
+       |new_hs AS (SELECT doc_id, text, $hsExpr AS hs FROM new_batch),
+       |old_bands AS (
+       |  SELECT s.doc_id, b,
+       |         sig[3*b+1]::VARCHAR || ',' || sig[3*b+2]::VARCHAR || ',' || sig[3*b+3]::VARCHAR AS bkey
+       |  FROM (SELECT doc_id, $mixes AS sig FROM old_hs) s, range(0, 4) t(b)),
+       |new_bands AS (
+       |  SELECT s.doc_id, b,
+       |         sig[3*b+1]::VARCHAR || ',' || sig[3*b+2]::VARCHAR || ',' || sig[3*b+3]::VARCHAR AS bkey
+       |  FROM (SELECT doc_id, $mixes AS sig FROM new_hs) s, range(0, 4) t(b)),
+       |near_dup AS (
+       |  SELECT DISTINCT n.doc_id
+       |  FROM new_bands n
+       |  JOIN old_bands o ON n.b = o.b AND n.bkey = o.bkey
+       |  JOIN new_hs nh ON nh.doc_id = n.doc_id
+       |  JOIN old_hs oh ON oh.doc_id = o.doc_id
+       |  WHERE len(list_intersect(nh.hs, oh.hs))::DOUBLE
+       |        / len(list_distinct(list_concat(nh.hs, oh.hs))) >= 0.5),
+       |exact_dup AS (
+       |  SELECT DISTINCT n.doc_id FROM new_batch n JOIN old_docs o ON n.text = o.text),
+       |batch_keep AS (SELECT min(doc_id) AS doc_id FROM new_batch GROUP BY text)
+       |SELECT doc_id FROM new_batch
+       |WHERE doc_id IN (SELECT doc_id FROM batch_keep)
+       |  AND doc_id NOT IN (SELECT doc_id FROM exact_dup)
+       |  AND doc_id NOT IN (SELECT doc_id FROM near_dup)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** The corrupted "new batch" both incremental variants dedup: every
+    * old doc re-arrives as an exact copy (+30000) and a truncated
+    * near-copy (+40000), plus the genuinely new half of the corpus.
+    */
+  private def incrementalNewBatch(base: DataFrame, old: DataFrame): DataFrame =
+    base.filter(col("doc_id") >= 250)
+      .unionByName(old.select((col("doc_id") + 30000).as("doc_id"), col("text")))
+      .unionByName(old.select((col("doc_id") + 40000).as("doc_id"),
+        array_join(slice(tokens, lit(1), size(tokens) - 1), " ").as("text")))
+
+  /** Dedup `newBatch` against an old corpus given as (texts, hs,
+    * bands) — shared by the recomputing and indexed keys; only WHERE
+    * the old side comes from differs.
+    */
+  private def incrementalDedup(newBatch: DataFrame, oldTexts: DataFrame,
+      oldHs: DataFrame, oldBands: DataFrame): DataFrame = {
+    val newHs = shingleHashes(newBatch).cache(); newHs.count()
+    val jac = size(array_intersect(col("nh.hs"), col("oh.hs"))).cast("double") /
+      size(array_union(col("nh.hs"), col("oh.hs")))
+    val nearDup = minhashBands(newHs).as("n")
+      .join(oldBands.as("o"),
+        col("n.b") === col("o.b") && col("n.bkey") === col("o.bkey"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .distinct()
+      .join(newHs.as("nh"), col("nh.doc_id") === col("new_id"))
+      .join(oldHs.as("oh"), col("oh.doc_id") === col("old_id"))
+      .filter(jac >= 0.5)
+      .select(col("new_id").as("doc_id"))
+      .distinct()
+    val batchKeep = newBatch.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    newBatch
+      .join(batchKeep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(oldTexts.select(col("text")), Seq("text"), "left_anti") // exact vs corpus
+      .join(nearDup, Seq("doc_id"), "left_anti")                    // near vs corpus
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup ----------------------------------------------------
@@ -762,72 +897,33 @@ object Text {
     // twin of that layout); within the batch, min doc_id per text
     // survives. Plants: every old doc re-arrives as an exact copy
     // (+30000) and a truncated near-copy (+40000); all must drop.
-    sql("dedup_incremental", {
-      val mixes = minhashMix.map { case (a, b) =>
-        s"list_min(list_transform(hs, h -> (h * $a + $b) % $minhashP))"
-      }.mkString("[", ",\n   ", "]")
-      val hsExpr = s"list_distinct(list_transform(${D.shingles}, x -> ${D.h32("x")}))"
-      s"""WITH old_docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
-         |new_batch AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
-         |  UNION ALL SELECT doc_id + 30000, text FROM documents WHERE doc_id < 250
-         |  UNION ALL SELECT doc_id + 40000,
-         |         array_to_string((${D.toks})[1:len(${D.toks})-1], ' ')
-         |  FROM documents WHERE doc_id < 250),
-         |old_hs AS (SELECT doc_id, text, $hsExpr AS hs FROM old_docs),
-         |new_hs AS (SELECT doc_id, text, $hsExpr AS hs FROM new_batch),
-         |old_bands AS (
-         |  SELECT s.doc_id, b,
-         |         sig[3*b+1]::VARCHAR || ',' || sig[3*b+2]::VARCHAR || ',' || sig[3*b+3]::VARCHAR AS bkey
-         |  FROM (SELECT doc_id, $mixes AS sig FROM old_hs) s, range(0, 4) t(b)),
-         |new_bands AS (
-         |  SELECT s.doc_id, b,
-         |         sig[3*b+1]::VARCHAR || ',' || sig[3*b+2]::VARCHAR || ',' || sig[3*b+3]::VARCHAR AS bkey
-         |  FROM (SELECT doc_id, $mixes AS sig FROM new_hs) s, range(0, 4) t(b)),
-         |near_dup AS (
-         |  SELECT DISTINCT n.doc_id
-         |  FROM new_bands n
-         |  JOIN old_bands o ON n.b = o.b AND n.bkey = o.bkey
-         |  JOIN new_hs nh ON nh.doc_id = n.doc_id
-         |  JOIN old_hs oh ON oh.doc_id = o.doc_id
-         |  WHERE len(list_intersect(nh.hs, oh.hs))::DOUBLE
-         |        / len(list_distinct(list_concat(nh.hs, oh.hs))) >= 0.5),
-         |exact_dup AS (
-         |  SELECT DISTINCT n.doc_id FROM new_batch n JOIN old_docs o ON n.text = o.text),
-         |batch_keep AS (SELECT min(doc_id) AS doc_id FROM new_batch GROUP BY text)
-         |SELECT doc_id FROM new_batch
-         |WHERE doc_id IN (SELECT doc_id FROM batch_keep)
-         |  AND doc_id NOT IN (SELECT doc_id FROM exact_dup)
-         |  AND doc_id NOT IN (SELECT doc_id FROM near_dup)
-         |ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
+    sql("dedup_incremental", incrementalOracle) { (s, d) =>
       val base = docs(s, d).select(col("doc_id"), col("text"))
       val old = base.filter(col("doc_id") < 250)
-      val newBatch = base.filter(col("doc_id") >= 250)
-        .unionByName(old.select((col("doc_id") + 30000).as("doc_id"), col("text")))
-        .unionByName(old.select((col("doc_id") + 40000).as("doc_id"),
-          array_join(slice(tokens, lit(1), size(tokens) - 1), " ").as("text")))
+      val newBatch = incrementalNewBatch(base, old)
       val oldHs = shingleHashes(old).cache(); oldHs.count() // band + verify sides
-      val newHs = shingleHashes(newBatch).cache(); newHs.count()
-      val jac = size(array_intersect(col("nh.hs"), col("oh.hs"))).cast("double") /
-        size(array_union(col("nh.hs"), col("oh.hs")))
-      val nearDup = minhashBands(newHs).as("n")
-        .join(minhashBands(oldHs).as("o"),
-          col("n.b") === col("o.b") && col("n.bkey") === col("o.bkey"))
-        .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
-        .distinct()
-        .join(newHs.as("nh"), col("nh.doc_id") === col("new_id"))
-        .join(oldHs.as("oh"), col("oh.doc_id") === col("old_id"))
-        .filter(jac >= 0.5)
-        .select(col("new_id").as("doc_id"))
-        .distinct()
-      val batchKeep = newBatch.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-      newBatch
-        .join(batchKeep.select(col("doc_id")), Seq("doc_id"), "left_semi")
-        .join(old.select(col("text")), Seq("text"), "left_anti") // exact vs corpus
-        .join(nearDup, Seq("doc_id"), "left_anti")               // near vs corpus
-        .select(col("doc_id"))
-        .orderBy(col("doc_id"))
+      incrementalDedup(newBatch, old, oldHs, minhashBands(oldHs))
+    },
+
+    // ---- incremental dedup against the STORED band index ---------------
+    // Same semantics and byte-identical output as dedup_incremental,
+    // but the old side's MinHash work is never redone: the batch joins
+    // against the persisted (hs, bands) index built once by
+    // stagedBandIndex. Per-batch compute is O(batch) shingling + two
+    // hash joins whose old side is a parquet SCAN — at 100 TB the
+    // difference between "re-minhash the corpus every batch" and
+    // "read the index" is the whole feasibility of continuous ingest
+    // (SCALE.md measures the octave).
+    sql("dedup_incremental_indexed", incrementalOracle) { (s, d) =>
+      val idx = stagedBandIndex(s, d)
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val old = base.filter(col("doc_id") < 250)
+      val oldHs = s.read.parquet(s"$idx/hs")
+      // partition column `b` comes back as INT from directory names —
+      // same type minhashBands produces, the join key lines up
+      val oldBands = s.read.parquet(s"$idx/bands")
+        .select(col("doc_id"), col("b"), col("bkey"))
+      incrementalDedup(incrementalNewBatch(base, old), old, oldHs, oldBands)
     },
 
     // ---- benchmark decontamination -------------------------------------
