@@ -121,4 +121,80 @@ class StreamingSpec extends SparkSpec {
     assert(typed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(typed).count() == 0)
   }
+
+  test("streaming dedup vs stored band index: dupes drop, novel docs index and dedup the NEXT batch") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DedupStream
+    val root = graft.ops.purgeOnExit(
+      s"/root/repo/target/tmp/spec_dedup_stream_${ProcessHandle.current().pid()}") +
+      s"/${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val (idx, inDir, chk) = (s"$root/idx", s"$root/in", s"$root/chk")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+
+    // seed the index with the first 250 docs
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    DedupStream.seedIndex(spark, base.filter(col("doc_id") < 250), idx)
+    val seeded = spark.read.parquet(s"$idx/texts").count()
+
+    def tokens = split(col("text"), " ")
+    // batch 1: one exact copy of an indexed doc (+30000), one truncated
+    // near-copy of an indexed doc (+40000), an in-batch duplicate pair
+    // (+60000/+60001 share one text), and novel docs 250-299
+    val b1 = base.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+      .unionByName(base.filter(col("doc_id") === 7)
+        .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+      .unionByName(base.filter(col("doc_id") === 11)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          array_join(slice(tokens, lit(1), size(tokens) - 1), " ").as("text")))
+      .unionByName(base.filter(col("doc_id") === 260)
+        .select(lit(60000L).as("doc_id"), concat(col("text"), lit(" zq")).as("text")))
+      .unionByName(base.filter(col("doc_id") === 260)
+        .select(lit(60001L).as("doc_id"), concat(col("text"), lit(" zq")).as("text")))
+    // the file source lists files at inDir's top level — stage each
+    // batch's part-file in as a single flat parquet file
+    def stageIn(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$root/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/$name.parquet"))
+      ()
+    }
+    stageIn(b1, "batch1")
+    val admitted1 = DedupStream.runIngest(spark, inDir, idx, chk)
+    // 49 of the 50 new docs (the FIXTURE plants doc 263 as a near-copy
+    // of indexed doc 229 — jaccard 0.96, it must drop) + the min-doc_id
+    // winner of the in-batch pair; the exact and near plants drop
+    assert(admitted1 == 50, s"batch1 admitted $admitted1")
+    val afterB1 = spark.read.parquet(s"$idx/texts")
+    assert(afterB1.count() == seeded + 50)
+    assert(afterB1.filter(col("doc_id").isin(263L, 30007L, 40011L, 60001L)).count() == 0)
+    assert(afterB1.filter(col("doc_id") === 60000L).count() == 1)
+
+    // batch 2: an exact copy (+70000) and a truncated near-copy
+    // (+80000) of the doc admitted in batch 1 — both must now drop
+    // against index entries batch 1 itself appended — plus one novel
+    val b2 = base.filter(col("doc_id") === 260)
+      .select(lit(70000L).as("doc_id"), concat(col("text"), lit(" zq")).as("text"))
+      .unionByName(base.filter(col("doc_id") === 300)
+        .select((col("doc_id") + 80000).as("doc_id"),
+          array_join(slice(tokens, lit(1), size(tokens) - 1), " ").as("text")))
+      .unionByName(base.filter(col("doc_id") === 300))
+    // 300 and its truncation arrive in the SAME batch: near-dup within
+    // a batch is the next run's job (300 gets indexed, +80000 is only
+    // band-checked vs the index) — so feed 300 first, then the copies
+    stageIn(b2.filter(col("doc_id") === 300), "batch2")
+    assert(DedupStream.runIngest(spark, inDir, idx, chk) == 1)
+    stageIn(b2.filter(col("doc_id") =!= 300), "batch3")
+    val admitted3 = DedupStream.runIngest(spark, inDir, idx, chk)
+    assert(admitted3 == 0, s"batch3 admitted $admitted3 (plants not dropped)")
+    val finalTexts = spark.read.parquet(s"$idx/texts")
+    assert(finalTexts.filter(col("doc_id").isin(70000L, 80300L)).count() == 0)
+    assert(finalTexts.filter(col("doc_id") === 300L).count() == 1)
+    // index halves stay consistent: every text row has hs + 4 bands
+    val nDocs = finalTexts.count()
+    assert(spark.read.parquet(s"$idx/hs").count() == nDocs)
+    assert(spark.read.parquet(s"$idx/bands").count() == nDocs * 4)
+  }
 }
