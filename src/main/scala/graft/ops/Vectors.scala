@@ -70,6 +70,24 @@ object Vectors {
   private def dot(a: Column, b: Column): Column =
     graft.functions.DotProduct.dotp(a, b)
 
+  /** Cache a frame both sides of an ANN join read — UNLESS
+    * `spark.graft.ann.cache=false`. At local bench scale the cache
+    * stops the two join branches racing to double-compute the
+    * bucketing; at 100 TB caching the full bucketed corpus is a
+    * no-op-or-OOM choice, so the SAME plan must be correct uncached —
+    * what it then recomputes per branch is only the map-side bucket
+    * projection (8 codegen'd hyperplane dot products per row) and the
+    * norm, never a shuffle. VectorOpsSpec asserts cached and uncached
+    * runs are identical; the flag is the knob a 100 TB deployment
+    * flips.
+    */
+  private[graft] def maybeCache(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("spark.graft.ann.cache", "true").toBoolean) {
+      val c = df.cache()
+      c.count() // eager fill: lazy caching would let both branches race
+      c
+    } else df
+
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** LSH bucket id of an embedding column: sign bit per plane, packed.
@@ -163,8 +181,7 @@ object Vectors {
     * the corpus.
     */
   private[graft] def searchStreamedIndex(b0: DataFrame): DataFrame = {
-    val b = b0.cache() // feeds probe explode + candidate side
-    b.count() // eager cache fill
+    val b = maybeCache(b0) // feeds probe explode + candidate side
     val probeArr = array(probeMasks.map(m => col("bkt").bitwiseXOR(lit(m))): _*)
     val q = b.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
@@ -247,11 +264,9 @@ object Vectors {
          |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
          |      FROM p) t
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
-      val b = emb(s, d)
+      val b = maybeCache(emb(s, d)
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
-          bucket(col("embedding")).as("bkt"))
-        .cache() // bucketing (8×64 fused multiply-adds/row) feeds both join sides
-      b.count() // eager cache fill: both join branches would otherwise race
+          bucket(col("embedding")).as("bkt")))
       val q = b.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
           col("nrm").as("qn"), col("bkt"))
@@ -294,11 +309,9 @@ object Vectors {
          |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
          |      FROM p) t
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
-      val b = emb(s, d)
+      val b = maybeCache(emb(s, d)
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
-          bucket(col("embedding")).as("bkt"))
-        .cache() // feeds both the probe explode and the candidate side
-      b.count() // eager cache fill
+          bucket(col("embedding")).as("bkt")))
       val probeArr = array(probeMasks.map(m => col("bkt").bitwiseXOR(lit(m))): _*)
       val q = b.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
@@ -389,14 +402,13 @@ object Vectors {
         lit(2) * dot(col("embedding"), col("ce")) + dot(col("ce"), col("ce"))
       val wAsg = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-      val asg = e.join(broadcast(cent))
+      val asg = maybeCache(e.join(broadcast(cent))
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
           col("cid"), d2.as("d2"))
         .withColumn("rn", row_number().over(wAsg))
         .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
-        .cache() // both sides of the cell join read the assignment
-      asg.count() // eager cache fill
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell")))
+      // ^ both sides of the cell join read the assignment
       val q = asg.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
           col("nrm").as("qn"), col("cell"))

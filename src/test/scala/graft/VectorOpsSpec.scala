@@ -179,4 +179,18 @@ class VectorOpsSpec extends SparkSpec {
     assert(viaSpec.exceptAll(viaKey).count() == 0)
     assert(viaKey.exceptAll(viaSpec).count() == 0)
   }
+
+  test("ANN keys are cache-independent: spark.graft.ann.cache=false gives identical output") {
+    // at 100 TB caching the bucketed corpus is a no-op-or-OOM choice;
+    // the plan must be correct uncached (it then recomputes only the
+    // map-side bucket projection per join branch — see Vectors.maybeCache)
+    val uncached = spark.newSession()
+    uncached.conf.set("spark.graft.ann.cache", "false")
+    for (key <- Seq("sim_ann_lsh", "sim_ann_multiprobe", "sim_ivf", "stream_embed_index")) {
+      val warm = SparkEntry.queries(key)(spark, sfDir)
+      val cold = SparkEntry.queries(key)(uncached, sfDir)
+      assert(cold.exceptAll(warm).count() == 0, s"$key uncached ⊄ cached")
+      assert(warm.exceptAll(cold).count() == 0, s"$key cached ⊄ uncached")
+    }
+  }
 }
