@@ -229,8 +229,25 @@ private[graft] object SqlVerbs {
   }
 
   // ---- INSERT INTO t [(cols)] SELECT …|VALUES … ------------------------
+  //      (+ … ON CONFLICT (keys) DO NOTHING | DO UPDATE SET …)
 
   private val InsertRe = "(?is)^INSERT\\s+INTO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+(.*)$".r
+
+  /** Index of a top-level `ON` immediately followed by the word
+    * `CONFLICT`, or -1. A plain `JOIN … ON cond` in the source query
+    * never matches (its next word is a condition, not CONFLICT).
+    */
+  private def findOnConflict(s: String): Int = {
+    var i = findKeyword(s, "ON")
+    while (i >= 0) {
+      var j = i + 2
+      while (j < s.length && s.charAt(j).isWhitespace) j += 1
+      if (j > i + 2 && s.regionMatches(true, j, "CONFLICT", 0, 8) &&
+        (j + 8 == s.length || !isIdentChar(s.charAt(j + 8)))) return i
+      i = findKeyword(s, "ON", i + 2)
+    }
+    -1
+  }
 
   private def insert(e: Engine, sqlText: String): Option[Unit] = sqlText match {
     // claim ONLY catalog-resident targets. The reference hands INSERT
@@ -249,6 +266,10 @@ private[graft] object SqlVerbs {
           rest = rest.substring(close + 1).trim
           Some(names)
         } else None
+      val conflictPos = findOnConflict(rest)
+      if (conflictPos >= 0)
+        return upsert(e, sqlText, table, colList,
+          rest.substring(0, conflictPos).trim, rest.substring(conflictPos))
       // SELECT / WITH / VALUES are all valid standalone Spark queries
       val src = e.spark.sql(rest)
       val target = e.catalog.get(table).schema
@@ -267,6 +288,117 @@ private[graft] object SqlVerbs {
       e.catalog.put(table, named.select(aligned.toIndexedSeq: _*))
       Some(())
     case _ => None // absent target / INSERT OVERWRITE / qualified name
+  }
+
+  // ---- INSERT … ON CONFLICT (keys) DO NOTHING | DO UPDATE SET … --------
+
+  private val ConflictNothingRe =
+    "(?is)^ON\\s+CONFLICT\\s*\\(([^)]*)\\)\\s+DO\\s+NOTHING\\s*$".r
+  private val ConflictUpdateRe =
+    "(?is)^ON\\s+CONFLICT\\s*\\(([^)]*)\\)\\s+DO\\s+UPDATE\\s+SET\\s+(.+)$".r
+
+  /** `a = e1, b = e2` split on top-level commas/equals →
+    * (lowercased column, expression TEXT); duplicates error (DuckDB
+    * binder parity — silently keeping the last would be corruption).
+    */
+  private def parseAssignments(setPart: String, sqlText: String): Seq[(String, String)] = {
+    val list = splitTopLevel(setPart, ',').map { a =>
+      val tl = topLevel(a)
+      val eq = (0 until a.length).find(i => tl(i) && a.charAt(i) == '=')
+        .getOrElse(fail(sqlText, "SET assignment"))
+      a.substring(0, eq).trim.toLowerCase -> a.substring(eq + 1)
+    }
+    list.groupBy(_._1).collectFirst { case (c, as) if as.size > 1 =>
+      throw new IllegalArgumentException(
+        s"Duplicate assignment to column '$c' in: $sqlText")
+    }
+    list
+  }
+
+  /** Upsert — DuckDB's `INSERT … ON CONFLICT` (the reference routes any
+    * DuckDB SQL, `flight_server.py:320-331`), rewritten functionally:
+    * conflicting target rows get the DO UPDATE projection (SET
+    * expressions see the EXISTING row unqualified and the incoming row
+    * as `excluded.<col>`, exactly DuckDB's scoping), non-conflicting
+    * source rows append, everything else passes through — one catalog
+    * swap under the mutator lock. Graft has no constraint registry, so
+    * the ON CONFLICT column list IS the match key (DuckDB additionally
+    * requires it to name a UNIQUE/PK constraint). Source rows that
+    * collide on the key error for DO UPDATE (DuckDB: "can not update
+    * the same row twice") and dedupe for DO NOTHING (DuckDB keeps the
+    * first in insertion order; which row wins is engine-internal).
+    */
+  private def upsert(e: Engine, sqlText: String, table: String,
+      colList: Option[Seq[String]], srcSql: String,
+      conflictTail: String): Option[Unit] = {
+    val (keysCsv, setPart) = conflictTail match {
+      case ConflictNothingRe(k)   => (k, None)
+      case ConflictUpdateRe(k, s) => (k, Some(s))
+      case _                      => fail(sqlText, "ON CONFLICT clause")
+    }
+    val keys = keysCsv.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    if (keys.isEmpty) fail(sqlText, "ON CONFLICT column list")
+    val src = e.spark.sql(srcSql)
+    e.catalog.replaceWith(table) { df =>
+      val fields = df.schema.fields
+      val known = fields.map(_.name.toLowerCase)
+      def field(name: String) = fields.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(unknownColumn(table, name, fields.map(_.name).toIndexedSeq))
+      colList.foreach(_.find(c => !known.contains(c.toLowerCase))
+        .foreach(unknownColumn(table, _, fields.map(_.name).toIndexedSeq)))
+      val keyNames = keys.map(field(_).name)
+      val order = colList.getOrElse(fields.map(_.name).toIndexedSeq)
+      require(src.columns.length == order.length,
+        s"INSERT expects ${order.length} columns, query produced ${src.columns.length}")
+      // every conflict key must be among the inserted columns — an
+      // unlisted key would make every source row "new" with a NULL key
+      keyNames.find(k => !order.exists(_.equalsIgnoreCase(k)))
+        .foreach(k => throw new IllegalArgumentException(
+          s"ON CONFLICT key '$k' is not among the inserted columns: $sqlText"))
+      val named = src.toDF(order: _*)
+      val srcAligned = named.select(fields.map { f =>
+        if (order.exists(_.equalsIgnoreCase(f.name)))
+          col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
+      setPart match {
+        case None =>
+          val fresh = srcAligned.dropDuplicates(keyNames)
+            .join(df.select(keyNames.map(col): _*), keyNames, "left_anti")
+          df.unionByName(fresh)
+        case Some(sp) =>
+          val assigns = parseAssignments(sp, sqlText)
+          assigns.map(_._1).find(!known.contains(_))
+            .foreach(unknownColumn(table, _, fields.map(_.name).toIndexedSeq))
+          // two source rows hitting one target row is a DuckDB error,
+          // not a nondeterministic last-writer-wins
+          if (srcAligned.groupBy(keyNames.map(col): _*).count()
+              .filter(col("count") > 1).limit(1).count() > 0)
+            throw new IllegalArgumentException(
+              s"ON CONFLICT DO UPDATE source contains duplicate conflict-key rows " +
+                s"(DuckDB: can not update the same row twice): $sqlText")
+          // incoming row exposed as __excluded_<col>; SET text rewrites
+          // `excluded.<col>` to that name (quote-aware, case-insensitive)
+          val exc = srcAligned
+            .select(fields.map(f => col(f.name).as(s"__excluded_${f.name}")).toIndexedSeq: _*)
+            .withColumn("__graft_matched", lit(true))
+          val cond = keyNames.map(k => col(k) === col(s"__excluded_$k")).reduce(_ && _)
+          val matched = coalesce(col("__graft_matched"), lit(false))
+          val proj = fields.map { f =>
+            assigns.collectFirst { case (c, text) if c == f.name.toLowerCase =>
+              val rewritten = fields.foldLeft(text)((t, g) =>
+                replaceIdent(t, s"excluded.${g.name}", s"__excluded_${g.name}"))
+              when(matched, expr(rewritten)).otherwise(col(f.name))
+                .cast(f.dataType).as(f.name)
+            }.getOrElse(col(f.name))
+          }
+          val updated = df.join(exc, cond, "left").select(proj.toIndexedSeq: _*)
+          val newRows = srcAligned
+            .join(df.select(keyNames.map(col): _*), keyNames, "left_anti")
+          updated.unionByName(newRows)
+      }
+    }
+    Some(())
   }
 
   // ---- ALTER TABLE t ADD|DROP|RENAME COLUMN … / RENAME TO … -------------

@@ -297,6 +297,36 @@ object EngineOps {
       e.query("SELECT * FROM vi ORDER BY n_nationkey, n_name")
     },
 
+    // Upsert routed through Engine.query (SqlVerbs.upsert). The oracle
+    // executes the SAME INSERT … ON CONFLICT statement in DuckDB —
+    // there the conflict target must name a PRIMARY KEY, so the temp
+    // table is declared with one; graft takes the ON CONFLICT column
+    // list as the match key (no constraint registry). Exercises both
+    // scopings in SET: unqualified = existing row, excluded.<col> =
+    // incoming row, plus arithmetic over excluded.
+    sql("verb_upsert",
+      """CREATE OR REPLACE TEMP TABLE graft_vup (
+        |  n_nationkey BIGINT PRIMARY KEY, n_name VARCHAR, n_regionkey BIGINT);
+        |INSERT INTO graft_vup SELECT n_nationkey, n_name, n_regionkey FROM nation;
+        |INSERT INTO graft_vup
+        |  SELECT n_nationkey + 20, 'new_' || n_name, n_regionkey
+        |  FROM nation WHERE n_regionkey < 2
+        |  ON CONFLICT (n_nationkey) DO UPDATE SET
+        |    n_name = n_name || '+' || excluded.n_name,
+        |    n_regionkey = excluded.n_regionkey + 100;
+        |SELECT * FROM graft_vup ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val e = freshEngine(s)
+      e.put("nation", Tables.nation(e.spark, d))
+      e.put("vup", Tables.nation(e.spark, d)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+      e.query("INSERT INTO vup SELECT n_nationkey + 20, 'new_' || n_name, n_regionkey " +
+        "FROM nation WHERE n_regionkey < 2 " +
+        "ON CONFLICT (n_nationkey) DO UPDATE SET " +
+        "n_name = n_name || '+' || excluded.n_name, " +
+        "n_regionkey = excluded.n_regionkey + 100")
+      e.query("SELECT * FROM vup ORDER BY n_nationkey")
+    },
+
     // ALTER routed through Engine.query (the reference accepts ALTER by
     // prefix and DuckDB executes it, `flight_server.py:354-355`; Graft
     // rewrites it as a catalog projection swap — SqlVerbs.alter). The

@@ -544,6 +544,48 @@ class EngineSpec extends SparkSpec {
     } finally gate.close()
   }
 
+  test("upsert: DO UPDATE patches conflicts (excluded scoping), DO NOTHING skips them") {
+    val e = fresh()
+    e.put("u", e.spark.sql("SELECT * FROM VALUES (1L, 'a', 10L), (2L, 'b', 20L) AS t(k, name, v)"))
+    // DO UPDATE: k=2 conflicts (existing row 'b' + incoming 'B2'), k=3 inserts
+    e.query("INSERT INTO u SELECT * FROM VALUES (2L, 'B2', 200L), (3L, 'c', 30L) AS s(k, name, v) " +
+      "ON CONFLICT (k) DO UPDATE SET name = name || '/' || excluded.name, v = excluded.v + 1")
+    val rows = e.get("u").orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "a", 10L), (2L, "b/B2", 201L), (3L, "c", 30L)))
+    // DO NOTHING: conflicting k=1 skipped, k=9 lands, in-source dup key collapses
+    e.query("INSERT INTO u SELECT * FROM VALUES (1L, 'zz', 0L), (9L, 'i', 90L), (9L, 'i', 90L) AS s(k, name, v) " +
+      "ON CONFLICT (k) DO NOTHING")
+    val after = e.get("u").orderBy(col("k")).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after == Seq((1L, "a"), (2L, "b/B2"), (3L, "c"), (9L, "i")))
+  }
+
+  test("upsert parser: quoted 'ON CONFLICT' is data, join ON is not a conflict clause, dup source keys error") {
+    val e = fresh()
+    e.put("u2", e.spark.sql("SELECT * FROM VALUES (1L, 'a') AS t(k, s)"))
+    // the string literal must survive as DATA through the plain-INSERT path
+    e.query("INSERT INTO u2 SELECT 2L, 'ON CONFLICT (k) DO NOTHING'")
+    assert(e.get("u2").filter(col("s").contains("ON CONFLICT")).count() == 1)
+    // a JOIN … ON inside the source does not trigger the upsert parse,
+    // while the trailing ON CONFLICT still does
+    e.put("dim", e.spark.sql("SELECT * FROM VALUES (1L, 'x'), (5L, 'y') AS t(k, tag)"))
+    e.query("INSERT INTO u2 SELECT d.k + 4, d.tag FROM dim d JOIN dim e ON d.k = e.k " +
+      "ON CONFLICT (k) DO NOTHING")
+    assert(e.get("u2").orderBy(col("k")).collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 5L, 9L))
+    // two source rows on one conflict key is an error for DO UPDATE
+    val ex = intercept[IllegalArgumentException] {
+      e.query("INSERT INTO u2 SELECT * FROM VALUES (7L, 'p'), (7L, 'q') AS s(k, v) " +
+        "ON CONFLICT (k) DO UPDATE SET s = excluded.v")
+    }
+    assert(ex.getMessage.contains("duplicate conflict-key"))
+    // unknown conflict key errors instead of silently matching nothing
+    val ex2 = intercept[IllegalArgumentException] {
+      e.query("INSERT INTO u2 SELECT 8L, 'h' ON CONFLICT (nope) DO NOTHING")
+    }
+    assert(ex2.getMessage.contains("nope"))
+  }
+
   test("TcpGate arrow mode: schema + rows round-trip byte-exactly via Arrow IPC") {
     import graft.engine.GateClient
     import org.apache.spark.sql.GraftBridge
