@@ -126,9 +126,12 @@ object ScaleProbe {
     * lets a 100 TB corpus absorb a daily batch without re-deduping
     * itself.
     */
-  private def dedupIncremental(docs: DataFrame): Long = {
-    val oldHs = graft.ops.Text.shingleHashes(docs.filter(col("doc_id") % 2 === 0)).cache()
-    val newHs = graft.ops.Text.shingleHashes(docs.filter(col("doc_id") % 2 =!= 0)).cache()
+  private def dedupIncremental(docs: DataFrame,
+      batchMod: Int = 2, batchRem: Int = 1): Long = {
+    val oldHs = graft.ops.Text.shingleHashes(
+      docs.filter(col("doc_id") % batchMod =!= batchRem)).cache()
+    val newHs = graft.ops.Text.shingleHashes(
+      docs.filter(col("doc_id") % batchMod === batchRem)).cache()
     oldHs.count(); newHs.count()
     val jac = size(array_intersect(col("nh.hs"), col("oh.hs"))).cast("double") /
       size(array_union(col("nh.hs"), col("oh.hs")))
@@ -144,6 +147,160 @@ object ScaleProbe {
       .count()
     oldHs.unpersist(); newHs.unpersist()
     out
+  }
+
+  /** Round-5 twin of [[dedupIncremental]]: the old side's hs/bands are
+    * STORED (parquet, the `Text.stagedBandIndex` layout) in an untimed
+    * build step, and the timed batch dedup only scans them — measures
+    * what the stored index buys over re-minhashing the corpus each
+    * batch (the `dedup_incremental_indexed` key's claim).
+    */
+  private def dedupIncrementalIndexed(docs: DataFrame, dir: String,
+      batchMod: Int = 2, batchRem: Int = 1): Long = {
+    val spark = docs.sparkSession
+    val newHs = graft.ops.Text.shingleHashes(
+      docs.filter(col("doc_id") % batchMod === batchRem)).cache()
+    newHs.count()
+    val jac = size(array_intersect(col("nh.hs"), col("oh.hs"))).cast("double") /
+      size(array_union(col("nh.hs"), col("oh.hs")))
+    val out = graft.ops.Text.minhashBands(newHs).as("n")
+      .join(spark.read.parquet(s"$dir/bands").as("o"),
+        col("n.b") === col("o.b") && col("n.bkey") === col("o.bkey"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .distinct()
+      .join(newHs.as("nh"), col("nh.doc_id") === col("new_id"))
+      .join(spark.read.parquet(s"$dir/hs").as("oh"), col("oh.doc_id") === col("old_id"))
+      .filter(jac >= 0.5)
+      .select(col("new_id")).distinct()
+      .count()
+    newHs.unpersist()
+    out
+  }
+
+  /** Untimed index build for [[dedupIncrementalIndexed]]. */
+  private def buildBandIndex(docs: DataFrame, dir: String,
+      batchMod: Int = 2, batchRem: Int = 1): Unit = {
+    val spark = docs.sparkSession
+    graft.ops.Text.shingleHashes(docs.filter(col("doc_id") % batchMod =!= batchRem))
+      .write.mode("overwrite").parquet(s"$dir/hs")
+    graft.ops.Text.minhashBands(spark.read.parquet(s"$dir/hs"))
+      .write.mode("overwrite").partitionBy("b").parquet(s"$dir/bands")
+  }
+
+  // ---- ANN recall octave -------------------------------------------------
+
+  /** N× embeddings corpus: replica r rotates each vector's components
+    * by r positions — distinct vectors, same uniform-random character
+    * (the adversarial case for LSH), norms preserved.
+    */
+  private def scaledEmb(e: DataFrame, factor: Int): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(factor - 1))).as("r"))
+      .select((col("vec_id") * factor + col("r")).as("vec_id"),
+        expr("""transform(sequence(0, 63),
+               |  i -> embedding[int((i + r) % 64)])""".stripMargin).as("embedding"))
+
+  private def dotp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.functions.DotProduct.dotp(a, b)
+
+  /** Multi-probe ANN top-3 for the 20 fixed queries over a bucketed
+    * corpus, probing every bucket within hamming distance `ham` of the
+    * query's bucket (1 / 9 / 37 probes for ham 0 / 1 / 2) — the
+    * recall↔cost dial quantified. Returns (recall@3 vs brute force,
+    * search seconds, candidate pairs scored).
+    */
+  private def annProbe(b: DataFrame, ham: Int): (Double, Double, Long) = {
+    val masks = (0L until 256L).filter(m => java.lang.Long.bitCount(m) <= ham)
+    val q = b.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"),
+        explode(array(masks.map(m => col("bkt").bitwiseXOR(lit(m))): _*)).as("probe"))
+    val c = b.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+      col("nrm").as("cn"), col("bkt").as("cbkt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    def top3(joined: DataFrame): DataFrame = joined
+      .select(col("q_id"), col("c_id"),
+        (dotp(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("c_id"))
+    val t0 = System.nanoTime()
+    val cand = q.join(c, col("probe") === col("cbkt") && col("c_id") =!= col("q_id"))
+    val scored = cand.count()
+    val ann = top3(cand).collect().toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    val bf = top3(
+      b.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+        .join(c, col("c_id") =!= col("q_id"))).collect().toSet
+    ((ann & bf).size.toDouble / bf.size, secs, scored)
+  }
+
+  // ---- streaming state-store probe --------------------------------------
+
+  /** Watermark-delay vs state-size at N× events: the scaled stream is
+    * replayed time-ordered in 8 micro-batches (maxFilesPerTrigger=1)
+    * through a watermarked per-event dedup — the state the store must
+    * hold is exactly the events inside the watermark horizon, so the
+    * delay IS the state-sizing knob. Returns (max state rows across
+    * batches, wall seconds).
+    */
+  private def stateProbe(parent: SparkSession, staged: String, delay: String): (Long, Double) = {
+    import org.apache.spark.sql.types._
+    val ss = parent.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", LongType)))
+    val t0 = System.nanoTime()
+    val q = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .withColumn("ts", timestamp_micros(col("ts")))
+      .withWatermark("ts", delay)
+      // dropDuplicates(keys) without the event-time column in the key
+      // NEVER evicts (measured: state = full corpus at every delay);
+      // dropDuplicatesWithinWatermark is the API whose state the
+      // watermark actually bounds — the delay is the sizing knob
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .format("noop")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val maxState = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    (maxState, secs)
+  }
+
+  /** Stage `e` as 8 time-ordered parquet files (micro-batch replay
+    * order = event-time order, so the watermark advances monotonically).
+    */
+  private def stageTimeOrdered(e: DataFrame, dir: String): Unit = {
+    val ranked = e.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts"))
+      .withColumn("part", ntile(8).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"))))
+      .cache()
+    ranked.count()
+    for (p <- 1 to 8) {
+      val tmp = s"$dir-tmp"
+      ranked.filter(col("part") === p).drop("part")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/batch$p.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    ranked.unpersist()
+    ()
   }
 
   /** Each replica deterministically shuffles the base doc's tokens
@@ -162,8 +319,13 @@ object ScaleProbe {
                |    s -> s.v), ' ')""".stripMargin).as("text"))
 
   def main(args: Array[String]): Unit = {
-    val maxFactor = args.headOption.map(_.toInt).getOrElse(8)
-    val docsFactor = args.lift(1).map(_.toInt).getOrElse(maxFactor)
+    // modes: all (default) | events | dedup | indexed | ann | state —
+    // first non-numeric arg selects; numeric args keep their meaning
+    val modes = args.filterNot(_.forall(c => c.isDigit)).toSet
+    def on(m: String) = modes.isEmpty || modes.contains(m)
+    val nums = args.filter(_.forall(c => c.isDigit))
+    val maxFactor = nums.headOption.map(_.toInt).getOrElse(8)
+    val docsFactor = nums.lift(1).map(_.toInt).getOrElse(maxFactor)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -173,9 +335,63 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val tmpRoot = graft.ops.purgeOnExit(
+      s"/root/repo/target/tmp/scaleprobe_${ProcessHandle.current().pid()}")
+
+    if (on("ann")) {
+      val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      for (factor <- Seq(1, 64)) {
+        val ec = scaledEmb(embBase, factor).repartition(cpus.toInt)
+          .select(col("vec_id"), col("embedding"),
+            sqrt(dotp(col("embedding"), col("embedding"))).as("nrm"),
+            graft.ops.Vectors.bucket(col("embedding")).as("bkt"))
+          .cache()
+        val nVec = ec.count()
+        for (ham <- Seq(0, 1, 2)) {
+          val (recall, secs, scored) = annProbe(ec, ham)
+          val probes = (0 until 256).count(m => Integer.bitCount(m) <= ham)
+          println(f"""{"shape":"ann_multiprobe","factor":$factor,"rows":$nVec,"probes":$probes,"recall_at_3":$recall%.3f,"cand_pairs":$scored,"secs":$secs%.2f}""")
+        }
+        ec.unpersist()
+      }
+    }
+
+    if (on("state")) {
+      val base = Tables.events(spark, sfDir).select("user_id", "event_id", "ts")
+      for (factor <- Seq(1, maxFactor)) {
+        val staged = s"$tmpRoot/state_events_$factor"
+        val e = scaled(base, factor)
+        stageTimeOrdered(e, staged)
+        val rows = spark.read.parquet(staged).count()
+        for (delay <- Seq("1 hour", "30 days", "3650 days")) {
+          val (stateRows, secs) = stateProbe(spark, staged, delay)
+          println(f"""{"shape":"stream_state","factor":$factor,"rows":$rows,"delay":"$delay","state_rows_max":$stateRows,"secs":$secs%.2f}""")
+        }
+      }
+    }
+
+    if (on("indexed")) {
+      val docsBase = Tables.documents(spark, sfDir).select("doc_id", "text")
+      for (factor <- Seq(1, docsFactor)) {
+        val dc = scaledDocs(docsBase, factor).repartition(cpus.toInt).cache()
+        val nDocs = dc.count()
+        val dir = s"$tmpRoot/bandidx_$factor"
+        // the production shape: the arriving batch is 1/16 of the
+        // corpus; recompute pays the other 15/16's minhash every run,
+        // the indexed variant only scans it
+        buildBandIndex(dc, dir, 16, 0) // untimed — the once-per-corpus cost
+        val t0 = System.nanoTime()
+        val dups = dedupIncrementalIndexed(dc, dir, 16, 0)
+        println(f"""{"shape":"dedup_incremental_indexed","factor":$factor,"rows":$nDocs,"out_rows":$dups,"secs":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+        val t1 = System.nanoTime()
+        val dups2 = dedupIncremental(dc, 16, 0)
+        println(f"""{"shape":"dedup_incremental_recompute","factor":$factor,"rows":$nDocs,"out_rows":$dups2,"secs":${(System.nanoTime() - t1) / 1e9}%.2f}""")
+        dc.unpersist()
+      }
+    }
 
     val docsBase = Tables.documents(spark, sfDir).select("doc_id", "text")
-    for (factor <- Seq(1, docsFactor)) {
+    if (on("dedup")) for (factor <- Seq(1, docsFactor)) {
       val dc = scaledDocs(docsBase, factor).repartition(cpus.toInt).cache()
       val nDocs = dc.count()
       val t0 = System.nanoTime()
@@ -188,7 +404,7 @@ object ScaleProbe {
     }
 
     val base = Tables.events(spark, sfDir).select("user_id", "event_id", "ts")
-    for (factor <- Seq(1, maxFactor)) {
+    if (on("events")) for (factor <- Seq(1, maxFactor)) {
       val e = scaled(base, factor)
         .repartition(cpus.toInt).cache()
       val rows = e.count() // materialize outside the timings
