@@ -102,6 +102,15 @@ object EventStream {
     * the corpus. Which physical row wins is arrival-order-dependent,
     * so the surfaced result is the (deterministic) deduplicated key
     * set.
+    *
+    * State-sizing caveat (measured, SCALE.md round 5): with the
+    * event-time column absent from the dedup key, `dropDuplicates`
+    * state NEVER evicts regardless of watermark — full-corpus state at
+    * every delay. A production pipeline whose key set grows unboundedly
+    * should use `dropDuplicatesWithinWatermark(keys…)` instead, whose
+    * state the watermark delay actually bounds (state ≈ arrival_rate ×
+    * delay); here the key space is the bounded user set, so the
+    * exact-`dropDuplicates` semantics are the point.
     */
   def runDedup(parent: SparkSession, sfDir: String): DataFrame = {
     val spark = streamSession(parent)
