@@ -14,7 +14,8 @@ object SparkEntry {
   def all: Seq[QueryDef] = {
     val defs =
       Relational.defs ++ EngineOps.defs ++ ops.Text.defs ++ ops.Vectors.defs ++
-        ops.Multimodal.defs ++ ops.StreamingOps.defs ++ ops.Bucketing.defs
+        ops.Multimodal.defs ++ ops.StreamingOps.defs ++ ops.Bucketing.defs ++
+        ops.Pipeline.defs
     // a duplicate name would silently drop an operator from the Maps
     // below — one key stops being verified while KEYS.md still lists it
     val dupes = defs.groupBy(_.name).filter(_._2.size > 1).keys

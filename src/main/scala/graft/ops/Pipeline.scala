@@ -1,0 +1,477 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data pipeline operators beyond the per-document dedup /
+  * scoring family in [[Text]]: the corpus-level preparation steps a
+  * 100 TB pretraining pipeline runs between "deduped documents" and
+  * "token stream on disk" —
+  *
+  *  - duplicate-CLUSTER resolution (`dedup_components`): MinHash pairs
+  *    only say "a ~ b"; picking one canonical doc per transitive
+  *    duplicate group needs connected components. Implemented as
+  *    iterative min-label propagation over the (bounded, LSH-banded)
+  *    edge list — the standard large-graph CC shape: per iteration one
+  *    join + one min-aggregate, edge list checkpointed once, loop ends
+  *    on a converged-count action (O(diameter) iterations, diameter of
+  *    duplicate clusters is tiny in practice).
+  *  - sequence packing (`pack_sequences`): assign docs to fixed
+  *    token-budget training sequences by running offset — one window
+  *    over (source, doc order), no shuffle beyond the window's.
+  *  - context chunking (`doc_chunk`): overlapping fixed-size windows
+  *    per doc via a bounded sequence expand — map-side only.
+  *  - temperature mixing (`corpus_mix`): per-source keep rates
+  *    ∝ tokens^α (α = ½), then deterministic seeded-hash selection.
+  *    All arithmetic stays in exact integers until one final
+  *    correctly-rounded division, so the DuckDB oracle is bit-equal.
+  *  - rarity scoring (`doc_rarity`): corpus-frequency-based quality
+  *    signal (rare-token density ≈ gibberish detector) with integer
+  *    per-token contributions — order-free sums, no float divergence.
+  *  - domain filtering (`domain_filter`): regex domain extraction,
+  *    blocklist anti-join, per-domain cap — the Common-Crawl-style
+  *    source hygiene step.
+  *  - line-level boilerplate dedup (`dedup_lines`): C4/RefinedWeb-style
+  *    removal of lines shared by many documents, via a line-hash
+  *    document-frequency aggregate + per-doc array filter.
+  *
+  * Same ground rules as [[Text]]: md5-derived hashes only (oracle
+  * replicates them bit-for-bit), no `collect()`, candidate generation
+  * always hash-bucketed, planted evidence so every key provably
+  * recovers a known artifact rather than passing vacuously.
+  */
+object Pipeline {
+
+  import QueryDef.sql
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    graft.ops.spread(Tables.documents(s, d))
+
+  private def tokens: Column = split(col("text"), " ")
+
+  // DuckDB fragments shared with Text's oracles.
+  private object D {
+    def h32(x: String): String =
+      s"('0x' || substr(md5($x), 1, 8))::BIGINT"
+    def h32s(seed: String, x: String): String =
+      s"('0x' || substr(md5($seed || ':' || $x), 1, 8))::BIGINT"
+    val toks = "string_split(text, ' ')"
+  }
+
+  // ---- dedup_components: shared corpus + edge construction -------------
+
+  /** Corrupted corpus for cluster resolution: every doc also arrives
+    * as an exact copy (+10000) and a truncated near-copy (+20000), so
+    * the expected components are exactly {id, id+10000, id+20000}.
+    */
+  private def componentCorpus(base: DataFrame): DataFrame = {
+    val b = base.select(col("doc_id"), col("text"))
+    b.unionByName(b.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionByName(base.select((col("doc_id") + 20000).as("doc_id"),
+        array_join(slice(tokens, lit(1), size(tokens) - 1), " ").as("text")))
+  }
+
+  private val componentsOracle: String = {
+    val mixes = Text.minhashMix.map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % ${Text.minhashP}))"
+    }.mkString("[", ",\n   ", "]")
+    val shingles =
+      s"list_distinct(list_transform(range(1, len(${D.toks}) - 1), " +
+        s"i -> array_to_string((${D.toks})[i:i+2], ' ')))"
+    val hsExpr = s"list_distinct(list_transform($shingles, x -> ${D.h32("x")}))"
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 10000, text FROM documents
+       |  UNION ALL SELECT doc_id + 20000,
+       |         array_to_string((${D.toks})[1:len(${D.toks})-1], ' ')
+       |  FROM documents),
+       |hs AS (SELECT doc_id, $hsExpr AS hs FROM corpus),
+       |bands AS (
+       |  SELECT s.doc_id, b,
+       |         sig[3*b+1]::VARCHAR || ',' || sig[3*b+2]::VARCHAR || ',' || sig[3*b+3]::VARCHAR AS bkey
+       |  FROM (SELECT doc_id, $mixes AS sig FROM hs) s, range(0, 4) t(b)),
+       |near_pairs AS (
+       |  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |near_edges AS (
+       |  SELECT x, y FROM near_pairs p
+       |  JOIN hs ha ON ha.doc_id = p.x
+       |  JOIN hs hb ON hb.doc_id = p.y
+       |  WHERE len(list_intersect(ha.hs, hb.hs))::DOUBLE
+       |        / len(list_distinct(list_concat(ha.hs, hb.hs))) >= 0.5),
+       |exact_edges AS (
+       |  SELECT c.doc_id AS x, r.rep AS y
+       |  FROM corpus c
+       |  JOIN (SELECT text, min(doc_id) AS rep FROM corpus GROUP BY text) r
+       |    ON c.text = r.text
+       |  WHERE c.doc_id <> r.rep),
+       |edges AS (
+       |  SELECT x AS src, y AS dst FROM near_edges
+       |  UNION SELECT y, x FROM near_edges
+       |  UNION SELECT x, y FROM exact_edges
+       |  UNION SELECT y, x FROM exact_edges),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM corpus
+       |  UNION
+       |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT c.id AS doc_id, c.comp, n.comp_size
+       |FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id) c
+       |JOIN (SELECT comp, count(*) AS comp_size
+       |      FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id) g
+       |      GROUP BY comp) n ON c.comp = n.comp
+       |ORDER BY c.id""".stripMargin
+  }
+
+  // ---- corpus_mix literals ---------------------------------------------
+
+  /** Target sample size (docs) for temperature mixing. */
+  private val MixTarget = 200L
+
+  // ---- domain_filter literals ------------------------------------------
+
+  /** Blocked domains — literal on both sides (the VALUES-dim pattern). */
+  private val BlockedDomains = Seq(
+    "src0-1.example.com", "src3-2.example.com", "src7-5.example.com")
+
+  /** Max docs retained per domain (rank by doc_id). */
+  private val DomainCap = 2
+
+  // ---- dedup_lines literals --------------------------------------------
+
+  /** 10-token boilerplate line planted at the head of every doc from
+    * sources src0..src4 (125 docs → document frequency far above any
+    * organic line's).
+    */
+  private val Boilerplate =
+    "click here to subscribe to our newsletter for free updates now"
+  private val BoilerplateSources = Seq("src0", "src1", "src2", "src3", "src4")
+  /** A line is boilerplate when it appears in ≥ this many documents. */
+  private val LineDfThreshold = 50
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- duplicate-cluster connected components ------------------------
+    // Edges: (a) exact duplicates as a STAR to the text-group min —
+    // |group|−1 edges, never the quadratic clique; (b) near-duplicates
+    // from the LSH band self-join, Jaccard-verified — bounded by band
+    // buckets. Components by min-label propagation: labels start as own
+    // id; each round v takes min(label(v), min of neighbours' labels);
+    // stop when a round changes nothing. The edge list is localCheckpoint-ed
+    // once (it is ≪ corpus — only docs with a duplicate appear), so the
+    // 2–3 rounds re-join a small materialized table, not the MinHash
+    // lineage. At 100 TB this is exactly large-star/small-star CC: edge
+    // count bounded by LSH collisions, per-round cost one shuffle join.
+    sql("dedup_components", componentsOracle) { (s, d) =>
+      val corpus = componentCorpus(docs(s, d))
+      val hs = Text.shingleHashes(corpus).cache()
+      val bands = Text.minhashBands(hs)
+      val nearPairs = bands.as("a")
+        .join(bands.as("b"),
+          col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+        .distinct()
+      val jac = size(array_intersect(col("ha.hs"), col("hb.hs"))).cast("double") /
+        size(array_union(col("ha.hs"), col("hb.hs")))
+      val nearEdges = nearPairs
+        .join(hs.as("ha"), col("ha.doc_id") === col("x"))
+        .join(hs.as("hb"), col("hb.doc_id") === col("y"))
+        .filter(jac >= 0.5)
+        .select(col("x"), col("y"))
+      val reps = corpus.groupBy(col("text")).agg(min(col("doc_id")).as("rep"))
+      val exactEdges = corpus.join(reps, Seq("text"))
+        .filter(col("doc_id") =!= col("rep"))
+        .select(col("doc_id").as("x"), col("rep").as("y"))
+      val half = nearEdges.unionByName(exactEdges)
+      // symmetrized + materialized once; every iteration reads this
+      // small table instead of re-running shingling/banding
+      val edges = half
+        .unionByName(half.select(col("y").as("x"), col("x").as("y")))
+        .distinct()
+        .withColumnRenamed("x", "src").withColumnRenamed("y", "dst")
+        .localCheckpoint(true)
+      hs.unpersist()
+
+      var labels = corpus.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val nbrMin = edges.join(labels, edges("src") === labels("id"))
+          .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+        val next = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+          .select(col("id"), col("lbl").as("old"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint(true)
+        changed = next.filter(col("lbl") =!= col("old")).count()
+        labels = next.select(col("id"), col("lbl"))
+        iter += 1
+      }
+      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comp_size"))
+      labels.join(sizes, Seq("lbl"))
+        .select(col("id").as("doc_id"), col("lbl").as("comp"), col("comp_size"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- token-budget sequence packing ---------------------------------
+    // Streaming next-fit packing: docs ordered (source, doc_id), each
+    // doc's pack is its starting token offset ÷ 256. One window per
+    // source partition — the only shuffle — then a groupBy on
+    // (source, pack). A doc whose span crosses a 256 boundary starts a
+    // later pack; budget overflow is bounded by one doc (standard for
+    // streaming packers). Deterministic, integer-only.
+    sql("pack_sequences",
+      """WITH sized AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT source, doc_id, n_tokens,
+        |         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               - n_tokens) / 256.0) AS BIGINT) AS pack_id
+        |  FROM sized)
+        |SELECT source, pack_id, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM packed GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .select(col("source"), col("doc_id"), size(tokens).cast("bigint").as("n_tokens"))
+        .withColumn("pack_id",
+          floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / 256.0).cast("bigint"))
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("pack_id"))
+    },
+
+    // ---- overlapping context-window chunking ---------------------------
+    // 32-token chunks, stride 24 (8-token overlap) — the RAG/context
+    // splitting shape. The expand is a bounded per-row sequence (≤ 5
+    // chunks at the fixture's 100-token cap), so the whole operator is
+    // map-side: no shuffle, no explode amplification beyond the chunk
+    // count itself. The oracle cross-joins a literal stride table and
+    // filters — same rows, engine-idiomatic on each side.
+    sql("doc_chunk",
+      s"""SELECT d.doc_id,
+         |  CAST((t.g) AS BIGINT) AS chunk_id,
+         |  1 + 24 * t.g AS start,
+         |  least(32, len(${D.toks}) - (1 + 24 * t.g) + 1) AS chunk_len,
+         |  ${D.h32(s"array_to_string((${D.toks})[1 + 24*t.g : 1 + 24*t.g + 31], ' ')")} AS chunk_hash
+         |FROM documents d, range(0, 5) t(g)
+         |WHERE 1 + 24 * t.g <= greatest(len(${D.toks}) - 31, 1)
+         |ORDER BY d.doc_id, chunk_id""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), tokens.as("tk"))
+        .select(col("doc_id"), col("tk"),
+          posexplode(sequence(lit(1), greatest(size(col("tk")) - 31, lit(1)), lit(24))))
+        .select(col("doc_id"),
+          col("pos").cast("bigint").as("chunk_id"),
+          col("col").cast("bigint").as("start"),
+          least(lit(32), size(col("tk")) - col("col") + 1).cast("bigint").as("chunk_len"),
+          h32(array_join(slice(col("tk"), col("col"), lit(32)), " ")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // ---- temperature-weighted corpus mixing ----------------------------
+    // Per-source keep rate ∝ tokens^0.5 (temperature resampling à la
+    // multilingual pretraining): upweights small sources, downweights
+    // large ones. Arithmetic is exact-integer end-to-end — sqrt is
+    // IEEE-correctly-rounded (identical in both engines), quantized to
+    // integer milli-units immediately; the only other float op is one
+    // final correctly-rounded division — so the oracle hash-matches
+    // without any epsilon. Selection is the seeded-hash Bernoulli the
+    // stratified sampler already proves. Two tiny aggregates + one
+    // broadcast join against the doc stream: scale-safe.
+    sql("corpus_mix",
+      s"""WITH per_src AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(len(${D.toks})) AS BIGINT) AS src_tokens,
+         |         CAST(floor(sqrt(CAST(sum(len(${D.toks})) AS BIGINT)) * 1000 + 0.5) AS BIGINT) AS w_milli
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT sum(w_milli) AS w_total FROM per_src),
+         |rates AS (
+         |  SELECT source, n_docs, src_tokens,
+         |         least(1000000, CAST(floor(1000000.0 * $MixTarget * w_milli
+         |               / (w_total * n_docs) + 0.5) AS BIGINT)) AS rate_micro
+         |  FROM per_src, tot),
+         |picked AS (
+         |  SELECT d.source, count(*) AS n_sampled
+         |  FROM documents d JOIN rates r ON d.source = r.source
+         |  WHERE ${D.h32s("'mix'", "CAST(d.doc_id AS VARCHAR)")} % 1000000 < r.rate_micro
+         |  GROUP BY d.source)
+         |SELECT r.source, r.n_docs, r.src_tokens, r.rate_micro,
+         |       coalesce(p.n_sampled, 0) AS n_sampled
+         |FROM rates r LEFT JOIN picked p ON r.source = p.source
+         |ORDER BY r.source""".stripMargin) { (s, d) =>
+      val perSrc = docs(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(size(tokens)).cast("bigint").as("src_tokens"))
+        .withColumn("w_milli", floor(sqrt(col("src_tokens")) * 1000 + 0.5).cast("bigint"))
+      val tot = perSrc.agg(sum(col("w_milli")).as("w_total"))
+      val rates = perSrc.crossJoin(broadcast(tot))
+        .withColumn("rate_micro",
+          least(lit(1000000L),
+            floor(lit(1000000.0) * MixTarget * col("w_milli") /
+              (col("w_total") * col("n_docs")) + 0.5).cast("bigint")))
+        .select(col("source"), col("n_docs"), col("src_tokens"), col("rate_micro"))
+      val picked = docs(s, d)
+        .join(broadcast(rates.select(col("source"), col("rate_micro"))), Seq("source"))
+        .filter(h32Seeded(lit("mix"), col("doc_id")) % 1000000 < col("rate_micro"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+      rates.join(picked, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("src_tokens"), col("rate_micro"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy(col("source"))
+    },
+
+    // ---- corpus-frequency rarity scoring -------------------------------
+    // Quality signal: mean token rarity (corpus_total / token_count,
+    // capped, in integer milli-units) + rare-token count per doc. A doc
+    // whose tokens are mostly corpus-rare is likely gibberish/noise —
+    // the unigram cousin of a perplexity filter, chosen over log-prob
+    // because ln() is not correctly-rounded (cross-engine divergence)
+    // while capped integer rarity is bit-portable. Plan shape: one
+    // vocabulary aggregate, one broadcast scalar, one shuffle join on
+    // token, one integer re-aggregate per doc — all safe at vocab ≫
+    // memory since the token join is a plain shuffle join.
+    sql("doc_rarity",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${D.toks}) AS t FROM documents),
+         |vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+         |tot AS (SELECT count(*) AS total FROM tok),
+         |scored AS (
+         |  SELECT tok.doc_id,
+         |         least(CAST(floor(1000.0 * tot.total / vocab.c) AS BIGINT), 100000) AS rar,
+         |         CASE WHEN vocab.c <= 2 THEN 1 ELSE 0 END AS is_rare
+         |  FROM tok JOIN vocab ON tok.t = vocab.t, tot)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       CAST(floor(sum(rar) / count(*)) AS BIGINT) AS rarity_milli,
+         |       CAST(sum(is_rare) AS BIGINT) AS n_rare,
+         |       (sum(is_rare) * 5 >= count(*)) AS low_quality
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = docs(s, d).select(col("doc_id"), explode(tokens).as("t"))
+      val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val tot = tok.agg(count(lit(1)).as("total"))
+      tok.join(vocab, Seq("t"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          least(floor(lit(1000.0) * col("total") / col("c")).cast("bigint"),
+            lit(100000L)).as("rar"),
+          when(col("c") <= 2, 1L).otherwise(0L).as("is_rare"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          floor(sum(col("rar")) / count(lit(1))).cast("bigint").as("rarity_milli"),
+          sum(col("is_rare")).as("n_rare"),
+          (sum(col("is_rare")) * 5 >= count(lit(1))).as("low_quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- domain extraction + blocklist + per-domain cap ----------------
+    // Source-hygiene step: derive each doc's URL (deterministic synth
+    // from source/doc_id — the fixture has no URL column), extract the
+    // registrable domain by regex, drop blocklisted domains, keep at
+    // most DomainCap docs per domain (rank by doc_id). Shapes: regex is
+    // map-side codegen, the blocklist is a broadcast anti-join against
+    // a literal dim, the cap is one window — at 100 TB the window key
+    // (domain) is the natural partition and the cap bounds its output.
+    sql("domain_filter", {
+      val blocked = BlockedDomains.map(b => s"('$b')").mkString(", ")
+      s"""WITH urls AS (
+         |  SELECT doc_id,
+         |         'https://www.' || source || '-' || CAST(doc_id % 7 AS VARCHAR)
+         |           || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+         |  FROM documents),
+         |extracted AS (
+         |  SELECT doc_id, url,
+         |         regexp_extract(url, 'https?://(?:www\\.)?([^/]+)', 1) AS domain
+         |  FROM urls),
+         |allowed AS (
+         |  SELECT e.doc_id, e.domain
+         |  FROM extracted e
+         |  WHERE e.domain NOT IN (SELECT * FROM (VALUES $blocked) b(dom))),
+         |ranked AS (
+         |  SELECT doc_id, domain,
+         |         row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+         |  FROM allowed)
+         |SELECT doc_id, domain, rk FROM ranked
+         |WHERE rk <= $DomainCap ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val blocked = broadcast(BlockedDomains.toDF("dom"))
+      val w = Window.partitionBy(col("domain")).orderBy(col("doc_id"))
+      docs(s, d)
+        .select(col("doc_id"),
+          concat(lit("https://www."), col("source"), lit("-"),
+            (col("doc_id") % 7).cast("string"), lit(".example.com/doc/"),
+            col("doc_id").cast("string")).as("url"))
+        .withColumn("domain",
+          regexp_extract(col("url"), "https?://(?:www\\.)?([^/]+)", 1))
+        .join(blocked, col("domain") === col("dom"), "left_anti")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= DomainCap)
+        .select(col("doc_id"), col("domain"), col("rk").cast("bigint"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- line-level boilerplate dedup (C4/RefinedWeb shape) ------------
+    // Split each doc into 10-token lines, hash every line, find lines
+    // whose DOCUMENT frequency crosses the boilerplate threshold, and
+    // strip them from every doc by an array filter. The planted
+    // subscribe-line (125 docs) is exactly what must vanish; organic
+    // lines (df ≤ a few) must survive. Shapes: the line-DF aggregate is
+    // one shuffle on line hash; the boilerplate set is collected into a
+    // ONE-ROW array by an aggregate and broadcast-cross-joined (the
+    // tfidf scalar pattern) — never to the driver; the strip itself is
+    // a map-side lambda. At 100 TB the boilerplate set is small by
+    // construction (high-DF lines only), so the broadcast holds.
+    sql("dedup_lines", {
+      val srcs = BoilerplateSources.map(x => s"'$x'").mkString(", ")
+      val lineExpr = // i-th 10-token line of the (possibly planted) text
+        "list_transform(range(1, CAST(ceil(len(string_split(text2, ' ')) / 10.0) AS BIGINT) + 1), " +
+          "i -> array_to_string((string_split(text2, ' '))[(i-1)*10+1 : (i-1)*10+10], ' '))"
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |         CASE WHEN source IN ($srcs)
+         |              THEN '$Boilerplate' || ' ' || text ELSE text END AS text2
+         |  FROM documents),
+         |lined AS (SELECT doc_id, $lineExpr AS lines FROM planted),
+         |df AS (
+         |  SELECT ${D.h32("line")} AS lh, count(DISTINCT doc_id) AS n_docs
+         |  FROM (SELECT doc_id, unnest(lines) AS line FROM lined) x
+         |  GROUP BY lh),
+         |bp AS (SELECT coalesce(list(lh), CAST([] AS BIGINT[])) AS bad
+         |       FROM df WHERE n_docs >= $LineDfThreshold)
+         |SELECT doc_id, len(lines) AS n_lines,
+         |       len(lines) - len(list_filter(lines, l -> NOT list_contains(bad, ${D.h32("l")}))) AS n_removed,
+         |       ${D.h32(s"array_to_string(list_filter(lines, l -> NOT list_contains(bad, ${D.h32("l")})), ' || ')")} AS clean_hash
+         |FROM lined, bp ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val planted = docs(s, d)
+        .select(col("doc_id"),
+          when(col("source").isin(BoilerplateSources: _*),
+            concat(lit(Boilerplate), lit(" "), col("text")))
+            .otherwise(col("text")).as("text2"))
+      val lined = planted.select(col("doc_id"),
+        transform(
+          sequence(lit(1), ceil(size(split(col("text2"), " ")) / 10.0).cast("int")),
+          i => array_join(
+            slice(split(col("text2"), " "), (i - 1) * 10 + 1, lit(10)), " ")).as("lines"))
+      val dfCounts = lined
+        .select(col("doc_id"), explode(col("lines")).as("line"))
+        .groupBy(h32(col("line")).as("lh"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      val bp = dfCounts.filter(col("n_docs") >= LineDfThreshold)
+        .agg(coalesce(collect_list(col("lh")), array().cast("array<bigint>")).as("bad"))
+      val clean = filter(col("lines"), l => !array_contains(col("bad"), h32(l)))
+      lined.crossJoin(broadcast(bp))
+        .select(col("doc_id"),
+          size(col("lines")).cast("bigint").as("n_lines"),
+          (size(col("lines")) - size(clean)).cast("bigint").as("n_removed"),
+          h32(array_join(clean, " || ")).as("clean_hash"))
+        .orderBy(col("doc_id"))
+    })
+}
