@@ -57,8 +57,60 @@ private[graft] object SqlVerbs {
       case "DELETE" => delete(engine, t).map(_ => engine.statusOk)
       case "INSERT" => insert(engine, t).map(_ => engine.statusOk)
       case "ALTER"  => alter(engine, t).map(_ => engine.statusOk)
+      case "COPY"   => copy(engine, t)
       case _        => None
     }
+  }
+
+  // ---- COPY <table> TO '<path>' [(FORMAT …[, HEADER …])] ---------------
+  // The reference's export path: `COPY flights_temp TO '<f>' (FORMAT
+  // PARQUET)` (`demo.py:233`) — DuckDB syntax, which Spark's parser
+  // rejects outright. Claimed only for catalog tables with a format
+  // this engine can write; anything else (COPY FROM, SELECT sources,
+  // partition options) falls through and raises Spark's parse error.
+  // Like DuckDB, the result is a one-row `Count` of rows written.
+
+  private val CopyRe =
+    "(?is)^COPY\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+TO\\s+'([^']+)'\\s*(?:\\((.*)\\))?\\s*;?\\s*$".r
+
+  private def copy(e: Engine, sqlText: String): Option[DataFrame] = sqlText match {
+    case CopyRe(table, path, optsRaw) if e.catalog.contains(table) =>
+      // DuckDB option list: comma-separated KEY [value] pairs. DuckDB
+      // infers format from the file extension when FORMAT is absent;
+      // restrict to an explicit or unambiguous extension-derived one.
+      val opts = Option(optsRaw).getOrElse("").split(",").iterator
+        .map(_.trim).filter(_.nonEmpty)
+        .map { o =>
+          val kv = o.split("\\s+", 2)
+          kv(0).toUpperCase -> (if (kv.length > 1) kv(1).trim else "")
+        }.toMap
+      val fmt = opts.get("FORMAT").map(_.toUpperCase).orElse {
+        path.toLowerCase.reverse.takeWhile(_ != '.').reverse match {
+          case "parquet" => Some("PARQUET")
+          case "csv"     => Some("CSV")
+          case "json" | "ndjson" | "jsonl" => Some("JSON")
+          case _         => None
+        }
+      }
+      val unknownOpts = opts.keySet -- Set("FORMAT", "HEADER")
+      fmt match {
+        case Some(f @ ("PARQUET" | "CSV" | "JSON")) if unknownOpts.isEmpty =>
+          val df = e.get(table)
+          val w = df.write.mode("overwrite")
+          f match {
+            case "PARQUET" => w.parquet(path)
+            case "JSON"    => w.json(path) // NDJSON, same as DuckDB's default
+            case "CSV" =>
+              // DuckDB writes a header unless HEADER false
+              val header =
+                !opts.get("HEADER").exists(v => v.equalsIgnoreCase("false") || v == "0")
+              w.option("header", header.toString).csv(path)
+          }
+          Some(e.spark.range(1).select(
+            org.apache.spark.sql.functions.lit(df.count()).as("Count")))
+        case _ => None // unsupported format/options → spark.sql error
+      }
+    case _ => None // COPY FROM / subquery source / non-catalog target
   }
 
   // ---- skeleton scanning (top-level aware) -----------------------------

@@ -327,6 +327,21 @@ object EngineOps {
       e.query("SELECT * FROM vup ORDER BY n_nationkey")
     },
 
+    // COPY verb — the reference's parquet-export path (`COPY
+    // flights_temp TO '<f>' (FORMAT PARQUET)`, demo.py:233), routed
+    // through Engine.query like every other verb. DuckDB syntax that
+    // Spark's parser rejects, so SqlVerbs claims it for catalog tables
+    // and executes df.write; the round-trip re-read is what the oracle
+    // pins (same shape as the sink_* keys).
+    sql("verb_copy",
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") { (s, d) =>
+      val e = freshEngine(s)
+      e.put("vc_src", Tables.region(e.spark, d).select(col("r_regionkey"), col("r_name")))
+      val path = s"$tmpRoot/verb_copy"
+      e.query(s"COPY vc_src TO '$path' (FORMAT PARQUET)")
+      e.spark.read.parquet(path).orderBy(col("r_regionkey"))
+    },
+
     // ALTER routed through Engine.query (the reference accepts ALTER by
     // prefix and DuckDB executes it, `flight_server.py:354-355`; Graft
     // rewrites it as a catalog projection swap — SqlVerbs.alter). The

@@ -652,4 +652,44 @@ class EngineSpec extends SparkSpec {
     assert(empty.schema == li.schema)
     assert(empty.count() == 0)
   }
+
+  test("COPY TO: parquet/csv/json exports round-trip and return DuckDB's Count row") {
+    val e = fresh()
+    val root = graft.ops.purgeOnExit(
+      s"/root/repo/target/tmp/copy_spec_${ProcessHandle.current().pid()}")
+    e.put("cp", Tables.region(e.spark, sfDir).select(col("r_regionkey"), col("r_name")))
+    val n = e.count("cp")
+
+    val c1 = e.query(s"COPY cp TO '$root/out_pq' (FORMAT PARQUET)").collect()
+    assert(c1.map(_.getLong(0)).toSeq == Seq(n) && c1.head.schema.fieldNames.head == "Count")
+    assert(e.spark.read.parquet(s"$root/out_pq").count() == n)
+
+    // CSV: header on by default (DuckDB parity), HEADER false suppresses it
+    e.query(s"COPY cp TO '$root/out_csv' (FORMAT CSV)")
+    val back = e.spark.read.option("header", "true").csv(s"$root/out_csv")
+    assert(back.columns.toSeq == Seq("r_regionkey", "r_name") && back.count() == n)
+    e.query(s"COPY cp TO '$root/out_csv2' (FORMAT CSV, HEADER false)")
+    assert(e.spark.read.csv(s"$root/out_csv2").count() == n)
+
+    // format inferred from the path extension when options are absent
+    e.query(s"COPY cp TO '$root/out.json'")
+    assert(e.spark.read.json(s"$root/out.json").count() == n)
+  }
+
+  test("COPY falls through to spark.sql (parse error) for non-catalog targets and unknown options") {
+    val e = fresh()
+    e.put("cp2", Tables.region(e.spark, sfDir))
+    // target not in the catalog → not claimed → Spark parse error
+    intercept[Exception](e.query("COPY nosuch TO '/tmp/x' (FORMAT PARQUET)"))
+    // unsupported option set → not claimed (never a silent partial export)
+    intercept[Exception](
+      e.query("COPY cp2 TO '/tmp/x' (FORMAT PARQUET, PARTITION_BY (r_name))"))
+    // COPY ... FROM (ingest direction) is not claimed either
+    intercept[Exception](e.query("COPY cp2 FROM '/tmp/x' (FORMAT PARQUET)"))
+    // path with spaces still parses; quoted tail is not mistaken for options
+    val root = graft.ops.purgeOnExit(
+      s"/root/repo/target/tmp/copy_spec2_${ProcessHandle.current().pid()}")
+    e.query(s"COPY cp2 TO '$root/with space/out' (FORMAT PARQUET)")
+    assert(e.spark.read.parquet(s"$root/with space/out").count() == e.count("cp2"))
+  }
 }
