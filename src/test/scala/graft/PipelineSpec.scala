@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the graft.ops.Pipeline operators that the
+  * hash oracle cannot express: cluster structure recovery, budget
+  * bounds, selectivity direction, planted-evidence isolation.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def run(key: String) = SparkEntry.queries(key)(spark, sfDir)
+
+  test("dedup_components recovers exactly the planted 3-member clusters") {
+    val rows = run("dedup_components").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = rows.map { case (id, comp, sz) => id -> (comp, sz) }.toMap
+    val baseIds = rows.map(_._1).filter(_ < 10000)
+    assert(baseIds.nonEmpty)
+    // every base doc anchors a component containing its +10000 exact
+    // copy and its +20000 truncation — and nothing else
+    baseIds.foreach { id =>
+      assert(byId(id) == ((id, 3L)), s"base $id should anchor a 3-cluster")
+      assert(byId(id + 10000) == ((id, 3L)), s"exact copy of $id mislabeled")
+      assert(byId(id + 20000) == ((id, 3L)), s"truncation of $id mislabeled")
+    }
+    // components never bridge different base docs (no accidental merge)
+    assert(rows.map(_._2).distinct.length == baseIds.length)
+  }
+
+  test("pack_sequences: packs are contiguous, budget-bounded modulo one doc") {
+    val packs = run("pack_sequences").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // within a source, pack ids are dense from 0 (no gaps, ordering kept)
+    packs.groupBy(_._1).foreach { case (_, ps) =>
+      assert(ps.map(_._2).sorted.sameElements(0L until ps.length))
+    }
+    // each pack's starting offset is inside its 256-token budget slot,
+    // so a pack overflows by at most its last doc (streaming next-fit)
+    val fixture = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val maxDoc = fixture.map(_._3).max
+    packs.foreach { case (_, _, _, tokens) =>
+      assert(tokens < 256 + maxDoc, "pack exceeds budget by more than one doc")
+    }
+    // packing partitions the corpus: token totals match
+    assert(packs.map(_._4).sum == fixture.map(_._3.toLong).sum)
+  }
+
+  test("doc_chunk: chunks tile every doc with stride 24 and cover all tokens") {
+    val chunks = run("doc_chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lens = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // starts are 1, 25, 49, …
+      sorted.foreach { case (_, idx, start, _) => assert(start == 1 + 24 * idx) }
+      // last chunk reaches the end of the doc
+      val (_, _, lastStart, lastLen) = sorted.last
+      assert(lastStart + lastLen - 1 == lens(id))
+      // every token is covered (stride 24 < size 32 → no holes)
+      assert(sorted.forall { case (_, _, s, l) => l >= 1 && s <= lens(id) })
+    }
+  }
+
+  test("corpus_mix: rates upweight small sources and sampling tracks the rate") {
+    val rows = run("corpus_mix").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // rate ∝ tokens^-1/2 per doc: source with fewer tokens gets the
+    // higher per-doc keep rate (strictly, unless token totals tie)
+    for (a <- rows; b <- rows if a._3 < b._3)
+      assert(a._4 >= b._4, s"${a._1} smaller than ${b._1} but lower rate")
+    // sampled counts are within the binomial envelope of rate*n_docs
+    rows.foreach { case (src, nDocs, _, rateMicro, nSampled) =>
+      val expected = nDocs * rateMicro / 1000000.0
+      assert(math.abs(nSampled - expected) <= math.max(5, 4 * math.sqrt(expected + 1)),
+        s"$src sampled $nSampled vs expected $expected")
+    }
+  }
+
+  test("doc_rarity: scores are scale-capped and rare-token counts are consistent") {
+    val rows = run("doc_rarity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    rows.foreach { case (_, n, rarity, nRare, flag) =>
+      assert(rarity >= 1000 && rarity <= 100000) // ≥ uniform floor, ≤ cap
+      assert(nRare <= n)
+      assert(flag == (nRare * 5 >= n))
+    }
+  }
+
+  test("domain_filter: blocklist is absent, per-domain cap holds") {
+    val rows = run("domain_filter").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val blocked = Set("src0-1.example.com", "src3-2.example.com", "src7-5.example.com")
+    assert(rows.forall(r => !blocked.contains(r._2)))
+    rows.groupBy(_._2).foreach { case (dom, ds) =>
+      assert(ds.length <= 2, s"$dom over cap")
+      // kept docs are the LOWEST doc_ids of the domain (rank by doc_id)
+      assert(ds.map(_._3).sorted.sameElements(1L to ds.length))
+    }
+  }
+
+  test("dedup_lines: boilerplate stripped only where planted, organic lines survive") {
+    val rows = run("dedup_lines").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val srcOf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val plantedSrcs = Set("src0", "src1", "src2", "src3", "src4")
+    rows.foreach { case (id, nLines, nRemoved, _) =>
+      if (plantedSrcs(srcOf(id)))
+        assert(nRemoved == 1, s"doc $id should lose exactly the planted line")
+      else
+        assert(nRemoved == 0, s"doc $id lost an organic line")
+      assert(nLines >= 1)
+    }
+    // a clean corpus (strip applied) re-scanned finds nothing to remove:
+    // idempotence of the filter on its own output — no doc loses lines
+    // twice, since removal already took df(boilerplate) to zero
+    val removedTotal = rows.map(_._3).sum
+    assert(removedTotal == rows.count(r => plantedSrcs(srcOf(r._1))))
+  }
+}
