@@ -100,7 +100,7 @@ object Pipeline {
        |  JOIN hs ha ON ha.doc_id = p.x
        |  JOIN hs hb ON hb.doc_id = p.y
        |  WHERE len(list_intersect(ha.hs, hb.hs))::DOUBLE
-       |        / len(list_distinct(list_concat(ha.hs, hb.hs))) >= 0.5),
+       |        / len(list_distinct(list_concat(ha.hs, hb.hs))) >= 0.8),
        |exact_edges AS (
        |  SELECT c.doc_id AS x, r.rep AS y
        |  FROM corpus c
@@ -155,8 +155,12 @@ object Pipeline {
     // ---- duplicate-cluster connected components ------------------------
     // Edges: (a) exact duplicates as a STAR to the text-group min —
     // |group|−1 edges, never the quadratic clique; (b) near-duplicates
-    // from the LSH band self-join, Jaccard-verified — bounded by band
-    // buckets. Components by min-label propagation: labels start as own
+    // from the LSH band self-join, Jaccard-verified at ≥ 0.8 — bounded
+    // by band buckets. The edge bar is deliberately HIGHER than
+    // dedup_near's 0.5: pair recall tolerates borderline matches, but
+    // transitive closure amplifies every false edge into a merged
+    // cluster (deleting non-duplicate data), so clustering demands
+    // near-certain edges. Components by min-label propagation: labels start as own
     // id; each round v takes min(label(v), min of neighbours' labels);
     // stop when a round changes nothing. The edge list is localCheckpoint-ed
     // once (it is ≪ corpus — only docs with a duplicate appear), so the
@@ -165,7 +169,11 @@ object Pipeline {
     // count bounded by LSH collisions, per-round cost one shuffle join.
     sql("dedup_components", componentsOracle) { (s, d) =>
       val corpus = componentCorpus(docs(s, d))
-      val hs = Text.shingleHashes(corpus).cache()
+      // NOT cached: hs is corpus-sized (cache pressure at 100 TB). The
+      // thing worth materializing is the edge list (small — only docs
+      // with a duplicate appear), checkpointed below; hs is read twice
+      // from lineage, which at scale is two parquet scans, not a spill.
+      val hs = Text.shingleHashes(corpus)
       val bands = Text.minhashBands(hs)
       val nearPairs = bands.as("a")
         .join(bands.as("b"),
@@ -178,7 +186,7 @@ object Pipeline {
       val nearEdges = nearPairs
         .join(hs.as("ha"), col("ha.doc_id") === col("x"))
         .join(hs.as("hb"), col("hb.doc_id") === col("y"))
-        .filter(jac >= 0.5)
+        .filter(jac >= 0.8)
         .select(col("x"), col("y"))
       val reps = corpus.groupBy(col("text")).agg(min(col("doc_id")).as("rep"))
       val exactEdges = corpus.join(reps, Seq("text"))
@@ -192,7 +200,6 @@ object Pipeline {
         .distinct()
         .withColumnRenamed("x", "src").withColumnRenamed("y", "dst")
         .localCheckpoint(true)
-      hs.unpersist()
 
       var labels = corpus.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
         .localCheckpoint(true)
@@ -261,13 +268,13 @@ object Pipeline {
          |  1 + 24 * t.g AS start,
          |  least(32, len(${D.toks}) - (1 + 24 * t.g) + 1) AS chunk_len,
          |  ${D.h32(s"array_to_string((${D.toks})[1 + 24*t.g : 1 + 24*t.g + 31], ' ')")} AS chunk_hash
-         |FROM documents d, range(0, 5) t(g)
-         |WHERE 1 + 24 * t.g <= greatest(len(${D.toks}) - 31, 1)
+         |FROM documents d, range(0, 8) t(g)
+         |WHERE 1 + 24 * t.g <= greatest(len(${D.toks}) - 8, 1)
          |ORDER BY d.doc_id, chunk_id""".stripMargin) { (s, d) =>
       docs(s, d)
         .select(col("doc_id"), tokens.as("tk"))
         .select(col("doc_id"), col("tk"),
-          posexplode(sequence(lit(1), greatest(size(col("tk")) - 31, lit(1)), lit(24))))
+          posexplode(sequence(lit(1), greatest(size(col("tk")) - 8, lit(1)), lit(24))))
         .select(col("doc_id"),
           col("pos").cast("bigint").as("chunk_id"),
           col("col").cast("bigint").as("start"),
