@@ -63,8 +63,14 @@ object Pipeline {
   // ---- dedup_components: shared corpus + edge construction -------------
 
   /** Corrupted corpus for cluster resolution: every doc also arrives
-    * as an exact copy (+10000) and a truncated near-copy (+20000), so
-    * the expected components are exactly {id, id+10000, id+20000}.
+    * as an exact copy (+10000) and a truncated near-copy (+20000).
+    * NOTE: components are NOT always the neat {id, id+10000, id+20000}
+    * triple — the fixture itself plants cross-base duplicate chains
+    * (at sf0.001, 24 pairs where truncate(doc a)'s text equals doc b's
+    * full text, e.g. truncate(82) == 0, truncate(0) == 50), so the true
+    * components are the transitive closure over ALL duplicate
+    * relations; PipelineSpec computes that ground truth from the
+    * fixture.
     */
   private def componentCorpus(base: DataFrame): DataFrame = {
     val b = base.select(col("doc_id"), col("text"))
@@ -284,27 +290,35 @@ object Pipeline {
     },
 
     // ---- temperature-weighted corpus mixing ----------------------------
-    // Per-source keep rate ∝ tokens^0.5 (temperature resampling à la
-    // multilingual pretraining): upweights small sources, downweights
-    // large ones. Arithmetic is exact-integer end-to-end — sqrt is
-    // IEEE-correctly-rounded (identical in both engines), quantized to
-    // integer milli-units immediately; the only other float op is one
-    // final correctly-rounded division — so the oracle hash-matches
-    // without any epsilon. Selection is the seeded-hash Bernoulli the
-    // stratified sampler already proves. Two tiny aggregates + one
-    // broadcast join against the doc stream: scale-safe.
+    // Temperature resampling à la multilingual pretraining: a source's
+    // SHARE of the sample ∝ tokens^0.5, so its per-DOC keep rate ∝
+    // tokens^0.5 / tokens = tokens^(-1/2) — monotone-decreasing in
+    // source size (small sources upweighted per doc, large ones
+    // downweighted), normalized so the expected sample is MixTarget
+    // docs. Arithmetic is exact-integer end-to-end — sqrt and one
+    // division are IEEE-correctly-rounded (identical in both engines)
+    // and quantized to integer units immediately; the rate itself is a
+    // pure-BIGINT rounded division (`div` here ≡ DuckDB `//` on
+    // positives) — so the oracle hash-matches without any epsilon.
+    // Selection is the seeded-hash Bernoulli the stratified sampler
+    // already proves. Two tiny aggregates + one broadcast join against
+    // the doc stream: scale-safe.
     sql("corpus_mix",
       s"""WITH per_src AS (
          |  SELECT source, count(*) AS n_docs,
          |         CAST(sum(len(${D.toks})) AS BIGINT) AS src_tokens,
          |         CAST(floor(sqrt(CAST(sum(len(${D.toks})) AS BIGINT)) * 1000 + 0.5) AS BIGINT) AS w_milli
          |  FROM documents GROUP BY source),
-         |tot AS (SELECT sum(w_milli) AS w_total FROM per_src),
+         |pd AS (
+         |  SELECT source, n_docs, src_tokens,
+         |         CAST(floor(1000000.0 * w_milli / src_tokens + 0.5) AS BIGINT) AS pd_micro
+         |  FROM per_src),
+         |tot AS (SELECT CAST(sum(n_docs * pd_micro) AS BIGINT) AS w_total FROM pd),
          |rates AS (
          |  SELECT source, n_docs, src_tokens,
-         |         least(1000000, CAST(floor(1000000.0 * $MixTarget * w_milli
-         |               / (w_total * n_docs) + 0.5) AS BIGINT)) AS rate_micro
-         |  FROM per_src, tot),
+         |         CAST(least(1000000,
+         |           (1000000 * $MixTarget * pd_micro + w_total // 2) // w_total) AS BIGINT) AS rate_micro
+         |  FROM pd, tot),
          |picked AS (
          |  SELECT d.source, count(*) AS n_sampled
          |  FROM documents d JOIN rates r ON d.source = r.source
@@ -318,12 +332,17 @@ object Pipeline {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(size(tokens)).cast("bigint").as("src_tokens"))
         .withColumn("w_milli", floor(sqrt(col("src_tokens")) * 1000 + 0.5).cast("bigint"))
-      val tot = perSrc.agg(sum(col("w_milli")).as("w_total"))
+        // per-doc weight in micro-units: w_milli / src_tokens ∝ tokens^(-1/2)
+        .withColumn("pd_micro",
+          floor(lit(1000000.0) * col("w_milli") / col("src_tokens") + 0.5).cast("bigint"))
+      val tot = perSrc.agg(sum(col("n_docs") * col("pd_micro")).as("w_total"))
       val rates = perSrc.crossJoin(broadcast(tot))
+        // rate_micro = round(1e6 * MixTarget * pd_micro / w_total), all
+        // BIGINT (max ~2e8 * pd_micro ≪ 2^63): expected sample size is
+        // Σ n_docs·rate/1e6 = MixTarget by construction
         .withColumn("rate_micro",
           least(lit(1000000L),
-            floor(lit(1000000.0) * MixTarget * col("w_milli") /
-              (col("w_total") * col("n_docs")) + 0.5).cast("bigint")))
+            expr(s"(1000000L * $MixTarget * pd_micro + w_total div 2) div w_total")))
         .select(col("source"), col("n_docs"), col("src_tokens"), col("rate_micro"))
       val picked = docs(s, d)
         .join(broadcast(rates.select(col("source"), col("rate_micro"))), Seq("source"))

@@ -607,8 +607,8 @@ object Text {
 
     // ---- TF-IDF top terms per document ---------------------------------
     // Classic two-pass shape: per-(doc, term) TF, per-term DF (both
-    // map-side-combinable aggregates), broadcast the term→DF table
-    // back, score, window top-3. The idf here is rational (N/df scaled
+    // map-side-combinable aggregates), join the term→DF table back
+    // (AQE chooses the join strategy), score, window top-3. The idf here is rational (N/df scaled
     // to micro-units) instead of log(N/df): same ordering, and every
     // step is exact integer arithmetic both engines reproduce — log()
     // would expose libm last-ulp differences for zero analytic gain.
@@ -640,7 +640,11 @@ object Text {
       val nDocsDf = docsDf.agg(count(lit(1)).as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
-      tf.join(broadcast(dfreq), "tok")
+      // NO broadcast hint on the term→DF table: at web-corpus vocabulary
+      // (10⁹ terms) a forced broadcast OOMs the driver. AQE still picks
+      // a broadcast join at fixture scale (dfreq is tiny); at scale it
+      // degrades gracefully to a shuffle join on `tok`.
+      tf.join(dfreq, "tok")
         .crossJoin(broadcast(nDocsDf))
         .select(col("doc_id"), col("tok"),
           (col("tf") * floor(col("n_docs") * lit(1000000.0) / col("df")).cast("bigint")).as("score"))

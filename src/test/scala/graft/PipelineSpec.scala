@@ -10,21 +10,57 @@ class PipelineSpec extends SparkSpec {
 
   private def run(key: String) = SparkEntry.queries(key)(spark, sfDir)
 
-  test("dedup_components recovers exactly the planted 3-member clusters") {
+  test("dedup_components matches the ground-truth closure of fixture duplicates") {
     val rows = run("dedup_components").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val byId = rows.map { case (id, comp, sz) => id -> (comp, sz) }.toMap
-    val baseIds = rows.map(_._1).filter(_ < 10000)
-    assert(baseIds.nonEmpty)
-    // every base doc anchors a component containing its +10000 exact
-    // copy and its +20000 truncation — and nothing else
-    baseIds.foreach { id =>
-      assert(byId(id) == ((id, 3L)), s"base $id should anchor a 3-cluster")
-      assert(byId(id + 10000) == ((id, 3L)), s"exact copy of $id mislabeled")
-      assert(byId(id + 20000) == ((id, 3L)), s"truncation of $id mislabeled")
+
+    // Rebuild the planted corpus locally, mirroring componentCorpus:
+    // base text, exact copy (+10000), last-token truncation (+20000).
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val corpus: Seq[(Long, String)] = base.toSeq.flatMap { case (id, t) =>
+      val trunc = t.split(" ").dropRight(1).mkString(" ")
+      Seq((id, t), (id + 10000, t), (id + 20000, trunc))
     }
-    // components never bridge different base docs (no accidental merge)
-    assert(rows.map(_._2).distinct.length == baseIds.length)
+
+    // Ground-truth duplicate relation: exact text equality — which also
+    // captures the fixture's own cross-base collisions, where one doc's
+    // truncation equals ANOTHER doc's full text (at sf0.001 there are
+    // 24 such chains, e.g. truncate(doc 82) == doc 0) — plus each doc's
+    // planted truncation edge. Expected components are the transitive
+    // closure, computed here by union-find with min-root labels (the
+    // operator labels components by min doc_id).
+    val parent = scala.collection.mutable.Map(corpus.map(c => c._1 -> c._1): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      parent(x) = r; r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    corpus.groupBy(_._2).values.foreach { g =>
+      g.map(_._1).reduceLeft { (a, b) => union(a, b); a }
+    }
+    base.foreach { case (id, _) => union(id, id + 10000); union(id, id + 20000) }
+
+    val root = corpus.map(c => c._1 -> find(c._1)).toMap // root == component min
+    val size = root.groupBy(_._2).map { case (r, m) => r -> m.size.toLong }
+    assert(rows.length == corpus.length)
+    corpus.foreach { case (id, _) =>
+      val expected = (root(id), size(root(id)))
+      assert(byId(id) == expected, s"doc $id: got ${byId(id)}, ground truth $expected")
+    }
+    // sanity: the closure is non-trivial — planted variants always land
+    // in their base doc's component, and at least one fixture-planted
+    // cross-base chain exists (component larger than the 3 variants)
+    base.foreach { case (id, _) =>
+      assert(root(id + 10000) == root(id) && root(id + 20000) == root(id))
+    }
+    assert(rows.exists(_._3 > 3), "fixture should contain a cross-base duplicate chain")
   }
 
   test("pack_sequences: packs are contiguous, budget-bounded modulo one doc") {
