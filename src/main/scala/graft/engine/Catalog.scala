@@ -29,6 +29,13 @@ final class Catalog(val spark: SparkSession) {
     */
   private val tables = TrieMap.empty[String, Vector[DataFrame]]
 
+  /** Monotonic mutation counter: bumped by every catalog mutator.
+    * Consumers (TcpGate's Arrow result cache) key cached results on it,
+    * so any PUT/DROP/RENAME/DML invalidates every cached result without
+    * the cache having to know which tables a statement read.
+    */
+  val version = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private val compactAfter = 64
 
   private def merged(parts: Vector[DataFrame]): DataFrame =
@@ -52,6 +59,7 @@ final class Catalog(val spark: SparkSession) {
   private val putLock = new Object
 
   def put(name: String, df: DataFrame): Unit = putLock.synchronized {
+    version.incrementAndGet()
     val local = org.apache.spark.sql.GraftBridge.rebind(spark, df)
     val parts = tables
       .updateWith(name) {
@@ -78,6 +86,7 @@ final class Catalog(val spark: SparkSession) {
     * this replacement and leave SQL serving the stale union.
     */
   def putReplace(name: String, df: DataFrame): Unit = putLock.synchronized {
+    version.incrementAndGet()
     val local = org.apache.spark.sql.GraftBridge.rebind(spark, df)
     tables.update(name, Vector(local))
     local.createOrReplaceTempView(name)
@@ -106,6 +115,7 @@ final class Catalog(val spark: SparkSession) {
     * temp view would silently clobber it (DuckDB raises a conflict).
     */
   def rename(from: String, to: String): Unit = putLock.synchronized {
+    version.incrementAndGet()
     if (contains(to) || spark.catalog.tableExists(to))
       throw new IllegalArgumentException(s"Table '$to' already exists")
     val parts = tables.getOrElse(from,
@@ -118,6 +128,7 @@ final class Catalog(val spark: SparkSession) {
   }
 
   def drop(name: String): Boolean = putLock.synchronized {
+    version.incrementAndGet()
     val existed = tables.remove(name).isDefined
     // no-cascade drop: another engine may still serve a cache of the
     // same plan (see GraftBridge.dropTempView)

@@ -33,6 +33,20 @@ final class Engine(val spark: SparkSession) {
   private val exchangers = TrieMap[String, DataFrame => DataFrame](
     "my_streaming_exchanger" -> (df => df.withColumn("processed", lit(true))))
 
+  /** Mutations NOT visible to the catalog counter: raw DDL routed to
+    * `spark.sql` and exchanger (re-)registration. Together with
+    * `catalog.version` this forms [[mutationStamp]].
+    */
+  private val epoch = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Changes whenever anything that could affect a query result through
+    * this engine's API has mutated: catalog tables (PUT/DROP/RENAME/DML
+    * verbs), raw DDL, exchanger registry. TcpGate keys its Arrow result
+    * cache on this — coarse (any write invalidates everything) but
+    * sound, and hot-table serving is read-heavy by construction.
+    */
+  def mutationStamp: (Long, Long) = (catalog.version.get, epoch.get)
+
   // ---- A1/A2: GET — SQL routed by leading keyword ----------------------
 
   private val ddlPrefixes = Seq("CREATE", "DROP", "ALTER")
@@ -57,6 +71,7 @@ final class Engine(val spark: SparkSession) {
   def query(sql: String): DataFrame =
     SqlVerbs.execute(this, sql).getOrElse {
       if (isDdl(sql)) {
+        epoch.incrementAndGet()
         spark.sql(sql)
         statusOk
       } else spark.sql(sql)
@@ -89,8 +104,10 @@ final class Engine(val spark: SparkSession) {
     * Re-registering overwrites, matching the demo's override of the
     * default exchanger (`demo.py:500-506`).
     */
-  def registerExchanger(command: String)(f: DataFrame => DataFrame): Unit =
+  def registerExchanger(command: String)(f: DataFrame => DataFrame): Unit = {
+    epoch.incrementAndGet()
     exchangers.update(command, f)
+  }
 
   /** Register a transform DEFINED IN SQL — the remote-registration
     * path (TcpGate `REGISTER <name> AS <sql>`). The reference ships

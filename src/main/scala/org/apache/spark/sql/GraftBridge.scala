@@ -133,9 +133,91 @@ object GraftBridge {
     out.toByteArray
   }
 
+  /** Re-encode a complete Arrow IPC stream with a different BUFFER
+    * compression codec (`"zstd"` | `"lz4"` | `"none"`). The result is
+    * still a spec-valid, self-describing IPC stream — the codec is
+    * recorded in each RecordBatch message, and any conforming reader
+    * (pyarrow, Arrow Java with a codec factory) decompresses
+    * transparently. TcpGate's result cache uses this once per cached
+    * entry, so repeat GETs of a hot table ship the compressed bytes.
+    * Streams one batch at a time — peak memory is one decompressed
+    * batch plus the output buffer, not 2× the stream.
+    */
+  def recompressIPC(ipc: Array[Byte], codec: String): Array[Byte] =
+    recompressIPC(new java.io.ByteArrayInputStream(ipc), codec)
+
+  /** Streaming overload: reads the IPC stream incrementally, so the
+    * caller never needs the input flattened into one array (peak memory
+    * = one decompressed batch + the output buffer).
+    */
+  def recompressIPC(ipc: java.io.InputStream, codec: String): Array[Byte] = {
+    import org.apache.arrow.vector.compression.CompressionUtil
+    import org.apache.arrow.compression.CommonsCompressionFactory
+    val codecType = codec.toLowerCase match {
+      case "zstd" => Some(CompressionUtil.CodecType.ZSTD)
+      case "lz4"  => Some(CompressionUtil.CodecType.LZ4_FRAME)
+      case _      => None // the commons factory refuses NO_COMPRESSION
+    }
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      ipc, alloc, CommonsCompressionFactory.INSTANCE)
+    try {
+      val out = new java.io.ByteArrayOutputStream(1 << 20)
+      val ch = java.nio.channels.Channels.newChannel(out)
+      val writer = codecType match {
+        case Some(ct) => new org.apache.arrow.vector.ipc.ArrowStreamWriter(
+          reader.getVectorSchemaRoot, null, ch,
+          org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+          CommonsCompressionFactory.INSTANCE, ct,
+          // fastest level: the cache build is a one-time cost on the
+          // first GET of a hot table, but it IS that request's latency —
+          // level 1 compresses ~3× faster than default for a few
+          // percent of ratio on typical tabular data
+          java.util.Optional.of(Integer.valueOf(1)))
+        case None => new org.apache.arrow.vector.ipc.ArrowStreamWriter(
+          reader.getVectorSchemaRoot, null, ch)
+      }
+      writer.start()
+      while (reader.loadNextBatch()) writer.writeBatch()
+      writer.end()
+      out.toByteArray
+    } finally { reader.close(); alloc.close() }
+  }
+
+  /** Split a complete IPC stream into its encapsulated messages
+    * (schema, record batches, end-of-stream marker), without decoding
+    * bodies — each element is one wire frame for TcpGate's chunked
+    * protocol.
+    */
+  def splitIPCMessages(ipc: Array[Byte]): Vector[Array[Byte]] = {
+    val bb = java.nio.ByteBuffer.wrap(ipc).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val frames = Vector.newBuilder[Array[Byte]]
+    var pos = 0
+    while (pos < ipc.length) {
+      val first = bb.getInt(pos)
+      val (metaLen, hdr) =
+        if (first == -1) (bb.getInt(pos + 4), 8) else (first, 4)
+      val total =
+        if (metaLen == 0) hdr // end-of-stream marker
+        else {
+          val meta = java.nio.ByteBuffer.wrap(ipc, pos + hdr, metaLen)
+            .slice().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val msg = org.apache.arrow.flatbuf.Message.getRootAsMessage(meta)
+          hdr + metaLen + msg.bodyLength().toInt
+        }
+      frames += java.util.Arrays.copyOfRange(ipc, pos, pos + total)
+      pos += total
+    }
+    frames.result()
+  }
+
   /** Decode a complete Arrow IPC stream (header + batches + footer)
     * back into a local DataFrame — the client half of the gate's wire
-    * format. Rows are copied out before the Arrow buffers close.
+    * format. Rows are copied out before the Arrow buffers close; for
+    * a possibly-compressed stream, normalize first with
+    * `recompressIPC(ipc, "none")` (Spark's own IPC reader does not
+    * decompress). Bulk clients should prefer `GateClient
+    * .sqlArrowOpaque` and decode only what they consume.
     */
   def fromArrowIPC(spark: SparkSession, ipc: Array[Byte]): DataFrame = {
     val (iter, schema) = execution.arrow.ArrowConverters.fromIPCStream(ipc)

@@ -622,6 +622,48 @@ class EngineSpec extends SparkSpec {
     } finally gate.close()
   }
 
+  test("TcpGate arrow cache: hit serves identical bytes, any mutation invalidates") {
+    import graft.engine.GateClient
+    import org.apache.spark.sql.GraftBridge
+    val e = fresh()
+    e.put("nation", Tables.nation(e.spark, sfDir))
+    val gate = new graft.engine.TcpGate(e)
+    try {
+      val c = new GateClient("127.0.0.1", gate.boundPort)
+      c.format("arrow")
+      val stmt = "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"
+      // opaque client: frames kept un-decoded, rows counted from the
+      // RecordBatch flatbuffer metadata alone
+      val (sj1, frames1, rows1) = c.sqlArrowOpaque(stmt)
+      assert(rows1 == 25)
+      // second call is a cache hit: the served stream is the cached
+      // zstd-compressed twin — smaller on the wire, same schema, and
+      // the flatbuffer row-count metadata still reads without decode
+      val (sj2, ipc2) = c.sqlArrow(stmt)
+      assert(sj1 == sj2)
+      assert(ipc2.length <= frames1.map(_.length).sum,
+        "cache hit must not ship more bytes than the fresh encode")
+      assert(c.sqlArrowRowCount(stmt) == 25) // metadata-only count on a hit
+      // decoded cache-hit stream carries the exact same VALUES as the
+      // in-process query (normalize compression first: Spark's IPC
+      // reader does not decompress)
+      val decoded = GraftBridge.fromArrowIPC(
+        e.spark, GraftBridge.recompressIPC(ipc2, "none"))
+      assert(decoded.collect().map(_.toSeq).toSeq ==
+        e.query(stmt).collect().map(_.toSeq).toSeq)
+      // a catalog mutation through ANY engine-API path invalidates:
+      // the same statement re-executes against the new state
+      e.put("nation", e.spark.sql(
+        "SELECT 99L AS n_nationkey, 'ZZ' AS n_name, 0L AS n_regionkey"))
+      val (_, _, rows2) = c.sqlArrowOpaque(stmt)
+      assert(rows2 == 26, "cache must not serve pre-mutation bytes")
+      // side-effecting statements are never cached: two DELETEs both run
+      c.sqlArrow("DELETE FROM nation WHERE n_nationkey = 99")
+      assert(c.sqlArrowRowCount("SELECT * FROM nation") == 25)
+      c.close()
+    } finally gate.close()
+  }
+
   test("TcpGate arrow mode: empty result and DML status rows frame correctly") {
     import graft.engine.GateClient
     import org.apache.spark.sql.GraftBridge
