@@ -318,8 +318,37 @@ object ScaleProbe {
                |      t -> struct(md5(concat(cast(r AS STRING), ':', t)) AS k, t AS v))),
                |    s -> s.v), ' ')""".stripMargin).as("text"))
 
+  /** dedup_components-shaped corpus at `factor`×: each scaled doc (its
+    * token order is replica-permuted, so texts are distinct) plus a
+    * planted exact copy and a planted last-token truncation — the same
+    * triple structure Pipeline.componentCorpus builds from the fixture.
+    */
+  private def ccCorpus(docs: DataFrame, factor: Int): DataFrame = {
+    val base = scaledDocs(docs, factor)
+    base
+      .unionByName(base.select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+      .unionByName(base.select((col("doc_id") + 2000000000L).as("doc_id"),
+        array_join(expr("slice(split(text, ' '), 1, size(split(text, ' ')) - 1)"), " ").as("text")))
+  }
+
+  /** Chained near-duplicates: `chains` clusters, each a PATH of
+    * `depth`+1 variants of an 800-token doc where variant k has its
+    * first k 50-token windows rewritten (noise tokens consistent
+    * across variants). Adjacent variants share 15/16 windows (shingle
+    * Jaccard ≈ 0.88 → edge at the 0.8 bar); variants 2 apart are at
+    * ≈ 0.78 → NO edge — so the duplicate graph is a path of diameter
+    * `depth`, the worst case for label propagation.
+    */
+  private def ccChainCorpus(spark: SparkSession, chains: Int, depth: Int): DataFrame =
+    spark.range(chains.toLong).select(col("id").as("chain"),
+        explode(sequence(lit(0), lit(depth))).as("step"))
+      .select((col("chain") * 100 + col("step")).as("doc_id"),
+        expr("""array_join(transform(sequence(0, 799), i ->
+               |  CASE WHEN i < 50 * step THEN concat('n', chain, '_', i)
+               |       ELSE concat('w', chain, '_', i) END), ' ')""".stripMargin).as("text"))
+
   def main(args: Array[String]): Unit = {
-    // modes: all (default) | events | dedup | indexed | ann | state —
+    // modes: all (default) | events | dedup | indexed | ann | state | cc —
     // first non-numeric arg selects; numeric args keep their meaning
     val modes = args.filterNot(_.forall(c => c.isDigit)).toSet
     def on(m: String) = modes.isEmpty || modes.contains(m)
@@ -387,6 +416,43 @@ object ScaleProbe {
         val dups2 = dedupIncremental(dc, 16, 0)
         println(f"""{"shape":"dedup_incremental_recompute","factor":$factor,"rows":$nDocs,"out_rows":$dups2,"secs":${(System.nanoTime() - t1) / 1e9}%.2f}""")
         dc.unpersist()
+      }
+    }
+
+    if (on("cc")) {
+      // connected-components octave: does the min-label propagation
+      // loop stay O(diameter) as the corpus grows? Edge count should
+      // scale linearly (planted triples per doc; LSH buckets bound the
+      // rest), iterations should stay flat (cluster diameter does not
+      // grow with corpus size), wall-clock ~linear in edges.
+      // Numeric args select the factors (default 1 16 64) so long legs
+      // can run as separate invocations.
+      val ccBase = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val ccFactors = if (nums.nonEmpty) nums.map(_.toInt).toSeq else Seq(1, 16, 64)
+      for (factor <- ccFactors) {
+        val corpus = ccCorpus(ccBase, factor)
+        val rows = corpus.count()
+        val t0 = System.nanoTime()
+        val (labels, edges, iters) = graft.ops.Pipeline.componentLabels(corpus)
+        val nComps = labels.select(col("lbl")).distinct().count() // drives the loop
+        val secs = (System.nanoTime() - t0) / 1e9
+        val nEdges = edges.count() // checkpointed — cheap re-scan, not re-derivation
+        println(f"""{"shape":"dedup_components","factor":$factor,"rows":$rows,"edges":$nEdges,"iterations":$iters,"components":$nComps,"secs":$secs%.2f}""")
+      }
+    }
+
+    if (on("ccchain")) {
+      // diameter probe: iterations must track the duplicate-cluster
+      // DIAMETER (path-shaped chains), not the corpus size
+      for (depth <- Seq(3, 12)) {
+        val corpus = ccChainCorpus(spark, 100, depth).repartition(cpus.toInt)
+        val rows = corpus.count()
+        val t0 = System.nanoTime()
+        val (labels, edges, iters) = graft.ops.Pipeline.componentLabels(corpus)
+        val nComps = labels.select(col("lbl")).distinct().count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val nEdges = edges.count()
+        println(f"""{"shape":"dedup_components_chain","depth":$depth,"rows":$rows,"edges":$nEdges,"iterations":$iters,"components":$nComps,"secs":$secs%.2f}""")
       }
     }
 

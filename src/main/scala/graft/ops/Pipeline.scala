@@ -79,6 +79,67 @@ object Pipeline {
         array_join(slice(tokens, lit(1), size(tokens) - 1), " ").as("text")))
   }
 
+  /** Duplicate-cluster labels by min-label propagation over LSH-banded
+    * near-dup edges (Jaccard ≥ 0.8) plus exact-text star edges — the
+    * core of `dedup_components`, factored out so ScaleProbe can measure
+    * the loop's convergence at corpus octaves.
+    *
+    * Returns (labels `(id, lbl)`, symmetrized edge list `(src, dst)`,
+    * propagation iterations). The corpus-sized `hs` is NOT cached
+    * (cache pressure at 100 TB — it reads twice from lineage, two scans
+    * not a spill); the only materialization is the edge list, which is
+    * ≪ corpus (only docs with a duplicate appear) and re-read every
+    * iteration. Iterations are O(cluster diameter): labels start as own
+    * id, each round every vertex takes the min of its neighbourhood,
+    * and the loop stops on the first round that changes nothing.
+    */
+  private[graft] def componentLabels(corpus: DataFrame): (DataFrame, DataFrame, Int) = {
+    val hs = Text.shingleHashes(corpus)
+    val bands = Text.minhashBands(hs)
+    val nearPairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      .distinct()
+    val jac = size(array_intersect(col("ha.hs"), col("hb.hs"))).cast("double") /
+      size(array_union(col("ha.hs"), col("hb.hs")))
+    val nearEdges = nearPairs
+      .join(hs.as("ha"), col("ha.doc_id") === col("x"))
+      .join(hs.as("hb"), col("hb.doc_id") === col("y"))
+      .filter(jac >= 0.8)
+      .select(col("x"), col("y"))
+    val reps = corpus.groupBy(col("text")).agg(min(col("doc_id")).as("rep"))
+    val exactEdges = corpus.join(reps, Seq("text"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("x"), col("rep").as("y"))
+    val half = nearEdges.unionByName(exactEdges)
+    // symmetrized + materialized once; every iteration reads this
+    // small table instead of re-running shingling/banding
+    val edges = half
+      .unionByName(half.select(col("y").as("x"), col("x").as("y")))
+      .distinct()
+      .withColumnRenamed("x", "src").withColumnRenamed("y", "dst")
+      .localCheckpoint(true)
+
+    var labels = corpus.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+        .select(col("id"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select(col("id"), col("lbl"))
+      iter += 1
+    }
+    (labels, edges, iter)
+  }
+
   private val componentsOracle: String = {
     val mixes = Text.minhashMix.map { case (a, b) =>
       s"list_min(list_transform(hs, h -> (h * $a + $b) % ${Text.minhashP}))"
@@ -174,54 +235,7 @@ object Pipeline {
     // lineage. At 100 TB this is exactly large-star/small-star CC: edge
     // count bounded by LSH collisions, per-round cost one shuffle join.
     sql("dedup_components", componentsOracle) { (s, d) =>
-      val corpus = componentCorpus(docs(s, d))
-      // NOT cached: hs is corpus-sized (cache pressure at 100 TB). The
-      // thing worth materializing is the edge list (small — only docs
-      // with a duplicate appear), checkpointed below; hs is read twice
-      // from lineage, which at scale is two parquet scans, not a spill.
-      val hs = Text.shingleHashes(corpus)
-      val bands = Text.minhashBands(hs)
-      val nearPairs = bands.as("a")
-        .join(bands.as("b"),
-          col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
-        .distinct()
-      val jac = size(array_intersect(col("ha.hs"), col("hb.hs"))).cast("double") /
-        size(array_union(col("ha.hs"), col("hb.hs")))
-      val nearEdges = nearPairs
-        .join(hs.as("ha"), col("ha.doc_id") === col("x"))
-        .join(hs.as("hb"), col("hb.doc_id") === col("y"))
-        .filter(jac >= 0.8)
-        .select(col("x"), col("y"))
-      val reps = corpus.groupBy(col("text")).agg(min(col("doc_id")).as("rep"))
-      val exactEdges = corpus.join(reps, Seq("text"))
-        .filter(col("doc_id") =!= col("rep"))
-        .select(col("doc_id").as("x"), col("rep").as("y"))
-      val half = nearEdges.unionByName(exactEdges)
-      // symmetrized + materialized once; every iteration reads this
-      // small table instead of re-running shingling/banding
-      val edges = half
-        .unionByName(half.select(col("y").as("x"), col("x").as("y")))
-        .distinct()
-        .withColumnRenamed("x", "src").withColumnRenamed("y", "dst")
-        .localCheckpoint(true)
-
-      var labels = corpus.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
-        .localCheckpoint(true)
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 20) {
-        val nbrMin = edges.join(labels, edges("src") === labels("id"))
-          .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
-        val next = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
-          .select(col("id"), col("lbl").as("old"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint(true)
-        changed = next.filter(col("lbl") =!= col("old")).count()
-        labels = next.select(col("id"), col("lbl"))
-        iter += 1
-      }
+      val (labels, _, _) = componentLabels(componentCorpus(docs(s, d)))
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comp_size"))
       labels.join(sizes, Seq("lbl"))
         .select(col("id").as("doc_id"), col("lbl").as("comp"), col("comp_size"))
@@ -268,6 +282,11 @@ object Pipeline {
     // map-side: no shuffle, no explode amplification beyond the chunk
     // count itself. The oracle cross-joins a literal stride table and
     // filters — same rows, engine-idiomatic on each side.
+    // NOTE the oracle's stride table is `range(0, 8)`: enough for docs
+    // up to 8 + 24·7 = 176 tokens. The Spark side's sequence() is
+    // data-bounded, so a future fixture with longer docs would diverge
+    // silently — the literal is asserted against the data below
+    // (chunk_id max + headroom), failing loudly instead.
     sql("doc_chunk",
       s"""SELECT d.doc_id,
          |  CAST((t.g) AS BIGINT) AS chunk_id,

@@ -63,4 +63,89 @@ class EdgeCasesSpec extends SparkSpec {
     a.put("empty", Tables.nation(a.spark, sfDir).limit(0))
     assert(a.transferTable(b, "empty") == 0)
   }
+
+  // ---- adversarial corpora for the round-6 pipeline ops ----------------
+  // Each test stages a crafted documents.parquet and points the REAL
+  // operator (SparkEntry.queries) at it — same code path as the oracle
+  // gate, degenerate data.
+
+  /** Stage (doc_id, source, text) rows as a documents.parquet dir. */
+  private def stageDocs(name: String, rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = s"/root/repo/target/tmp/edge_${name}_${ProcessHandle.current().pid()}"
+    rows.toDF("doc_id", "source", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"), col("source"),
+        length(col("text")).cast("bigint").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def words(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("pack_sequences: a doc longer than the 256-token budget packs alone") {
+    // giant first doc (600 tokens), then two small docs: the giant must
+    // own its pack (overflow bounded by one doc), later docs land in
+    // the pack of their running offset — pack ids may skip, never fork
+    val dir = stageDocs("packgiant", Seq(
+      (0L, "g", words("a", 600)), (1L, "g", words("b", 50)), (2L, "g", words("c", 50))))
+    val packs = SparkEntry.queries("pack_sequences")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // deterministic layout: giant at offset 0 → pack 0, alone; docs 1-2
+    // start at offsets 600/650 → both pack 2 (pack 1 is skipped — the
+    // giant consumed its budget slots)
+    assert(packs.toSeq == Seq(("g", 0L, 1L, 600L, 0L, 0L), ("g", 2L, 2L, 100L, 1L, 2L)))
+    // conservation: every token of the corpus is in exactly one pack
+    assert(packs.map(_._4).sum == 700L)
+  }
+
+  test("doc_rarity: single-token and single-doc corpora stay at the uniform floor") {
+    // five docs of one identical token: rarity is exactly the 1000
+    // uniform floor, nothing is rare, nothing is flagged
+    val five = stageDocs("rarityuni", (0L to 4L).map(i => (i, "s", "x")))
+    val r5 = SparkEntry.queries("doc_rarity")(spark, five).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(r5.toSeq == (0L to 4L).map(i => (i, 1L, 1000L, 0L, false)))
+    // one doc, one token: the token's corpus count is 1 ≤ 2 → rare by
+    // definition, and 1 rare of 1 token trips the low-quality flag —
+    // the degenerate corpus must flag, not divide by zero
+    val one = stageDocs("rarityone", Seq((0L, "s", "x")))
+    val r1 = SparkEntry.queries("doc_rarity")(spark, one).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(r1.toSeq == Seq((0L, 1L, 1000L, 1L, true)))
+  }
+
+  test("domain_filter: a corpus of only blocklisted domains filters to zero rows") {
+    // doc_id % 7 drives the synthetic domain: src0-1/src3-2/src7-5 are
+    // the blocked trio — every crafted doc maps onto one of them
+    val dir = stageDocs("blockedonly",
+      Seq(1L, 8L, 15L).map(id => (id, "src0", words("a", 12))) ++
+        Seq(2L, 9L, 16L).map(id => (id, "src3", words("b", 12))) ++
+        Seq(5L, 12L, 19L).map(id => (id, "src7", words("c", 12))))
+    val out = SparkEntry.queries("domain_filter")(spark, dir).collect()
+    assert(out.isEmpty, s"blocklisted-only corpus must filter to nothing, got ${out.length}")
+  }
+
+  test("dedup_lines: a doc that is ALL boilerplate is stripped to zero lines") {
+    // src0 is a planted source: the operator prefixes the subscribe
+    // line to every doc. 60 docs share their first 9 organic tokens, so
+    // both 10-token lines of the planted prefix region are high-DF
+    // (df=61 ≥ 50); doc 60 has ONLY those 9 shared tokens → every one
+    // of its lines is boilerplate and the clean text must go empty
+    // without breaking the hash or the frame
+    val shared = words("s", 9)
+    val docs = (0L to 59L).map(i => (i, "src0", s"$shared ${words(s"d${i}u", 10)}")) :+
+      (60L, "src0", shared)
+    val dir = stageDocs("allboiler", docs)
+    val out = SparkEntry.queries("dedup_lines")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = out.map(t => t._1 -> (t._2, t._3)).toMap
+    // doc 60: 2 lines (11-token prefix + 9 shared tokens = 20 tokens), both stripped
+    assert(byId(60L) == ((2L, 2L)), s"all-boilerplate doc: got ${byId(60L)}")
+    // ordinary docs: 3 lines, the 2 high-DF prefix lines stripped, the
+    // unique 10-token tail survives
+    (0L to 59L).foreach { i =>
+      assert(byId(i) == ((3L, 2L)), s"doc $i: got ${byId(i)}")
+    }
+  }
 }

@@ -89,6 +89,12 @@ class PipelineSpec extends SparkSpec {
     val lens = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // oracle guard: the DuckDB oracle's stride table is range(0, 8) —
+    // exact only for docs ≤ 8 + 24·7 = 176 tokens. The Spark side is
+    // data-bounded, so a longer-doc fixture would diverge SILENTLY in
+    // the hash gate; fail loudly here instead.
+    assert(lens.values.max <= 176,
+      s"fixture outgrew doc_chunk oracle's range(0,8) stride table (max ${lens.values.max} tokens)")
     chunks.groupBy(_._1).foreach { case (id, cs) =>
       val sorted = cs.sortBy(_._2)
       // starts are 1, 25, 49, …
