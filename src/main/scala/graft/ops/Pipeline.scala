@@ -13,11 +13,11 @@ import graft.Tables
   *  - duplicate-CLUSTER resolution (`dedup_components`): MinHash pairs
   *    only say "a ~ b"; picking one canonical doc per transitive
   *    duplicate group needs connected components. Implemented as
-  *    iterative min-label propagation over the (bounded, LSH-banded)
-  *    edge list — the standard large-graph CC shape: per iteration one
-  *    join + one min-aggregate, edge list checkpointed once, loop ends
-  *    on a converged-count action (O(diameter) iterations, diameter of
-  *    duplicate clusters is tiny in practice).
+  *    large-star/small-star contraction over the (bounded, LSH-banded)
+  *    edge list — the MapReduce-CC standard (Kiveris et al.): each
+  *    phase pair is two edge-only min-aggregates, the edge list
+  *    shrinks as chains contract (O(log diameter) phase pairs), and
+  *    the corpus is joined exactly once for label assignment.
   *  - sequence packing (`pack_sequences`): assign docs to fixed
   *    token-budget training sequences by running offset — one window
   *    over (source, doc order), no shuffle beyond the window's.
@@ -79,19 +79,17 @@ object Pipeline {
         array_join(slice(tokens, lit(1), size(tokens) - 1), " ").as("text")))
   }
 
-  /** Duplicate-cluster labels by min-label propagation over LSH-banded
-    * near-dup edges (Jaccard ≥ 0.8) plus exact-text star edges — the
-    * core of `dedup_components`, factored out so ScaleProbe can measure
-    * the loop's convergence at corpus octaves.
+  /** Duplicate-cluster labels by large-star/small-star contraction
+    * over LSH-banded near-dup edges (Jaccard ≥ 0.8) plus exact-text
+    * star edges — the core of `dedup_components`, factored out so
+    * ScaleProbe can measure the loop's convergence at corpus octaves.
     *
     * Returns (labels `(id, lbl)`, symmetrized edge list `(src, dst)`,
-    * propagation iterations). The corpus-sized `hs` is NOT cached
+    * contraction phase pairs). The corpus-sized `hs` is NOT cached
     * (cache pressure at 100 TB — it reads twice from lineage, two scans
-    * not a spill); the only materialization is the edge list, which is
-    * ≪ corpus (only docs with a duplicate appear) and re-read every
-    * iteration. Iterations are O(cluster diameter): labels start as own
-    * id, each round every vertex takes the min of its neighbourhood,
-    * and the loop stops on the first round that changes nothing.
+    * not a spill); the only materializations are the edge list (≪
+    * corpus — only docs with a duplicate appear) and each round's
+    * contracted successor.
     */
   private[graft] def componentLabels(corpus: DataFrame): (DataFrame, DataFrame, Int) = {
     val hs = Text.shingleHashes(corpus)
@@ -122,21 +120,78 @@ object Pipeline {
       .withColumnRenamed("x", "src").withColumnRenamed("y", "dst")
       .localCheckpoint(true)
 
-    var labels = corpus.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
-      .localCheckpoint(true)
-    var changed = 1L
+    // ---- large-star / small-star contraction (Kiveris et al.,
+    // "Connected Components in MapReduce and Beyond") -------------------
+    // The loop touches ONLY the edge list — which holds just the docs
+    // that have a duplicate, ≪ corpus — never a corpus-sized labels
+    // table. Earlier designs probed here: plain min-label flooding is
+    // O(diameter) rounds of corpus-sized joins (13 rounds on the
+    // fixture); flooding + pointer jumping doesn't help on arbitrary
+    // id orderings (12 rounds). Star contraction converges in
+    // O(log diameter) phase pairs of edge-only aggregates, and the
+    // corpus is joined exactly once at the end for label assignment —
+    // the right cost shape at 100 TB, where edges ≪ corpus.
+    //
+    // large-star: every vertex u links its LARGER neighbors to
+    // m = min(Γ(u) ∪ u) — long chains hook upward onto local minima.
+    // small-star: u links its ≤-neighbors and itself to their min —
+    // stars flatten onto the true root. Both phases are monotone
+    // (pair potential only decreases), so the fixed point — disjoint
+    // stars rooted at component minima — is reached deterministically.
+    // both directions, no distinct: the phases' min-aggregates are
+    // duplicate-insensitive, so one distinct per round (below) bounds
+    // growth without paying a shuffle per sym()
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    def largeStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      e.join(m, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val sm = e.filter(col("dst") < col("src"))
+      val m = sm.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      sm.join(m, "src")
+        .select(col("dst").as("src"), col("mn").as("dst"))
+        .unionByName(m.select(col("src"), col("mn").as("dst")))
+        .filter(col("src") =!= col("dst"))
+    }
+    // stability signature: (edge count, order-free hash XOR) of the
+    // round's canonical (distinct, undirected) output — one aggregate
+    // instead of two anti-joins; the phase potential is monotone, so a
+    // signature match IS the fixed point. bit_xor, NOT sum: summing
+    // 64-bit hashes overflows under ANSI arithmetic on any real edge
+    // count; XOR is overflow-free and exact over a distinct set.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(src, dst))")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var cur = edges
+    var sig = (-1L, -1L)
     var iter = 0
-    while (changed > 0 && iter < 20) {
-      val nbrMin = edges.join(labels, edges("src") === labels("id"))
-        .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
-        .select(col("id"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      changed = next.filter(col("lbl") =!= col("old")).count()
-      labels = next.select(col("id"), col("lbl"))
+    var stable = false
+    while (!stable && iter < 30) {
+      val next = smallStar(sym(largeStar(sym(cur)))).distinct().localCheckpoint(true)
+      val nsig = signature(next)
+      stable = nsig == sig
+      sig = nsig
+      cur = next
       iter += 1
     }
+    // at the fixed point `cur` is disjoint stars (member → root); a
+    // vertex appearing only as dst is a root (its own min)
+    val roots = sym(cur).groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("root"))
+    // the single corpus-sized join of the whole loop: docs without a
+    // duplicate never entered the edge list and label themselves
+    val labels = corpus.select(col("doc_id").as("id"))
+      .join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("lbl"))
     (labels, edges, iter)
   }
 
@@ -227,13 +282,12 @@ object Pipeline {
     // dedup_near's 0.5: pair recall tolerates borderline matches, but
     // transitive closure amplifies every false edge into a merged
     // cluster (deleting non-duplicate data), so clustering demands
-    // near-certain edges. Components by min-label propagation: labels start as own
-    // id; each round v takes min(label(v), min of neighbours' labels);
-    // stop when a round changes nothing. The edge list is localCheckpoint-ed
-    // once (it is ≪ corpus — only docs with a duplicate appear), so the
-    // 2–3 rounds re-join a small materialized table, not the MinHash
-    // lineage. At 100 TB this is exactly large-star/small-star CC: edge
-    // count bounded by LSH collisions, per-round cost one shuffle join.
+    // near-certain edges. Components by large-star/small-star
+    // contraction (see componentLabels): edge-only phase pairs on a
+    // checkpointed, shrinking list — the MinHash lineage is never
+    // re-run. At 100 TB: edge count bounded by LSH collisions,
+    // per-round cost two aggregates over edges ≪ corpus, corpus
+    // touched once at the end.
     sql("dedup_components", componentsOracle) { (s, d) =>
       val (labels, _, _) = componentLabels(componentCorpus(docs(s, d)))
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comp_size"))

@@ -660,6 +660,17 @@ class EngineSpec extends SparkSpec {
       // side-effecting statements are never cached: two DELETEs both run
       c.sqlArrow("DELETE FROM nation WHERE n_nationkey = 99")
       assert(c.sqlArrowRowCount("SELECT * FROM nation") == 25)
+      // multi-batch stream: tiny record batches split the result across
+      // many frames — metadata-only counting must sum across ALL of
+      // them, on both the fresh-encode and the cache-hit path
+      e.spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+      try {
+        val stmt2 = "SELECT n_nationkey FROM nation ORDER BY n_nationkey"
+        val (_, frames2, rows2) = c.sqlArrowOpaque(stmt2) // miss: fresh encode
+        assert(rows2 == 25)
+        assert(frames2.length > 4, s"expected many small frames, got ${frames2.length}")
+        assert(c.sqlArrowRowCount(stmt2) == 25) // hit: compressed cache
+      } finally e.spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
       c.close()
     } finally gate.close()
   }
