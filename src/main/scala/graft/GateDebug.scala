@@ -22,6 +22,8 @@ object GateDebug {
     a.put("flights", Throughput.flights(a.spark, rows).repartition(16).cache())
     a.get("flights").count()
     a.spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+    sys.env.get("GRAFT_CODEC").foreach(c =>
+      a.spark.conf.set("spark.graft.gate.arrowCodec", c))
     val gate = new graft.engine.TcpGate(a)
     try {
       val c = new graft.engine.GateClient("127.0.0.1", gate.boundPort)

@@ -148,12 +148,17 @@ object GraftBridge {
 
   /** Streaming overload: reads the IPC stream incrementally, so the
     * caller never needs the input flattened into one array (peak memory
-    * = one decompressed batch + the output buffer).
+    * = one decompressed batch + the output buffer). `codec` may carry a
+    * level suffix, e.g. "zstd:9".
     */
   def recompressIPC(ipc: java.io.InputStream, codec: String): Array[Byte] = {
     import org.apache.arrow.vector.compression.CompressionUtil
     import org.apache.arrow.compression.CommonsCompressionFactory
-    val codecType = codec.toLowerCase match {
+    val (name, level) = codec.toLowerCase.split(":", 2) match {
+      case Array(n, l) => (n, l.toInt)
+      case Array(n)    => (n, 1)
+    }
+    val codecType = name match {
       case "zstd" => Some(CompressionUtil.CodecType.ZSTD)
       case "lz4"  => Some(CompressionUtil.CodecType.LZ4_FRAME)
       case _      => None // the commons factory refuses NO_COMPRESSION
@@ -169,11 +174,10 @@ object GraftBridge {
           reader.getVectorSchemaRoot, null, ch,
           org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
           CommonsCompressionFactory.INSTANCE, ct,
-          // fastest level: the cache build is a one-time cost on the
-          // first GET of a hot table, but it IS that request's latency —
-          // level 1 compresses ~3× faster than default for a few
-          // percent of ratio on typical tabular data
-          java.util.Optional.of(Integer.valueOf(1)))
+          // level is the build-latency vs wire-bytes dial: the cache
+          // build is a one-time cost on the first GET of a hot table,
+          // every later GET pays the wire size
+          java.util.Optional.of(Integer.valueOf(level)))
         case None => new org.apache.arrow.vector.ipc.ArrowStreamWriter(
           reader.getVectorSchemaRoot, null, ch)
       }

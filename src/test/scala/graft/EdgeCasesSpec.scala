@@ -126,6 +126,21 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.isEmpty, s"blocklisted-only corpus must filter to nothing, got ${out.length}")
   }
 
+  test("componentLabels: a corpus with no duplicates yields all singletons") {
+    // empty edge list → the star-contraction loop must stabilize
+    // immediately and label every doc as its own component (the
+    // left-join-coalesce path), not hang or drop rows
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, words("alpha", 30)), (1L, words("beta", 40)), (2L, words("gamma", 25)))
+      .toDF("doc_id", "text")
+    val (labels, edges, iters) = graft.ops.Pipeline.componentLabels(corpus)
+    assert(edges.count() == 0)
+    assert(iters <= 2, s"empty edge set should stabilize instantly, took $iters")
+    assert(labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((0L, 0L), (1L, 1L), (2L, 2L)))
+  }
+
   test("dedup_lines: a doc that is ALL boilerplate is stripped to zero lines") {
     // src0 is a planted source: the operator prefixes the subscribe
     // line to every doc. 60 docs share their first 9 organic tokens, so
