@@ -27,6 +27,12 @@ import graft.Tables
   *    ∝ tokens^α (α = ½), then deterministic seeded-hash selection.
   *    All arithmetic stays in exact integers until one final
   *    correctly-rounded division, so the DuckDB oracle is bit-equal.
+  *  - epoch planning (`mix_epochs`): the repeat-factor half of the
+  *    data recipe — per-source milli-epochs filling a token budget at
+  *    temperature ½, capped at 4 epochs.
+  *  - training-shard assignment (`shard_assign`): seeded-hash shard +
+  *    deterministic in-shard order for N data-parallel workers, no
+  *    global sort.
   *  - rarity scoring (`doc_rarity`): corpus-frequency-based quality
   *    signal (rare-token density ≈ gibberish detector) with integer
   *    per-token contributions — order-free sums, no float divergence.
@@ -251,6 +257,24 @@ object Pipeline {
   /** Target sample size (docs) for temperature mixing. */
   private val MixTarget = 200L
 
+  // ---- mix_epochs literals ---------------------------------------------
+
+  /** Token budget the epoch plan fills (tokens, not docs — the unit a
+    * training run actually budgets).
+    */
+  private val TokenBudget = 100000L
+
+  /** Upsampling ceiling in milli-epochs (4000 = repeat a source at
+    * most 4×): unbounded repetition of a tiny source degrades to
+    * memorization, so every published mixing recipe caps epochs.
+    */
+  private val EpochCapMilli = 4000L
+
+  // ---- shard_assign literals -------------------------------------------
+
+  /** Data-parallel worker count for training-shard assignment. */
+  private val NumShards = 8
+
   // ---- domain_filter literals ------------------------------------------
 
   /** Blocked domains — literal on both sides (the VALUES-dim pattern). */
@@ -425,6 +449,78 @@ object Pipeline {
         .select(col("source"), col("n_docs"), col("src_tokens"), col("rate_micro"),
           coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
         .orderBy(col("source"))
+    },
+
+    // ---- per-source epoch plan for a token budget ----------------------
+    // The OTHER half of temperature mixing: corpus_mix SUBSAMPLES a
+    // per-doc keep rate; an epoch plan decides how many times each
+    // source is REPEATED to fill a token budget (the LLaMA/DoReMi-style
+    // data recipe — small high-quality sources run multiple epochs,
+    // capped; huge sources run fractions of one). Same tokens^0.5
+    // temperature weight as corpus_mix, same exact-integer discipline:
+    // sqrt is quantized to milli-units immediately, every division is
+    // a rounded BIGINT `div`/`//`, so the oracle is bit-equal. Two tiny
+    // aggregates — nothing here touches per-doc data after the first
+    // groupBy, so the plan is scale-free.
+    sql("mix_epochs",
+      s"""WITH per_src AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(len(${D.toks})) AS BIGINT) AS src_tokens,
+         |         CAST(floor(sqrt(CAST(sum(len(${D.toks})) AS BIGINT)) * 1000 + 0.5) AS BIGINT) AS w_milli
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(w_milli) AS BIGINT) AS w_total FROM per_src),
+         |planned AS (
+         |  SELECT source, n_docs, src_tokens,
+         |         ($TokenBudget * w_milli + w_total // 2) // w_total AS target_tokens
+         |  FROM per_src, tot)
+         |SELECT source, n_docs, src_tokens, target_tokens,
+         |       least($EpochCapMilli,
+         |             (1000 * target_tokens + src_tokens // 2) // src_tokens) AS epochs_milli,
+         |       (src_tokens * least($EpochCapMilli,
+         |             (1000 * target_tokens + src_tokens // 2) // src_tokens) + 500) // 1000 AS planned_tokens
+         |FROM planned ORDER BY source""".stripMargin) { (s, d) =>
+      val perSrc = docs(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(size(tokens)).cast("bigint").as("src_tokens"))
+        .withColumn("w_milli", floor(sqrt(col("src_tokens")) * 1000 + 0.5).cast("bigint"))
+      val tot = perSrc.agg(sum(col("w_milli")).as("w_total"))
+      perSrc.crossJoin(broadcast(tot))
+        .withColumn("target_tokens",
+          expr(s"($TokenBudget * w_milli + w_total div 2) div w_total"))
+        .withColumn("epochs_milli",
+          least(lit(EpochCapMilli),
+            expr("(1000 * target_tokens + src_tokens div 2) div src_tokens")))
+        .withColumn("planned_tokens",
+          expr("(src_tokens * epochs_milli + 500) div 1000"))
+        .select(col("source"), col("n_docs"), col("src_tokens"),
+          col("target_tokens"), col("epochs_milli"), col("planned_tokens"))
+        .orderBy(col("source"))
+    },
+
+    // ---- deterministic training-shard assignment -----------------------
+    // Sharding the corpus across data-parallel workers without a
+    // global sort: shard = seeded hash of doc_id (map-side, uniform),
+    // in-shard training order = rank by a SECOND seeded hash (a
+    // deterministic shuffle — hash order is uncorrelated with doc_id,
+    // source, or content). The window partitions by shard, which IS
+    // the distribution boundary at scale: each worker's order file
+    // sorts independently, nothing global. Reproducibility is the
+    // point — rerunning the job yields byte-identical shard files, and
+    // the oracle proves engine-independence of the whole assignment.
+    sql("shard_assign",
+      s"""SELECT doc_id,
+         |       ${D.h32s("'shard'", "CAST(doc_id AS VARCHAR)")} % $NumShards AS shard,
+         |       row_number() OVER (
+         |         PARTITION BY ${D.h32s("'shard'", "CAST(doc_id AS VARCHAR)")} % $NumShards
+         |         ORDER BY ${D.h32s("'order'", "CAST(doc_id AS VARCHAR)")}, doc_id) AS rank
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val shard = h32Seeded(lit("shard"), col("doc_id")) % NumShards
+      val ord = h32Seeded(lit("order"), col("doc_id"))
+      val w = Window.partitionBy(shard).orderBy(ord, col("doc_id"))
+      docs(s, d)
+        .select(col("doc_id"), shard.as("shard"),
+          row_number().over(w).cast("bigint").as("rank"))
+        .orderBy(col("doc_id"))
     },
 
     // ---- corpus-frequency rarity scoring -------------------------------

@@ -122,6 +122,54 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("mix_epochs: targets fill the budget, epochs upweight small sources, cap holds") {
+    val rows = run("mix_epochs").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // temperature targets partition the budget (exactly, modulo one
+    // rounding unit per source)
+    val budget = 100000L
+    assert(math.abs(rows.map(_._4).sum - budget) <= rows.length,
+      s"targets sum to ${rows.map(_._4).sum}, budget $budget")
+    // per-source epochs ∝ tokens^(-1/2): smaller source → ≥ epochs
+    // (ties allowed; the cap flattens the smallest sources)
+    for (a <- rows; b <- rows if a._3 < b._3)
+      assert(a._5 >= b._5, s"${a._1} smaller than ${b._1} but fewer epochs")
+    rows.foreach { case (src, _, srcTokens, target, epochs, planned) =>
+      assert(epochs <= 4000L, s"$src exceeds the 4-epoch cap")
+      // uncapped sources hit their target within integer rounding;
+      // capped sources plan exactly cap × tokens
+      if (epochs < 4000L)
+        assert(math.abs(planned - target) <= 1 + srcTokens / 1000,
+          s"$src planned $planned vs target $target")
+      else
+        assert(math.abs(planned - srcTokens * 4) <= 1)
+    }
+  }
+
+  test("shard_assign: shards are balanced, ranks dense, assignment deterministic") {
+    val rows = run("shard_assign").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = rows.length
+    assert(n > 0)
+    val byShard = rows.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    // hash balance: every shard within ±5σ of the binomial mean
+    val mean = n / 8.0
+    val sd = math.sqrt(n * (1.0 / 8) * (7.0 / 8))
+    byShard.foreach { case (s, docs) =>
+      assert(math.abs(docs.length - mean) <= 5 * sd + 1,
+        s"shard $s has ${docs.length} docs, expected ~$mean")
+    }
+    // ranks are a dense permutation 1..|shard| within each shard
+    byShard.foreach { case (_, docs) =>
+      assert(docs.map(_._3).sorted.sameElements(1L to docs.length))
+    }
+    // deterministic: a second run is byte-identical (seeded hashes,
+    // no RNG state)
+    val again = run("shard_assign").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("doc_rarity: scores are scale-capped and rare-token counts are consistent") {
     val rows = run("doc_rarity").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
