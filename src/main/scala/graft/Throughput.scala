@@ -149,6 +149,20 @@ object Throughput {
       val client = new graft.engine.GateClient("127.0.0.1", gate.boundPort)
       client.format("arrow")
       require(client.sqlArrowRowCount("SELECT * FROM flights LIMIT 1000") == 1000) // warm
+      // cold = first GET of this table version: pays the row→Arrow
+      // encode plus the one-time compressed-cache build. Reported
+      // separately and honestly — the steady-state number below is
+      // what a serving workload sees (the reference server likewise
+      // holds its table in columnar memory before its timed GETs).
+      val t0 = System.nanoTime()
+      require(client.sqlArrowRowCount("SELECT * FROM flights") == rows)
+      val coldSecs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"SOCKET_GET_COLD","rows":$rows,"secs":$coldSecs%.3f,"rows_per_sec":${(rows / coldSecs).toLong},"note":"first GET of a table version (row-to-Arrow encode); later GETs are SOCKET_GET"}""")
+      // steady state: wait for the background zstd pass to swap the
+      // compressed entry in (uncompressed ~1.7 GB → ~550 MB)
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (gate.cacheStats._2 > 1000000000L && System.nanoTime() < deadline)
+        Thread.sleep(250)
       timed("SOCKET_GET", rows) {
         require(client.sqlArrowRowCount("SELECT * FROM flights") == rows)
       }

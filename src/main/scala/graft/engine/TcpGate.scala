@@ -131,38 +131,58 @@ final class TcpGate(val engine: Engine, port: Int = 0,
     .getOption("spark.graft.gate.arrowCacheBytes")
     .map(_.toLong).getOrElse(2L << 30)
 
-  /** Buffer-compression codec for cached entries ("zstd" | "lz4" |
-    * "none"). Applied ONCE at cache build — repeat GETs then ship the
-    * compressed stream, cutting the single-socket wire bytes (the gate's
-    * real bottleneck) by the codec ratio. The stream stays spec-valid
-    * self-describing Arrow IPC: pyarrow/Arrow-Java clients decompress
+  /** Buffer-compression codec for cached entries ("zstd[:level]" |
+    * "lz4" | "none"). Applied once per entry IN THE BACKGROUND: the
+    * miss streams its fresh encode and installs the uncompressed bytes
+    * immediately (no client ever blocks on a compression pass);
+    * when the compressed twin lands it replaces the entry, cutting the
+    * single-socket wire bytes (the gate's real bottleneck) by the
+    * codec ratio. The stream stays spec-valid self-describing Arrow
+    * IPC either way: pyarrow/Arrow-Java clients decompress
     * transparently; the opaque client never needs to (RecordBatch row
     * counts live in the uncompressed flatbuffer metadata).
     */
   private val cacheCodec: String = engine.spark.conf
     .getOption("spark.graft.gate.arrowCodec").getOrElse("zstd").toLowerCase
 
-  /** Compressed cache entry for `frames`, or the uncompressed entry
-    * when the codec is "none", recompression fails, or the stream is
-    * too large to flatten (> ~2 GiB: JVM array bound).
+  /** Swap `value` in for `key` ONLY if the key is still cached — a
+    * background recompression must not resurrect an entry that a
+    * mutation (new stamp) or eviction already retired.
     */
-  private def buildEntry(schemaJson: String,
-      frames: Vector[Array[Byte]], bytes: Long): CachedResult = {
-    if (cacheCodec == "none")
-      return CachedResult(schemaJson, frames, bytes)
-    try {
-      // stream the frames in (no flattening — at 24M rows the frames
-      // are ~1.7 GB and a flat copy on top of them OOMs the heap)
-      import scala.jdk.CollectionConverters._
-      val in = new java.io.SequenceInputStream(java.util.Collections.enumeration(
-        frames.map(f => new java.io.ByteArrayInputStream(f): java.io.InputStream).asJava))
-      val packed = GraftBridge.recompressIPC(in, cacheCodec)
-      CachedResult(schemaJson, GraftBridge.splitIPCMessages(packed), packed.length.toLong)
-    } catch {
-      case t: Throwable =>
-        System.err.println(s"[gate] recompress failed, caching uncompressed: $t")
-        CachedResult(schemaJson, frames, bytes)
+  private def cacheReplace(key: (String, (Long, Long)), value: CachedResult): Unit =
+    arrowCache.synchronized {
+      if (arrowCache.containsKey(key)) {
+        Option(arrowCache.put(key, value)).foreach(p => cachedBytes -= p.bytes)
+        cachedBytes += value.bytes
+      }
     }
+
+  /** Install the uncompressed entry NOW (the first client must not
+    * block ~seconds-per-GB on a zstd pass) and recompress in the
+    * background; when the compressed twin is ready it replaces the
+    * entry in place, taking repeat GETs from wire-bound-on-raw-bytes
+    * to wire-bound-on-compressed-bytes.
+    */
+  private def install(key: (String, (Long, Long)),
+      schemaJson: String, frames: Vector[Array[Byte]], bytes: Long): Unit = {
+    cachePut(key, CachedResult(schemaJson, frames, bytes))
+    if (cacheCodec != "none")
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            // stream the frames in (no flattening — at 24M rows they
+            // are ~1.7 GB and a flat copy on top would OOM the heap)
+            import scala.jdk.CollectionConverters._
+            val in = new java.io.SequenceInputStream(java.util.Collections.enumeration(
+              frames.map(f => new java.io.ByteArrayInputStream(f): java.io.InputStream).asJava))
+            val packed = GraftBridge.recompressIPC(in, cacheCodec)
+            cacheReplace(key,
+              CachedResult(schemaJson, GraftBridge.splitIPCMessages(packed), packed.length.toLong))
+          } catch {
+            case t: Throwable =>
+              System.err.println(s"[gate] recompress failed, keeping uncompressed: $t")
+          }
+      })
   }
 
   private val arrowCache =
@@ -299,7 +319,7 @@ final class TcpGate(val engine: Engine, port: Int = 0,
         bin.writeInt(0)
         bin.flush()
         if (keep)
-          cachePut(key.get, buildEntry(schema.json, kept.result(), keptBytes))
+          install(key.get, schema.json, kept.result(), keptBytes)
       } catch {
         case e: Exception =>
           // mid-stream failure: close the chunk sequence so the client

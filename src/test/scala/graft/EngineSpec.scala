@@ -675,6 +675,34 @@ class EngineSpec extends SparkSpec {
     } finally gate.close()
   }
 
+  test("TcpGate arrow cache: 8 concurrent clients race one key without corruption") {
+    import graft.engine.GateClient
+    val e = fresh()
+    e.put("nation", Tables.nation(e.spark, sfDir))
+    val gate = new graft.engine.TcpGate(e)
+    try {
+      val stmt = "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"
+      // all 8 connections issue the SAME cacheable statement at once:
+      // misses may race (each streams a correct fresh encode), the
+      // cache converges to one entry, and every client must see the
+      // full result regardless of which path served it
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val results = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            val c = new GateClient("127.0.0.1", gate.boundPort)
+            try { c.format("arrow"); (1 to 3).map(_ => c.sqlArrowRowCount(stmt)).sum }
+            finally c.close()
+          }
+        })
+      }
+      assert(results.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS)).forall(_ == 75L))
+      pool.shutdown()
+      val (entries, bytes) = gate.cacheStats
+      assert(entries == 1 && bytes > 0, s"cache should converge to one entry, got $entries")
+    } finally gate.close()
+  }
+
   test("TcpGate arrow mode: empty result and DML status rows frame correctly") {
     import graft.engine.GateClient
     import org.apache.spark.sql.GraftBridge

@@ -82,7 +82,11 @@ class PropertiesSpec extends SparkSpec {
     // must keep that cheap (an uncompacted 500-deep union would not be)
     assert(e.query("SELECT count(*) AS c FROM deep").head().getLong(0) == 5000L)
     val secs = (System.nanoTime() - t0) / 1e9
-    assert(secs < 10.0, f"analysis+exec took $secs%.1f s — compaction not bounding plan depth")
+    // generous bound: an UNCOMPACTED 500-deep union takes minutes to
+    // analyze, so 30 s still proves the property — while surviving the
+    // build VM's hypervisor-steal episodes (measured 86% st), which
+    // inflate all wall-clock ~7× and made a 10 s bound flaky
+    assert(secs < 30.0, f"analysis+exec took $secs%.1f s — compaction not bounding plan depth")
   }
 
   test("exact dedup is idempotent for any projected column set") {
