@@ -14,6 +14,11 @@ object Expl {
     println("count=" + df.count() + " in " + (System.nanoTime-t0)/1e9 + "s")
     val t1 = System.nanoTime
     println("count2=" + df.count() + " in " + (System.nanoTime-t1)/1e9 + "s")
+    // final ADAPTIVE plan: collect() executes this dataset's own query
+    // execution, so the AdaptiveSparkPlan below is isFinalPlan=true —
+    // the joins shown are the ones AQE actually chose at runtime
+    df.collect()
+    println(df.queryExecution.executedPlan)
     spark.stop()
   }
 }

@@ -29,8 +29,11 @@ object Throughput {
     Map("GET" -> 118119463L, "TRANSFER" -> 52093044L, "EXCHANGE" -> 50808383L,
       // SOCKET_GET is the honest twin of the reference's GET (client
       // receives all Arrow batches over loopback, `demo.py:112-114`):
-      // same baseline number, but measured through TcpGate's Arrow wire
-      "SOCKET_GET" -> 118119463L)
+      // same baseline number, but measured through TcpGate's Arrow wire.
+      // NOCACHE re-executes the query per GET — exactly the reference
+      // server's behavior (`fetch_arrow_table`, flight_server.py:348) —
+      // while SOCKET_GET is the steady-state serving number (cache hit).
+      "SOCKET_GET" -> 118119463L, "SOCKET_GET_NOCACHE" -> 118119463L)
 
   /** The reference flights schema (`demo.py:198-210`), generated
     * distributed — spark.range + expressions, no driver loop.
@@ -150,19 +153,21 @@ object Throughput {
       client.format("arrow")
       require(client.sqlArrowRowCount("SELECT * FROM flights LIMIT 1000") == 1000) // warm
       // cold = first GET of this table version: pays the row→Arrow
-      // encode plus the one-time compressed-cache build. Reported
-      // separately and honestly — the steady-state number below is
-      // what a serving workload sees (the reference server likewise
-      // holds its table in columnar memory before its timed GETs).
+      // encode + executor-side zstd. Reported separately and honestly —
+      // the steady-state number below is what a serving workload sees
+      // (the reference server likewise holds its table in columnar
+      // memory before its timed GETs).
       val t0 = System.nanoTime()
       require(client.sqlArrowRowCount("SELECT * FROM flights") == rows)
       val coldSecs = (System.nanoTime() - t0) / 1e9
-      println(f"""{"op":"SOCKET_GET_COLD","rows":$rows,"secs":$coldSecs%.3f,"rows_per_sec":${(rows / coldSecs).toLong},"note":"first GET of a table version (row-to-Arrow encode); later GETs are SOCKET_GET"}""")
-      // steady state: wait for the background zstd pass to swap the
-      // compressed entry in (uncompressed ~1.7 GB → ~550 MB)
-      val deadline = System.nanoTime() + 120L * 1000000000L
-      while (gate.cacheStats._2 > 1000000000L && System.nanoTime() < deadline)
-        Thread.sleep(250)
+      println(f"""{"op":"SOCKET_GET_COLD","rows":$rows,"secs":$coldSecs%.3f,"rows_per_sec":${(rows / coldSecs).toLong},"note":"first GET of a table version (row-to-Arrow encode + executor-side zstd); later GETs are SOCKET_GET"}""")
+      // fresh-query path on a warm JVM: ##nocache bypasses the result
+      // cache entirely, so every trial re-runs the query and re-encodes
+      // — the apples-to-apples twin of the reference's per-GET execute
+      timed("SOCKET_GET_NOCACHE", rows) {
+        require(client.sqlArrowRowCount("##nocache SELECT * FROM flights") == rows)
+      }
+      // steady state: cache hit serving pre-encoded compressed bytes
       timed("SOCKET_GET", rows) {
         require(client.sqlArrowRowCount("SELECT * FROM flights") == rows)
       }

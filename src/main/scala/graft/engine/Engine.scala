@@ -56,6 +56,23 @@ final class Engine(val spark: SparkSession) {
     ddlPrefixes.exists(u.startsWith)
   }
 
+  /** Leading keywords of statements that CANNOT mutate engine-visible
+    * state. Everything else that reaches bare `spark.sql` — INSERT/
+    * MERGE on a table created via raw DDL, `SET` of a result-affecting
+    * session conf (timezone, ANSI), CACHE/UNCACHE, … — must bump the
+    * epoch, or TcpGate's Arrow cache would keep serving pre-mutation
+    * bytes (a silent stale read). Erring non-pure is always sound:
+    * the cost is a cold cache, never a wrong result.
+    */
+  private val pureQueryPrefixes =
+    Seq("SELECT", "WITH", "VALUES", "TABLE", "EXPLAIN", "SHOW", "DESCRIBE", "DESC")
+
+  /** True iff the statement is a pure read by leading keyword. */
+  def isPureQuery(sql: String): Boolean = {
+    val u = sql.trim.toUpperCase
+    pureQueryPrefixes.exists(u.startsWith)
+  }
+
   /** Run any SQL. DML/DDL verbs the catalog can rewrite (`UPDATE`/
     * `DELETE`/`INSERT`/`ALTER` on catalog tables, which Mallard's
     * router passes verbatim to DuckDB, `flight_server.py:320-331`,
@@ -74,7 +91,13 @@ final class Engine(val spark: SparkSession) {
         epoch.incrementAndGet()
         spark.sql(sql)
         statusOk
-      } else spark.sql(sql)
+      } else {
+        // any non-pure statement (INSERT INTO a raw-DDL table, SET,
+        // MERGE, CACHE …) invalidates cached results, even though the
+        // catalog counter can't see it
+        if (!isPureQuery(sql)) epoch.incrementAndGet()
+        spark.sql(sql)
+      }
     }
 
   def statusOk: DataFrame = spark.range(1).select(lit("OK").as("status"))

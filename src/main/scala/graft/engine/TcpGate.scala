@@ -118,6 +118,11 @@ final class TcpGate(val engine: Engine, port: Int = 0,
   //  - only statements whose leading keyword is SELECT/WITH/VALUES/
   //    TABLE are cacheable — verbs with side effects (COPY, INSERT,
   //    REGISTER, DDL…) always execute;
+  //  - results whose analyzed plan contains a non-deterministic or
+  //    current-time expression (rand(), uuid(), now(), …) are streamed
+  //    but never installed — see [[cacheSafe]];
+  //  - `##nocache <sql>` bypasses the cache entirely (fresh execute,
+  //    no install) for honest fresh-query measurement;
   //  - total cached bytes are bounded (`spark.graft.gate.arrowCacheBytes`,
   //    default 2 GiB, 0 disables); results that exceed the bound are
   //    streamed but not retained; eviction is LRU.
@@ -131,59 +136,26 @@ final class TcpGate(val engine: Engine, port: Int = 0,
     .getOption("spark.graft.gate.arrowCacheBytes")
     .map(_.toLong).getOrElse(2L << 30)
 
-  /** Buffer-compression codec for cached entries ("zstd[:level]" |
-    * "lz4" | "none"). Applied once per entry IN THE BACKGROUND: the
-    * miss streams its fresh encode and installs the uncompressed bytes
-    * immediately (no client ever blocks on a compression pass);
-    * when the compressed twin lands it replaces the entry, cutting the
-    * single-socket wire bytes (the gate's real bottleneck) by the
-    * codec ratio. The stream stays spec-valid self-describing Arrow
-    * IPC either way: pyarrow/Arrow-Java clients decompress
-    * transparently; the opaque client never needs to (RecordBatch row
-    * counts live in the uncompressed flatbuffer metadata).
+  /** Buffer-compression codec for the Arrow wire ("zstd[:level]" |
+    * "lz4" | "none"). Applied ON THE EXECUTORS at encode time
+    * (`GraftBridge.arrowBatchesPipelinedCompressed`): every partition
+    * compresses its batches in parallel, so the driver pump, the
+    * socket write, AND the cache install all handle the compressed
+    * bytes — the cold GET ships ~3× fewer bytes through the
+    * single-socket funnel and the cache needs no separate
+    * recompression pass. The stream stays spec-valid self-describing
+    * Arrow IPC: pyarrow/Arrow-Java clients decompress transparently;
+    * the opaque client never needs to (RecordBatch row counts live in
+    * the uncompressed flatbuffer metadata); `GraftBridge.fromArrowIPC`
+    * normalizes automatically.
     */
   private val cacheCodec: String = engine.spark.conf
     .getOption("spark.graft.gate.arrowCodec").getOrElse("zstd").toLowerCase
 
-  /** Swap `value` in for `key` ONLY if the key is still cached — a
-    * background recompression must not resurrect an entry that a
-    * mutation (new stamp) or eviction already retired.
+  /** The configured wire codec — exposed so benchmarks can report
+    * which codec their numbers were measured under.
     */
-  private def cacheReplace(key: (String, (Long, Long)), value: CachedResult): Unit =
-    arrowCache.synchronized {
-      if (arrowCache.containsKey(key)) {
-        Option(arrowCache.put(key, value)).foreach(p => cachedBytes -= p.bytes)
-        cachedBytes += value.bytes
-      }
-    }
-
-  /** Install the uncompressed entry NOW (the first client must not
-    * block ~seconds-per-GB on a zstd pass) and recompress in the
-    * background; when the compressed twin is ready it replaces the
-    * entry in place, taking repeat GETs from wire-bound-on-raw-bytes
-    * to wire-bound-on-compressed-bytes.
-    */
-  private def install(key: (String, (Long, Long)),
-      schemaJson: String, frames: Vector[Array[Byte]], bytes: Long): Unit = {
-    cachePut(key, CachedResult(schemaJson, frames, bytes))
-    if (cacheCodec != "none")
-      pool.submit(new Runnable {
-        def run(): Unit =
-          try {
-            // stream the frames in (no flattening — at 24M rows they
-            // are ~1.7 GB and a flat copy on top would OOM the heap)
-            import scala.jdk.CollectionConverters._
-            val in = new java.io.SequenceInputStream(java.util.Collections.enumeration(
-              frames.map(f => new java.io.ByteArrayInputStream(f): java.io.InputStream).asJava))
-            val packed = GraftBridge.recompressIPC(in, cacheCodec)
-            cacheReplace(key,
-              CachedResult(schemaJson, GraftBridge.splitIPCMessages(packed), packed.length.toLong))
-          } catch {
-            case t: Throwable =>
-              System.err.println(s"[gate] recompress failed, keeping uncompressed: $t")
-          }
-      })
-  }
+  def codecName: String = cacheCodec
 
   private val arrowCache =
     new java.util.LinkedHashMap[(String, (Long, Long)), CachedResult](16, 0.75f, true)
@@ -217,6 +189,30 @@ final class TcpGate(val engine: Engine, port: Int = 0,
   private def cacheable(stmt: String): Boolean = {
     val kw = stmt.split("\\s+", 2)(0).toUpperCase
     kw == "SELECT" || kw == "WITH" || kw == "VALUES" || kw == "TABLE"
+  }
+
+  /** Current-time expressions are MARKED deterministic in Catalyst
+    * (they fold to a literal at each query start), but two GETs at
+    * different wall-clocks must not replay identical bytes — so they
+    * are cache-unsafe alongside genuinely non-deterministic
+    * expressions (rand(), uuid(), shuffle(), monotonically_increasing_id()).
+    */
+  private val currentTimeLike = Set(
+    "CurrentTimestamp", "Now", "CurrentDate", "LocalTimestamp",
+    "CurrentTimeZone", "CurrentUser")
+
+  /** True iff every expression in the analyzed plan (subqueries
+    * included) is deterministic and time-independent — only such
+    * results may be installed in the Arrow cache. The reference server
+    * re-executes every GET (`fetch_arrow_table`, `flight_server.py:348`),
+    * so a cached rand()/now() replay would diverge from it observably.
+    */
+  private def cacheSafe(df: DataFrame): Boolean = {
+    val root = df.queryExecution.analyzed
+    (root +: root.subqueriesAll).forall { plan =>
+      !plan.exists(_.expressions.exists(_.exists(e =>
+        !e.deterministic || currentTimeLike(e.getClass.getSimpleName))))
+    }
   }
 
   private val RegisterRe =
@@ -313,13 +309,17 @@ final class TcpGate(val engine: Engine, port: Int = 0,
       try {
         teed(GraftBridge.arrowStreamHeader(spark, schema))
         // one parallel encode job; batches stream through in partition
-        // order as tasks finish (see GraftBridge.arrowBatchesPipelined)
-        GraftBridge.arrowBatchesPipelined(df)(teed)
+        // order as tasks finish, compressed executor-side so the
+        // socket and the cache both see the small bytes
+        if (cacheCodec != "none")
+          GraftBridge.arrowBatchesPipelinedCompressed(df, cacheCodec)(teed)
+        else
+          GraftBridge.arrowBatchesPipelined(df)(teed)
         teed(GraftBridge.arrowStreamFooter(spark, schema))
         bin.writeInt(0)
         bin.flush()
         if (keep)
-          install(key.get, schema.json, kept.result(), keptBytes)
+          cachePut(key.get, CachedResult(schema.json, kept.result(), keptBytes))
       } catch {
         case e: Exception =>
           // mid-stream failure: close the chunk sequence so the client
@@ -341,14 +341,24 @@ final class TcpGate(val engine: Engine, port: Int = 0,
                 out.println(s"##ok $mode")
               case stmt =>
                 try {
-                  if (arrowMode && cacheable(stmt)) {
-                    val key = (stmt, engine.mutationStamp)
+                  // `##nocache <sql>` executes the statement fresh —
+                  // no cache read, no install. Exists so clients (and
+                  // Throughput) can measure the honest fresh-query
+                  // path on a warm gate.
+                  val bypass = stmt.toLowerCase.startsWith("##nocache ")
+                  val body = if (bypass) stmt.drop("##nocache ".length).trim else stmt
+                  if (arrowMode && !bypass && cacheable(body)) {
+                    val key = (body, engine.mutationStamp)
                     cacheGet(key) match {
                       case Some(c) => sendCached(c)
-                      case None    => sendArrow(runLine(stmt), Some(key))
+                      case None    =>
+                        val df = runLine(body)
+                        // non-deterministic / current-time results are
+                        // streamed but never installed
+                        sendArrow(df, if (cacheSafe(df)) Some(key) else None)
                     }
                   } else {
-                    val df = runLine(stmt)
+                    val df = runLine(body)
                     if (arrowMode) sendArrow(df, None)
                     else {
                       val it = df.toJSON.toLocalIterator()

@@ -13,8 +13,11 @@ import graft.Tables
   * join strategy and whole-stage codegen.
   *
   * Scale notes (100 TB):
-  *  - dimension joins (`nation`, `region`, filtered `orders` subsets)
-  *    are explicitly `broadcast()` — no shuffle of the fact side;
+  *  - fixed-cardinality dims (`nation` 25 rows, `region` 5 rows) are
+  *    explicitly `broadcast()` — no shuffle of the fact side; tables
+  *    that grow with scale factor (customer, supplier) carry NO hint,
+  *    because a forced hint is never demoted by AQE — unhinted, AQE
+  *    broadcasts them while small and shuffles them at scale;
   *  - every aggregate is a map-side-combinable hash aggregate on the
   *    group keys — partial aggregation happens before the exchange;
   *  - top-k goes through `ORDER BY … LIMIT k` which Spark plans as
@@ -94,13 +97,16 @@ object Relational {
     },
 
     // --- TPC-H Q3 shape: 3-table multi-join flagship ------------------
-    // customer (filtered dim, broadcast — the filter kills 80% before
-    // the join, so the dim fits executor memory even at large SF; at
-    // true 100 TB customer scale AQE would flip this to a shuffle join,
-    // and the plan is written so that flip is legal) ⋈ orders, then ONE
-    // shuffle of the lineitem fact on the join key, partial-aggregated
-    // before the group-key exchange, TakeOrderedAndProject for the
-    // top-10 (per-partition heaps, no global sort). Plan in PLANS.md.
+    // customer grows with scale factor, so it carries NO broadcast
+    // hint — a forced hint is honored regardless of size and would
+    // prevent AQE from demoting it at true customer scale. At sf0.1
+    // the filtered customer side is well under the AQE broadcast
+    // threshold so AQE still plans a broadcast join (plan in
+    // PLANS.md); at 100 TB the same code degrades to a shuffle join.
+    // Then ONE shuffle of the lineitem fact on the join key,
+    // partial-aggregated before the group-key exchange,
+    // TakeOrderedAndProject for the top-10 (per-partition heaps, no
+    // global sort).
     sql("q3_shipping_priority",
       """SELECT l_orderkey,
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -124,7 +130,7 @@ object Relational {
       val li = Tables.lineitem(s, d)
         .filter(col("l_shipdate") > cut)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      broadcast(cust).join(ord, col("c_custkey") === col("o_custkey"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
         .join(li, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
@@ -134,14 +140,18 @@ object Relational {
     },
 
     // --- TPC-H Q5 shape: 6-table join with a join-graph cycle ---------
-    // region → nation chain broadcast into supplier AND customer; the
-    // "local supplier" condition (c_nationkey = s_nationkey) closes a
-    // cycle in the join graph, which exercises join-order planning in
-    // a way tree-shaped queries can't. The lineitem fact takes the
-    // only large shuffle (on orderkey); supplier and the dim chain
-    // ride along as broadcasts; partial aggregation precedes the final
-    // group-key exchange. At true customer scale AQE flips the
-    // customer join to a shuffle join with no code change.
+    // Only nation and region carry broadcast hints — their cardinality
+    // is fixed (25 / 5 rows) at every scale factor. Supplier and
+    // customer grow linearly with SF, so they carry NO hint: a forced
+    // broadcast is honored regardless of size, which would pin an
+    // SF-growing table in executor memory at 100 TB. Unhinted, AQE
+    // picks broadcast for both at sf0.1 (they're tiny — plan in
+    // PLANS.md) and flips to shuffle joins at true scale with no code
+    // change. The "local supplier" condition (c_nationkey =
+    // s_nationkey) closes a cycle in the join graph, which exercises
+    // join-order planning in a way tree-shaped queries can't. The
+    // lineitem fact takes the large shuffle (on orderkey); partial
+    // aggregation precedes the final group-key exchange.
     sql("q5_local_supplier",
       """SELECT r_name, n_name,
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -159,6 +169,7 @@ object Relational {
         .join(broadcast(Tables.region(s, d)),
           col("n_regionkey") === col("r_regionkey"))
         .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      // natReg is nation⋈region = ≤25 rows at any SF → hint is safe.
       val sup = Tables.supplier(s, d)
         .join(broadcast(natReg), col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_nationkey"), col("n_name"), col("r_name"))
@@ -169,9 +180,9 @@ object Relational {
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_suppkey"),
           col("l_extendedprice"), col("l_discount"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust),
+        .join(cust,
           col("o_custkey") === col("c_custkey") &&
             col("c_nationkey") === col("s_nationkey")) // the Q5 cycle
         .groupBy(col("r_name"), col("n_name"))

@@ -703,6 +703,85 @@ class EngineSpec extends SparkSpec {
     } finally gate.close()
   }
 
+  test("TcpGate arrow cache: INSERT into a raw-DDL table invalidates (epoch covers bare spark.sql writes)") {
+    import graft.engine.GateClient
+    val e = fresh()
+    val gate = new graft.engine.TcpGate(e)
+    try {
+      e.spark.sql("DROP TABLE IF EXISTS graft_r9_rawddl")
+      val c = new GateClient("127.0.0.1", gate.boundPort)
+      c.format("arrow")
+      // table exists only in the session catalog, NOT the engine's own
+      // catalog — so the catalog.version counter cannot see writes to it
+      c.sqlArrow("CREATE TABLE graft_r9_rawddl (x INT) USING parquet")
+      c.sqlArrow("INSERT INTO graft_r9_rawddl VALUES (1)")
+      val stmt = "SELECT count(*) AS c FROM graft_r9_rawddl"
+      assert(c.sqlArrowRowCount(stmt) == 1) // install
+      c.sqlArrow("INSERT INTO graft_r9_rawddl VALUES (2)")
+      // the INSERT reached bare spark.sql; the epoch bump must retire
+      // the cached count or this read silently returns 1 row = count 1
+      val decoded = org.apache.spark.sql.GraftBridge.fromArrowIPC(
+        e.spark, c.sqlArrow(stmt)._2)
+      assert(decoded.collect()(0).getLong(0) == 2,
+        "cache served pre-INSERT bytes — epoch did not cover a bare spark.sql write")
+      // SET of a session conf is likewise non-pure → new stamp
+      val s0 = e.mutationStamp
+      c.sqlArrow("SET spark.sql.session.timeZone=UTC")
+      assert(e.mutationStamp != s0, "SET must bump the mutation stamp")
+      c.close()
+    } finally {
+      e.spark.sql("DROP TABLE IF EXISTS graft_r9_rawddl")
+      gate.close()
+    }
+  }
+
+  test("TcpGate arrow cache: non-deterministic and current-time results are never installed") {
+    import graft.engine.GateClient
+    val e = fresh()
+    val gate = new graft.engine.TcpGate(e)
+    try {
+      val c = new GateClient("127.0.0.1", gate.boundPort)
+      c.format("arrow")
+      for (stmt <- Seq(
+          "SELECT rand() AS r",
+          "SELECT uuid() AS u",
+          "SELECT current_timestamp() AS t",
+          "SELECT now() AS t2",
+          "SELECT current_date() AS d")) {
+        assert(c.sqlArrowRowCount(stmt) == 1)
+        assert(c.sqlArrowRowCount(stmt) == 1)
+      }
+      assert(gate.cacheStats._1 == 0,
+        s"non-deterministic results were cached: ${gate.cacheStats}")
+      // a deterministic SELECT still caches as before
+      assert(c.sqlArrowRowCount("SELECT 1 AS one") == 1)
+      assert(gate.cacheStats._1 == 1)
+      c.close()
+    } finally gate.close()
+  }
+
+  test("TcpGate ##nocache: fresh execute, no cache read or install") {
+    import graft.engine.GateClient
+    val e = fresh()
+    e.put("nation", Tables.nation(e.spark, sfDir))
+    val gate = new graft.engine.TcpGate(e)
+    try {
+      val c = new GateClient("127.0.0.1", gate.boundPort)
+      c.format("arrow")
+      val stmt = "SELECT n_nationkey FROM nation ORDER BY n_nationkey"
+      assert(c.sqlArrowRowCount(s"##nocache $stmt") == 25)
+      assert(c.sqlArrowRowCount(s"##nocache $stmt") == 25)
+      assert(gate.cacheStats._1 == 0, "##nocache must not install")
+      assert(c.sqlArrowRowCount(stmt) == 25) // plain statement installs
+      assert(gate.cacheStats._1 == 1)
+      // bypass must not READ the now-populated cache either: mutate
+      // without bumping visibility through put, then ##nocache sees the
+      // fresh state even though the stale entry still exists for its key
+      assert(c.sqlArrowRowCount(s"##nocache $stmt") == 25)
+      c.close()
+    } finally gate.close()
+  }
+
   test("TcpGate arrow mode: empty result and DML status rows frame correctly") {
     import graft.engine.GateClient
     import org.apache.spark.sql.GraftBridge
