@@ -56,7 +56,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // the driver's captured stdout tail truncates at 2000 chars, which
+    // loses the per-key map — persist the full line so every round's
+    // driver bench is diffable (tools/benchdiff.py) from the file alone
+    try {
+      val p = java.nio.file.Paths.get("/root/repo/bench/BENCH_driver_latest.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, json + "\n")
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] artifact write failed: $e")
+    }
     spark.stop()
   }
 }

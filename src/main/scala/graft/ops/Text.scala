@@ -186,20 +186,31 @@ object Text {
     * under a pid-unique directory and atomically rename, so a lost race
     * costs a duplicate build, never a torn index.
     */
-  private[graft] def stagedBandIndex(s: SparkSession, d: String): String = {
+  private[graft] def stagedBandIndex(s: SparkSession, d: String): String =
+    stagedHsIndex(s, d, "band_index")(
+      docs(s, d).select(col("doc_id"), col("text")).filter(col("doc_id") < 250))
+
+  /** Generic staged (hs, bands) MinHash index over an arbitrary
+    * (doc_id, text) corpus, keyed by `name` + source path and stamped
+    * against the source parquet — the reusable core of
+    * [[stagedBandIndex]], also backing `dedup_components`' edge build
+    * (Pipeline.componentIndex): any key whose corpus derives
+    * deterministically from `documents.parquet` can persist its
+    * shingling + 12-permutation MinHash once and scan it thereafter.
+    */
+  private[graft] def stagedHsIndex(s: SparkSession, d: String, name: String)(
+      corpus: => DataFrame): String = {
     import java.nio.file._
     val src = Paths.get(s"$d/documents.parquet")
     val key = src.toString.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = Paths.get(s"/root/repo/target/tmp/band_index_$key")
+    val dir = Paths.get(s"/root/repo/target/tmp/${name}_$key")
     val marker = dir.resolve("_built")
     val stamp = s"${Files.size(src)}:${Files.getLastModifiedTime(src)}"
     val fresh = Files.exists(marker) &&
       new String(Files.readAllBytes(marker), "UTF-8") == stamp
     if (!fresh) {
       val stage = Paths.get(s"$dir.build-${ProcessHandle.current().pid()}")
-      val old = docs(s, d).select(col("doc_id"), col("text"))
-        .filter(col("doc_id") < 250)
-      val oldHs = shingleHashes(old)
+      val oldHs = shingleHashes(corpus)
       oldHs.write.mode("overwrite").parquet(s"$stage/hs")
       // bands derive from the WRITTEN hs (not a recompute) so index
       // halves can never disagree

@@ -163,4 +163,39 @@ class EdgeCasesSpec extends SparkSpec {
       assert(byId(i) == ((3L, 2L)), s"doc $i: got ${byId(i)}")
     }
   }
+
+  test("mix_epochs: single-source corpus — cap binds, budget partition still exact") {
+    // one tiny source (10 docs × 50 tokens = 500): with a single source
+    // the temperature weights cancel, so its target must be EXACTLY the
+    // 100k budget (rounded division of w_total/2 over w_total — no
+    // drift), and 1000·100000/500 = 200000 milli-epochs slams into the
+    // 4000 cap → planned tokens are exactly cap × src_tokens, NOT the
+    // unreachable target
+    val dir = stageDocs("mixsingle", (0L to 9L).map(i => (i, "solo", words(s"w$i", 50))))
+    val rows = SparkEntry.queries("mix_epochs")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.toSeq == Seq(("solo", 10L, 500L, 100000L, 4000L, 2000L)))
+  }
+
+  test("shard_assign: more shards than docs — empty shards, ranks still dense") {
+    // 3 docs over NumShards = 8: at least 5 shards are necessarily
+    // empty; the assignment must not fabricate rows for them, every
+    // emitted shard id stays in range, and each non-empty shard's
+    // ranks remain a dense 1..k permutation (a worker with no data
+    // reads an empty file — never a gap in another worker's order)
+    val dir = stageDocs("shardsparse",
+      Seq((0L, "s", words("a", 12)), (1L, "s", words("b", 12)), (2L, "s", words("c", 12))))
+    val rows = SparkEntry.queries("shard_assign")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 3)
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 8))
+    rows.groupBy(_._2).foreach { case (shard, docs) =>
+      assert(docs.map(_._3).sorted.sameElements(1L to docs.length),
+        s"shard $shard ranks not dense: ${docs.map(_._3).sorted.toSeq}")
+    }
+    // determinism survives the degenerate corpus too
+    val again = SparkEntry.queries("shard_assign")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
 }

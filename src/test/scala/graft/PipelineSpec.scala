@@ -10,13 +10,19 @@ class PipelineSpec extends SparkSpec {
 
   private def run(key: String) = SparkEntry.queries(key)(spark, sfDir)
 
-  test("dedup_components matches the ground-truth closure of fixture duplicates") {
-    val rows = run("dedup_components").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val byId = rows.map { case (id, comp, sz) => id -> (comp, sz) }.toMap
-
-    // Rebuild the planted corpus locally, mirroring componentCorpus:
-    // base text, exact copy (+10000), last-token truncation (+20000).
+  /** Ground-truth closure of the planted component corpus, mirrored
+    * from componentCorpus (base text, exact copy +10000, last-token
+    * truncation +20000). Duplicate relation: exact text equality —
+    * which also captures the fixture's own cross-base collisions,
+    * where one doc's truncation equals ANOTHER doc's full text (at
+    * sf0.001 there are 24 such chains, e.g. truncate(doc 82) ==
+    * doc 0) — plus each doc's planted variant edges. Components are
+    * the transitive closure by union-find with min-root labels (the
+    * operator labels components by min doc_id). Returns
+    * (base docs, full corpus, id → component root).
+    */
+  private def groundTruthClosure()
+      : (Array[(Long, String)], Seq[(Long, String)], Map[Long, Long]) = {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
@@ -24,14 +30,6 @@ class PipelineSpec extends SparkSpec {
       val trunc = t.split(" ").dropRight(1).mkString(" ")
       Seq((id, t), (id + 10000, t), (id + 20000, trunc))
     }
-
-    // Ground-truth duplicate relation: exact text equality — which also
-    // captures the fixture's own cross-base collisions, where one doc's
-    // truncation equals ANOTHER doc's full text (at sf0.001 there are
-    // 24 such chains, e.g. truncate(doc 82) == doc 0) — plus each doc's
-    // planted truncation edge. Expected components are the transitive
-    // closure, computed here by union-find with min-root labels (the
-    // operator labels components by min doc_id).
     val parent = scala.collection.mutable.Map(corpus.map(c => c._1 -> c._1): _*)
     def find(x: Long): Long = {
       var r = x
@@ -46,8 +44,15 @@ class PipelineSpec extends SparkSpec {
       g.map(_._1).reduceLeft { (a, b) => union(a, b); a }
     }
     base.foreach { case (id, _) => union(id, id + 10000); union(id, id + 20000) }
+    (base, corpus, corpus.map(c => c._1 -> find(c._1)).toMap)
+  }
 
-    val root = corpus.map(c => c._1 -> find(c._1)).toMap // root == component min
+  test("dedup_components matches the ground-truth closure of fixture duplicates") {
+    val rows = run("dedup_components").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = rows.map { case (id, comp, sz) => id -> (comp, sz) }.toMap
+
+    val (base, corpus, root) = groundTruthClosure() // root == component min
     val size = root.groupBy(_._2).map { case (r, m) => r -> m.size.toLong }
     assert(rows.length == corpus.length)
     corpus.foreach { case (id, _) =>
@@ -61,6 +66,40 @@ class PipelineSpec extends SparkSpec {
       assert(root(id + 10000) == root(id) && root(id + 20000) == root(id))
     }
     assert(rows.exists(_._3 > 3), "fixture should contain a cross-base duplicate chain")
+  }
+
+  test("dedup_apply: one canonical survivor per cluster, planted duplicates gone") {
+    val rows = run("dedup_apply").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (_, corpus, root) = groundTruthClosure()
+    val textOf = corpus.toMap
+    val comps = root.groupBy(_._2) // root -> members
+
+    // survivor set == ground-truth component roots, exactly once each —
+    // a singleton component would survive with n_removed = 0 (none
+    // exist in this fixture: every base doc has 2 planted variants, so
+    // every cluster has ≥ 3 members — asserted, so a fixture change
+    // that DID introduce singletons would flag this spec for review)
+    assert(rows.map(_._1).toSeq.sorted == comps.keySet.toSeq.sorted)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (id, _, compSize, nRemoved) =>
+      assert(compSize == comps(id).size.toLong, s"survivor $id wrong cluster size")
+      assert(nRemoved == compSize - 1)
+      assert(compSize >= 3, s"fixture invariant: no singleton clusters (doc $id)")
+    }
+    // survivors are canonical = the min doc_id, hence always a BASE doc
+    // (planted +10000/+20000 variants never survive); the emitted text
+    // hash is the SURVIVOR's own text
+    rows.foreach { case (id, textHash, _, _) =>
+      assert(id < 10000, s"planted variant $id survived dedup")
+      val expected = java.security.MessageDigest.getInstance("MD5")
+        .digest(textOf(id).getBytes("UTF-8")).take(4)
+        .foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      assert(textHash == expected, s"survivor $id text hash mismatch")
+    }
+    // dedup accounting: survivors + removed partition the corpus
+    assert(rows.map(_._3).sum == corpus.length.toLong)
+    assert(rows.length + rows.map(_._4).sum == corpus.length.toLong)
   }
 
   test("pack_sequences: packs are contiguous, budget-bounded modulo one doc") {

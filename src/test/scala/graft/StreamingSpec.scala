@@ -197,4 +197,47 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/hs").count() == nDocs)
     assert(spark.read.parquet(s"$idx/bands").count() == nDocs * 4)
   }
+
+  test("streaming shard_assign over micro-batch replay converges to the batch assignment") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.ops.h32Seeded
+    // Determinism is shard_assign's whole point: the per-doc (shard,
+    // order-key) pair is a seeded hash — stateless, so a stream may
+    // compute it per micro-batch in ANY arrival order/batching; the
+    // in-shard rank is then a pure function of the accumulated set.
+    // Replay documents as 3 files, one per micro-batch, shard-assign
+    // map-side INSIDE the stream, finalize ranks over the accumulated
+    // sink (what a training pipeline does when it closes an epoch's
+    // order files) — the result must be byte-identical to the batch key.
+    val dir = graft.ops.purgeOnExit(
+      s"/root/repo/target/tmp/spec_shardstream_${ProcessHandle.current().pid()}")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val raw = ss.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"))
+    raw.withColumn("part", pmod(col("doc_id"), lit(3)))
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    val sink = s"graft_shardstream_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = ss.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/part=*")
+      // the streaming half: assignment + order key, map-side, no state
+      .select(col("doc_id"),
+        (h32Seeded(lit("shard"), col("doc_id")) % 8).as("shard"),
+        h32Seeded(lit("order"), col("doc_id")).as("ord"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected multiple non-empty micro-batches")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))
+    val streamed = ss.table(sink)
+      .select(col("doc_id"), col("shard"),
+        row_number().over(w).cast("bigint").as("rank"))
+    val batch = SparkEntry.queries("shard_assign")(spark, sfDir)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
 }
