@@ -101,13 +101,29 @@ object Pipeline {
     * corpus — only docs with a duplicate appear) and each round's
     * contracted successor.
     */
+  /** Exact-duplicate star edges (member → text-group min), grouped on
+    * the full 128-bit md5 of the text rather than the text itself: the
+    * shuffle then moves 16-byte digests instead of whole documents —
+    * the only viable shape at 100 TB — and md5 equality is text
+    * equality for any non-adversarial corpus (the DuckDB oracle groups
+    * by raw text; a collision is a ~2^-64·pairs event).
+    */
+  private def exactStarEdges(corpus: DataFrame): DataFrame = {
+    val keyed = corpus.select(col("doc_id"), md5(col("text")).as("k"))
+    val reps = keyed.groupBy(col("k")).agg(min(col("doc_id")).as("rep"))
+    keyed.join(reps, Seq("k"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("x"), col("rep").as("y"))
+  }
+
   private[graft] def componentLabels(corpus: DataFrame,
-      pre: Option[(DataFrame, DataFrame)] = None): (DataFrame, DataFrame, Int) = {
-    // `pre` = persisted (hs, bands) of THIS corpus (componentIndex):
-    // the edge build then scans the stored MinHash index instead of
-    // re-running shingling + 12 permutations over 3n docs — the same
-    // index-reuse story dedup_incremental_indexed proves, applied to
-    // clustering (VERDICT r8 #3)
+      pre: Option[(DataFrame, DataFrame, DataFrame)] = None): (DataFrame, DataFrame, Int) = {
+    // `pre` = persisted (hs, bands, exact star edges) of THIS corpus
+    // (componentLabelsIndexed): the edge build then scans the stored
+    // MinHash index instead of re-running shingling + 12 permutations
+    // over 3n docs, and skips the corpus-text digest groupBy entirely —
+    // the same index-reuse story dedup_incremental_indexed proves,
+    // applied to clustering (VERDICT r8 #3)
     val hs = pre.map(_._1).getOrElse(Text.shingleHashes(corpus))
     val bands = pre.map(_._2).getOrElse(Text.minhashBands(hs))
     val nearPairs = bands.as("a")
@@ -123,10 +139,7 @@ object Pipeline {
       .join(hs.as("hb"), col("hb.doc_id") === col("y"))
       .filter(jac >= 0.8)
       .select(col("x"), col("y"))
-    val reps = corpus.groupBy(col("text")).agg(min(col("doc_id")).as("rep"))
-    val exactEdges = corpus.join(reps, Seq("text"))
-      .filter(col("doc_id") =!= col("rep"))
-      .select(col("doc_id").as("x"), col("rep").as("y"))
+    val exactEdges = pre.map(_._3).getOrElse(exactStarEdges(corpus))
     val half = nearEdges.unionByName(exactEdges)
     // symmetrized + materialized once; every iteration reads this
     // small table instead of re-running shingling/banding
@@ -217,26 +230,30 @@ object Pipeline {
   }
 
   /** [[componentLabels]] over the PERSISTED MinHash index of the
-    * component corpus: `target/tmp/cc_index_*` holds (hs, bands) built
-    * once per `documents.parquet` version (same staging/stamping
-    * machinery as `dedup_incremental_indexed`'s band index). The
-    * edge build's dominant cost — shingling + 12-permutation MinHash
-    * over 3n docs — becomes a parquet scan on every warm run; only the
-    * exact-duplicate text groupBy still reads the corpus itself. At
-    * 100 TB the index is the production artifact continuous dedup
-    * maintains anyway (batches append to it), so clustering rides the
-    * same investment instead of re-paying it.
+    * component corpus: `target/tmp/cc_index_*` holds (hs, bands,
+    * exact star edges) built once per `documents.parquet` version
+    * (same staging/stamping machinery as `dedup_incremental_indexed`'s
+    * band index). The edge build's dominant costs — shingling +
+    * 12-permutation MinHash over 3n docs, and the text-digest groupBy
+    * for exact duplicates — become parquet scans on every warm run;
+    * the corpus itself is only touched by the final (column-pruned,
+    * id-only) label join. At 100 TB the index is the production
+    * artifact continuous dedup maintains anyway (batches append to
+    * it), so clustering rides the same investment instead of re-paying
+    * it.
     */
   private[graft] def componentLabelsIndexed(
       s: SparkSession, d: String): (DataFrame, DataFrame, Int) = {
     val corpus = componentCorpus(docs(s, d))
-    val idx = Text.stagedHsIndex(s, d, "cc_index")(corpus)
+    val idx = Text.stagedHsIndex(s, d, "cc_index",
+      Map("exact" -> exactStarEdges))(corpus)
     val hs = s.read.parquet(s"$idx/hs")
     // partition column b returns as INT from directory names — the
     // type minhashBands produces, so the band join key lines up
     val bands = s.read.parquet(s"$idx/bands")
       .select(col("doc_id"), col("b"), col("bkey"))
-    componentLabels(corpus, Some((hs, bands)))
+    val exact = s.read.parquet(s"$idx/exact")
+    componentLabels(corpus, Some((hs, bands, exact)))
   }
 
   /** Shared DuckDB closure for `dedup_components` AND `dedup_apply`:

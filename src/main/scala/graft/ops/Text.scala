@@ -194,11 +194,15 @@ object Text {
     * (doc_id, text) corpus, keyed by `name` + source path and stamped
     * against the source parquet — the reusable core of
     * [[stagedBandIndex]], also backing `dedup_components`' edge build
-    * (Pipeline.componentIndex): any key whose corpus derives
+    * (Pipeline.componentLabelsIndexed): any key whose corpus derives
     * deterministically from `documents.parquet` can persist its
     * shingling + 12-permutation MinHash once and scan it thereafter.
+    * `extra` adds further corpus-derived parquet datasets under
+    * `<dir>/<part>`, built in the same staged publish so the index can
+    * never hold halves from different corpus versions.
     */
-  private[graft] def stagedHsIndex(s: SparkSession, d: String, name: String)(
+  private[graft] def stagedHsIndex(s: SparkSession, d: String, name: String,
+      extra: Map[String, DataFrame => DataFrame] = Map.empty)(
       corpus: => DataFrame): String = {
     import java.nio.file._
     val src = Paths.get(s"$d/documents.parquet")
@@ -210,12 +214,16 @@ object Text {
       new String(Files.readAllBytes(marker), "UTF-8") == stamp
     if (!fresh) {
       val stage = Paths.get(s"$dir.build-${ProcessHandle.current().pid()}")
-      val oldHs = shingleHashes(corpus)
+      val c = corpus
+      val oldHs = shingleHashes(c)
       oldHs.write.mode("overwrite").parquet(s"$stage/hs")
       // bands derive from the WRITTEN hs (not a recompute) so index
       // halves can never disagree
       minhashBands(s.read.parquet(s"$stage/hs"))
         .write.mode("overwrite").partitionBy("b").parquet(s"$stage/bands")
+      extra.foreach { case (part, f) =>
+        f(c).write.mode("overwrite").parquet(s"$stage/$part")
+      }
       Files.write(stage.resolve("_built"), stamp.getBytes("UTF-8"))
       // atomic publish; a concurrent winner keeps its copy
       try {
