@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   */
 final class Engine(val spark: SparkSession) {
 
+  // Arrow serving default: Spark's 10k-row record batches fragment a
+  // hot-table GET into thousands of tiny frames — more flatbuffer
+  // overhead, worse compression ratio, more pump iterations through
+  // the socket funnel. 128k rows/batch is the measured sweet spot for
+  // the 24M-row flights shape (Throughput/GateDebug used it already);
+  // make it the ENGINE default so every gate serves it. A session
+  // value other than Spark's shipped 10000 default is kept as-is.
+  if (spark.conf.getOption("spark.sql.execution.arrow.maxRecordsPerBatch")
+        .forall(_ == "10000"))
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+
   val catalog = new Catalog(spark)
 
   /** Exchanger registry, pre-seeded like `flight_server.py:255-261`.
