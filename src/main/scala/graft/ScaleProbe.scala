@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.Pipeline
 import org.apache.spark.sql.functions._
 
 /** Empirical scale check for the shapes the engine bets on: replay the
@@ -439,6 +440,46 @@ object ScaleProbe {
         val nEdges = edges.count() // checkpointed — cheap re-scan, not re-derivation
         println(f"""{"shape":"dedup_components","factor":$factor,"rows":$rows,"edges":$nEdges,"iterations":$iters,"components":$nComps,"secs":$secs%.2f}""")
       }
+    }
+
+    if (on("ccdelta")) {
+      // incremental-clustering octave: a FIXED appended batch against
+      // a GROWING old corpus. The claim under test is the 100 TB cost
+      // shape — the delta path's work is O(batch + edges) regardless
+      // of old-corpus size (old×old never re-examined; old artifacts
+      // come from the stored index), while the from-scratch rebuild
+      // re-shingles everything, so full/delta wall-clock should
+      // DIVERGE as the old side grows. Index build is untimed — the
+      // once-per-corpus cost continuous ingest amortizes (and in
+      // production maintains incrementally).
+      val ccBase = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val ccdFactors = if (nums.nonEmpty) nums.map(_.toInt).toSeq else Seq(1, 8, 32)
+      // batch: the original docs re-arriving under fresh ids (+3e9) —
+      // every batch doc collides with the old corpus's replica-0 texts,
+      // so cross old×new exact AND near edges all exercise
+      val newCorpus = Pipeline.componentCorpus(
+        ccBase.select((col("doc_id") + 3000000000L).as("doc_id"), col("text")))
+        .cache()
+      val batchRows = newCorpus.count()
+      for (factor <- ccdFactors) {
+        val oldCorpus = ccCorpus(ccBase, factor)
+        val oldRows = oldCorpus.count()
+        val idx = graft.ops.Text.stagedHsIndex(spark, sfDir,
+          s"ccdelta_probe_$factor", Pipeline.ccIndexExtras)(oldCorpus)
+        val t0 = System.nanoTime()
+        val (dl, dEdges, dIters) = Pipeline.deltaFromIndex(spark, idx, oldCorpus, newCorpus)
+        val dComps = dl.select(col("lbl")).distinct().count()
+        val dSecs = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val (fl, _, fIters) = Pipeline.componentLabels(oldCorpus.unionByName(newCorpus))
+        val fComps = fl.select(col("lbl")).distinct().count()
+        val fSecs = (System.nanoTime() - t1) / 1e9
+        require(dComps == fComps,
+          s"delta found $dComps components, full rebuild $fComps — divergence")
+        val nEdges = dEdges.count()
+        println(f"""{"shape":"dedup_components_delta","factor":$factor,"old_rows":$oldRows,"batch_rows":$batchRows,"edges":$nEdges,"delta_iters":$dIters,"full_iters":$fIters,"components":$dComps,"delta_secs":$dSecs%.2f,"full_secs":$fSecs%.2f}""")
+      }
+      newCorpus.unpersist()
     }
 
     if (on("ccchain")) {

@@ -82,7 +82,7 @@ object Pipeline {
     * relations; PipelineSpec computes that ground truth from the
     * fixture.
     */
-  private def componentCorpus(base: DataFrame): DataFrame = {
+  private[graft] def componentCorpus(base: DataFrame): DataFrame = {
     val b = base.select(col("doc_id"), col("text"))
     b.unionByName(b.select((col("doc_id") + 10000).as("doc_id"), col("text")))
       .unionByName(base.select((col("doc_id") + 20000).as("doc_id"),
@@ -116,6 +116,31 @@ object Pipeline {
       .select(col("doc_id").as("x"), col("rep").as("y"))
   }
 
+  /** LSH-banded candidate pairs Jaccard-verified at ≥ 0.8 over shingle
+    * sets — the near-duplicate half edges. `probe` defaults to the
+    * full band table (all-pairs self-join); the delta path passes only
+    * the NEW batch's bands so candidates are restricted to pairs
+    * involving a new doc.
+    */
+  private def verifiedNearEdges(hs: DataFrame, bands: DataFrame,
+      probe: Option[DataFrame] = None): DataFrame = {
+    val nearPairs = probe.getOrElse(bands).as("a")
+      .join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
+          (if (probe.isEmpty) col("a.doc_id") < col("b.doc_id")
+           else col("a.doc_id") =!= col("b.doc_id")))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("x"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("y"))
+      .distinct()
+    val jac = size(array_intersect(col("ha.hs"), col("hb.hs"))).cast("double") /
+      size(array_union(col("ha.hs"), col("hb.hs")))
+    nearPairs
+      .join(hs.as("ha"), col("ha.doc_id") === col("x"))
+      .join(hs.as("hb"), col("hb.doc_id") === col("y"))
+      .filter(jac >= 0.8)
+      .select(col("x"), col("y"))
+  }
+
   private[graft] def componentLabels(corpus: DataFrame,
       pre: Option[(DataFrame, DataFrame, DataFrame)] = None): (DataFrame, DataFrame, Int) = {
     // `pre` = persisted (hs, bands, exact star edges) of THIS corpus
@@ -126,21 +151,21 @@ object Pipeline {
     // applied to clustering (VERDICT r8 #3)
     val hs = pre.map(_._1).getOrElse(Text.shingleHashes(corpus))
     val bands = pre.map(_._2).getOrElse(Text.minhashBands(hs))
-    val nearPairs = bands.as("a")
-      .join(bands.as("b"),
-        col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
-      .distinct()
-    val jac = size(array_intersect(col("ha.hs"), col("hb.hs"))).cast("double") /
-      size(array_union(col("ha.hs"), col("hb.hs")))
-    val nearEdges = nearPairs
-      .join(hs.as("ha"), col("ha.doc_id") === col("x"))
-      .join(hs.as("hb"), col("hb.doc_id") === col("y"))
-      .filter(jac >= 0.8)
-      .select(col("x"), col("y"))
+    val nearEdges = verifiedNearEdges(hs, bands)
     val exactEdges = pre.map(_._3).getOrElse(exactStarEdges(corpus))
     val half = nearEdges.unionByName(exactEdges)
+    contractToLabels(corpus, half)
+  }
+
+  /** Symmetrize + contract a half-edge list to component labels — the
+    * shared back half of [[componentLabels]] (full/indexed edge build)
+    * and [[componentLabelsDelta]] (incremental edge build). Any edge
+    * set with the right CONNECTIVITY yields identical labels: the
+    * fixed point of star contraction is the component-min root
+    * regardless of which spanning edges were supplied.
+    */
+  private[graft] def contractToLabels(corpus: DataFrame,
+      half: DataFrame): (DataFrame, DataFrame, Int) = {
     // symmetrized + materialized once; every iteration reads this
     // small table instead of re-running shingling/banding
     val edges = half
@@ -256,6 +281,89 @@ object Pipeline {
     componentLabels(corpus, Some((hs, bands, exact)))
   }
 
+  /** Incremental cluster maintenance: labels for the FULL corpus,
+    * computed from an appended batch (base doc_id ≥ 250, mirroring the
+    * incremental-dedup split) WITHOUT re-touching the old corpus — the
+    * continuous-clustering shape a 100 TB ingest pipeline actually
+    * runs. Stored per old-corpus version (`cc_old` staged index, built
+    * once): `hs`/`bands` (the MinHash index), `near` (verified old×old
+    * near edges), `exact` (old exact-dup star edges), `digests`
+    * (md5 → min old doc_id). Per batch, only the NEW corpus is
+    * shingled; candidates come from new-bands ⋈ (old ∪ new)-bands, so
+    * old×old pairs are never re-examined; exact spanning groups
+    * connect via one digest join. The union edge set has identical
+    * connectivity to the from-scratch build — near candidates
+    * partition into {old×old (stored), pairs involving a new doc
+    * (probed)}, Jaccard-verified identically, and exact star edges
+    * connect every same-text group through its old/new reps — so the
+    * contraction fixed point (component-min labels) is provably the
+    * same. The spec asserts byte-equality with `dedup_components`;
+    * the oracle is the same full-corpus closure.
+    */
+  /** The per-old-corpus artifacts the delta path stores alongside the
+    * MinHash index halves: verified old×old near edges, old exact-dup
+    * star edges, and the digest → min-old-id map. Exposed so
+    * ScaleProbe can build probe indexes with the identical recipe.
+    */
+  private[graft] val ccIndexExtras: Map[String, DataFrame => DataFrame] = Map(
+    "near" -> { c: DataFrame =>
+      val chs = Text.shingleHashes(c)
+      verifiedNearEdges(chs, Text.minhashBands(chs))
+    },
+    "exact" -> exactStarEdges,
+    "digests" -> { c: DataFrame =>
+      c.select(col("doc_id"), md5(col("text")).as("k"))
+        .groupBy(col("k")).agg(min(col("doc_id")).as("rep"))
+    })
+
+  private[graft] def componentLabelsDelta(
+      s: SparkSession, d: String): (DataFrame, DataFrame, Int) = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val oldCorpus = componentCorpus(base.filter(col("doc_id") < 250))
+    val newCorpus = componentCorpus(base.filter(col("doc_id") >= 250))
+    val idx = Text.stagedHsIndex(s, d, "cc_old", ccIndexExtras)(oldCorpus)
+    deltaFromIndex(s, idx, oldCorpus, newCorpus)
+  }
+
+  /** The per-batch half of [[componentLabelsDelta]], parametrized on
+    * the stored index dir + corpora so ScaleProbe can drive it at
+    * octaves (fixed batch, growing old corpus).
+    */
+  private[graft] def deltaFromIndex(s: SparkSession, idx: String,
+      oldCorpus: DataFrame, newCorpus: DataFrame): (DataFrame, DataFrame, Int) = {
+    // O(batch) MinHash — the only shingling this path ever runs.
+    // Materialized once: the batch's hs feeds the band build AND both
+    // sides of the Jaccard verify, and unlike the corpus-sized hs (not
+    // cached by design) a BATCH is small by definition — exactly the
+    // thing a per-batch job holds
+    val newHs = Text.shingleHashes(newCorpus).localCheckpoint(true)
+    val newBands = Text.minhashBands(newHs)
+    val oldHs = s.read.parquet(s"$idx/hs")
+    val oldBands = s.read.parquet(s"$idx/bands")
+      .select(col("doc_id"), col("b"), col("bkey"))
+    // near edges involving ≥1 new doc: probe new bands against ALL
+    // bands (old from the index, new just computed); verify against
+    // the combined hs exactly as the full build does
+    val allHs = oldHs.unionByName(newHs)
+    val newNear = verifiedNearEdges(allHs,
+      oldBands.unionByName(newBands), probe = Some(newBands))
+    // exact duplicates: new×new star edges + one digest join linking
+    // each spanning text-group's new rep to its old rep — connectivity
+    // equal to the full-corpus digest groupBy without rescanning old
+    val newKeyed = newCorpus.select(col("doc_id"), md5(col("text")).as("k"))
+    val newReps = newKeyed.groupBy(col("k")).agg(min(col("doc_id")).as("rep"))
+    val newStars = newKeyed.join(newReps, Seq("k"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("x"), col("rep").as("y"))
+    val crossExact = newReps
+      .join(s.read.parquet(s"$idx/digests").withColumnRenamed("rep", "orep"), Seq("k"))
+      .select(col("rep").as("x"), col("orep").as("y"))
+    val half = s.read.parquet(s"$idx/near")
+      .unionByName(s.read.parquet(s"$idx/exact"))
+      .unionByName(newNear).unionByName(newStars).unionByName(crossExact)
+    contractToLabels(oldCorpus.unionByName(newCorpus), half)
+  }
+
   /** Shared DuckDB closure for `dedup_components` AND `dedup_apply`:
     * planted corpus → MinHash/banded + exact edges → recursive reach →
     * per-doc component (min root) + per-component size. Both oracles
@@ -313,6 +421,23 @@ object Pipeline {
        |SELECT c.id AS doc_id, c.comp, n.comp_size
        |FROM comp c JOIN sizes n ON c.comp = n.comp
        |ORDER BY c.id""".stripMargin
+
+  /** Consume component labels `(id, lbl)`: one canonical (min-id =
+    * label) survivor per cluster with its cluster size, removed count
+    * and the survivor's own text hash. A singleton component (a doc
+    * with no duplicates anywhere) survives itself with n_removed = 0 —
+    * edge-spec'd on a no-duplicate corpus. The label aggregate is the
+    * one corpus-sized (but 2-column) shuffle the apply step needs; the
+    * text fetch joins the cluster-count-sized survivor set back to the
+    * corpus with no broadcast hint (AQE decides by size).
+    */
+  private[graft] def applySurvivors(corpus: DataFrame, labels: DataFrame): DataFrame = {
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comp_size"))
+    sizes.join(corpus, sizes("lbl") === corpus("doc_id"))
+      .select(col("doc_id"), h32(col("text")).as("text_hash"),
+        col("comp_size"), (col("comp_size") - 1).as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
 
   private val applyOracle: String =
     s"""$componentsClosureCtes
@@ -402,12 +527,23 @@ object Pipeline {
     // never as rows — at 100 TB the output is cluster-count-sized,
     // ≪ corpus.
     sql("dedup_apply", applyOracle) { (s, d) =>
-      val corpus = componentCorpus(docs(s, d))
       val (labels, _, _) = componentLabelsIndexed(s, d)
+      applySurvivors(componentCorpus(docs(s, d)), labels)
+    },
+
+    // ---- incremental cluster maintenance -------------------------------
+    // Same output (and oracle: the full-corpus closure) as
+    // dedup_components, computed the way continuous ingest has to:
+    // old×old work comes from the stored cc_old artifacts, only the
+    // appended batch is ever shingled, and one digest join connects
+    // spanning exact groups. Proving incremental == from-scratch is
+    // the operator's contract — drift here silently corrupts every
+    // later batch's dedup.
+    sql("dedup_components_delta", componentsOracle) { (s, d) =>
+      val (labels, _, _) = componentLabelsDelta(s, d)
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comp_size"))
-      sizes.join(corpus, sizes("lbl") === corpus("doc_id"))
-        .select(col("doc_id"), h32(col("text")).as("text_hash"),
-          col("comp_size"), (col("comp_size") - 1).as("n_removed"))
+      labels.join(sizes, Seq("lbl"))
+        .select(col("id").as("doc_id"), col("lbl").as("comp"), col("comp_size"))
         .orderBy(col("doc_id"))
     },
 

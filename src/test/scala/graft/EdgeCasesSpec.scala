@@ -126,6 +126,22 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.isEmpty, s"blocklisted-only corpus must filter to nothing, got ${out.length}")
   }
 
+  test("dedup_apply survivors: singletons survive themselves with n_removed = 0") {
+    // the oracle fixture plants 2 variants per doc, so the KEY never
+    // sees a singleton cluster — drive the factored apply step on a
+    // no-duplicate corpus directly: every doc must survive as its own
+    // canonical with nothing removed (dedup on clean data is a no-op,
+    // not a data loss)
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, words("alpha", 30)), (1L, words("beta", 40)), (2L, words("gamma", 25)))
+      .toDF("doc_id", "text")
+    val (labels, _, _) = graft.ops.Pipeline.componentLabels(corpus)
+    val out = graft.ops.Pipeline.applySurvivors(corpus, labels).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 1L, 0L), (1L, 1L, 0L), (2L, 1L, 0L)))
+  }
+
   test("componentLabels: a corpus with no duplicates yields all singletons") {
     // empty edge list → the star-contraction loop must stabilize
     // immediately and label every doc as its own component (the
@@ -162,6 +178,24 @@ class EdgeCasesSpec extends SparkSpec {
     (0L to 59L).foreach { i =>
       assert(byId(i) == ((3L, 2L)), s"doc $i: got ${byId(i)}")
     }
+  }
+
+  test("dedup_components_delta: empty new batch degenerates to the stored-index build") {
+    // a quiet ingest window (every base doc_id < 250 → the appended
+    // batch is empty): the delta path must label purely from the
+    // stored old-corpus artifacts — no NPE on the empty shingle side,
+    // no dropped docs — and still agree with the from-scratch build
+    val dir = stageDocs("deltaquiet",
+      (0L to 9L).map(i => (i, "s", words(s"d$i", 40))) :+
+        // one planted exact pair inside the old half so the edge list
+        // is non-empty and contraction has real work
+        (200L, "s", words("d0", 40)))
+    val full = SparkEntry.queries("dedup_components")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val delta = SparkEntry.queries("dedup_components_delta")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(delta == full)
+    assert(delta.nonEmpty)
   }
 
   test("mix_epochs: single-source corpus — cap binds, budget partition still exact") {

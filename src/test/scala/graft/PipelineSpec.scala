@@ -102,6 +102,17 @@ class PipelineSpec extends SparkSpec {
     assert(rows.length + rows.map(_._4).sum == corpus.length.toLong)
   }
 
+  test("dedup_components_delta is byte-identical to the from-scratch clustering") {
+    // incremental == from-scratch is the operator's whole contract:
+    // the delta path must reproduce every (doc, comp, size) row the
+    // full rebuild produces, not merely a consistent labeling
+    val full = run("dedup_components").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val delta = run("dedup_components_delta").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(delta == full)
+  }
+
   test("pack_sequences: packs are contiguous, budget-bounded modulo one doc") {
     val packs = run("pack_sequences").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
