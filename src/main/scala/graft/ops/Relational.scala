@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -26,6 +26,25 @@ import graft.Tables
 object Relational {
 
   import QueryDef.sql
+
+  /** Q3/Q5 revenue in EXACT decimal arithmetic. A double `sum` is
+    * addition-order-dependent, and join/exchange order shifts whenever
+    * AQE re-plans — at sf0.001 the q5 NATION_18 sum lands exactly on a
+    * .575 rounding boundary and Spark/DuckDB disagree by 1 cent. Both
+    * source columns are 2-decimal quantities stored as double, so the
+    * DECIMAL(18,2) cast is value-exact, the 4-scale product/sum is
+    * exact integer arithmetic (order-independent, plan-stable), and
+    * HALF_UP on positive decimals agrees across engines. Final cast
+    * back to double keeps the output schema the oracle's `CAST(… AS
+    * DOUBLE)` produces.
+    */
+  private def revenueExact: Column =
+    round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2).cast("double")
+
+  private val revenueExactSql: String =
+    "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -108,8 +127,8 @@ object Relational {
     // TakeOrderedAndProject for the top-10 (per-partition heaps, no
     // global sort).
     sql("q3_shipping_priority",
-      """SELECT l_orderkey,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      s"""SELECT l_orderkey,
+        | $revenueExactSql AS revenue,
         | o_orderdate, o_orderpriority
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -133,7 +152,7 @@ object Relational {
       cust.join(ord, col("c_custkey") === col("o_custkey"))
         .join(li, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .agg(revenueExact.as("revenue"))
         .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
@@ -153,8 +172,8 @@ object Relational {
     // lineitem fact takes the large shuffle (on orderkey); partial
     // aggregation precedes the final group-key exchange.
     sql("q5_local_supplier",
-      """SELECT r_name, n_name,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      s"""SELECT r_name, n_name,
+        | $revenueExactSql AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -186,7 +205,7 @@ object Relational {
           col("o_custkey") === col("c_custkey") &&
             col("c_nationkey") === col("s_nationkey")) // the Q5 cycle
         .groupBy(col("r_name"), col("n_name"))
-        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .agg(revenueExact.as("revenue"))
         .select(col("r_name"), col("n_name"), col("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
