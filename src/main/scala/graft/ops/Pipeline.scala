@@ -122,7 +122,7 @@ object Pipeline {
     * the NEW batch's bands so candidates are restricted to pairs
     * involving a new doc.
     */
-  private def verifiedNearEdges(hs: DataFrame, bands: DataFrame,
+  private[graft] def verifiedNearEdges(hs: DataFrame, bands: DataFrame,
       probe: Option[DataFrame] = None): DataFrame = {
     val nearPairs = probe.getOrElse(bands).as("a")
       .join(bands.as("b"),
@@ -541,6 +541,35 @@ object Pipeline {
     // later batch's dedup.
     sql("dedup_components_delta", componentsOracle) { (s, d) =>
       val (labels, _, _) = componentLabelsDelta(s, d)
+      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comp_size"))
+      labels.join(sizes, Seq("lbl"))
+        .select(col("id").as("doc_id"), col("lbl").as("comp"), col("comp_size"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- streaming cluster maintenance ---------------------------------
+    // The streaming twin of dedup_components_delta: the corpus arrives
+    // as micro-batches (3 hash-split files, so duplicate pairs span
+    // arrival windows), each batch updates the persisted edge/MinHash
+    // index in O(batch + new edges), and labels are extracted by
+    // contraction over the ACCUMULATED edges. Identical output to the
+    // batch build for ANY split — same oracle, full-corpus closure.
+    sql("stream_components", componentsOracle) { (s, d) =>
+      import graft.streaming.ClusterStream
+      val corpus = componentCorpus(docs(s, d))
+      val root = purgeOnExit(
+        s"/root/repo/target/tmp/stream_cc_${ProcessHandle.current().pid()}") +
+        s"/${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      val (idx, inDir, chk) = (s"$root/idx", s"$root/in", s"$root/chk")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      ClusterStream.seedIndex(s, corpus.limit(0), idx)
+      Seq(0, 1, 2).foreach { w =>
+        ClusterStream.stageFile(
+          corpus.filter(pmod(xxhash64(col("doc_id")), lit(3)) === w),
+          s"$root/stage_$w", s"$inDir/window$w.parquet")
+      }
+      ClusterStream.runIngest(s, inDir, idx, chk)
+      val (labels, _, _) = ClusterStream.labels(s, idx)
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comp_size"))
       labels.join(sizes, Seq("lbl"))
         .select(col("id").as("doc_id"), col("lbl").as("comp"), col("comp_size"))

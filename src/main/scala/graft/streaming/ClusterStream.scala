@@ -1,0 +1,179 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.Trigger
+import graft.ops.{Pipeline, Text}
+
+/** Continuous duplicate-CLUSTER maintenance: the streaming twin of
+  * `dedup_components_delta`. Each micro-batch of arriving documents
+  * updates a persisted clustering index — MinHash halves (`hs`,
+  * `bands`), the accumulated half-edge list (`edges`), and the
+  * md5 → first-seen-rep map (`digests`) — doing only O(batch + new
+  * edges) work: the batch is shingled once, its bands probe the
+  * (old ∪ new) band table so every candidate pair involves a new doc
+  * (old×old pairs were found when THEY were the batch), and one digest
+  * join connects same-text groups that span batches. Component labels
+  * are then extracted on demand by star contraction over the
+  * accumulated edge list — an edge-sized computation, ≪ corpus.
+  *
+  * The invariant that makes this correct for ANY batch split (and any
+  * file-arrival order): after N batches, `edges` holds a set whose
+  * connectivity equals the from-scratch build's — near-candidate pairs
+  * partition by "which doc arrived last", each found exactly in that
+  * doc's batch and Jaccard-verified identically, and every same-text
+  * group is a star through its first-seen rep plus one cross link per
+  * later batch. Star contraction's fixed point (component-min labels)
+  * depends only on connectivity, so `labels` is byte-equal to
+  * `dedup_components` — spec-asserted and oracle-checked
+  * (`stream_components`).
+  *
+  * At 100 TB this is the production clustering topology: the corpus is
+  * never re-shingled (each doc is MinHashed exactly once, in its own
+  * ingest window), the stored band table is only SCANNED per batch by
+  * a hash join whose probe side is batch-sized, and label extraction
+  * touches edges + a doc_id-only corpus projection. Exactly-once
+  * semantics match [[DedupStream]]: the checkpoint makes the source
+  * exactly-once; index appends are idempotent-by-consequence
+  * (re-appended edges/bands are set-union duplicates that change no
+  * label; a production deployment adds batch_id pruning as the file
+  * sink does).
+  */
+object ClusterStream {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  // Index halves are read with EXPLICIT schemas: the empty-seed
+  // bootstrap writes zero part files (AQE coalesces an empty frame to
+  // zero partitions), so schema inference on a fresh index would fail.
+  private val hsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("hs", ArrayType(LongType))))
+  private val bandSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("bkey", StringType),
+    StructField("b", IntegerType)))
+  private val edgeSchema = StructType(Seq(
+    StructField("x", LongType), StructField("y", LongType)))
+  private val digestSchema = StructType(Seq(
+    StructField("k", StringType), StructField("rep", LongType)))
+
+  /** Initialize the index from a seed corpus — hs/bands plus the
+    * seed's own internal near edges, exact-dup stars and digest map
+    * (the [[Pipeline.ccIndexExtras]] recipe, so a seeded stream and
+    * `componentLabelsDelta`'s stored old side are the same artifact).
+    * An empty seed (`corpus.limit(0)`) yields empty-but-typed halves:
+    * the whole-corpus-replayed-through-the-stream bootstrap.
+    */
+  def seedIndex(spark: SparkSession, seed: DataFrame, idxDir: String): Unit = {
+    val docs = seed.select(col("doc_id"), col("text"))
+    val hs = Text.shingleHashes(docs)
+    hs.write.mode("overwrite").parquet(s"$idxDir/hs")
+    val written = spark.read.schema(hsSchema).parquet(s"$idxDir/hs")
+    Text.minhashBands(written)
+      .write.mode("overwrite").partitionBy("b").parquet(s"$idxDir/bands")
+    Pipeline.verifiedNearEdges(written,
+      spark.read.schema(bandSchema).parquet(s"$idxDir/bands")
+        .select(col("doc_id"), col("b"), col("bkey")))
+      .unionByName(Pipeline.ccIndexExtras("exact")(docs))
+      .write.mode("overwrite").parquet(s"$idxDir/edges")
+    Pipeline.ccIndexExtras("digests")(docs)
+      .write.mode("overwrite").parquet(s"$idxDir/digests")
+  }
+
+  /** One micro-batch's index update; factored out so the batch path
+    * can be spec-driven without a stream. Returns nothing — all state
+    * lives in the index directory.
+    */
+  private def ingestBatch(spark: SparkSession, batch: DataFrame, idxDir: String): Unit = {
+    // a batch is one ingest window — small by definition; materialize
+    // once, it feeds band build + both Jaccard sides + digest grouping
+    val newDocs = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
+    if (newDocs.isEmpty) return
+    val newHs = Text.shingleHashes(newDocs).localCheckpoint(true)
+    val newBands = Text.minhashBands(newHs)
+    val oldHs = spark.read.schema(hsSchema).parquet(s"$idxDir/hs")
+    val oldBands = spark.read.schema(bandSchema).parquet(s"$idxDir/bands")
+      .select(col("doc_id"), col("b"), col("bkey"))
+    // near edges involving ≥1 batch doc: batch bands probe ALL bands
+    val newNear = Pipeline.verifiedNearEdges(oldHs.unionByName(newHs),
+      oldBands.unionByName(newBands), probe = Some(newBands))
+    // exact-text connectivity: in-batch stars to the batch rep + one
+    // link from the batch rep to the stored first-seen rep; digests
+    // new to this batch enter the stored map
+    val keyed = newDocs.select(col("doc_id"), md5(col("text")).as("k"))
+    val reps = keyed.groupBy(col("k")).agg(min(col("doc_id")).as("rep"))
+      .localCheckpoint(true)
+    val stored = spark.read.schema(digestSchema).parquet(s"$idxDir/digests")
+    val stars = keyed.join(reps, Seq("k"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("x"), col("rep").as("y"))
+    val cross = reps
+      .join(stored.withColumnRenamed("rep", "orep"), Seq("k"))
+      .select(col("rep").as("x"), col("orep").as("y"))
+    val newEdges = newNear.unionByName(stars).unionByName(cross)
+      .localCheckpoint(true) // edges must be computed BEFORE the index mutates
+    newEdges.write.mode("append").parquet(s"$idxDir/edges")
+    reps.join(stored, Seq("k"), "left_anti")
+      .write.mode("append").parquet(s"$idxDir/digests")
+    newHs.write.mode("append").parquet(s"$idxDir/hs")
+    newBands.write.mode("append").partitionBy("b").parquet(s"$idxDir/bands")
+  }
+
+  /** Drain every file currently under `inDir` (AvailableNow, one file
+    * per micro-batch) through the index at `idxDir`. Returns the number
+    * of documents processed by this run; re-running with the same
+    * checkpoint processes only newly arrived files.
+    */
+  def runIngest(parent: SparkSession, inDir: String, idxDir: String,
+      checkpoint: String): Long = {
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.select(col("doc_id"), col("text"))
+        ingestBatch(spark, b, idxDir)
+        seen.addAndGet(b.count())
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    seen.get()
+  }
+
+  /** Stage a (doc_id, text) frame as ONE flat parquet file at `dest` —
+    * the file-source arrival unit (the source lists top-level files;
+    * each staged file becomes one micro-batch under
+    * maxFilesPerTrigger=1).
+    */
+  def stageFile(df: DataFrame, stageDir: String, dest: String): Unit = {
+    df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+    val part = new java.io.File(stageDir).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(dest))
+    ()
+  }
+
+  /** Component labels of everything ingested so far: star contraction
+    * over the ACCUMULATED edge list, joined to a doc_id-only corpus
+    * projection (from the index's own hs — the stream never stores
+    * texts). Edge-sized work; same (id, lbl) contract as
+    * [[Pipeline.componentLabels]].
+    */
+  def labels(spark: SparkSession, idxDir: String): (DataFrame, DataFrame, Int) = {
+    val corpusIds = spark.read.schema(hsSchema).parquet(s"$idxDir/hs")
+      .select(col("doc_id"))
+    Pipeline.contractToLabels(corpusIds,
+      spark.read.schema(edgeSchema).parquet(s"$idxDir/edges"))
+  }
+}

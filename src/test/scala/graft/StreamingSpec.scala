@@ -240,4 +240,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("streaming cluster maintenance: batch parity, then late arrivals join existing clusters") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.ClusterStream
+    val root = graft.ops.purgeOnExit(
+      s"/root/repo/target/tmp/spec_cc_stream_${ProcessHandle.current().pid()}") +
+      s"/${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val (idx, inDir, chk) = (s"$root/idx", s"$root/in", s"$root/chk")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    ClusterStream.seedIndex(spark, base.limit(0), idx)
+
+    // phase 1: replay the corpus in two hash windows — duplicate pairs
+    // split across arrival order must still land in one cluster
+    Seq(0, 1).foreach { w =>
+      ClusterStream.stageFile(
+        base.filter(pmod(xxhash64(col("doc_id")), lit(2)) === w),
+        s"$root/stage_$w", s"$inDir/w$w.parquet")
+    }
+    ClusterStream.runIngest(spark, inDir, idx, chk)
+    def labelMap(): Map[Long, Long] = ClusterStream.labels(spark, idx)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamed = labelMap()
+    val batch = graft.ops.Pipeline.componentLabels(base)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, "streamed labels must equal the batch clustering")
+
+    // phase 2: a LATE batch through the SAME checkpoint — an exact copy
+    // of doc 7 must join doc 7's existing cluster, a novel doc labels
+    // itself, and no pre-existing label moves
+    val late = base.filter(col("doc_id") === 7)
+      .select(lit(90007L).as("doc_id"), col("text"))
+      .unionByName(spark.range(1).select(lit(91000L).as("doc_id"),
+        lit("zzq unique singleton text never seen before qzz").as("text")))
+    ClusterStream.stageFile(late, s"$root/stage_late", s"$inDir/late.parquet")
+    ClusterStream.runIngest(spark, inDir, idx, chk)
+    val after = labelMap()
+    assert(after(90007L) == streamed(7L), "late exact copy joins the existing cluster")
+    assert(after(91000L) == 91000L, "novel late doc is its own singleton")
+    assert(streamed.forall { case (id, l) => after(id) == l },
+      "late arrivals must not move existing labels")
+  }
 }
