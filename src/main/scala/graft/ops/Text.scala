@@ -507,6 +507,58 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // ---- LM fluency scoring (perplexity-class quality signal) ----------
+    // CCNet-style LM filtering (Wenzek et al. 2020) ranks documents by
+    // how predictable their text is under a language model trained on
+    // the corpus itself. This is the integer-exact engine twin: a
+    // Laplace-smoothed bigram model P(w2|w1) = (C(w1,w2)+1)/(C(w1·)+V)
+    // trained on the full corpus, scored per doc as the MEAN bigram
+    // probability in nano-units. All arithmetic is BIGINT (scaled
+    // floor division, exact sums), so Spark and DuckDB agree
+    // bit-for-bit — the log-space variant would hinge on libm ulp
+    // parity across engines, which the hash gate cannot tolerate.
+    // 100 TB shape: two map-side-combinable token-level aggregates
+    // (context and pair counts), a shuffle join back on the term keys
+    // (the tfidf topology — degrades to shuffle-hash on web vocab),
+    // a 1-row vocab broadcast, and a final doc-keyed aggregate.
+    sql("lm_fluency",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |bi AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g),
+        |ctx AS (SELECT w1, count(*) AS cc FROM bi GROUP BY 1),
+        |pair AS (SELECT w1, w2, count(*) AS pc FROM bi GROUP BY 1, 2),
+        |v AS (SELECT count(DISTINCT w) AS vv
+        |      FROM (SELECT unnest(ts) AS w FROM toks) u)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum((1000000000 * (pair.pc + 1)) // (ctx.cc + v.vv)) // count(*)
+        |    AS BIGINT) AS fluency_nanos
+        |FROM bi b JOIN pair USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+        |GROUP BY b.doc_id
+        |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      val toks = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val bi = toks.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val ctx = bi.groupBy(col("w1")).agg(count(lit(1)).as("cc"))
+      val pair = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pc"))
+      val vocab = toks.select(explode(col("ts")).as("w"))
+        .agg(countDistinct(col("w")).as("vv"))
+      bi.join(pair, Seq("w1", "w2"))
+        .join(ctx, Seq("w1"))
+        .crossJoin(broadcast(vocab)) // 1-row aggregate — safe at any SF
+        .select(col("doc_id"),
+          expr("(1000000000L * (pc + 1)) div (cc + vv)").as("p"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(p) div count(1)").as("fluency_nanos"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- document fingerprinting (shingle-hash winnowing) --------------
     // fp_min/fp_max are the winnowed extremes of the 3-shingle hash
     // set; fp_text is a whole-document content hash. Identical docs →

@@ -126,6 +126,24 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.isEmpty, s"blocklisted-only corpus must filter to nothing, got ${out.length}")
   }
 
+  test("lm_fluency: repeated-bigram text outscores all-unique text; n_bigrams = tokens - 1") {
+    // the LM trains on the corpus itself: a doc cycling one bigram
+    // ("x y x y ...") concentrates pair counts, an all-unique doc
+    // spreads them to 1 each — the smoothed mean bigram probability
+    // must rank the repetitive doc strictly higher. A one-token doc
+    // has no bigrams and must not emit a row.
+    val rep = (0 until 40).map(i => if (i % 2 == 0) "x" else "y").mkString(" ")
+    val dir = stageDocs("lmfluency", Seq(
+      (0L, "s", rep), (1L, "s", words("u", 40)), (2L, "s", "solo")))
+    val out = SparkEntry.queries("lm_fluency")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.map(_._1) == Seq(0L, 1L), "one-token doc emits no row")
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(0L)._2 == 39L && byId(1L)._2 == 39L)
+    assert(byId(0L)._3 > byId(1L)._3,
+      s"repetitive doc must outscore unique doc: ${byId(0L)._3} vs ${byId(1L)._3}")
+  }
+
   test("dedup_apply survivors: singletons survive themselves with n_removed = 0") {
     // the oracle fixture plants 2 variants per doc, so the KEY never
     // sees a singleton cluster — drive the factored apply step on a
