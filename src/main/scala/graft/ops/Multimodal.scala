@@ -86,7 +86,49 @@ object Multimodal {
       .mapPartitions(rows => sampleFrames(rows, stride = 4))
   }
 
+  /** A 2×2 max-pooled "thumbnail" of the 4×4 byte grid: out pixel
+    * (r,c) = max over the 2×2 input block. A real resize kernel would
+    * interpolate float planes; the pooling index arithmetic, typed
+    * output schema and per-partition batch shape are what transfer.
+    */
+  final case class ResizedRow(
+      doc_id: Long, out_w: Int, out_h: Int,
+      p00: Long, p01: Long, p10: Long, p11: Long)
+
+  def resizePartition(rows: Iterator[MediaRow]): Iterator[ResizedRow] =
+    rows.map { m =>
+      def px(r: Int, c: Int): Long = (m.payload(r * 4 + c) & 0xff).toLong
+      def pool(r: Int, c: Int): Long =
+        math.max(math.max(px(2 * r, 2 * c), px(2 * r, 2 * c + 1)),
+          math.max(px(2 * r + 1, 2 * c), px(2 * r + 1, 2 * c + 1)))
+      ResizedRow(m.doc_id, 2, 2, pool(0, 0), pool(0, 1), pool(1, 0), pool(1, 1))
+    }
+
+  def resizeDocuments(spark: SparkSession, sfDir: String): Dataset[ResizedRow] = {
+    import spark.implicits._
+    graft.ops.spread(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
+      .as[MediaRow]
+      .mapPartitions(resizePartition _)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // Resize (2×2 max-pool of the 4×4 byte grid); oracle recomputes
+    // the pooled maxima from the md5 hex twin byte-by-byte.
+    sql("multimodal_resize", {
+      def b(i: Int): String = s"('0x' || substr(md5(text), ${2 * i + 1}, 2))::BIGINT"
+      def pool(r: Int, c: Int): String = {
+        val i = 2 * r * 4 + 2 * c
+        s"greatest(${b(i)}, ${b(i + 1)}, ${b(i + 4)}, ${b(i + 5)})"
+      }
+      s"""SELECT doc_id, 2 AS out_w, 2 AS out_h,
+         | ${pool(0, 0)} AS p00, ${pool(0, 1)} AS p01,
+         | ${pool(1, 0)} AS p10, ${pool(1, 1)} AS p11
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      resizeDocuments(s, d).toDF().orderBy(col("doc_id"))
+    },
+
     // Frame sampling over the fake 16-byte "video" payloads: 4 frames
     // per doc at stride 4; the oracle reads the same bytes out of the
     // md5 hex twin.
