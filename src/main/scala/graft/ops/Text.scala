@@ -507,6 +507,56 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // ---- DSIR-style importance weighting (target-domain selection) -----
+    // Data Selection via Importance Resampling (Xie et al. 2023) ranks
+    // raw docs by how target-like their token distribution is:
+    // weight(x) ∝ Π p_target(w)/p_raw(w). Integer-exact engine twin:
+    // per-token Laplace-smoothed frequency RATIO in nano-units
+    // (HUGEINT/decimal(38,0) cross-multiplication, floor division),
+    // doc weight = mean token ratio — bit-identical across engines.
+    // Target = the fixture's src0 slice; raw = the whole corpus.
+    // 100 TB shape: two term-keyed count aggregates (target side is a
+    // domain sample, tiny), a join-back on the term key, a 1-row
+    // totals broadcast, one doc-keyed aggregate — the tfidf topology.
+    sql("importance_weights",
+      """WITH tok AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |raw AS (SELECT w, count(*) AS cr FROM tok GROUP BY 1),
+        |tgt AS (SELECT w, count(*) AS ct FROM tok WHERE source = 'src0' GROUP BY 1),
+        |tot AS (SELECT
+        |  (SELECT count(*) FROM tok WHERE source = 'src0') AS nt,
+        |  (SELECT count(*) FROM tok) AS nr,
+        |  (SELECT count(DISTINCT w) FROM tok) AS v),
+        |scored AS (
+        |  SELECT tok.doc_id,
+        |    CAST((1000000000::HUGEINT * (COALESCE(tgt.ct, 0) + 1) * (tot.nr + tot.v))
+        |      // ((raw.cr + 1) * (tot.nt + tot.v)) AS BIGINT) AS rn
+        |  FROM tok JOIN raw USING (w) LEFT JOIN tgt USING (w) CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(rn) // count(*) AS BIGINT) AS weight_nanos
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = docs(s, d).select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      val raw = tok.groupBy(col("w")).agg(count(lit(1)).as("cr"))
+      val tgt = tok.filter(col("source") === "src0")
+        .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+      val tot = tok.agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("nt"),
+        count(lit(1)).as("nr"),
+        countDistinct(col("w")).as("v"))
+      tok.join(raw, Seq("w"))
+        .join(tgt, Seq("w"), "left")
+        .crossJoin(broadcast(tot)) // 1-row totals — safe at any SF
+        .select(col("doc_id"),
+          expr("""(cast(1000000000 as decimal(38,0)) * (coalesce(ct, 0) + 1) * (nr + v))
+                  div ((cr + 1) * (nt + v))""").as("rn"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          expr("sum(rn) div count(1)").as("weight_nanos"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- LM fluency scoring (perplexity-class quality signal) ----------
     // CCNet-style LM filtering (Wenzek et al. 2020) ranks documents by
     // how predictable their text is under a language model trained on

@@ -126,6 +126,23 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.isEmpty, s"blocklisted-only corpus must filter to nothing, got ${out.length}")
   }
 
+  test("importance_weights: target-vocabulary docs outweigh off-domain docs") {
+    // DSIR's selection property: among RAW docs, one sharing the
+    // target slice's (src0) vocabulary must carry a strictly higher
+    // importance weight than one with disjoint vocabulary
+    val cat = "cat kitten paw whisker purr fur claw meow nap lick"
+    val dog = "dog puppy bone bark fetch kennel leash growl run dig"
+    val dir = stageDocs("dsir", Seq(
+      (0L, "src0", cat), (1L, "src0", cat),
+      (10L, "other", cat), (11L, "other", dog)))
+    val out = SparkEntry.queries("importance_weights")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val byId = out.map(t => t._1 -> t._3).toMap
+    assert(out.forall(_._2 == 10L), "n_tokens is the doc token count")
+    assert(byId(10L) > byId(11L),
+      s"target-vocab raw doc must outweigh off-domain doc: ${byId(10L)} vs ${byId(11L)}")
+  }
+
   test("lm_fluency: repeated-bigram text outscores all-unique text; n_bigrams = tokens - 1") {
     // the LM trains on the corpus itself: a doc cycling one bigram
     // ("x y x y ...") concentrates pair counts, an all-unique doc
