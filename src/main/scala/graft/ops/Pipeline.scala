@@ -120,25 +120,51 @@ object Pipeline {
     * sets — the near-duplicate half edges. `probe` defaults to the
     * full band table (all-pairs self-join); the delta path passes only
     * the NEW batch's bands so candidates are restricted to pairs
-    * involving a new doc.
+    * involving a new doc, and `probeHs` the batch's (small, cached)
+    * hs so only ONE of the two Jaccard joins touches the full
+    * corpus-sized hs table per batch — the wide-array shuffle is the
+    * dominant per-batch cost at scale.
     */
   private[graft] def verifiedNearEdges(hs: DataFrame, bands: DataFrame,
-      probe: Option[DataFrame] = None): DataFrame = {
-    val nearPairs = probe.getOrElse(bands).as("a")
-      .join(bands.as("b"),
-        col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
-          (if (probe.isEmpty) col("a.doc_id") < col("b.doc_id")
-           else col("a.doc_id") =!= col("b.doc_id")))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("x"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("y"))
-      .distinct()
+      probe: Option[DataFrame] = None,
+      probeHs: Option[DataFrame] = None): DataFrame = {
     val jac = size(array_intersect(col("ha.hs"), col("hb.hs"))).cast("double") /
       size(array_union(col("ha.hs"), col("hb.hs")))
-    nearPairs
-      .join(hs.as("ha"), col("ha.doc_id") === col("x"))
-      .join(hs.as("hb"), col("hb.doc_id") === col("y"))
-      .filter(jac >= 0.8)
-      .select(col("x"), col("y"))
+    probe match {
+      case None =>
+        val nearPairs = bands.as("a")
+          .join(bands.as("b"),
+            col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+          .distinct()
+        nearPairs
+          .join(hs.as("ha"), col("ha.doc_id") === col("x"))
+          .join(hs.as("hb"), col("hb.doc_id") === col("y"))
+          .filter(jac >= 0.8)
+          .select(col("x"), col("y"))
+      case Some(p) =>
+        // every candidate has ≥1 probe endpoint; keep one probe id per
+        // normalized pair (Jaccard is symmetric, so WHICH endpoint
+        // verifies from the batch side is immaterial) — the pair
+        // groupBy is a narrow shuffle, far cheaper than a second
+        // corpus-sized hs join
+        val ph = probeHs.getOrElse(hs)
+        val pairs = p.as("a")
+          .join(bands.as("b"),
+            col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("x"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("y"),
+            col("a.doc_id").as("pa"))
+          .groupBy(col("x"), col("y")).agg(max(col("pa")).as("pa"))
+        pairs
+          .join(ph.as("ha"), col("ha.doc_id") === col("pa"))
+          .join(hs.as("hb"), col("hb.doc_id") ===
+            when(col("x") === col("pa"), col("y")).otherwise(col("x")))
+          .filter(jac >= 0.8)
+          .select(col("x"), col("y"))
+    }
   }
 
   private[graft] def componentLabels(corpus: DataFrame,
@@ -346,7 +372,8 @@ object Pipeline {
     // the combined hs exactly as the full build does
     val allHs = oldHs.unionByName(newHs)
     val newNear = verifiedNearEdges(allHs,
-      oldBands.unionByName(newBands), probe = Some(newBands))
+      oldBands.unionByName(newBands), probe = Some(newBands),
+      probeHs = Some(newHs))
     // exact duplicates: new×new star edges + one digest join linking
     // each spanning text-group's new rep to its old rep — connectivity
     // equal to the full-corpus digest groupBy without rescanning old
@@ -563,11 +590,11 @@ object Pipeline {
       val (idx, inDir, chk) = (s"$root/idx", s"$root/in", s"$root/chk")
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
       ClusterStream.seedIndex(s, corpus.limit(0), idx)
-      Seq(0, 1, 2).foreach { w =>
-        ClusterStream.stageFile(
-          corpus.filter(pmod(xxhash64(col("doc_id")), lit(3)) === w),
-          s"$root/stage_$w", s"$inDir/window$w.parquet")
-      }
+      // one parallel job stages all three arrival windows: hash-
+      // repartition on doc_id → one part file per window, each file
+      // one micro-batch (labels are split-invariant, so the window
+      // assignment only needs determinism, not any particular cut)
+      ClusterStream.stageWindows(corpus, 3, s"$root/staged", inDir)
       ClusterStream.runIngest(s, inDir, idx, chk)
       val (labels, _, _) = ClusterStream.labels(s, idx)
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comp_size"))

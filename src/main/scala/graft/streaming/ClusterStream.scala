@@ -85,14 +85,15 @@ object ClusterStream {
   }
 
   /** One micro-batch's index update; factored out so the batch path
-    * can be spec-driven without a stream. Returns nothing — all state
-    * lives in the index directory.
+    * can be spec-driven without a stream. Returns the batch row count
+    * (all other state lives in the index directory).
     */
-  private def ingestBatch(spark: SparkSession, batch: DataFrame, idxDir: String): Unit = {
+  private def ingestBatch(spark: SparkSession, batch: DataFrame, idxDir: String): Long = {
     // a batch is one ingest window — small by definition; materialize
     // once, it feeds band build + both Jaccard sides + digest grouping
     val newDocs = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
-    if (newDocs.isEmpty) return
+    val n = newDocs.count()
+    if (n == 0) return 0L
     val newHs = Text.shingleHashes(newDocs).localCheckpoint(true)
     val newBands = Text.minhashBands(newHs)
     val oldHs = spark.read.schema(hsSchema).parquet(s"$idxDir/hs")
@@ -100,7 +101,8 @@ object ClusterStream {
       .select(col("doc_id"), col("b"), col("bkey"))
     // near edges involving ≥1 batch doc: batch bands probe ALL bands
     val newNear = Pipeline.verifiedNearEdges(oldHs.unionByName(newHs),
-      oldBands.unionByName(newBands), probe = Some(newBands))
+      oldBands.unionByName(newBands), probe = Some(newBands),
+      probeHs = Some(newHs))
     // exact-text connectivity: in-batch stars to the batch rep + one
     // link from the batch rep to the stored first-seen rep; digests
     // new to this batch enter the stored map
@@ -121,6 +123,7 @@ object ClusterStream {
       .write.mode("append").parquet(s"$idxDir/digests")
     newHs.write.mode("append").parquet(s"$idxDir/hs")
     newBands.write.mode("append").partitionBy("b").parquet(s"$idxDir/bands")
+    n
   }
 
   /** Drain every file currently under `inDir` (AvailableNow, one file
@@ -131,16 +134,20 @@ object ClusterStream {
   def runIngest(parent: SparkSession, inDir: String, idxDir: String,
       checkpoint: String): Long = {
     val spark = parent.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // inherit the parent's shuffle width: unlike DedupStream's always-
+    // small batches, a clustering window can be corpus-scale (the
+    // bench replays 150k-doc windows) and 8 partitions underuses the
+    // 32-thread box
+    spark.conf.set("spark.sql.shuffle.partitions",
+      parent.conf.get("spark.sql.shuffle.partitions"))
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
     val q = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.select(col("doc_id"), col("text"))
-        ingestBatch(spark, b, idxDir)
-        seen.addAndGet(b.count())
+        seen.addAndGet(
+          ingestBatch(spark, batch.select(col("doc_id"), col("text")), idxDir))
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -162,6 +169,22 @@ object ClusterStream {
       .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
     java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(dest))
     ()
+  }
+
+  /** Stage `df` as `n` arrival windows in ONE parallel job: hash-
+    * repartition on doc_id writes one part file per window; each part
+    * file is copied into `inDir` as its own micro-batch. A serial
+    * per-window coalesce(1) rewrite of the corpus would bottleneck on
+    * a single task per window.
+    */
+  def stageWindows(df: DataFrame, n: Int, stageDir: String, inDir: String): Unit = {
+    df.repartition(n, col("doc_id")).write.mode("overwrite").parquet(stageDir)
+    new java.io.File(stageDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(s"$inDir/window$i.parquet"))
+      }
   }
 
   /** Component labels of everything ingested so far: star contraction
