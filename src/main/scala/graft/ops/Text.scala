@@ -507,6 +507,65 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Gopher quality-rule filter ------------------------------------
+    // The named composite rule-set stage (Rae et al. 2021, "Scaling
+    // Language Models: ... Gopher", Table A1): word-count bounds, mean
+    // word length bounds, alphabetic-word ratio, stopword presence —
+    // applied in a fixed order, emitting keep + the FIRST failed rule
+    // (what a pipeline logs for filter attribution). Ratios are exact
+    // integer micro-units (scaled floor division) for hash parity.
+    // Pure projection per doc — no explode, no shuffle, codegen
+    // end-to-end; the only exchange is the output sort.
+    sql("gopher_filter", {
+      val sw = enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    len(ts)::BIGINT AS n_tokens,
+         |    list_sum(list_transform(ts, w -> len(w)))::BIGINT AS sum_len,
+         |    len(list_filter(ts, w -> regexp_matches(w, '[a-z]')))::BIGINT AS n_alpha,
+         |    len(list_filter(ts, w -> list_contains($sw, w)))::BIGINT AS n_stop
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  CAST((1000000 * sum_len) // n_tokens AS BIGINT) AS mean_len_micro,
+         |  CAST((1000000 * n_alpha) // n_tokens AS BIGINT) AS alpha_frac_micro,
+         |  n_stop AS n_stopwords,
+         |  CASE WHEN n_tokens NOT BETWEEN 30 AND 100000 THEN 'word_count'
+         |       WHEN (1000000 * sum_len) // n_tokens NOT BETWEEN 3000000 AND 10000000
+         |         THEN 'mean_word_len'
+         |       WHEN (1000000 * n_alpha) // n_tokens < 800000 THEN 'alpha_ratio'
+         |       WHEN n_stop < 2 THEN 'stopwords'
+         |       ELSE 'ok' END AS reason,
+         |  (CASE WHEN n_tokens NOT BETWEEN 30 AND 100000 THEN 'word_count'
+         |        WHEN (1000000 * sum_len) // n_tokens NOT BETWEEN 3000000 AND 10000000
+         |          THEN 'mean_word_len'
+         |        WHEN (1000000 * n_alpha) // n_tokens < 800000 THEN 'alpha_ratio'
+         |        WHEN n_stop < 2 THEN 'stopwords'
+         |        ELSE 'ok' END) = 'ok' AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val sw = array(enStopwords.map(lit): _*)
+      val ts = split(col("text"), " ")
+      val m = docs(s, d).select(col("doc_id"),
+        size(ts).cast("bigint").as("n_tokens"),
+        aggregate(ts, lit(0L), (acc, w) => acc + length(w).cast("bigint")).as("sum_len"),
+        size(filter(ts, w => w.rlike("[a-z]"))).cast("bigint").as("n_alpha"),
+        size(filter(ts, w => array_contains(sw, w))).cast("bigint").as("n_stop"))
+      val reason = when(!col("n_tokens").between(30, 100000), "word_count")
+        .when(!expr("(1000000 * sum_len) div n_tokens").between(3000000, 10000000),
+          "mean_word_len")
+        .when(expr("(1000000 * n_alpha) div n_tokens") < 800000, "alpha_ratio")
+        .when(col("n_stop") < 2, "stopwords")
+        .otherwise("ok")
+      m.select(col("doc_id"), col("n_tokens"),
+        expr("(1000000 * sum_len) div n_tokens").as("mean_len_micro"),
+        expr("(1000000 * n_alpha) div n_tokens").as("alpha_frac_micro"),
+        col("n_stop").as("n_stopwords"),
+        reason.as("reason"),
+        (reason === "ok").as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- DSIR-style importance weighting (target-domain selection) -----
     // Data Selection via Importance Resampling (Xie et al. 2023) ranks
     // raw docs by how target-like their token distribution is:

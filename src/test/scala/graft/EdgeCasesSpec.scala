@@ -126,6 +126,24 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.isEmpty, s"blocklisted-only corpus must filter to nothing, got ${out.length}")
   }
 
+  test("gopher_filter: each rule fires on its planted doc, in precedence order") {
+    val stop2 = "the a" // two stopwords
+    val dir = stageDocs("gopher", Seq(
+      (0L, "s", words("w", 10)),                              // too short
+      (1L, "s", (0 until 40).map(_ => "aaaaaaaaaaaaaaa").mkString(" ")), // mean len 15
+      (2L, "s", (0 until 40).map(_ => "1234").mkString(" ") + " " + stop2), // no alpha... but stopwords present
+      (3L, "s", words("uniq", 40)),                           // no stopwords
+      (4L, "s", words("ok", 38) + " " + stop2)))              // passes all
+    val out = SparkEntry.queries("gopher_filter")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(5), r.getBoolean(6))).toMap
+    assert(out(0L) == ("word_count", false))
+    assert(out(1L) == ("mean_word_len", false))
+    assert(out(2L) == ("alpha_ratio", false), s"got ${out(2L)}")
+    assert(out(3L) == ("stopwords", false))
+    assert(out(4L) == ("ok", true))
+    // precedence: doc 0 is ALSO stopword-free, but word_count reports first
+  }
+
   test("importance_weights: target-vocabulary docs outweigh off-domain docs") {
     // DSIR's selection property: among RAW docs, one sharing the
     // target slice's (src0) vocabulary must carry a strictly higher
