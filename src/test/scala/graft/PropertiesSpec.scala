@@ -97,4 +97,34 @@ class PropertiesSpec extends SparkSpec {
         assert(once.dropDuplicates(cols).count() == once.count(), s"cols=$cols")
       }
   }
+
+  test("star contraction labels any random graph with its component minimum (vs union-find)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // random sparse graphs over up to 60 vertices — path chains, stars,
+    // cliques and isolated vertices all arise across the samples; the
+    // reference answer is a plain sequential union-find
+    val genGraph = for {
+      n <- Gen.choose(2, 60)
+      m <- Gen.choose(0, n * 2)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
+      } yield (a, b))
+    } yield (n, edges.filter { case (a, b) => a != b })
+    samples(genGraph, 12).foreach { case (n, edges) =>
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n.toInt).map(v => v.toLong -> find(v).toLong).toMap
+      val corpus = (0L until n).toDF("doc_id")
+      val half = edges.toDF("x", "y")
+      val (labels, _, _) = graft.ops.Pipeline.contractToLabels(corpus, half)
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected,
+        s"n=$n edges=${edges.take(8)}... contraction disagrees with union-find")
+    }
+  }
 }
