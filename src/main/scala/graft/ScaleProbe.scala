@@ -454,11 +454,19 @@ object ScaleProbe {
       // production maintains incrementally).
       val ccBase = Tables.documents(spark, sfDir).select("doc_id", "text")
       val ccdFactors = if (nums.nonEmpty) nums.map(_.toInt).toSeq else Seq(1, 8, 32)
-      // batch: the original docs re-arriving under fresh ids (+3e9) —
-      // every batch doc collides with the old corpus's replica-0 texts,
-      // so cross old×new exact AND near edges all exercise
+      // batch: the REPLICA-0 texts re-arriving under fresh ids (+3e9).
+      // scaledDocs permutes each replica's token order (md5-keyed, so
+      // replica texts are distinct across replicas), and replica 0's
+      // permutation is factor-independent — so these batch texts are
+      // byte-identical to the old corpus's replica-0 docs at every
+      // factor, and the batch's own truncation variants are
+      // shingle-near them. Cross old×new exact AND near edges all
+      // exercise. (A batch built from the ORIGINAL token order would
+      // collide with nothing: 3-shingles are order-dependent, so a
+      // permuted twin shares no shingles — a silently easy workload.)
       val newCorpus = Pipeline.componentCorpus(
-        ccBase.select((col("doc_id") + 3000000000L).as("doc_id"), col("text")))
+        scaledDocs(ccBase, 1)
+          .select((col("doc_id") + 3000000000L).as("doc_id"), col("text")))
         .cache()
       val batchRows = newCorpus.count()
       for (factor <- ccdFactors) {

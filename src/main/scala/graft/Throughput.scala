@@ -73,7 +73,8 @@ object Throughput {
 
   def main(args: Array[String]): Unit = {
     // first NUMERIC arg is the row count; word args ("profile") are modes
-    val rows = args.find(_.forall(_.isDigit)).map(_.toLong).getOrElse(24000000L)
+    val rows = args.find(a => a.nonEmpty && a.forall(_.isDigit))
+      .map(_.toLong).getOrElse(24000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -297,7 +297,8 @@ object Pipeline {
       s: SparkSession, d: String): (DataFrame, DataFrame, Int) = {
     val corpus = componentCorpus(docs(s, d))
     val idx = Text.stagedHsIndex(s, d, "cc_index",
-      Map("exact" -> exactStarEdges))(corpus)
+      Map("exact" -> ((c: DataFrame, _: DataFrame, _: DataFrame) =>
+        exactStarEdges(c))))(corpus)
     val hs = s.read.parquet(s"$idx/hs")
     // partition column b returns as INT from directory names — the
     // type minhashBands produces, so the band join key lines up
@@ -331,13 +332,14 @@ object Pipeline {
     * star edges, and the digest → min-old-id map. Exposed so
     * ScaleProbe can build probe indexes with the identical recipe.
     */
-  private[graft] val ccIndexExtras: Map[String, DataFrame => DataFrame] = Map(
-    "near" -> { c: DataFrame =>
-      val chs = Text.shingleHashes(c)
-      verifiedNearEdges(chs, Text.minhashBands(chs))
+  private[graft] val ccIndexExtras: Map[String, (DataFrame, DataFrame, DataFrame) => DataFrame] = Map(
+    "near" -> { (_: DataFrame, hs: DataFrame, bands: DataFrame) =>
+      // derive from the WRITTEN halves — one shingling pass per build,
+      // and the stored edges can never disagree with the stored index
+      verifiedNearEdges(hs, bands)
     },
-    "exact" -> exactStarEdges,
-    "digests" -> { c: DataFrame =>
+    "exact" -> { (c: DataFrame, _: DataFrame, _: DataFrame) => exactStarEdges(c) },
+    "digests" -> { (c: DataFrame, _: DataFrame, _: DataFrame) =>
       c.select(col("doc_id"), md5(col("text")).as("k"))
         .groupBy(col("k")).agg(min(col("doc_id")).as("rep"))
     })
@@ -388,7 +390,13 @@ object Pipeline {
     val half = s.read.parquet(s"$idx/near")
       .unionByName(s.read.parquet(s"$idx/exact"))
       .unionByName(newNear).unionByName(newStars).unionByName(crossExact)
-    contractToLabels(oldCorpus.unionByName(newCorpus), half)
+    // label over IDs only: contractToLabels touches nothing but
+    // doc_id, and re-deriving the old corpus' TEXTS here would put
+    // O(old-corpus) text work back inside the O(batch + edges) path —
+    // the stored hs already carries every old id
+    contractToLabels(
+      oldHs.select(col("doc_id"))
+        .unionByName(newCorpus.select(col("doc_id"))), half)
   }
 
   /** Shared DuckDB closure for `dedup_components` AND `dedup_apply`:

@@ -202,7 +202,7 @@ object Text {
     * never hold halves from different corpus versions.
     */
   private[graft] def stagedHsIndex(s: SparkSession, d: String, name: String,
-      extra: Map[String, DataFrame => DataFrame] = Map.empty)(
+      extra: Map[String, (DataFrame, DataFrame, DataFrame) => DataFrame] = Map.empty)(
       corpus: => DataFrame): String = {
     import java.nio.file._
     val src = Paths.get(s"$d/documents.parquet")
@@ -221,8 +221,15 @@ object Text {
       // halves can never disagree
       minhashBands(s.read.parquet(s"$stage/hs"))
         .write.mode("overwrite").partitionBy("b").parquet(s"$stage/bands")
+      // extras receive the WRITTEN halves for the same reason — a
+      // derived artifact (e.g. the stored near edges) re-shingling the
+      // corpus would both double the dominant build cost and risk
+      // drifting from the halves that later batches verify against
+      val writtenHs = s.read.parquet(s"$stage/hs")
+      val writtenBands = s.read.parquet(s"$stage/bands")
+        .select(col("doc_id"), col("b"), col("bkey"))
       extra.foreach { case (part, f) =>
-        f(c).write.mode("overwrite").parquet(s"$stage/$part")
+        f(c, writtenHs, writtenBands).write.mode("overwrite").parquet(s"$stage/$part")
       }
       Files.write(stage.resolve("_built"), stamp.getBytes("UTF-8"))
       // atomic publish; a concurrent winner keeps its copy

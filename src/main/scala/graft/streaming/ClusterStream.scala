@@ -35,10 +35,12 @@ import graft.ops.{Pipeline, Text}
   * a hash join whose probe side is batch-sized, and label extraction
   * touches edges + a doc_id-only corpus projection. Exactly-once
   * semantics match [[DedupStream]]: the checkpoint makes the source
-  * exactly-once; index appends are idempotent-by-consequence
-  * (re-appended edges/bands are set-union duplicates that change no
-  * label; a production deployment adds batch_id pruning as the file
-  * sink does).
+  * exactly-once; index appends are at-least-once on crash-retry, and
+  * every consumer tolerates replay — edges/bands feed distinct-ing
+  * set-union consumers, digests append behind a left_anti guard, and
+  * [[labels]] distincts the hs doc_ids — so a replayed batch changes
+  * no label (a production deployment additionally prunes by batch_id
+  * as Spark's own file sink does).
   */
 object ClusterStream {
 
@@ -75,12 +77,12 @@ object ClusterStream {
     val written = spark.read.schema(hsSchema).parquet(s"$idxDir/hs")
     Text.minhashBands(written)
       .write.mode("overwrite").partitionBy("b").parquet(s"$idxDir/bands")
-    Pipeline.verifiedNearEdges(written,
-      spark.read.schema(bandSchema).parquet(s"$idxDir/bands")
-        .select(col("doc_id"), col("b"), col("bkey")))
-      .unionByName(Pipeline.ccIndexExtras("exact")(docs))
+    val writtenBands = spark.read.schema(bandSchema).parquet(s"$idxDir/bands")
+      .select(col("doc_id"), col("b"), col("bkey"))
+    Pipeline.verifiedNearEdges(written, writtenBands)
+      .unionByName(Pipeline.ccIndexExtras("exact")(docs, written, writtenBands))
       .write.mode("overwrite").parquet(s"$idxDir/edges")
-    Pipeline.ccIndexExtras("digests")(docs)
+    Pipeline.ccIndexExtras("digests")(docs, written, writtenBands)
       .write.mode("overwrite").parquet(s"$idxDir/digests")
   }
 
@@ -194,8 +196,14 @@ object ClusterStream {
     * [[Pipeline.componentLabels]].
     */
   def labels(spark: SparkSession, idxDir: String): (DataFrame, DataFrame, Int) = {
+    // distinct: a foreachBatch crash-retry can append a batch's hs rows
+    // twice (the appends are at-least-once, like every file sink);
+    // duplicate ids would otherwise duplicate label rows and inflate
+    // comp_size downstream. Edges/bands tolerate replay by
+    // construction (set-union into distinct-ing consumers), digests
+    // via the left_anti guard — hs needs this distinct.
     val corpusIds = spark.read.schema(hsSchema).parquet(s"$idxDir/hs")
-      .select(col("doc_id"))
+      .select(col("doc_id")).distinct()
     Pipeline.contractToLabels(corpusIds,
       spark.read.schema(edgeSchema).parquet(s"$idxDir/edges"))
   }
