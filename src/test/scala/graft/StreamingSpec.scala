@@ -281,5 +281,17 @@ class StreamingSpec extends SparkSpec {
     assert(after(91000L) == 91000L, "novel late doc is its own singleton")
     assert(streamed.forall { case (id, l) => after(id) == l },
       "late arrivals must not move existing labels")
+
+    // phase 3: replay tolerance — a FRESH checkpoint reprocesses every
+    // file against the already-populated index, which is exactly the
+    // at-least-once duplication a foreachBatch crash-retry produces
+    // (hs/bands/edges all re-append). Labels must not change, and no
+    // doc may gain a duplicate label row.
+    ClusterStream.runIngest(spark, inDir, idx, s"$root/chk_replay")
+    val replayed = ClusterStream.labels(spark, idx)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(replayed.length == replayed.map(_._1).distinct.length,
+      "replay must not duplicate label rows")
+    assert(replayed.toMap == after, "full replay must not change any label")
   }
 }
