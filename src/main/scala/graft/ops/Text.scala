@@ -514,6 +514,55 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // ---- span-level dedup (repeated cross-doc n-grams) -----------------
+    // Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    // Models Better") dedups at SUBSTRING granularity with a suffix
+    // array over the concatenated corpus; this is the Spark-shaped
+    // approximation at 8-gram granularity: a window position is a
+    // repeated span iff its 8-gram occurs in ≥ 2 distinct docs.
+    // Catches partial overlaps (shared boilerplate paragraphs, quoted
+    // passages) that whole-doc Jaccard (dedup_ngram/dedup_near) and
+    // exact line dedup both miss. Exact integer micro-unit fraction.
+    // 100 TB shape: token-level window explode → one gram-keyed
+    // count-distinct aggregate (map-side combined) → join-back on the
+    // gram key → doc-keyed aggregate; gram keys could be xxhash64-ed
+    // to 8 bytes at web scale (kept as text here so the oracle is
+    // byte-identical).
+    sql("span_dedup",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS gram
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 7)) AS i) x
+        |  WHERE len(ts) >= 8),
+        |rep AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+        |scored AS (
+        |  SELECT g.doc_id, CASE WHEN r.gram IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM g LEFT JOIN rep r USING (gram))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(hit) AS BIGINT) AS n_rep_spans,
+        |  CAST((1000000 * sum(hit)) // count(*) AS BIGINT) AS span_frac_micro,
+        |  (1000000 * sum(hit)) // count(*) > 500000 AS flagged
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ts = split(col("text"), " ")
+      val grams = docs(s, d)
+        .filter(size(ts) >= 8)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(ts) - 7),
+            i => array_join(slice(ts, i, lit(8)), " "))).as("gram"))
+      val rep = grams.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select(col("gram"))
+      grams.join(rep.withColumn("hit", lit(1L)), Seq("gram"), "left")
+        .select(col("doc_id"), coalesce(col("hit"), lit(0L)).as("hit"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"), sum(col("hit")).as("n_rep_spans"))
+        .select(col("doc_id"), col("n_windows"), col("n_rep_spans"),
+          expr("(1000000 * n_rep_spans) div n_windows").as("span_frac_micro"),
+          (expr("(1000000 * n_rep_spans) div n_windows") > 500000).as("flagged"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Gopher quality-rule filter ------------------------------------
     // The named composite rule-set stage (Rae et al. 2021, "Scaling
     // Language Models: ... Gopher", Table A1): word-count bounds, mean

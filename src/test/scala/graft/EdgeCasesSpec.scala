@@ -126,6 +126,27 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.isEmpty, s"blocklisted-only corpus must filter to nothing, got ${out.length}")
   }
 
+  test("span_dedup: shared paragraph flags both docs, short docs emit no row") {
+    // docs 0/1 share an 8-token "paragraph" embedded in distinct
+    // remainders — exactly the partial overlap whole-doc Jaccard
+    // misses; doc 2 is disjoint; doc 3 is under the window width
+    val para = words("shared", 8)
+    val dir = stageDocs("spandedup", Seq(
+      (0L, "s", words("a", 20) + " " + para),
+      (1L, "s", para + " " + words("b", 20)),
+      (2L, "s", words("c", 30)),
+      (3L, "s", words("d", 5))))
+    val out = SparkEntry.queries("span_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4))).toSeq
+    assert(out.map(_._1) == Seq(0L, 1L, 2L), "sub-window doc must emit no row")
+    val byId = out.map(t => t._1 -> t).toMap
+    // only the exact shared window position repeats in each doc
+    assert(byId(0L)._3 == 1L && byId(1L)._3 == 1L, s"got $out")
+    assert(byId(2L)._3 == 0L && !byId(2L)._4)
+    // 21 windows each (28 tokens), 1 repeated -> not flagged at 50%
+    assert(!byId(0L)._4 && !byId(1L)._4)
+  }
+
   test("gopher_filter: each rule fires on its planted doc, in precedence order") {
     val stop2 = "the a" // two stopwords
     val dir = stageDocs("gopher", Seq(
