@@ -351,9 +351,9 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     // modes: all (default) | events | dedup | indexed | ann | state | cc —
     // first non-numeric arg selects; numeric args keep their meaning
-    val modes = args.filterNot(_.forall(c => c.isDigit)).toSet
+    val modes = args.filter(a => !a.forall(_.isDigit) && a.nonEmpty).toSet
     def on(m: String) = modes.isEmpty || modes.contains(m)
-    val nums = args.filter(_.forall(c => c.isDigit))
+    val nums = args.filter(a => a.nonEmpty && a.forall(_.isDigit))
     val maxFactor = nums.headOption.map(_.toInt).getOrElse(8)
     val docsFactor = nums.lift(1).map(_.toInt).getOrElse(maxFactor)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -474,16 +474,27 @@ object ScaleProbe {
         val oldRows = oldCorpus.count()
         val idx = graft.ops.Text.stagedHsIndex(spark, sfDir,
           s"ccdelta_probe_$factor", Pipeline.ccIndexExtras)(oldCorpus)
+        // label-level signature, not just component COUNT: the round-9
+        // workload postmortem showed a count-only require passes
+        // vacuously under bugs that preserve cluster count (swapped
+        // members, wrong roots) — same order-free hash trick the
+        // contraction loop uses for its convergence signature
+        def labelSig(l: DataFrame): (Long, Long) = {
+          val r = l.agg(count(lit(1)),
+            expr("bit_xor(xxhash64(id, lbl))")).collect()(0)
+          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        }
         val t0 = System.nanoTime()
-        val (dl, dEdges, dIters) = Pipeline.deltaFromIndex(spark, idx, oldCorpus, newCorpus)
+        val (dl, dEdges, dIters) = Pipeline.deltaFromIndex(spark, idx, newCorpus)
         val dComps = dl.select(col("lbl")).distinct().count()
         val dSecs = (System.nanoTime() - t0) / 1e9
+        val dSig = labelSig(dl)
         val t1 = System.nanoTime()
         val (fl, _, fIters) = Pipeline.componentLabels(oldCorpus.unionByName(newCorpus))
         val fComps = fl.select(col("lbl")).distinct().count()
         val fSecs = (System.nanoTime() - t1) / 1e9
-        require(dComps == fComps,
-          s"delta found $dComps components, full rebuild $fComps — divergence")
+        require(dSig == labelSig(fl),
+          s"delta labeling diverges from full rebuild (sig $dSig, comps $dComps vs $fComps)")
         val nEdges = dEdges.count()
         println(f"""{"shape":"dedup_components_delta","factor":$factor,"old_rows":$oldRows,"batch_rows":$batchRows,"edges":$nEdges,"delta_iters":$dIters,"full_iters":$fIters,"components":$dComps,"delta_secs":$dSecs%.2f,"full_secs":$fSecs%.2f}""")
       }

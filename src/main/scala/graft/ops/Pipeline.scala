@@ -350,7 +350,7 @@ object Pipeline {
     val oldCorpus = componentCorpus(base.filter(col("doc_id") < 250))
     val newCorpus = componentCorpus(base.filter(col("doc_id") >= 250))
     val idx = Text.stagedHsIndex(s, d, "cc_old", ccIndexExtras)(oldCorpus)
-    deltaFromIndex(s, idx, oldCorpus, newCorpus)
+    deltaFromIndex(s, idx, newCorpus)
   }
 
   /** The per-batch half of [[componentLabelsDelta]], parametrized on
@@ -358,7 +358,12 @@ object Pipeline {
     * octaves (fixed batch, growing old corpus).
     */
   private[graft] def deltaFromIndex(s: SparkSession, idx: String,
-      oldCorpus: DataFrame, newCorpus: DataFrame): (DataFrame, DataFrame, Int) = {
+      newCorpus: DataFrame): (DataFrame, DataFrame, Int) = {
+    // the old corpus is represented ENTIRELY by the stored index —
+    // its ids come from $idx/hs, its edges/digests from the staged
+    // artifacts; taking the old texts as a parameter would imply they
+    // influence labeling (they don't, and must not: re-deriving them
+    // is exactly the O(old) work this path exists to avoid)
     // O(batch) MinHash — the only shingling this path ever runs.
     // Materialized once: the batch's hs feeds the band build AND both
     // sides of the Jaccard verify, and unlike the corpus-sized hs (not

@@ -131,20 +131,27 @@ class EdgeCasesSpec extends SparkSpec {
     // remainders — exactly the partial overlap whole-doc Jaccard
     // misses; doc 2 is disjoint; doc 3 is under the window width
     val para = words("shared", 8)
+    val big = words("big", 24) // majority-shared pair: 17 of 19 windows repeat
     val dir = stageDocs("spandedup", Seq(
       (0L, "s", words("a", 20) + " " + para),
       (1L, "s", para + " " + words("b", 20)),
       (2L, "s", words("c", 30)),
-      (3L, "s", words("d", 5))))
+      (3L, "s", words("d", 5)),
+      (4L, "s", big + " " + words("e", 2)),
+      (5L, "s", big + " " + words("f", 2))))
     val out = SparkEntry.queries("span_dedup")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4))).toSeq
-    assert(out.map(_._1) == Seq(0L, 1L, 2L), "sub-window doc must emit no row")
+    assert(out.map(_._1) == Seq(0L, 1L, 2L, 4L, 5L), "sub-window doc must emit no row")
     val byId = out.map(t => t._1 -> t).toMap
     // only the exact shared window position repeats in each doc
     assert(byId(0L)._3 == 1L && byId(1L)._3 == 1L, s"got $out")
     assert(byId(2L)._3 == 0L && !byId(2L)._4)
     // 21 windows each (28 tokens), 1 repeated -> not flagged at 50%
     assert(!byId(0L)._4 && !byId(1L)._4)
+    // 26-token docs sharing a 24-token prefix: 17/19 windows repeated
+    // -> flagged (exercises the true side of the strict > 500000 cut)
+    assert(byId(4L)._3 == 17L && byId(4L)._4, s"got ${byId(4L)}")
+    assert(byId(5L)._4)
   }
 
   test("gopher_filter: each rule fires on its planted doc, in precedence order") {
