@@ -996,6 +996,30 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // ---- fixed-budget uniform sample (exact n) -------------------------
+    // sample_stratified keeps an EXPECTED fraction; eval-set carving
+    // needs EXACTLY n docs, reproducibly. Rank by a seeded portable
+    // hash (uniform, feature-independent), tie-break on doc_id, take
+    // the first 100: Spark plans ORDER BY + LIMIT as
+    // TakeOrderedAndProject — per-partition heaps of size n, no global
+    // sort — so the same code carves an exact-100 eval set out of
+    // 100 TB with one pass and an n-row driver merge.
+    sql("sample_fixed",
+      s"""SELECT doc_id, source
+         |FROM (SELECT doc_id, source
+         |      FROM documents
+         |      ORDER BY ${D.h32s("'pick'", "CAST(doc_id AS VARCHAR)")}, doc_id
+         |      LIMIT 100) t
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), col("source"),
+          h32Seeded(lit("pick"), col("doc_id")).as("pick"))
+        .orderBy(col("pick"), col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- hash-based train/val/test split assignment --------------------
     // Same portable-hash idea pointed at dataset splitting: bucket =
     // seeded-hash(doc_id) mod 100 → 80/10/10. Assignment is a pure

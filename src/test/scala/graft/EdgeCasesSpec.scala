@@ -126,6 +126,16 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.isEmpty, s"blocklisted-only corpus must filter to nothing, got ${out.length}")
   }
 
+  test("sample_fixed: exact n, deterministic across reruns, whole corpus when smaller than n") {
+    val a = SparkEntry.queries("sample_fixed")(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    val b = SparkEntry.queries("sample_fixed")(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    assert(a.length == 100 && a == b, "exactly 100 docs, byte-stable across reruns")
+    val tiny = stageDocs("fixedsample",
+      (0L to 4L).map(i => (i, "s", words(s"t$i", 12))))
+    val small = SparkEntry.queries("sample_fixed")(spark, tiny).collect().map(_.getLong(0)).toSeq
+    assert(small == Seq(0L, 1L, 2L, 3L, 4L), "corpus below the budget passes through whole")
+  }
+
   test("span_dedup: shared paragraph flags both docs, short docs emit no row") {
     // docs 0/1 share an 8-token "paragraph" embedded in distinct
     // remainders — exactly the partial overlap whole-doc Jaccard
