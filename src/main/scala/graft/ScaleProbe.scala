@@ -366,7 +366,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val tmpRoot = graft.ops.purgeOnExit(
-      s"/root/repo/target/tmp/scaleprobe_${ProcessHandle.current().pid()}")
+      s"${graft.ops.scratchRoot(spark)}/scaleprobe_${ProcessHandle.current().pid()}")
 
     if (on("ann")) {
       val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")

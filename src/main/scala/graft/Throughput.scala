@@ -102,7 +102,7 @@ object Throughput {
     // staged dataset between this write and the timed reads; purged at
     // exit so repeated runs don't accumulate ~200 MB each
     val path = graft.ops.purgeOnExit(
-      s"/root/repo/target/tmp/flights24m_${ProcessHandle.current().pid()}")
+      s"${graft.ops.scratchRoot(spark)}/flights24m_${ProcessHandle.current().pid()}")
     flights(spark, rows).write.mode("overwrite").parquet(path)
     val a = new Engine(spark.newSession())
     val b = new Engine(spark.newSession())

@@ -23,16 +23,37 @@ import org.apache.spark.sql.functions._
   */
 final class Engine(val spark: SparkSession) {
 
-  // Arrow serving default: Spark's 10k-row record batches fragment a
-  // hot-table GET into thousands of tiny frames — more flatbuffer
-  // overhead, worse compression ratio, more pump iterations through
-  // the socket funnel. 128k rows/batch is the measured sweet spot for
-  // the 24M-row flights shape (Throughput/GateDebug used it already);
-  // make it the ENGINE default so every gate serves it. A session
-  // value other than Spark's shipped 10000 default is kept as-is.
-  if (spark.conf.getOption("spark.sql.execution.arrow.maxRecordsPerBatch")
-        .forall(_ == "10000"))
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+  /** Session the Arrow wire ENCODES under — never the caller's.
+    *
+    * Spark's 10k-row record batches fragment a hot-table GET into
+    * thousands of tiny frames — more flatbuffer overhead, worse
+    * compression ratio, more pump iterations through the socket
+    * funnel. 128k rows/batch is the measured sweet spot for the
+    * 24M-row flights shape, but setting it on the ENGINE session would
+    * leak the override to every other Arrow consumer sharing it
+    * (toPandas, collectAsArrow …) — VERDICT r9 #3. So the tuned value
+    * lives on an engine-owned `newSession()` that TcpGate rebinds
+    * results into just for encode. Precedence: explicit
+    * `spark.graft.arrow.maxRecordsPerBatch` > a non-default value the
+    * caller already set session-wide > the tuned 131072.
+    *
+    * `newSession()` starts from builder-time conf, not the parent's
+    * RUNTIME conf, so result-affecting runtime settings (timezone,
+    * shuffle width, ANSI) are copied across explicitly.
+    */
+  private[graft] lazy val serveSession: SparkSession = {
+    val s = spark.newSession()
+    Seq("spark.sql.session.timeZone", "spark.sql.shuffle.partitions",
+      "spark.sql.ansi.enabled").foreach { k =>
+      spark.conf.getOption(k).foreach(s.conf.set(k, _))
+    }
+    val rows = spark.conf.getOption("spark.graft.arrow.maxRecordsPerBatch")
+      .orElse(spark.conf.getOption("spark.sql.execution.arrow.maxRecordsPerBatch")
+        .filter(_ != "10000"))
+      .getOrElse("131072")
+    s.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", rows)
+    s
+  }
 
   val catalog = new Catalog(spark)
 
@@ -67,22 +88,73 @@ final class Engine(val spark: SparkSession) {
     ddlPrefixes.exists(u.startsWith)
   }
 
-  /** Leading keywords of statements that CANNOT mutate engine-visible
-    * state. Everything else that reaches bare `spark.sql` — INSERT/
-    * MERGE on a table created via raw DDL, `SET` of a result-affecting
-    * session conf (timezone, ANSI), CACHE/UNCACHE, … — must bump the
-    * epoch, or TcpGate's Arrow cache would keep serving pre-mutation
-    * bytes (a silent stale read). Erring non-pure is always sound:
-    * the cost is a cold cache, never a wrong result.
+  /** Commands that inspect state without mutating it, classified by
+    * class-name prefix so new SHOW/DESCRIBE variants stay covered.
     */
-  private val pureQueryPrefixes =
-    Seq("SELECT", "WITH", "VALUES", "TABLE", "EXPLAIN", "SHOW", "DESCRIBE", "DESC")
+  private def isReadOnlyCommand(name: String): Boolean =
+    name.startsWith("Explain") || name.startsWith("Show") ||
+      name.startsWith("Describe") || name.startsWith("Desc")
 
-  /** True iff the statement is a pure read by leading keyword. */
-  def isPureQuery(sql: String): Boolean = {
-    val u = sql.trim.toUpperCase
-    pureQueryPrefixes.exists(u.startsWith)
+  /** (isPure, isPlainQuery) per statement text, decided from the PARSED
+    * plan, not the leading keyword. Keyword sniffing has a real hole:
+    * Spark's grammar allows `WITH t AS (…) INSERT INTO …` — a DML
+    * statement whose first keyword is `WITH`. Treating it as pure would
+    * (a) skip the epoch bump, so TcpGate's Arrow cache keeps serving
+    * pre-mutation bytes (silent stale read), and (b) let the statement
+    * itself be cached, replaying the GET bytes WITHOUT re-executing the
+    * write. Parsing finds the `InsertIntoStatement` under the CTE node.
+    *
+    *  - isPure: no node in the tree is a mutating `Command` or DML
+    *    `ParsedStatement`. SHOW/DESCRIBE/EXPLAIN are commands but
+    *    read-only, so they stay pure (no epoch bump).
+    *  - isPlainQuery: no command node AT ALL — the only statements
+    *    TcpGate may install in its Arrow result cache. SHOW/DESCRIBE
+    *    output is driver-formatted metadata; cheap, not worth caching.
+    *
+    * Unparseable text (wire verbs, DuckDB-dialect COPY) classifies
+    * (false, false) — erring non-pure is always sound: the cost is a
+    * cold cache, never a wrong result. Memoized because the gate asks
+    * once for cacheability and once for the epoch decision per
+    * statement, and serving workloads repeat statement texts heavily.
+    */
+  private val classifyMemo =
+    new java.util.LinkedHashMap[String, (Boolean, Boolean)](128, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Boolean, Boolean)]): Boolean =
+        size > 4096
+    }
+
+  private def classify(sql: String): (Boolean, Boolean) = {
+    val hit = classifyMemo.synchronized(classifyMemo.get(sql))
+    if (hit != null) hit
+    else {
+      import org.apache.spark.sql.catalyst.plans.logical.{Command, ParsedStatement}
+      val r =
+        try {
+          val plan = spark.sessionState.sqlParser.parsePlan(sql)
+          val hasCommand = plan.exists {
+            case _: Command | _: ParsedStatement => true
+            case _                               => false
+          }
+          val mutating = plan.exists {
+            case c if isReadOnlyCommand(c.getClass.getSimpleName) => false
+            case _: Command | _: ParsedStatement                  => true
+            case _                                                => false
+          }
+          (!mutating, !hasCommand)
+        } catch { case scala.util.control.NonFatal(_) => (false, false) }
+      classifyMemo.synchronized(classifyMemo.put(sql, r))
+      r
+    }
   }
+
+  /** True iff the statement cannot mutate engine-visible state. */
+  def isPureQuery(sql: String): Boolean = classify(sql)._1
+
+  /** True iff the statement parses to a plain query plan (no command
+    * nodes) — the precondition for TcpGate's Arrow result cache.
+    */
+  def isCacheableQuery(sql: String): Boolean = classify(sql)._2
 
   /** Run any SQL. DML/DDL verbs the catalog can rewrite (`UPDATE`/
     * `DELETE`/`INSERT`/`ALTER` on catalog tables, which Mallard's
@@ -102,13 +174,16 @@ final class Engine(val spark: SparkSession) {
         epoch.incrementAndGet()
         spark.sql(sql)
         statusOk
-      } else {
-        // any non-pure statement (INSERT INTO a raw-DDL table, SET,
-        // MERGE, CACHE …) invalidates cached results, even though the
-        // catalog counter can't see it
-        if (!isPureQuery(sql)) epoch.incrementAndGet()
+      } else if (!isPureQuery(sql)) {
+        // any non-pure statement — INSERT INTO a raw-DDL table, a
+        // WITH-prefixed DML (`WITH t AS (…) INSERT INTO …`), SET,
+        // MERGE, CACHE … — invalidates cached results, even though the
+        // catalog counter can't see it. Commands execute eagerly in
+        // spark.sql; the routing contract returns the status row.
+        epoch.incrementAndGet()
         spark.sql(sql)
-      }
+        statusOk
+      } else spark.sql(sql)
     }
 
   def statusOk: DataFrame = spark.range(1).select(lit("OK").as("status"))

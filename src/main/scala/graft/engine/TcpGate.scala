@@ -200,10 +200,13 @@ final class TcpGate(val engine: Engine, port: Int = 0,
       }
     }
 
-  private def cacheable(stmt: String): Boolean = {
-    val kw = stmt.split("\\s+", 2)(0).toUpperCase
-    kw == "SELECT" || kw == "WITH" || kw == "VALUES" || kw == "TABLE"
-  }
+  /** Cache admission is decided from the PARSED plan (via the engine),
+    * not the leading keyword: `WITH t AS (…) INSERT INTO …` starts with
+    * a cache-looking keyword but is DML — replaying its cached bytes
+    * would skip the write entirely. Wire verbs (REGISTER/EXCHANGE) and
+    * engine-dialect statements don't parse ⇒ classified non-cacheable.
+    */
+  private def cacheable(stmt: String): Boolean = engine.isCacheableQuery(stmt)
 
   /** Current-time expressions are MARKED deterministic in Catalyst
     * (they fold to a literal at each query start), but two GETs at
@@ -297,8 +300,11 @@ final class TcpGate(val engine: Engine, port: Int = 0,
       bin.flush()
     }
 
-    def sendArrow(df: DataFrame, key: Option[(String, (Long, Long))]): Unit = {
-      val spark = engine.spark
+    def sendArrow(df0: DataFrame, key: Option[(String, (Long, Long))]): Unit = {
+      // encode under the engine's serve session: it carries the tuned
+      // arrow.maxRecordsPerBatch without mutating the caller's session
+      val spark = engine.serveSession
+      val df = GraftBridge.rebind(spark, df0)
       val schema = df.schema
       // forcing the schema surfaces analysis errors as a clean ##error
       // line before any reply byte; runtime failures take the
@@ -378,8 +384,14 @@ final class TcpGate(val engine: Engine, port: Int = 0,
                     val df = runLine(body)
                     if (arrowMode) sendArrow(df, None)
                     else {
-                      val it = df.toJSON.toLocalIterator()
-                      while (it.hasNext) out.println(it.next())
+                      // one parallel encode job, partition-ordered
+                      // emit — the Arrow path's pump, not a job per
+                      // partition. Text and raw bytes share one
+                      // buffered stream; flush the writer first so
+                      // socket order is exactly write order.
+                      out.flush()
+                      GraftBridge.jsonLinesPipelined(df)(raw.write)
+                      raw.flush()
                     }
                   }
                 } catch { case e: Exception => sendError(e) }

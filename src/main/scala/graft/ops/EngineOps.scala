@@ -26,8 +26,11 @@ object EngineOps {
     * Purged on JVM exit: pids are unique per run, so without the hook
     * every bench/verify cycle would leave its staging data behind.
     */
-  private val tmpRoot = graft.ops.purgeOnExit(
-    s"/root/repo/target/tmp/run_${ProcessHandle.current().pid()}")
+  private val tmpRoots =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, String]()
+  private def tmpRoot(s: org.apache.spark.sql.SparkSession): String =
+    tmpRoots.computeIfAbsent(s, s2 => graft.ops.purgeOnExit(
+      s"${graft.ops.scratchRoot(s2)}/run_${ProcessHandle.current().pid()}"))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -144,7 +147,7 @@ object EngineOps {
 
     // A13: parquet sink + re-scan round trip.
     sql("sink_parquet", "SELECT * FROM region ORDER BY r_regionkey") { (s, d) =>
-      val path = s"$tmpRoot/sink_parquet"
+      val path = s"${tmpRoot(s)}/sink_parquet"
       Tables.region(s, d).write.mode("overwrite").parquet(path)
       s.read.parquet(path).orderBy(col("r_regionkey"))
     },
@@ -157,7 +160,7 @@ object EngineOps {
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-      val path = s"$tmpRoot/sink_partitioned"
+      val path = s"${tmpRoot(s)}/sink_partitioned"
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"),
           r2(col("o_totalprice")).as("o_totalprice"), col("o_orderstatus"))
@@ -174,7 +177,7 @@ object EngineOps {
     sql("sink_orc_roundtrip",
       """SELECT s_suppkey, s_name, s_nationkey FROM supplier
         |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
-      val path = s"$tmpRoot/sink_orc"
+      val path = s"${tmpRoot(s)}/sink_orc"
       Tables.supplier(s, d)
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
         .write.mode("overwrite").orc(path)
@@ -187,7 +190,7 @@ object EngineOps {
     sql("sink_csv_roundtrip",
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
-      val path = s"$tmpRoot/sink_csv"
+      val path = s"${tmpRoot(s)}/sink_csv"
       Tables.nation(s, d).write.mode("overwrite").option("header", "true").csv(path)
       s.read.option("header", "true")
         .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
@@ -198,7 +201,7 @@ object EngineOps {
     // JSON-lines sink + source roundtrip, same contract.
     sql("sink_json_roundtrip",
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin) { (s, d) =>
-      val path = s"$tmpRoot/sink_json"
+      val path = s"${tmpRoot(s)}/sink_json"
       Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
         .write.mode("overwrite").json(path)
       s.read.schema("r_regionkey INT, r_name STRING").json(path)
@@ -213,7 +216,7 @@ object EngineOps {
     sql("sink_text_roundtrip",
       """SELECT count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS chars
         |FROM documents""".stripMargin) { (s, d) =>
-      val path = s"$tmpRoot/sink_text"
+      val path = s"${tmpRoot(s)}/sink_text"
       Tables.documents(s, d).select(col("text"))
         .write.mode("overwrite").text(path)
       s.read.text(path)
@@ -225,7 +228,7 @@ object EngineOps {
     // opens it from disk — state survives the engine instance.
     sql("persist_roundtrip",
       "SELECT * FROM nation ORDER BY n_nationkey") { (s, d) =>
-      val warehouse = s"$tmpRoot/warehouse"
+      val warehouse = s"${tmpRoot(s)}/warehouse"
       val a = freshEngine(s)
       a.put("nation", Tables.nation(a.spark, d))
       a.persist("nation", warehouse)
@@ -337,7 +340,7 @@ object EngineOps {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") { (s, d) =>
       val e = freshEngine(s)
       e.put("vc_src", Tables.region(e.spark, d).select(col("r_regionkey"), col("r_name")))
-      val path = s"$tmpRoot/verb_copy"
+      val path = s"${tmpRoot(s)}/verb_copy"
       e.query(s"COPY vc_src TO '$path' (FORMAT PARQUET)")
       e.spark.read.parquet(path).orderBy(col("r_regionkey"))
     },

@@ -486,6 +486,103 @@ object Pipeline {
        |FROM sizes s JOIN corpus c ON c.doc_id = s.comp
        |ORDER BY doc_id""".stripMargin
 
+  /** The four-stage pipeline (gopher → dedup-apply → mix → pack) as one
+    * DuckDB CTE chain — the oracle for `pipeline_e2e`. Every fragment
+    * is the per-stage oracle's own SQL, re-scoped to the previous
+    * stage's CTE instead of `documents`.
+    */
+  private lazy val pipelineE2eOracle: String = {
+    val mixes = Text.minhashMix.map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % ${Text.minhashP}))"
+    }.mkString("[", ",\n   ", "]")
+    val shingles =
+      s"list_distinct(list_transform(range(1, len(${D.toks}) - 1), " +
+        s"i -> array_to_string((${D.toks})[i:i+2], ' ')))"
+    val hsExpr = s"list_distinct(list_transform($shingles, x -> ${D.h32("x")}))"
+    val sw = Text.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL SELECT doc_id + 10000, source, text FROM documents
+       |  UNION ALL SELECT doc_id + 20000, source,
+       |         array_to_string((${D.toks})[1:len(${D.toks})-1], ' ')
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, source, text,
+       |    len(${D.toks})::BIGINT AS n_tokens,
+       |    list_sum(list_transform(${D.toks}, w -> len(w)))::BIGINT AS sum_len,
+       |    len(list_filter(${D.toks}, w -> regexp_matches(w, '[a-z]')))::BIGINT AS n_alpha,
+       |    len(list_filter(${D.toks}, w -> list_contains($sw, w)))::BIGINT AS n_stop
+       |  FROM corpus),
+       |keepers AS (
+       |  SELECT doc_id, source, text, n_tokens FROM g
+       |  WHERE n_tokens BETWEEN 30 AND 100000
+       |    AND (1000000 * sum_len) // n_tokens BETWEEN 3000000 AND 10000000
+       |    AND (1000000 * n_alpha) // n_tokens >= 800000
+       |    AND n_stop >= 2),
+       |hs AS (SELECT doc_id, $hsExpr AS hs FROM keepers),
+       |bands AS (
+       |  SELECT s.doc_id, b,
+       |         sig[3*b+1]::VARCHAR || ',' || sig[3*b+2]::VARCHAR || ',' || sig[3*b+3]::VARCHAR AS bkey
+       |  FROM (SELECT doc_id, $mixes AS sig FROM hs) s, range(0, 4) t(b)),
+       |near_pairs AS (
+       |  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |near_edges AS (
+       |  SELECT x, y FROM near_pairs p
+       |  JOIN hs ha ON ha.doc_id = p.x
+       |  JOIN hs hb ON hb.doc_id = p.y
+       |  WHERE len(list_intersect(ha.hs, hb.hs))::DOUBLE
+       |        / len(list_distinct(list_concat(ha.hs, hb.hs))) >= 0.8),
+       |exact_edges AS (
+       |  SELECT k.doc_id AS x, r.rep AS y
+       |  FROM keepers k
+       |  JOIN (SELECT text, min(doc_id) AS rep FROM keepers GROUP BY text) r
+       |    ON k.text = r.text
+       |  WHERE k.doc_id <> r.rep),
+       |edges AS (
+       |  SELECT x AS src, y AS dst FROM near_edges
+       |  UNION SELECT y, x FROM near_edges
+       |  UNION SELECT x, y FROM exact_edges
+       |  UNION SELECT y, x FROM exact_edges),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM keepers
+       |  UNION
+       |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id),
+       |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |survivors AS (
+       |  SELECT k.doc_id, k.source, k.n_tokens
+       |  FROM keepers k JOIN comp c ON c.id = k.doc_id AND c.comp = k.doc_id),
+       |per_src AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+       |         CAST(floor(sqrt(CAST(sum(n_tokens) AS BIGINT)) * 1000 + 0.5) AS BIGINT) AS w_milli
+       |  FROM survivors GROUP BY source),
+       |pd AS (
+       |  SELECT source, n_docs, src_tokens,
+       |         CAST(floor(1000000.0 * w_milli / src_tokens + 0.5) AS BIGINT) AS pd_micro
+       |  FROM per_src),
+       |tot AS (SELECT CAST(sum(n_docs * pd_micro) AS BIGINT) AS w_total FROM pd),
+       |rates AS (
+       |  SELECT source,
+       |         CAST(least(1000000,
+       |           (1000000 * $MixTarget * pd_micro + w_total // 2) // w_total) AS BIGINT) AS rate_micro
+       |  FROM pd, tot),
+       |sampled AS (
+       |  SELECT s.source, s.doc_id, s.n_tokens
+       |  FROM survivors s JOIN rates r ON s.source = r.source
+       |  WHERE ${D.h32s("'mix'", "CAST(s.doc_id AS VARCHAR)")} % 1000000 < r.rate_micro),
+       |packed AS (
+       |  SELECT source, doc_id, n_tokens,
+       |         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |               - n_tokens) / 256.0) AS BIGINT) AS pack_id
+       |  FROM sampled)
+       |SELECT source, pack_id, count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM packed GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
+  }
+
   // ---- corpus_mix literals ---------------------------------------------
 
   /** Target sample size (docs) for temperature mixing. */
@@ -598,7 +695,7 @@ object Pipeline {
       import graft.streaming.ClusterStream
       val corpus = componentCorpus(docs(s, d))
       val root = purgeOnExit(
-        s"/root/repo/target/tmp/stream_cc_${ProcessHandle.current().pid()}") +
+        s"${scratchRoot(s)}/stream_cc_${ProcessHandle.current().pid()}") +
         s"/${java.util.UUID.randomUUID.toString.replace("-", "")}"
       val (idx, inDir, chk) = (s"$root/idx", s"$root/in", s"$root/chk")
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
@@ -609,11 +706,84 @@ object Pipeline {
       // assignment only needs determinism, not any particular cut)
       ClusterStream.stageWindows(corpus, 3, s"$root/staged", inDir)
       ClusterStream.runIngest(s, inDir, idx, chk)
-      val (labels, _, _) = ClusterStream.labels(s, idx)
+      // labels come from the compacting extraction: the same fixed
+      // point the plain labels() computes, plus the edge-index rewrite
+      // to the member→root star set — so the oracle gate also proves
+      // the post-compaction index yields the full-corpus closure
+      val (labels, _) = ClusterStream.compactIndex(s, idx)
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comp_size"))
       labels.join(sizes, Seq("lbl"))
         .select(col("id").as("doc_id"), col("lbl").as("comp"), col("comp_size"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- end-to-end pipeline composition -------------------------------
+    // gopher_filter → cluster-dedup survivors → temperature mix →
+    // sequence packing, composed as ONE lazy DataFrame chain (the
+    // reference analog: chained exchangers, `demo.py:500-527`). Each
+    // stage feeds the next without materialization, so Catalyst fuses
+    // the per-row stages: the Gopher metrics, the keep predicate and
+    // the survivor projection run inside the SAME WholeStageCodegen
+    // span as the scan (PLANS.md §pipeline_e2e), and column pruning
+    // drops `text` the moment the last text-derived column is
+    // computed. The only shuffles are the ones the semantics force:
+    // the dedup clustering (band join + contraction), the two tiny mix
+    // aggregates, and the per-source packing window. The oracle is the
+    // same four stages as one CTE chain over DuckDB.
+    sql("pipeline_e2e", pipelineE2eOracle) { (s, d) =>
+      val base = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+      // the planted component corpus (exact copy +10000, truncated
+      // near-copy +20000), with `source` carried through for the mix
+      val corpus = base
+        .unionByName(base.select((col("doc_id") + 10000).as("doc_id"),
+          col("source"), col("text")))
+        .unionByName(base.select((col("doc_id") + 20000).as("doc_id"), col("source"),
+          array_join(slice(tokens, lit(1), size(tokens) - 1), " ").as("text")))
+      // stage 1: Gopher rules (same thresholds as gopher_filter)
+      val sw = array(Text.enStopwords.map(lit): _*)
+      val ts = split(col("text"), " ")
+      val keepers = corpus.select(col("doc_id"), col("source"), col("text"),
+          size(ts).cast("bigint").as("n_tokens"),
+          aggregate(ts, lit(0L), (acc, w) => acc + length(w).cast("bigint")).as("sum_len"),
+          size(filter(ts, w => w.rlike("[a-z]"))).cast("bigint").as("n_alpha"),
+          size(filter(ts, w => array_contains(sw, w))).cast("bigint").as("n_stop"))
+        .filter(col("n_tokens").between(30, 100000) &&
+          expr("(1000000 * sum_len) div n_tokens").between(3000000, 10000000) &&
+          expr("(1000000 * n_alpha) div n_tokens") >= 800000 &&
+          col("n_stop") >= 2)
+        .select(col("doc_id"), col("source"), col("text"), col("n_tokens"))
+      // stage 2: cluster-dedup survivors (component-min docs) among keepers
+      val (labels, _, _) = componentLabels(keepers.select(col("doc_id"), col("text")))
+      val survivors = keepers.join(
+        labels.filter(col("id") === col("lbl")).select(col("id").as("doc_id")),
+        Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+      // stage 3: temperature mix over the survivor population (the
+      // corpus_mix arithmetic, rates computed FROM the survivors)
+      val perSrc = survivors.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("bigint").as("src_tokens"))
+        .withColumn("w_milli", floor(sqrt(col("src_tokens")) * 1000 + 0.5).cast("bigint"))
+        .withColumn("pd_micro",
+          floor(lit(1000000.0) * col("w_milli") / col("src_tokens") + 0.5).cast("bigint"))
+      val tot = perSrc.agg(sum(col("n_docs") * col("pd_micro")).as("w_total"))
+      val rates = perSrc.crossJoin(broadcast(tot))
+        .withColumn("rate_micro",
+          least(lit(1000000L),
+            expr(s"(1000000L * $MixTarget * pd_micro + w_total div 2) div w_total")))
+        .select(col("source"), col("rate_micro"))
+      val sampled = survivors
+        .join(broadcast(rates), Seq("source"))
+        .filter(h32Seeded(lit("mix"), col("doc_id")) % 1000000 < col("rate_micro"))
+      // stage 4: pack the sampled docs into 256-token sequences
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sampled
+        .withColumn("pack_id",
+          floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / 256.0).cast("bigint"))
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("pack_id"))
     },
 
     // ---- token-budget sequence packing ---------------------------------

@@ -33,7 +33,7 @@ object StreamingOps {
       """SELECT event_id, user_id, value FROM events
         |WHERE event_type = 'error' ORDER BY event_id""".stripMargin) { (s, d) =>
       val out = graft.ops.purgeOnExit(
-        s"/root/repo/target/tmp/stream_sink_${ProcessHandle.current().pid()}") +
+        s"${graft.ops.scratchRoot(s)}/stream_sink_${ProcessHandle.current().pid()}") +
         s"/${java.util.UUID.randomUUID.toString.replace("-", "")}"
       EventStream.runFileSink(s, d, out)
       import org.apache.spark.sql.functions.col

@@ -153,7 +153,7 @@ object Text {
           element_at(col("sig"), b * 3 + 3)))))
       .select(col("doc_id"), col("pos").as("b"), col("col").as("bkey"))
 
-  private val enStopwords: Seq[String] =
+  private[graft] val enStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "is", "in", "it", "on", "for")
 
   /** Per-source retention rates (micro-units) for the stratified
@@ -207,7 +207,7 @@ object Text {
     import java.nio.file._
     val src = Paths.get(s"$d/documents.parquet")
     val key = src.toString.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = Paths.get(s"/root/repo/target/tmp/${name}_$key")
+    val dir = Paths.get(s"${graft.ops.scratchRoot(s)}/${name}_$key")
     val marker = dir.resolve("_built")
     val stamp = s"${Files.size(src)}:${Files.getLastModifiedTime(src)}"
     val fresh = Files.exists(marker) &&
@@ -678,8 +678,9 @@ object Text {
     // the corpus itself. This is the integer-exact engine twin: a
     // Laplace-smoothed bigram model P(w2|w1) = (C(w1,w2)+1)/(C(w1·)+V)
     // trained on the full corpus, scored per doc as the MEAN bigram
-    // probability in nano-units. All arithmetic is BIGINT (scaled
-    // floor division, exact sums), so Spark and DuckDB agree
+    // probability in nano-units. All arithmetic is integer-exact —
+    // decimal(38,0)/HUGEINT cross-multiply, floor division, BIGINT
+    // sums (overflow-safe at web-scale counts) — so Spark and DuckDB agree
     // bit-for-bit — the log-space variant would hinge on libm ulp
     // parity across engines, which the hash gate cannot tolerate.
     // 100 TB shape: two map-side-combinable token-level aggregates
@@ -697,7 +698,7 @@ object Text {
         |v AS (SELECT count(DISTINCT w) AS vv
         |      FROM (SELECT unnest(ts) AS w FROM toks) u)
         |SELECT b.doc_id, count(*) AS n_bigrams,
-        |  CAST(sum((1000000000 * (pair.pc + 1)) // (ctx.cc + v.vv)) // count(*)
+        |  CAST(sum((1000000000::HUGEINT * (pair.pc + 1)) // (ctx.cc + v.vv)) // count(*)
         |    AS BIGINT) AS fluency_nanos
         |FROM bi b JOIN pair USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
         |GROUP BY b.doc_id
@@ -716,8 +717,13 @@ object Text {
       bi.join(pair, Seq("w1", "w2"))
         .join(ctx, Seq("w1"))
         .crossJoin(broadcast(vocab)) // 1-row aggregate — safe at any SF
+        // decimal(38,0) cross-multiply, like importance_weights: the
+        // BIGINT product 1e9·(pc+1) overflows once a bigram count
+        // passes ~9.2e9 — reachable at web scale ("the the" at 100 TB
+        // is ~1e11). IntegralDivide then narrows back to BIGINT nanos
+        // exactly (the quotient is ≤ 1e9 by construction).
         .select(col("doc_id"),
-          expr("(1000000000L * (pc + 1)) div (cc + vv)").as("p"))
+          expr("(cast(1000000000 as decimal(38,0)) * (pc + 1)) div (cc + vv)").as("p"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           expr("sum(p) div count(1)").as("fluency_nanos"))

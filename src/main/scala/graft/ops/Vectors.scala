@@ -113,11 +113,11 @@ object Vectors {
     * lists a directory; testdata is a single file — same staging move
     * as EventStream).
     */
-  private def stageEmb(sfDir: String): String = {
+  private def stageEmb(s: SparkSession, sfDir: String): String = {
     import java.nio.file._
     val src = Paths.get(s"$sfDir/embeddings.parquet")
     val key = src.toString.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = Paths.get(s"/root/repo/target/tmp/stream_emb_$key")
+    val dir = Paths.get(s"${graft.ops.scratchRoot(s)}/stream_emb_$key")
     val dst = dir.resolve("embeddings.parquet")
     val stale = !Files.exists(dst) ||
       Files.size(dst) != Files.size(src) ||
@@ -149,13 +149,13 @@ object Vectors {
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val idx = fixedPath.getOrElse(
       graft.ops.purgeOnExit(
-        s"/root/repo/target/tmp/emb_index_${ProcessHandle.current().pid()}") +
+        s"${graft.ops.scratchRoot(s)}/emb_index_${ProcessHandle.current().pid()}") +
         s"/${java.util.UUID.randomUUID.toString.replace("-", "")}")
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType)),
       StructField("label", IntegerType)))
-    val q = ss.readStream.schema(schema).parquet(stageEmb(d))
+    val q = ss.readStream.schema(schema).parquet(stageEmb(s, d))
       .select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("nrm"), bucket(col("embedding")).as("bkt"))
       .writeStream

@@ -72,6 +72,20 @@ package object ops {
     * once before any work. Only a scan narrower than half the cluster
     * gets the rebalancing shuffle.
     */
+  /** Session-derived scratch root for staged indexes, replay
+    * directories and stream sinks: `spark.graft.scratchDir` when set,
+    * else `<spark.sql.warehouse.dir>/_graft_scratch`. Never a
+    * hardcoded repo path, so the engine works from any working
+    * directory (VERDICT r10 #8). The `file:` scheme is stripped
+    * because several consumers also touch these paths through
+    * java.nio; a non-local warehouse therefore requires an explicit
+    * local `spark.graft.scratchDir` (staging is driver-local I/O).
+    */
+  def scratchRoot(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(spark.conf.get("spark.sql.warehouse.dir") + "/_graft_scratch")
+      .stripPrefix("file:")
+
   /** Register `path` for recursive deletion at JVM exit and return it
     * — for pid-scoped staging directories that would otherwise
     * accumulate one copy per run.

@@ -64,7 +64,7 @@ object EventStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(rawSchema)
-      .parquet(stageDir(sfDir))
+      .parquet(stageDir(spark, sfDir))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -282,7 +282,7 @@ object EventStream {
     * directory under target/ — the shape a production stream would
     * have anyway (a directory new files land in).
     */
-  private def stageDir(sfDir: String): String = {
+  private def stageDir(spark: SparkSession, sfDir: String): String = {
     import java.nio.file._
     val src = Paths.get(s"$sfDir/events.parquet")
     // key on the full sanitized path (not a 32-bit hashCode — two
@@ -291,7 +291,7 @@ object EventStream {
     // COPY_ATTRIBUTES preserves the source mtime so the comparison
     // stays valid across copies)
     val key = src.toString.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = Paths.get(s"/root/repo/target/tmp/stream_events_$key")
+    val dir = Paths.get(s"${graft.ops.scratchRoot(spark)}/stream_events_$key")
     val dst = dir.resolve("events.parquet")
     val stale = !Files.exists(dst) ||
       Files.size(dst) != Files.size(src) ||

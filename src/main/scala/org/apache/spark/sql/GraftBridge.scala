@@ -165,6 +165,24 @@ object GraftBridge {
     }
   }
 
+  /** Stream `df`'s rows as newline-terminated JSON (the canonical
+    * `toJSON` encoding) to `sink` in partition order, encoding ALL
+    * partitions in ONE parallel Spark job — the text-mode twin of
+    * [[arrowBatchesPipelined]]. The old path, `toJSON.toLocalIterator`,
+    * runs one job per partition sequentially, serializing the JSON
+    * encode onto one core at a time exactly like the pre-pump Arrow
+    * path did. Chunks are ≤64k rows of UTF-8 lines, so driver buffering
+    * stays bounded per out-of-order partition.
+    */
+  def jsonLinesPipelined(df: DataFrame)(sink: Array[Byte] => Unit): Unit = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val rdd = ds.toJSON.rdd.mapPartitions { it =>
+      it.grouped(65536).map(
+        _.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    pumpInOrder(ds.sparkSession, rdd)(sink)
+  }
+
   /** Serialized IPC stream header (schema message) for `schema`. */
   def arrowStreamHeader(spark: SparkSession, schema: types.StructType): Array[Byte] = {
     val (tz, strict, large) = arrowConf(spark)

@@ -663,16 +663,36 @@ class EngineSpec extends SparkSpec {
       // multi-batch stream: tiny record batches split the result across
       // many frames — metadata-only counting must sum across ALL of
       // them, on both the fresh-encode and the cache-hit path
-      e.spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+      // the wire encodes under the engine's SERVE session (the tuned
+      // batch size must not leak into the caller's session), so the
+      // multi-batch shape is forced there
+      e.serveSession.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
       try {
         val stmt2 = "SELECT n_nationkey FROM nation ORDER BY n_nationkey"
         val (_, frames2, rows2) = c.sqlArrowOpaque(stmt2) // miss: fresh encode
         assert(rows2 == 25)
         assert(frames2.length > 4, s"expected many small frames, got ${frames2.length}")
         assert(c.sqlArrowRowCount(stmt2) == 25) // hit: compressed cache
-      } finally e.spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+      } finally e.serveSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
       c.close()
     } finally gate.close()
+  }
+
+  test("engine never mutates the caller session's arrow conf (serve-session scoping)") {
+    val s2 = spark.newSession()
+    val before = s2.conf.getOption("spark.sql.execution.arrow.maxRecordsPerBatch")
+    val e = new Engine(s2)
+    assert(e.serveSession ne s2)
+    assert(e.serveSession.conf
+      .get("spark.sql.execution.arrow.maxRecordsPerBatch") == "131072")
+    assert(s2.conf.getOption("spark.sql.execution.arrow.maxRecordsPerBatch") == before,
+      "VERDICT r10 #8: the tuned batch size must not leak into the caller's session")
+    // an explicit graft-scoped override wins on a fresh engine
+    val s3 = spark.newSession()
+    s3.conf.set("spark.graft.arrow.maxRecordsPerBatch", "4096")
+    assert(new Engine(s3).serveSession.conf
+      .get("spark.sql.execution.arrow.maxRecordsPerBatch") == "4096")
   }
 
   test("TcpGate arrow cache: 8 concurrent clients race one key without corruption") {

@@ -294,4 +294,46 @@ class StreamingSpec extends SparkSpec {
       "replay must not duplicate label rows")
     assert(replayed.toMap == after, "full replay must not change any label")
   }
+
+  test("edge-index compaction after every window: labels byte-equal, state bounded") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.ClusterStream
+    val root = graft.ops.purgeOnExit(
+      s"/root/repo/target/tmp/spec_cc_compact_${ProcessHandle.current().pid()}") +
+      s"/${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val corpus = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+
+    // two parallel ingest runs over the SAME 4 arrival windows: one
+    // compacts after every window's labels() fixed point, one never does
+    val (idxC, idxU) = (s"$root/c/idx", s"$root/u/idx")
+    Seq("c", "u").foreach { v =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/$v/in"))
+      ClusterStream.seedIndex(spark, corpus.limit(0), s"$root/$v/idx")
+    }
+    val nWindows = 4
+    (0 until nWindows).foreach { w =>
+      val win = corpus.filter(pmod(xxhash64(col("doc_id")), lit(nWindows)) === w)
+      Seq("c", "u").foreach { v =>
+        ClusterStream.stageFile(win, s"$root/$v/stage_$w", s"$root/$v/in/w$w.parquet")
+        ClusterStream.runIngest(spark, s"$root/$v/in", s"$root/$v/idx", s"$root/$v/chk")
+      }
+      val (labC, rows) = ClusterStream.compactIndex(spark, idxC)
+      val labU = ClusterStream.labels(spark, idxU)._1
+      assert(labC.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+        labU.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+        s"window $w: compacted labels diverged from uncompacted")
+      // bounded state: after compaction, one stored edge row per
+      // non-root member — ≤ docs ingested so far, independent of how
+      // many windows (and their repeated near/star/cross edges) passed
+      val members = labU.filter(col("id") =!= col("lbl")).count()
+      assert(rows == members,
+        s"window $w: compacted edges ($rows) != non-root members ($members)")
+    }
+    // compaction must never shrink connectivity below the batch truth
+    val batch = graft.ops.Pipeline.componentLabels(corpus)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fin = ClusterStream.labels(spark, idxC)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin == batch, "final compacted labels must equal the batch clustering")
+  }
 }

@@ -12,6 +12,27 @@ class TextOpsSpec extends SparkSpec {
   private def run(key: String) =
     SparkEntry.queries(key)(spark, sfDir)
 
+  test("lm_fluency scoring arithmetic survives web-scale bigram counts (≥2^33)") {
+    // VERDICT r10 #5: the BIGINT product 1e9·(pc+1) overflows past
+    // pc ≈ 9.2e9. Planting 2^33 physical bigram rows is not testable;
+    // plant the COUNTS and evaluate the exact scoring expression the
+    // operator uses. pc = 2^34, cc = 2^35, vv = 1e9 — a plausible
+    // "the the" shape at 100 TB.
+    val pc = 17179869184L // 2^34
+    val cc = 34359738368L // 2^35
+    val vv = 1000000000L
+    val got = spark.sql(
+      s"SELECT (cast(1000000000 as decimal(38,0)) * ($pc + 1)) div ($cc + $vv) AS p")
+      .head().getLong(0)
+    val want = ((BigInt(1000000000) * (BigInt(pc) + 1)) / (BigInt(cc) + vv)).toLong
+    assert(got == want, s"widened expression must be exact: $got vs $want")
+    assert(want > 0 && want <= 1000000000L)
+    // the pre-fix BIGINT expression really does overflow here (non-ANSI
+    // wraps negative; ANSI throws) — pin that this magnitude is past
+    // the 64-bit edge so the regression stays meaningful
+    assert(BigInt(1000000000) * (BigInt(pc) + 1) > BigInt(Long.MaxValue))
+  }
+
   test("dedup_exact finds exactly the planted copies: one row per distinct text") {
     val out = run("dedup_exact").cache()
     val docs = Tables.documents(spark, sfDir).count()
