@@ -19,17 +19,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  /** Read one testdata table. `events.parquet` carries INT64
-    * TIMESTAMP(NANOS) which Spark's parquet reader rejects by default;
-    * we read it as raw nanos (legacy conf) and truncate to microseconds
-    * (integer division — matches DuckDB's ns→µs truncation) so `ts` is
-    * a first-class TimestampType column downstream.
+  /** `events.ts` has shipped in two physical forms across testdata
+    * generations: INT64 TIMESTAMP(NANOS) — which Spark's reader rejects
+    * by default, so it is read as raw nanos (legacy conf) and truncated
+    * to microseconds, matching DuckDB's ns→µs cast — and native
+    * timestamp[us] with isAdjustedToUTC=false, which Spark reads as
+    * TIMESTAMP_NTZ. Either way the column is normalized to a
+    * first-class session-tz TimestampType: the session runs UTC, so the
+    * NTZ→TZ cast keeps the wall clock, and the DuckDB oracle's
+    * `ts::TIMESTAMP` is the same truncation/no-op on its side.
     */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
+  /** Read one testdata table (see [[normalizeTs]] for `events`). */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
     case other =>
       spark.read.parquet(s"$sfDir/$other.parquet")
   }

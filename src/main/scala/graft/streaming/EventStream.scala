@@ -30,12 +30,14 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Parquet schema of events.parquet with ts as raw nanos (read with
-    * the legacy nanosAsLong conf, matching graft.Tables.load).
+  /** Parquet schema of events.parquet, parameterized on the physical
+    * `ts` type — raw nanos (INT64, legacy nanosAsLong conf) or a native
+    * timestamp, depending on the testdata generation; see
+    * [[graft.Tables.normalizeTs]].
     */
-  private val rawSchema = StructType(Seq(
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -56,16 +58,19 @@ object EventStream {
     ss
   }
 
-  /** The streaming source: events replayed from parquet, ts restored
-    * to a proper timestamp (ns → µs truncation, same as the batch
-    * loader).
+  /** The streaming source: events replayed from parquet, ts normalized
+    * to a session-tz timestamp exactly as the batch loader does. The
+    * file stream needs an explicit schema, so the physical `ts` type is
+    * sniffed once from the source file's footer (a metadata-only batch
+    * read) and the same [[graft.Tables.normalizeTs]] restore applied.
     */
   def source(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(stageDir(spark, sfDir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsType = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(rawSchema(tsType))
+        .parquet(stageDir(spark, sfDir)))
   }
 
   /** Streaming gap-based sessions: the same session_window aggregation
