@@ -67,8 +67,12 @@ object Throughput {
       (System.nanoTime() - t0) / 1e9
     }.min
     val rps = (rows / secs).toLong
-    val ref = refRowsPerSec(op)
-    println(f"""{"op":"$op","rows":$rows,"secs":$secs%.3f,"rows_per_sec":$rps,"reference_rows_per_sec":$ref,"vs_reference":${rps.toDouble / ref}%.2f}""")
+    refRowsPerSec.get(op) match {
+      case Some(ref) =>
+        println(f"""{"op":"$op","rows":$rows,"secs":$secs%.3f,"rows_per_sec":$rps,"reference_rows_per_sec":$ref,"vs_reference":${rps.toDouble / ref}%.2f}""")
+      case None => // ops with no reference twin (e.g. the text wire)
+        println(f"""{"op":"$op","rows":$rows,"secs":$secs%.3f,"rows_per_sec":$rps}""")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -171,19 +175,32 @@ object Throughput {
       require(client.sqlArrowRowCount("SELECT * FROM flights") == rows)
       val coldSecs = (System.nanoTime() - t0) / 1e9
       println(f"""{"op":"SOCKET_GET_COLD","rows":$rows,"secs":$coldSecs%.3f,"rows_per_sec":${(rows / coldSecs).toLong},"note":"first GET of a table version (row-to-Arrow encode + executor-side zstd); later GETs are SOCKET_GET"}""")
-      // fresh-GET path on a warm JVM: ##nocache skips statement-result
-      // replay, but a bare `SELECT * FROM t` serves the table's
-      // pre-encoded chunk entry (TcpGate.tableScanKey) — the
-      // apples-to-apples twin of the reference's per-GET execute, which
-      // also re-runs the query but exports near-memcpy from DuckDB's
-      // columnar memory. The raw row→Arrow re-encode cost is what
-      // SOCKET_GET_COLD reports (first GET of a table version).
+      // true fresh-execute path on a warm JVM: ##nocache is an
+      // unconditional bypass (r12 — no cache read, no install), so
+      // every trial pays the full execute + row→Arrow encode. This is
+      // Spark's honest per-GET re-execute number; it is structurally
+      // slower than the reference's, which re-runs the query but
+      // exports near-memcpy from DuckDB's columnar memory. The
+      // client-visible steady-state serving number is SOCKET_GET below.
       timed("SOCKET_GET_NOCACHE", rows) {
         require(client.sqlArrowRowCount("##nocache SELECT * FROM flights") == rows)
       }
-      // steady state: cache hit serving pre-encoded compressed bytes
+      // steady state: what a client GET actually pays — the default
+      // path serves the table's pre-encoded chunk entry
+      // (TcpGate.tableScanKey), the columnar-serving twin of the
+      // reference holding its table in DuckDB's columnar memory
       timed("SOCKET_GET", rows) {
         require(client.sqlArrowRowCount("SELECT * FROM flights") == rows)
+      }
+      // text mode: the pipelined JSON-lines wire (one parallel encode
+      // job, partition-ordered emit — GraftBridge.jsonLinesPipelined).
+      // JSON stringification dominates, so rows/sec is not comparable
+      // to the Arrow rows — reported for the text wire's own record.
+      client.format("text")
+      val textRows = math.min(rows, 2000000L)
+      timed("SOCKET_GET_TEXT", textRows) {
+        val lines = client.sql(s"SELECT * FROM flights LIMIT $textRows")
+        require(lines.length.toLong == textRows, s"got ${lines.length} lines")
       }
       client.close()
     } finally gate.close() // non-daemon pool: an unclosed gate pins the JVM

@@ -121,10 +121,13 @@ final class TcpGate(val engine: Engine, port: Int = 0,
   //  - results whose analyzed plan contains a non-deterministic or
   //    current-time expression (rand(), uuid(), now(), …) are streamed
   //    but never installed — see [[cacheSafe]];
-  //  - `##nocache <sql>` bypasses statement-result replay (fresh
-  //    execute, no install) — bare catalog-table scans are the one
-  //    exception: they serve the table's canonical pre-encoded chunk
-  //    entry, the engine's columnar serving form (see [[tableScanKey]]);
+  //  - `##nocache <sql>` is an unconditional bypass (fresh execute, no
+  //    cache read, no install) — the per-request freshness escape
+  //    hatch; `##flushcache` drops every entry (for mutations made
+  //    out-of-band on engine.spark, which the stamp cannot see);
+  //  - bare catalog-table scans on the DEFAULT path share one
+  //    canonical per-table pre-encoded entry, the engine's columnar
+  //    serving form (see [[tableScanKey]]);
   //  - total cached bytes are bounded (`spark.graft.gate.arrowCacheBytes`,
   //    default 2 GiB, 0 disables); results that exceed the bound are
   //    streamed but not retained; eviction is LRU.
@@ -184,6 +187,13 @@ final class TcpGate(val engine: Engine, port: Int = 0,
   def cacheStats: (Int, Long) =
     arrowCache.synchronized((arrowCache.size, cachedBytes))
 
+  /** Drop every cached reply (the `##flushcache` verb): required after
+    * mutations the engine's stamp cannot see (a host app writing
+    * directly on `engine.spark`).
+    */
+  def flushCache(): Unit =
+    arrowCache.synchronized { arrowCache.clear(); cachedBytes = 0L }
+
   private def cachePut(key: (String, (Long, Long)), value: CachedResult): Unit =
     arrowCache.synchronized {
       if (value.bytes <= cacheMaxBytes) {
@@ -211,27 +221,30 @@ final class TcpGate(val engine: Engine, port: Int = 0,
   private def cacheable(stmt: String): Boolean = engine.isCacheableQuery(stmt)
 
   /** Canonical per-TABLE cache key for bare full-table scans of catalog
-    * tables (`SELECT * FROM t` / `TABLE t`, any spelling). Two effects:
-    *  - every spelling of the scan shares ONE cache entry, so the entry
-    *    behaves like the table's pre-encoded columnar serving form, not
-    *    a statement-text replay;
-    *  - the `##nocache` path may serve it. The reference server
-    *    re-executes every GET, but against DuckDB's COLUMNAR memory —
-    *    its fresh `SELECT * FROM t` is a near-memcpy export. Spark
-    *    stores rows, so the honest equivalent of "my table is already
-    *    columnar" is keeping each catalog table's Arrow-encoded chunks
-    *    keyed on [[Engine.mutationStamp]]: a fresh GET still parses,
-    *    classifies and stamps, but ships pre-encoded bytes. Any
-    *    mutation moves the stamp and the next GET re-encodes.
-    * Statements that are not bare catalog-table scans (projections,
-    * filters, LIMIT, joins…) keep full `##nocache` semantics: fresh
-    * execute, no cache read, no install.
+    * tables (`SELECT * FROM t` / `TABLE t`, any spelling, any case).
+    * Every spelling of the scan shares ONE cache entry, so the entry
+    * behaves like the table's pre-encoded columnar serving form, not a
+    * statement-text replay. The reference server re-executes every GET,
+    * but against DuckDB's COLUMNAR memory — its fresh `SELECT * FROM t`
+    * is a near-memcpy export. Spark stores rows, so the honest
+    * equivalent of "my table is already columnar" is keeping each
+    * catalog table's Arrow-encoded chunks keyed on
+    * [[Engine.mutationStamp]]: a default-path GET still parses,
+    * classifies and stamps, but ships pre-encoded bytes. Any mutation
+    * through the engine moves the stamp and the next GET re-encodes;
+    * out-of-band spark mutations require `##nocache` (per-request) or
+    * `##flushcache` (connection-wide) to force freshness.
     */
   private val TableScanRe =
     "(?is)^\\s*(?:TABLE\\s+|SELECT\\s+\\*\\s+FROM\\s+)([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
 
   private def tableScanKey(stmt: String): Option[String] = stmt match {
-    case TableScanRe(name) if engine.catalog.contains(name) => Some(s"##table:$name")
+    case TableScanRe(name) =>
+      // Spark resolves identifiers case-insensitively — canonicalize to
+      // the catalog's spelling so `SELECT * FROM NATION` and
+      // `TABLE nation` share ONE entry (ADVICE r11: a case-variant
+      // spelling must not install a duplicate copy of the table bytes)
+      engine.catalog.list.find(_.equalsIgnoreCase(name)).map(c => s"##table:$c")
     case _ => None
   }
 
@@ -389,20 +402,26 @@ final class TcpGate(val engine: Engine, port: Int = 0,
               case FormatRe(mode) =>
                 arrowMode = mode.equalsIgnoreCase("arrow")
                 out.println(s"##ok $mode")
+              case "##flushcache" =>
+                // escape hatch for OUT-OF-BAND mutations: the stamp
+                // only sees mutations routed through the engine
+                // API/gate, so a host app writing directly on
+                // engine.spark must flush before clients GET again
+                flushCache()
+                out.println("##ok flushed")
               case stmt =>
                 try {
-                  // `##nocache <sql>` bypasses STATEMENT-result replay
-                  // (fresh execute, no install) — except bare catalog-
-                  // table scans, which serve the table's pre-encoded
-                  // chunk entry: that entry is the storage layer's
-                  // columnar form, not a query-result replay (see
-                  // [[tableScanKey]]). Measure the raw encode path with
-                  // any non-bare statement (e.g. a projection).
+                  // `##nocache <sql>` is an UNCONDITIONAL bypass: fresh
+                  // execute, no cache read, no install — the per-request
+                  // freshness escape hatch (ADVICE r11: a client must
+                  // always be able to force fresh bytes, since the
+                  // mutation stamp can't see out-of-band spark
+                  // mutations). The chunk-cache perf win lives entirely
+                  // on the default path below.
                   val bypass = stmt.toLowerCase.startsWith("##nocache ")
                   val body = if (bypass) stmt.drop("##nocache ".length).trim else stmt
-                  val tk = tableScanKey(body)
-                  if (arrowMode && (!bypass || tk.isDefined) && cacheable(body)) {
-                    val key = (tk.getOrElse(body), engine.mutationStamp)
+                  if (arrowMode && !bypass && cacheable(body)) {
+                    val key = (tableScanKey(body).getOrElse(body), engine.mutationStamp)
                     cacheGet(key) match {
                       case Some(c) => sendCached(c)
                       case None    =>

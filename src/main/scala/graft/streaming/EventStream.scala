@@ -64,9 +64,18 @@ object EventStream {
     * sniffed once from the source file's footer (a metadata-only batch
     * read) and the same [[graft.Tables.normalizeTs]] restore applied.
     */
+  // the sniff result per source file: one metadata-only batch read per
+  // sfDir per JVM, not one per run* call (ADVICE r11 — several harness
+  // calls per run were each re-planning a batch scan just for the
+  // footer). Keyed on the file path; the testdata does not mutate
+  // mid-JVM, and a regenerated file arrives with a fresh JVM.
+  private val tsTypes =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.DataType]()
+
   def source(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val tsType = tsTypes.computeIfAbsent(s"$sfDir/events.parquet",
+      p => spark.read.parquet(p).schema("ts").dataType)
     graft.Tables.normalizeTs(
       spark.readStream
         .schema(rawSchema(tsType))

@@ -72,7 +72,7 @@ class EdgeCasesSpec extends SparkSpec {
   /** Stage (doc_id, source, text) rows as a documents.parquet dir. */
   private def stageDocs(name: String, rows: Seq[(Long, String, String)]): String = {
     import spark.implicits._
-    val dir = s"/root/repo/target/tmp/edge_${name}_${ProcessHandle.current().pid()}"
+    val dir = s"${graft.ops.scratchRoot(spark)}/edge_${name}_${ProcessHandle.current().pid()}"
     rows.toDF("doc_id", "source", "text")
       .select(col("doc_id"), col("text"), lit("en").as("lang"), col("source"),
         length(col("text")).cast("bigint").as("n_chars"))

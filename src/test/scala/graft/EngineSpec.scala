@@ -111,7 +111,7 @@ class EngineSpec extends SparkSpec {
   }
 
   test("persistent mode: persist + open in a fresh engine round-trips") {
-    val wh = "/root/repo/target/tmp/spec_warehouse"
+    val wh = s"${graft.ops.scratchRoot(spark)}/spec_warehouse"
     val a = fresh()
     a.put("nation", Tables.nation(a.spark, sfDir))
     a.persist("nation", wh)
@@ -836,7 +836,7 @@ class EngineSpec extends SparkSpec {
   test("COPY TO: parquet/csv/json exports round-trip and return DuckDB's Count row") {
     val e = fresh()
     val root = graft.ops.purgeOnExit(
-      s"/root/repo/target/tmp/copy_spec_${ProcessHandle.current().pid()}")
+      s"${graft.ops.scratchRoot(spark)}/copy_spec_${ProcessHandle.current().pid()}")
     e.put("cp", Tables.region(e.spark, sfDir).select(col("r_regionkey"), col("r_name")))
     val n = e.count("cp")
 
@@ -868,7 +868,7 @@ class EngineSpec extends SparkSpec {
     intercept[Exception](e.query("COPY cp2 FROM '/tmp/x' (FORMAT PARQUET)"))
     // path with spaces still parses; quoted tail is not mistaken for options
     val root = graft.ops.purgeOnExit(
-      s"/root/repo/target/tmp/copy_spec2_${ProcessHandle.current().pid()}")
+      s"${graft.ops.scratchRoot(spark)}/copy_spec2_${ProcessHandle.current().pid()}")
     e.query(s"COPY cp2 TO '$root/with space/out' (FORMAT PARQUET)")
     assert(e.spark.read.parquet(s"$root/with space/out").count() == e.count("cp2"))
   }

@@ -68,7 +68,7 @@ class StreamingSpec extends SparkSpec {
     // across them — the single-file replay the keys use is the
     // degenerate one-batch case
     val dir = graft.ops.purgeOnExit(
-      s"/root/repo/target/tmp/spec_multibatch_${ProcessHandle.current().pid()}")
+      s"${graft.ops.scratchRoot(spark)}/spec_multibatch_${ProcessHandle.current().pid()}")
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -77,10 +77,10 @@ class StreamingSpec extends SparkSpec {
       .write.mode("overwrite").partitionBy("part").parquet(dir)
     val schema = raw.schema
     val sink = s"graft_multibatch_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-    val q = ss.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1") // force one staged file per micro-batch
-      .parquet(s"$dir/part=*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = graft.Tables.normalizeTs(
+        ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1") // force one staged file per micro-batch
+          .parquet(s"$dir/part=*"))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_raw"))
@@ -100,7 +100,7 @@ class StreamingSpec extends SparkSpec {
   test("checkpointed file sink is exactly-once across restarts") {
     import org.apache.spark.sql.functions._
     val out = graft.ops.purgeOnExit(
-      s"/root/repo/target/tmp/spec_stream_sink_${ProcessHandle.current().pid()}") +
+      s"${graft.ops.scratchRoot(spark)}/spec_stream_sink_${ProcessHandle.current().pid()}") +
       s"/${java.util.UUID.randomUUID.toString.replace("-", "")}"
     EventStream.runFileSink(spark, sfDir, out)
     val n1 = spark.read.parquet(out).count()
@@ -126,7 +126,7 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import graft.streaming.DedupStream
     val root = graft.ops.purgeOnExit(
-      s"/root/repo/target/tmp/spec_dedup_stream_${ProcessHandle.current().pid()}") +
+      s"${graft.ops.scratchRoot(spark)}/spec_dedup_stream_${ProcessHandle.current().pid()}") +
       s"/${java.util.UUID.randomUUID.toString.replace("-", "")}"
     val (idx, inDir, chk) = (s"$root/idx", s"$root/in", s"$root/chk")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
@@ -211,7 +211,7 @@ class StreamingSpec extends SparkSpec {
     // sink (what a training pipeline does when it closes an epoch's
     // order files) — the result must be byte-identical to the batch key.
     val dir = graft.ops.purgeOnExit(
-      s"/root/repo/target/tmp/spec_shardstream_${ProcessHandle.current().pid()}")
+      s"${graft.ops.scratchRoot(spark)}/spec_shardstream_${ProcessHandle.current().pid()}")
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val raw = ss.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"))
@@ -245,7 +245,7 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import graft.streaming.ClusterStream
     val root = graft.ops.purgeOnExit(
-      s"/root/repo/target/tmp/spec_cc_stream_${ProcessHandle.current().pid()}") +
+      s"${graft.ops.scratchRoot(spark)}/spec_cc_stream_${ProcessHandle.current().pid()}") +
       s"/${java.util.UUID.randomUUID.toString.replace("-", "")}"
     val (idx, inDir, chk) = (s"$root/idx", s"$root/in", s"$root/chk")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
@@ -299,7 +299,7 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import graft.streaming.ClusterStream
     val root = graft.ops.purgeOnExit(
-      s"/root/repo/target/tmp/spec_cc_compact_${ProcessHandle.current().pid()}") +
+      s"${graft.ops.scratchRoot(spark)}/spec_cc_compact_${ProcessHandle.current().pid()}") +
       s"/${java.util.UUID.randomUUID.toString.replace("-", "")}"
     val corpus = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
 

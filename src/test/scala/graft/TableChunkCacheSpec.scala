@@ -2,17 +2,21 @@ package graft
 
 import graft.engine.{Engine, GateClient, TcpGate}
 
-/** VERDICT r9/r10 task: the fresh-GET floor. A bare `SELECT * FROM t`
-  * on a catalog table now serves from a canonical per-TABLE pre-encoded
+/** The fresh-GET floor (VERDICT r9/r10) and its r12 semantics cleanup
+  * (VERDICT r11 "what's wrong" #2 + ADVICE): a bare `SELECT * FROM t`
+  * on a catalog table serves from a canonical per-TABLE pre-encoded
   * chunk entry keyed on (table, mutation stamp) — the engine's columnar
-  * serving form — even under `##nocache` (which still means "no
-  * statement-result replay" for everything else). These specs pin:
-  * entry canonicalization across scan spellings, `##nocache` semantics
-  * for non-bare statements, and stamp-keyed freshness after mutations.
+  * serving form — on the DEFAULT path only. `##nocache` is an
+  * unconditional bypass (fresh execute, no read, no install): the
+  * escape hatch that can always force fresh bytes, even after
+  * mutations the stamp cannot see. `##flushcache` drops every entry.
+  * These specs pin: entry canonicalization across scan spellings and
+  * identifier case, true-bypass `##nocache`, stamp-keyed freshness
+  * after mutations, and the flush verb.
   */
 class TableChunkCacheSpec extends SparkSpec {
 
-  test("bare table scans share one canonical pre-encoded entry, served under ##nocache") {
+  test("bare table scans share one canonical pre-encoded entry across spellings and case") {
     val e = new Engine(spark.newSession())
     e.put("nation", Tables.nation(e.spark, sfDir))
     val gate = new TcpGate(e)
@@ -20,30 +24,58 @@ class TableChunkCacheSpec extends SparkSpec {
       val c = new GateClient("127.0.0.1", gate.boundPort)
       try {
         c.format("arrow")
-        // first fresh GET pays the encode AND installs the table entry
-        assert(c.sqlArrowRowCount("##nocache SELECT * FROM nation") == 25)
-        assert(gate.cacheStats._1 == 1, s"expected table entry, got ${gate.cacheStats}")
-        // every spelling of the bare scan resolves to the SAME entry
-        assert(c.sqlArrowRowCount("##nocache TABLE nation") == 25)
-        assert(c.sqlArrowRowCount("##nocache select * from nation;") == 25)
+        // first default-path GET pays the encode AND installs the entry
         assert(c.sqlArrowRowCount("SELECT * FROM nation") == 25)
+        assert(gate.cacheStats._1 == 1, s"expected table entry, got ${gate.cacheStats}")
+        // every spelling AND case of the bare scan resolves to the SAME
+        // entry (Spark resolves identifiers case-insensitively — a
+        // case-variant must not install a duplicate copy)
+        assert(c.sqlArrowRowCount("TABLE nation") == 25)
+        assert(c.sqlArrowRowCount("select * from nation;") == 25)
+        assert(c.sqlArrowRowCount("SELECT * FROM NATION") == 25)
+        assert(c.sqlArrowRowCount("table Nation") == 25)
         assert(gate.cacheStats._1 == 1,
           s"scan spellings must canonicalize to one entry, got ${gate.cacheStats}")
-        // non-bare statements keep full ##nocache semantics: fresh
-        // execute, no install — entry count must not move
-        assert(c.sqlArrowRowCount("##nocache SELECT n_name FROM nation") == 25)
-        assert(c.sqlArrowRowCount("##nocache SELECT * FROM nation LIMIT 5") == 5)
-        assert(gate.cacheStats._1 == 1, s"non-bare ##nocache must not install")
-        // a scan of a NON-catalog relation is not table-keyed: under
-        // ##nocache it is a plain fresh execute (no install)
-        e.spark.sql("SELECT 1 AS x").createOrReplaceTempView("graft_tcc_view")
-        assert(c.sqlArrowRowCount("##nocache SELECT * FROM graft_tcc_view") == 1)
-        assert(gate.cacheStats._1 == 1)
+        // non-bare statements cache under their statement text
+        assert(c.sqlArrowRowCount("SELECT n_name FROM nation") == 25)
+        assert(gate.cacheStats._1 == 2)
       } finally c.close()
     } finally gate.close()
   }
 
-  test("table entry is stamp-keyed: mutations re-encode, bytes stay fresh") {
+  test("##nocache is an unconditional bypass: no read, no install; ##flushcache empties") {
+    val e = new Engine(spark.newSession())
+    e.put("nation", Tables.nation(e.spark, sfDir))
+    val gate = new TcpGate(e)
+    try {
+      val c = new GateClient("127.0.0.1", gate.boundPort)
+      try {
+        c.format("arrow")
+        // bypassed statements never install — bare scan or not
+        assert(c.sqlArrowRowCount("##nocache SELECT * FROM nation") == 25)
+        assert(c.sqlArrowRowCount("##nocache TABLE nation") == 25)
+        assert(c.sqlArrowRowCount("##nocache SELECT n_name FROM nation") == 25)
+        assert(gate.cacheStats._1 == 0, s"##nocache must not install: ${gate.cacheStats}")
+        // and never read: mutate OUT-OF-BAND (directly on engine.spark,
+        // invisible to the mutation stamp) — ##nocache still sees it
+        assert(c.sqlArrowRowCount("SELECT * FROM nation") == 25) // installs
+        assert(gate.cacheStats._1 == 1)
+        e.spark.sql("SELECT * FROM nation WHERE n_regionkey = 0")
+          .createOrReplaceTempView("nation")
+        assert(c.sqlArrowRowCount("SELECT * FROM nation") == 25,
+          "default path serves the (now stale) entry — that is the documented trade")
+        assert(c.sqlArrowRowCount("##nocache SELECT * FROM nation") == 5,
+          "##nocache must bypass the stale entry and re-execute")
+        // ##flushcache makes the default path fresh again
+        assert(c.sql("##flushcache").exists(_.startsWith("##ok")))
+        assert(gate.cacheStats._1 == 0)
+        assert(c.sqlArrowRowCount("SELECT * FROM nation") == 5,
+          "post-flush default GET must re-execute")
+      } finally c.close()
+    } finally gate.close()
+  }
+
+  test("table entry is stamp-keyed: mutations through the engine re-encode, bytes stay fresh") {
     val e = new Engine(spark.newSession())
     e.put("t", e.spark.range(10).toDF("x"))
     val gate = new TcpGate(e)
@@ -51,12 +83,12 @@ class TableChunkCacheSpec extends SparkSpec {
       val c = new GateClient("127.0.0.1", gate.boundPort)
       try {
         c.format("arrow")
-        assert(c.sqlArrowRowCount("##nocache SELECT * FROM t") == 10)
-        assert(c.sqlArrowRowCount("##nocache SELECT * FROM t") == 10) // hit
+        assert(c.sqlArrowRowCount("SELECT * FROM t") == 10)
+        assert(c.sqlArrowRowCount("SELECT * FROM t") == 10) // hit
         // PUT appends → stamp moves → the stale entry is unreachable;
-        // the next fresh GET re-encodes post-mutation bytes
+        // the next GET re-encodes post-mutation bytes
         e.put("t", e.spark.range(10, 15).toDF("x"))
-        assert(c.sqlArrowRowCount("##nocache SELECT * FROM t") == 15)
+        assert(c.sqlArrowRowCount("SELECT * FROM t") == 15)
         // decode the served stream and check VALUES, not just counts
         val (_, ipc) = c.sqlArrow("SELECT * FROM t")
         val got = org.apache.spark.sql.GraftBridge.fromArrowIPC(spark, ipc)
@@ -65,9 +97,8 @@ class TableChunkCacheSpec extends SparkSpec {
         // stale-stamp entries were purged on install — one live entry
         assert(gate.cacheStats._1 == 1, s"stale entries retained: ${gate.cacheStats}")
         // DML through the gate also moves the stamp
-        assert(c.sqlArrowRowCount("##nocache SELECT * FROM t") == 15)
         c.sqlArrowRowCount("DELETE FROM t WHERE x >= 10")
-        assert(c.sqlArrowRowCount("##nocache SELECT * FROM t") == 10,
+        assert(c.sqlArrowRowCount("SELECT * FROM t") == 10,
           "post-DELETE GET must not serve pre-mutation chunk bytes")
       } finally c.close()
     } finally gate.close()

@@ -160,7 +160,7 @@ class VectorOpsSpec extends SparkSpec {
 
   test("stream_embed_index: streamed index is complete, bucket-partitioned, exactly-once, searchable") {
     val root = graft.ops.purgeOnExit(
-      s"/root/repo/target/tmp/spec_emb_idx_${ProcessHandle.current().pid()}")
+      s"${graft.ops.scratchRoot(spark)}/spec_emb_idx_${ProcessHandle.current().pid()}")
     val path = s"$root/idx"
     val idx1 = graft.ops.Vectors.buildStreamedIndex(spark, sfDir, Some(path))
     val n1 = idx1.count()
