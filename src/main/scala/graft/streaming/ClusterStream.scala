@@ -33,14 +33,16 @@ import graft.ops.{Pipeline, Text}
   * never re-shingled (each doc is MinHashed exactly once, in its own
   * ingest window), the stored band table is only SCANNED per batch by
   * a hash join whose probe side is batch-sized, and label extraction
-  * touches edges + a doc_id-only corpus projection. Exactly-once
-  * semantics match [[DedupStream]]: the checkpoint makes the source
-  * exactly-once; index appends are at-least-once on crash-retry, and
-  * every consumer tolerates replay — edges/bands feed distinct-ing
-  * set-union consumers, digests append behind a left_anti guard, and
-  * [[labels]] distincts the hs doc_ids — so a replayed batch changes
-  * no label (a production deployment additionally prunes by batch_id
-  * as Spark's own file sink does).
+  * touches edges + a doc_id-only corpus projection. Index appends are
+  * EXACTLY-ONCE via [[BatchLog]] (r12, closing the r10/r11
+  * at-least-once caveat): each batch's rows land in their own
+  * committed subdirectory, reads prune uncommitted partials, and a
+  * crash-retry overwrites its own partial files — byte-identical to a
+  * crash-free run (spec-pinned). Consumers additionally tolerate the
+  * one remaining replay path (a deliberate re-ingest through a FRESH
+  * checkpoint): edges/bands feed distinct-ing set-union consumers,
+  * digests append behind a left_anti guard, and [[labels]] distincts
+  * the hs doc_ids.
   */
 object ClusterStream {
 
@@ -72,34 +74,44 @@ object ClusterStream {
     */
   def seedIndex(spark: SparkSession, seed: DataFrame, idxDir: String): Unit = {
     val docs = seed.select(col("doc_id"), col("text"))
-    val hs = Text.shingleHashes(docs)
-    hs.write.mode("overwrite").parquet(s"$idxDir/hs")
-    val written = spark.read.schema(hsSchema).parquet(s"$idxDir/hs")
-    Text.minhashBands(written)
-      .write.mode("overwrite").partitionBy("b").parquet(s"$idxDir/bands")
-    val writtenBands = spark.read.schema(bandSchema).parquet(s"$idxDir/bands")
+    BatchLog.write(Text.shingleHashes(docs), s"$idxDir/hs", "seed")
+    val written = spark.read.schema(hsSchema).parquet(s"$idxDir/hs/batch=seed")
+    BatchLog.write(Text.minhashBands(written), s"$idxDir/bands", "seed")
+    val writtenBands = spark.read.schema(bandSchema)
+      .parquet(s"$idxDir/bands/batch=seed")
       .select(col("doc_id"), col("b"), col("bkey"))
-    Pipeline.verifiedNearEdges(written, writtenBands)
-      .unionByName(Pipeline.ccIndexExtras("exact")(docs, written, writtenBands))
-      .write.mode("overwrite").parquet(s"$idxDir/edges")
-    Pipeline.ccIndexExtras("digests")(docs, written, writtenBands)
-      .write.mode("overwrite").parquet(s"$idxDir/digests")
+    BatchLog.write(
+      Pipeline.verifiedNearEdges(written, writtenBands)
+        .unionByName(Pipeline.ccIndexExtras("exact")(docs, written, writtenBands)),
+      s"$idxDir/edges", "seed")
+    BatchLog.write(Pipeline.ccIndexExtras("digests")(docs, written, writtenBands),
+      s"$idxDir/digests", "seed")
+    BatchLog.commit(spark, idxDir, "seed")
   }
 
-  /** One micro-batch's index update; factored out so the batch path
-    * can be spec-driven without a stream. Returns the batch row count
-    * (all other state lives in the index directory).
+  /** One micro-batch's index update; factored out (package-private) so
+    * the batch path — including crash-retry — can be spec-driven
+    * without a stream. Returns the batch row count (all other state
+    * lives in the index directory).
+    *
+    * Exactly-once: an already-committed `key` is skipped outright; an
+    * uncommitted retry recomputes against the committed (pre-batch)
+    * index only — [[BatchLog.read]] prunes the failed attempt's partial
+    * subdirectories — and its overwrites replace them byte-identically.
+    * The marker lands only after every half is written.
     */
-  private def ingestBatch(spark: SparkSession, batch: DataFrame, idxDir: String): Long = {
+  private[streaming] def ingestBatch(spark: SparkSession, batch: DataFrame,
+      idxDir: String, key: String): Long = {
+    if (BatchLog.isCommitted(spark, idxDir, key)) return 0L
     // a batch is one ingest window — small by definition; materialize
     // once, it feeds band build + both Jaccard sides + digest grouping
     val newDocs = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
     val n = newDocs.count()
-    if (n == 0) return 0L
+    if (n == 0) { BatchLog.commit(spark, idxDir, key); return 0L }
     val newHs = Text.shingleHashes(newDocs).localCheckpoint(true)
     val newBands = Text.minhashBands(newHs)
-    val oldHs = spark.read.schema(hsSchema).parquet(s"$idxDir/hs")
-    val oldBands = spark.read.schema(bandSchema).parquet(s"$idxDir/bands")
+    val oldHs = BatchLog.read(spark, idxDir, "hs", hsSchema)
+    val oldBands = BatchLog.read(spark, idxDir, "bands", bandSchema)
       .select(col("doc_id"), col("b"), col("bkey"))
     // near edges involving ≥1 batch doc: batch bands probe ALL bands
     val newNear = Pipeline.verifiedNearEdges(oldHs.unionByName(newHs),
@@ -111,7 +123,7 @@ object ClusterStream {
     val keyed = newDocs.select(col("doc_id"), md5(col("text")).as("k"))
     val reps = keyed.groupBy(col("k")).agg(min(col("doc_id")).as("rep"))
       .localCheckpoint(true)
-    val stored = spark.read.schema(digestSchema).parquet(s"$idxDir/digests")
+    val stored = BatchLog.read(spark, idxDir, "digests", digestSchema)
     val stars = keyed.join(reps, Seq("k"))
       .filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("x"), col("rep").as("y"))
@@ -120,11 +132,12 @@ object ClusterStream {
       .select(col("rep").as("x"), col("orep").as("y"))
     val newEdges = newNear.unionByName(stars).unionByName(cross)
       .localCheckpoint(true) // edges must be computed BEFORE the index mutates
-    newEdges.write.mode("append").parquet(s"$idxDir/edges")
-    reps.join(stored, Seq("k"), "left_anti")
-      .write.mode("append").parquet(s"$idxDir/digests")
-    newHs.write.mode("append").parquet(s"$idxDir/hs")
-    newBands.write.mode("append").partitionBy("b").parquet(s"$idxDir/bands")
+    BatchLog.write(newEdges, s"$idxDir/edges", key)
+    BatchLog.write(reps.join(stored, Seq("k"), "left_anti"),
+      s"$idxDir/digests", key)
+    BatchLog.write(newHs, s"$idxDir/hs", key)
+    BatchLog.write(newBands, s"$idxDir/bands", key)
+    BatchLog.commit(spark, idxDir, key)
     n
   }
 
@@ -147,9 +160,10 @@ object ClusterStream {
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        seen.addAndGet(
-          ingestBatch(spark, batch.select(col("doc_id"), col("text")), idxDir))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        seen.addAndGet(ingestBatch(spark,
+          batch.select(col("doc_id"), col("text")), idxDir,
+          BatchLog.key(checkpoint, batchId)))
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -212,43 +226,52 @@ object ClusterStream {
     *
     * Runs at a labels() fixed point the stream already pays for, so a
     * deployment compacts for free whenever it extracts labels. The
-    * rewrite is write-new → swap (two renames through the index's
-    * FileSystem), never an in-place overwrite: a crash mid-write
-    * leaves the old edges intact; the rename window is the standard
-    * non-transactional-FS caveat a production manifest would close.
-    * Replay tolerance is preserved: a re-appended old batch only adds
-    * edges between same-component members.
+    * rewrite rides [[BatchLog]]'s commit protocol (r12): the star set
+    * is written as its own generation directory `batch=c<k>`, committed
+    * with one marker, and only THEN are the superseded batch
+    * directories deleted. A crash before the marker leaves the old
+    * generation fully live (the partial `c<k>` dir is uncommitted,
+    * invisible); a crash after the marker but mid-delete leaves
+    * connectivity-redundant directories (the star set already implies
+    * their edges) that the next compaction removes — labels are correct
+    * in every window, with no rename-swap gap at all. Replay tolerance
+    * is preserved: a re-appended old batch only adds edges between
+    * same-component members.
     */
   def compactIndex(spark: SparkSession, idxDir: String): (DataFrame, Long) = {
     val (lab, _, _) = labels(spark, idxDir)
     // member→root stars; roots in the lab plan are contraction output
-    // already materialized via localCheckpoint, so writing edges_next
-    // does not read the live edges directory
+    // already materialized via localCheckpoint, so writing the next
+    // generation does not re-read the live edge directories
     val stars = lab.filter(col("id") =!= col("lbl"))
       .select(col("id").as("x"), col("lbl").as("y"))
-    stars.write.mode("overwrite").parquet(s"$idxDir/edges_next")
-    val edges = new org.apache.hadoop.fs.Path(s"$idxDir/edges")
-    val next = new org.apache.hadoop.fs.Path(s"$idxDir/edges_next")
-    val old = new org.apache.hadoop.fs.Path(s"$idxDir/edges_prev")
-    val fs = edges.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(old, true)
-    if (!fs.rename(edges, old) || !fs.rename(next, edges))
-      throw new java.io.IOException(s"edge-index compaction swap failed at $idxDir")
-    fs.delete(old, true)
-    val rows = spark.read.schema(edgeSchema).parquet(s"$idxDir/edges").count()
+    // generation counter: one past the highest committed c<k> marker
+    // (count-based naming would collide after a crash-retry interleaves
+    // with a successful compaction)
+    val gen = BatchLog.committed(spark, idxDir)
+      .collect { case k if k.startsWith("c") && k.drop(1).forall(_.isDigit) =>
+        k.drop(1).toLong }
+      .foldLeft(-1L)(math.max) + 1
+    val genKey = s"c$gen"
+    BatchLog.write(stars, s"$idxDir/edges", genKey)
+    BatchLog.commit(spark, idxDir, genKey)
+    BatchLog.retainOnly(spark, idxDir, "edges", genKey)
+    val rows = BatchLog.read(spark, idxDir, "edges", edgeSchema).count()
     (lab, rows)
   }
 
   def labels(spark: SparkSession, idxDir: String): (DataFrame, DataFrame, Int) = {
-    // distinct: a foreachBatch crash-retry can append a batch's hs rows
-    // twice (the appends are at-least-once, like every file sink);
-    // duplicate ids would otherwise duplicate label rows and inflate
-    // comp_size downstream. Edges/bands tolerate replay by
-    // construction (set-union into distinct-ing consumers), digests
-    // via the left_anti guard — hs needs this distinct.
-    val corpusIds = spark.read.schema(hsSchema).parquet(s"$idxDir/hs")
+    // distinct: a deliberate full-replay through a FRESH checkpoint
+    // appends a batch's hs rows twice (crash-retries within one
+    // checkpoint are exactly-once via BatchLog, but a new checkpoint is
+    // a new key namespace by design); duplicate ids would otherwise
+    // duplicate label rows and inflate comp_size downstream.
+    // Edges/bands tolerate replay by construction (set-union into
+    // distinct-ing consumers), digests via the left_anti guard — hs
+    // needs this distinct.
+    val corpusIds = BatchLog.read(spark, idxDir, "hs", hsSchema)
       .select(col("doc_id")).distinct()
     Pipeline.contractToLabels(corpusIds,
-      spark.read.schema(edgeSchema).parquet(s"$idxDir/edges"))
+      BatchLog.read(spark, idxDir, "edges", edgeSchema))
   }
 }

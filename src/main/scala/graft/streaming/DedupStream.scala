@@ -16,11 +16,11 @@ import org.apache.spark.sql.streaming.Trigger
   * (`Text.stagedBandIndex`) and the new×old-only incremental band join
   * (`dedup_incremental` — never old×old).
   *
-  * Index layout on disk (all parquet):
+  * Index layout on disk (all parquet, one committed `batch=<key>`
+  * subdirectory per ingest window — see [[BatchLog]]):
   *  - `<idx>/texts`  (doc_id, text)      — exact-dup anti-join side
   *  - `<idx>/hs`     (doc_id, hs)        — Jaccard-verify side
-  *  - `<idx>/bands`  (doc_id, b, bkey)   — LSH candidate generation,
-  *    partitioned by band number
+  *  - `<idx>/bands`  (doc_id, b, bkey)   — LSH candidate generation
   *
   * Per micro-batch the work is O(batch): shingle + minhash the batch,
   * three hash joins whose index side is a parquet scan, and appends
@@ -30,14 +30,14 @@ import org.apache.spark.sql.streaming.Trigger
   * SCANNED, never re-hashed.
   *
   * Exactly-once: the checkpoint makes the SOURCE exactly-once (each
-  * file is processed in exactly one micro-batch); the foreachBatch
-  * appends are at-least-once on crash-retry, like every foreachBatch
-  * sink. A production deployment makes the append idempotent by
-  * writing `batch_id` into the appended files and pruning duplicates
-  * on read (the same bookkeeping Spark's own file sink does via its
-  * commit log); the dedup SEMANTICS are unaffected — re-appending the
-  * same survivors creates exact duplicates of already-indexed docs,
-  * which the next batch's anti-join drops again.
+  * file is processed in exactly one micro-batch), and since r12 the
+  * index appends are exactly-once too via [[BatchLog]] — each batch's
+  * survivors land in committed per-batch subdirectories, reads prune
+  * uncommitted partials, and a crash-retry overwrites its own partial
+  * files byte-identically (spec-pinned). The dedup SEMANTICS would
+  * tolerate even raw replay — re-appending the same survivors creates
+  * exact duplicates the next batch's anti-join drops again — but the
+  * stored index itself now stays duplicate-free.
   */
 object DedupStream {
 
@@ -45,16 +45,33 @@ object DedupStream {
     StructField("doc_id", LongType),
     StructField("text", StringType)))
 
+  private val textsSchema = docSchema
+  private val hsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("hs", ArrayType(LongType))))
+  private val bandSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("bkey", StringType),
+    StructField("b", IntegerType)))
+
+  /** The indexed corpus (committed rows only) — the accessor specs and
+    * tools should use instead of raw paths.
+    */
+  def indexedTexts(spark: SparkSession, idxDir: String): DataFrame =
+    BatchLog.read(spark, idxDir, "texts", textsSchema)
+
   /** Initialize an index directory from a seed corpus (texts + hs +
     * bands) — the batch bootstrap a deployment runs once.
     */
   def seedIndex(spark: SparkSession, seed: DataFrame, idxDir: String): Unit = {
     val docs = seed.select(col("doc_id"), col("text"))
-    docs.write.mode("overwrite").parquet(s"$idxDir/texts")
-    graft.ops.Text.shingleHashes(docs)
-      .write.mode("overwrite").parquet(s"$idxDir/hs")
-    graft.ops.Text.minhashBands(spark.read.parquet(s"$idxDir/hs"))
-      .write.mode("overwrite").partitionBy("b").parquet(s"$idxDir/bands")
+    BatchLog.write(docs, s"$idxDir/texts", "seed")
+    BatchLog.write(graft.ops.Text.shingleHashes(docs), s"$idxDir/hs", "seed")
+    BatchLog.write(
+      graft.ops.Text.minhashBands(
+        spark.read.schema(hsSchema).parquet(s"$idxDir/hs/batch=seed")),
+      s"$idxDir/bands", "seed")
+    BatchLog.commit(spark, idxDir, "seed")
   }
 
   /** Admitted (non-duplicate) rows of `batch` vs the index at `idxDir`,
@@ -67,19 +84,20 @@ object DedupStream {
     val jac = size(array_intersect(col("nh.hs"), col("oh.hs"))).cast("double") /
       size(array_union(col("nh.hs"), col("oh.hs")))
     val nearDup = minhashBands(newHs).as("n")
-      .join(spark.read.parquet(s"$idxDir/bands").as("o"),
+      .join(BatchLog.read(spark, idxDir, "bands", bandSchema).as("o"),
         col("n.b") === col("o.b") && col("n.bkey") === col("o.bkey"))
       .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
       .distinct()
       .join(newHs.as("nh"), col("nh.doc_id") === col("new_id"))
-      .join(spark.read.parquet(s"$idxDir/hs").as("oh"), col("oh.doc_id") === col("old_id"))
+      .join(BatchLog.read(spark, idxDir, "hs", hsSchema).as("oh"),
+        col("oh.doc_id") === col("old_id"))
       .filter(jac >= 0.5)
       .select(col("new_id").as("doc_id"))
       .distinct()
     val batchKeep = newBatch.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
     newBatch
       .join(batchKeep.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .join(spark.read.parquet(s"$idxDir/texts").select(col("text")),
+      .join(indexedTexts(spark, idxDir).select(col("text")),
         Seq("text"), "left_anti")
       .join(nearDup, Seq("doc_id"), "left_anti")
   }
@@ -97,20 +115,10 @@ object DedupStream {
     val admitted = new java.util.concurrent.atomic.AtomicLong(0)
     val q = spark.readStream.schema(docSchema).parquet(inDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // materialize once: the three appends below must see the SAME
-        // survivor set even though each triggers its own job
-        val keep = survivors(spark, batch, idxDir)
-          .localCheckpoint(true)
-        if (!keep.isEmpty) {
-          keep.write.mode("append").parquet(s"$idxDir/texts")
-          val hs = graft.ops.Text.shingleHashes(keep).localCheckpoint(true)
-          hs.write.mode("append").parquet(s"$idxDir/hs")
-          graft.ops.Text.minhashBands(hs)
-            .write.mode("append").partitionBy("b").parquet(s"$idxDir/bands")
-          admitted.addAndGet(keep.count())
-          ()
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitted.addAndGet(
+          ingestBatch(spark, batch, idxDir, BatchLog.key(checkpoint, batchId)))
+        ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -118,5 +126,27 @@ object DedupStream {
     try q.awaitTermination()
     finally q.stop()
     admitted.get()
+  }
+
+  /** One micro-batch's dedup-and-admit; package-private so the
+    * crash-retry path can be spec-driven without a stream. Exactly-once
+    * per `key`: committed batches skip, uncommitted retries recompute
+    * against committed state only and overwrite their own partials.
+    */
+  private[streaming] def ingestBatch(spark: SparkSession, batch: DataFrame,
+      idxDir: String, key: String): Long = {
+    if (BatchLog.isCommitted(spark, idxDir, key)) return 0L
+    // materialize once: the three writes below must see the SAME
+    // survivor set even though each triggers its own job
+    val keep = survivors(spark, batch, idxDir).localCheckpoint(true)
+    val n = keep.count()
+    if (n > 0) {
+      BatchLog.write(keep, s"$idxDir/texts", key)
+      val hs = graft.ops.Text.shingleHashes(keep).localCheckpoint(true)
+      BatchLog.write(hs, s"$idxDir/hs", key)
+      BatchLog.write(graft.ops.Text.minhashBands(hs), s"$idxDir/bands", key)
+    }
+    BatchLog.commit(spark, idxDir, key)
+    n
   }
 }

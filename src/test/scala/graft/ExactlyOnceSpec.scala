@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exactly-once index appends (VERDICT r10 task #7 / r11 task #4):
+  * kill-mid-append → retry must leave every index half byte-identical
+  * to a crash-free run. The crash is simulated faithfully: a batch's
+  * partial files are exactly "some halves written under the batch key,
+  * no commit marker" — which is the only state a JVM death inside
+  * `ingestBatch` can leave, since every write lands under
+  * `<half>/batch=<key>` and the marker is the last action.
+  */
+class ExactlyOnceSpec extends graft.SparkSpec {
+
+  private val hsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("hs", ArrayType(LongType))))
+  private val bandSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("bkey", StringType),
+    StructField("b", IntegerType)))
+  private val edgeSchema = StructType(Seq(
+    StructField("x", LongType), StructField("y", LongType)))
+  private val digestSchema = StructType(Seq(
+    StructField("k", StringType), StructField("rep", LongType)))
+  private val textsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  private def rowSet(idx: String, half: String, schema: StructType): Seq[String] =
+    BatchLog.read(spark, idx, half, schema)
+      .collect().map(_.toString).sorted.toSeq
+
+  test("ClusterStream: kill-mid-append + retry leaves every half byte-identical to a crash-free run") {
+    val root = graft.ops.purgeOnExit(
+      s"${graft.ops.scratchRoot(spark)}/spec_xonce_cc_${ProcessHandle.current().pid()}") +
+      s"/${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val base = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val seed = base.filter(col("doc_id") < 200)
+    val batch = base.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+    val key = BatchLog.key(s"$root/chk", 0L)
+
+    // reference: crash-free ingest
+    val clean = s"$root/clean"
+    ClusterStream.seedIndex(spark, seed, clean)
+    assert(ClusterStream.ingestBatch(spark, batch, clean, key) == 100)
+
+    // crashed: same seed, then a PARTIAL append under the same key —
+    // half the hs rows and a truncated edge set, written exactly where
+    // a dying ingestBatch would have put them, with no commit marker
+    val crashed = s"$root/crashed"
+    ClusterStream.seedIndex(spark, seed, crashed)
+    val preLabels = ClusterStream.labels(spark, crashed)._1
+      .collect().map(_.toString).sorted.toSeq
+    val partialHs = graft.ops.Text.shingleHashes(batch.limit(50))
+    BatchLog.write(partialHs, s"$crashed/hs", key)
+    BatchLog.write(
+      partialHs.select(col("doc_id").as("x"), (col("doc_id") + 1).as("y")).limit(7),
+      s"$crashed/edges", key)
+    // uncommitted partials are invisible: reads see only the seed rows
+    assert(BatchLog.read(spark, crashed, "hs", hsSchema).count() == 200,
+      "uncommitted partial hs rows leaked into reads")
+    assert(ClusterStream.labels(spark, crashed)._1
+      .collect().map(_.toString).sorted.toSeq == preLabels,
+      "uncommitted partial files leaked into labels()")
+
+    // retry with the same key: must overwrite the partials and commit
+    assert(ClusterStream.ingestBatch(spark, batch, crashed, key) == 100)
+    for ((half, schema) <- Seq("hs" -> hsSchema, "bands" -> bandSchema,
+        "edges" -> edgeSchema, "digests" -> digestSchema))
+      assert(rowSet(crashed, half, schema) == rowSet(clean, half, schema),
+        s"half '$half' diverged after kill-mid-append + retry")
+    assert(ClusterStream.labels(spark, crashed)._1
+      .collect().map(_.toString).sorted.toSeq ==
+      ClusterStream.labels(spark, clean)._1
+        .collect().map(_.toString).sorted.toSeq)
+
+    // a retry of a COMMITTED batch (crash between marker and checkpoint
+    // commit) is skipped outright: row sets unchanged, returns 0
+    val before = rowSet(crashed, "hs", hsSchema)
+    assert(ClusterStream.ingestBatch(spark, batch, crashed, key) == 0L)
+    assert(rowSet(crashed, "hs", hsSchema) == before,
+      "committed-batch retry mutated the index")
+  }
+
+  test("DedupStream: kill-mid-append + retry leaves every half byte-identical to a crash-free run") {
+    val root = graft.ops.purgeOnExit(
+      s"${graft.ops.scratchRoot(spark)}/spec_xonce_dd_${ProcessHandle.current().pid()}") +
+      s"/${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val base = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val seed = base.filter(col("doc_id") < 200)
+    // batch: 80 novel docs + one exact copy of an indexed doc (drops)
+    val batch = base.filter(col("doc_id") >= 200 && col("doc_id") < 280)
+      .unionByName(base.filter(col("doc_id") === 7)
+        .select((col("doc_id") + 90000).as("doc_id"), col("text")))
+    val key = BatchLog.key(s"$root/chk", 0L)
+
+    val clean = s"$root/clean"
+    DedupStream.seedIndex(spark, seed, clean)
+    val cleanAdmitted = DedupStream.ingestBatch(spark, batch, clean, key)
+    assert(cleanAdmitted > 0 && cleanAdmitted < 81) // the exact copy dropped
+
+    val crashed = s"$root/crashed"
+    DedupStream.seedIndex(spark, seed, crashed)
+    // crash mid-append: only texts (partial) written, no marker
+    BatchLog.write(batch.limit(30), s"$crashed/texts", key)
+    assert(DedupStream.indexedTexts(spark, crashed).count() == 200,
+      "uncommitted partial texts leaked into reads")
+    // retry: recomputes survivors against committed state, overwrites
+    assert(DedupStream.ingestBatch(spark, batch, crashed, key) == cleanAdmitted)
+    for ((half, schema) <- Seq("texts" -> textsSchema, "hs" -> hsSchema,
+        "bands" -> bandSchema))
+      assert(rowSet(crashed, half, schema) == rowSet(clean, half, schema),
+        s"half '$half' diverged after kill-mid-append + retry")
+    // committed-batch retry: skip, no mutation
+    assert(DedupStream.ingestBatch(spark, batch, crashed, key) == 0L)
+    assert(rowSet(crashed, "texts", textsSchema) ==
+      rowSet(clean, "texts", textsSchema))
+  }
+}

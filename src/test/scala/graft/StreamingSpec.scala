@@ -134,7 +134,7 @@ class StreamingSpec extends SparkSpec {
     // seed the index with the first 250 docs
     val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     DedupStream.seedIndex(spark, base.filter(col("doc_id") < 250), idx)
-    val seeded = spark.read.parquet(s"$idx/texts").count()
+    val seeded = DedupStream.indexedTexts(spark, idx).count()
 
     def tokens = split(col("text"), " ")
     // batch 1: one exact copy of an indexed doc (+30000), one truncated
@@ -167,7 +167,7 @@ class StreamingSpec extends SparkSpec {
     // of indexed doc 229 — jaccard 0.96, it must drop) + the min-doc_id
     // winner of the in-batch pair; the exact and near plants drop
     assert(admitted1 == 50, s"batch1 admitted $admitted1")
-    val afterB1 = spark.read.parquet(s"$idx/texts")
+    val afterB1 = DedupStream.indexedTexts(spark, idx)
     assert(afterB1.count() == seeded + 50)
     assert(afterB1.filter(col("doc_id").isin(263L, 30007L, 40011L, 60001L)).count() == 0)
     assert(afterB1.filter(col("doc_id") === 60000L).count() == 1)
@@ -189,7 +189,7 @@ class StreamingSpec extends SparkSpec {
     stageIn(b2.filter(col("doc_id") =!= 300), "batch3")
     val admitted3 = DedupStream.runIngest(spark, inDir, idx, chk)
     assert(admitted3 == 0, s"batch3 admitted $admitted3 (plants not dropped)")
-    val finalTexts = spark.read.parquet(s"$idx/texts")
+    val finalTexts = DedupStream.indexedTexts(spark, idx)
     assert(finalTexts.filter(col("doc_id").isin(70000L, 80300L)).count() == 0)
     assert(finalTexts.filter(col("doc_id") === 300L).count() == 1)
     // index halves stay consistent: every text row has hs + 4 bands
