@@ -424,6 +424,111 @@ object Vectors {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    // ---- IVF refined by one Lloyd iteration ----------------------------
+    // sim_ivf's coarse quantizer uses 8 fixed seed vectors; one k-means
+    // step (assign → per-cell mean → re-assign) tightens the cells and
+    // lifts recall (measured vs sim_ivf in SCALE.md) at the cost of one
+    // extra pass — the standard IVF training trade. Determinism across
+    // engines is BY CONSTRUCTION, not rounding: vectors are quantized
+    // to integer micro-units (floor(x·1e6 + 0.5), identical IEEE ops on
+    // identical floats), so seed-assignment distances are exact integer
+    // arithmetic in doubles (<2^53), the per-cell elementwise SUMS are
+    // exact regardless of aggregation order (integer-valued doubles),
+    // and mean = exact-sum / exact-count is one identical IEEE divide —
+    // the argmin can never flip on summation order, which a plain
+    // double mean (VectorMean over raw floats) could not guarantee.
+    // Shape at scale: centroids broadcast both times (8 rows), each
+    // assignment is a map-side 8× candidate expand collapsed by a
+    // partially-aggregated min(struct(d2, cid)) — no window sort, no
+    // all-pairs; the search touches only the query's refined cell.
+    sql("sim_ivf_refined", {
+      val cids = ivfCentroidIds.mkString("(", ", ", ")")
+      val q = "list_transform(%s, x -> floor(x::DOUBLE * 1000000 + 0.5))"
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, ${q.format("embedding")} AS ce FROM embeddings
+         |  WHERE vec_id IN $cids),
+         |b AS (
+         |  SELECT vec_id, embedding, ${D.norm("embedding")} AS nrm,
+         |         ${q.format("embedding")} AS qe
+         |  FROM embeddings),
+         |asg0 AS (
+         |  SELECT vec_id, embedding, nrm, qe, cid AS cell FROM (
+         |    SELECT b.vec_id, b.embedding, b.nrm, b.qe, c.cid,
+         |           row_number() OVER (PARTITION BY b.vec_id
+         |             ORDER BY ${D.dot("b.qe", "b.qe")}
+         |                      - 2 * ${D.dot("b.qe", "c.ce")}
+         |                      + ${D.dot("c.ce", "c.ce")}, c.cid) AS rn
+         |    FROM b, cent c) t
+         |  WHERE rn = 1),
+         |m AS (SELECT cell, i, avg(qe[i]) AS mv
+         |      FROM asg0, range(1, 65) t(i) GROUP BY cell, i),
+         |rc AS (SELECT cell, list(mv ORDER BY i) AS rce FROM m GROUP BY cell),
+         |asg1 AS (
+         |  SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT a.vec_id, a.embedding, a.nrm, r.cell,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY ${D.dot("a.qe", "a.qe")}
+         |                      - 2 * ${D.dot("a.qe", "r.rce")}
+         |                      + ${D.dot("r.rce", "r.rce")}, r.cell) AS rn
+         |    FROM asg0 a, rc r) t
+         |  WHERE rn = 1),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |         ${D.dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM asg1 q JOIN asg1 c ON q.cell = c.cell
+         |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+         |SELECT q_id, c_id, rnk, floor(cos * 1000000 + 0.5) / 1000000 AS cosine
+         |FROM (SELECT q_id, c_id, cos,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+         |      FROM p) t
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.VectorMean
+      val e = emb(s, d)
+      val quant = transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1000000d) + lit(0.5d)))
+      val base = e.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"), quant.as("qe"))
+      val cent0 = base.filter(col("vec_id").isin(ivfCentroidIds: _*))
+        .select(col("vec_id").as("cid"), col("qe").as("ce"))
+      def d2(a: Column, b: Column): Column =
+        dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
+      // E-step vs seeds: 8-candidate expand, map-side partial min
+      val asg0 = base.join(broadcast(cent0))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(d2(col("qe"), col("ce")).as("d2"), col("cid"))).as("best"),
+          first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"),
+          first(col("qe")).as("qe"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("qe"),
+          col("best.cid").as("cell"))
+      // M-step: exact elementwise mean of the quantized members
+      val refined = asg0.groupBy(col("cell"))
+        .agg(VectorMean.centroid(col("qe").cast("array<float>")).as("rce"))
+        .select(col("cell").as("rcell"), col("rce"))
+      // E-step vs refined centroids, then cell-local cosine top-3
+      val asg1 = maybeCache(asg0.join(broadcast(refined))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(d2(col("qe"), col("rce")).as("d2"),
+          col("rcell").as("cid"))).as("best"),
+          first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("best.cid").as("cell")))
+      val qs = asg1.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qemb"),
+          col("nrm").as("qn"), col("cell"))
+      val cs = asg1.select(col("vec_id").as("c_id"), col("embedding").as("cemb"),
+        col("nrm").as("cn"), col("cell").as("ccell"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      qs.join(cs, col("cell") === col("ccell") && col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"),
+          (dot(col("qemb"), col("cemb")) / (col("qn") * col("cn"))).as("cos"))
+        .withColumn("rnk", row_number().over(wTop).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("c_id"), col("rnk"), pr6(col("cos")).as("cosine"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
     // ---- embedding near-dup dedup (bucketed, never all-pairs) ----------
     // Planted exact copies (vec_id+10000) land in the same LSH bucket
     // by construction; the bucket-keyed self-join + cosine ≥ 0.999
