@@ -722,12 +722,15 @@ object Pipeline {
     // sequence packing, composed as ONE lazy DataFrame chain (the
     // reference analog: chained exchangers, `demo.py:500-527`). Each
     // stage feeds the next without materialization, so Catalyst fuses
-    // the per-row stages: the Gopher metrics, the keep predicate and
-    // the survivor projection run inside the SAME WholeStageCodegen
-    // span as the scan (PLANS.md §pipeline_e2e), and column pruning
-    // drops `text` the moment the last text-derived column is
-    // computed. The only shuffles are the ones the semantics force:
-    // the dedup clustering (band join + contraction), the two tiny mix
+    // the per-row stages: the Gopher metrics and keep predicate
+    // evaluate directly on the scan output — pipelined in the scan's
+    // own stage, before any exchange, so only survivors ever cross a
+    // shuffle (the HOF lambdas keep the Filter itself on the
+    // interpreted path, not in the codegen span — see PLANS.md
+    // §pipeline_e2e for the honest plan) — and column pruning drops
+    // `text` the moment the last text-derived column is computed. The
+    // only shuffles are the ones the semantics force: the dedup
+    // clustering (band join + contraction), the two tiny mix
     // aggregates, and the per-source packing window. The oracle is the
     // same four stages as one CTE chain over DuckDB.
     sql("pipeline_e2e", pipelineE2eOracle) { (s, d) =>
