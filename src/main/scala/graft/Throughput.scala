@@ -61,11 +61,13 @@ object Throughput {
     * comparison for a long-running server.
     */
   private def timed(op: String, rows: Long)(body: => Unit): Unit = {
-    val secs = (1 to 3).map { _ =>
+    val trials = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       body
       (System.nanoTime() - t0) / 1e9
-    }.min
+    }
+    println(trials.map(t => f"$t%.3f").mkString(s"# $op trials: ", ", ", ""))
+    val secs = trials.min
     val rps = (rows / secs).toLong
     refRowsPerSec.get(op) match {
       case Some(ref) =>
@@ -166,6 +168,7 @@ object Throughput {
       require(client.sqlArrowRowCount("SELECT * FROM flights LIMIT 1000") == 1000)
       require(client.sqlArrowRowCount(
         "SELECT * FROM flights LIMIT 2000000") == 2000000L.min(rows))
+      gate.awaitRecompress() // drain the warmup entry's background pass
       // cold = first GET of this table version: pays the row→Arrow
       // encode + executor-side zstd. Reported separately and honestly —
       // the steady-state number below is what a serving workload sees
@@ -174,7 +177,10 @@ object Throughput {
       val t0 = System.nanoTime()
       require(client.sqlArrowRowCount("SELECT * FROM flights") == rows)
       val coldSecs = (System.nanoTime() - t0) / 1e9
-      println(f"""{"op":"SOCKET_GET_COLD","rows":$rows,"secs":$coldSecs%.3f,"rows_per_sec":${(rows / coldSecs).toLong},"note":"first GET of a table version (row-to-Arrow encode + executor-side zstd); later GETs are SOCKET_GET"}""")
+      println(f"""{"op":"SOCKET_GET_COLD","rows":$rows,"secs":$coldSecs%.3f,"rows_per_sec":${(rows / coldSecs).toLong},"note":"first GET of a table version: raw-codec encode+ship; the zstd cache entry builds in the background (r12); later GETs are SOCKET_GET"}""")
+      // the cold GET queued the entry's zstd recompression — drain it
+      // so the timed runs below measure only their own path
+      gate.awaitRecompress()
       // true fresh-execute path on a warm JVM: ##nocache is an
       // unconditional bypass (r12 — no cache read, no install), so
       // every trial pays the full execute + row→Arrow encode. This is

@@ -75,6 +75,46 @@ class TableChunkCacheSpec extends SparkSpec {
     } finally gate.close()
   }
 
+  test("cold GET ships raw and the entry recompresses in the background (r12 COLD floor)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.gate.recompressMinBytes", "1048576")
+    val e = new Engine(s2)
+    // 2M sequential longs: ~16 MB raw Arrow, compresses hard under zstd
+    e.put("big", e.spark.range(2000000).toDF("x"))
+    val gate = new TcpGate(e)
+    try {
+      val c = new GateClient("127.0.0.1", gate.boundPort)
+      try {
+        c.format("arrow")
+        // first GET: ships raw, retains nothing (over the threshold) —
+        // the compressed entry is built by the background pass
+        assert(c.sqlArrowRowCount("SELECT * FROM big") == 2000000)
+        assert(gate.cacheStats._1 == 0,
+          s"over-threshold result must not retain inline: ${gate.cacheStats}")
+        gate.awaitRecompress()
+        val (n2, b2) = gate.cacheStats
+        assert(n2 == 1, s"background pass must install the entry: $n2 entries")
+        // 2M sequential longs are ~16 MB raw; the zstd entry must be
+        // far below the 1 MB threshold this spec set
+        assert(b2 < (4L << 20), s"entry not compressed: $b2 B")
+        // the swapped entry still decodes to the same values
+        val (_, ipc) = c.sqlArrow("SELECT * FROM big")
+        val got = org.apache.spark.sql.GraftBridge.fromArrowIPC(spark, ipc)
+        assert(got.count() == 2000000)
+        assert(got.agg(org.apache.spark.sql.functions.sum("x")).head.getLong(0) ==
+          1999999L * 2000000L / 2)
+        // tiny entries skip the background pass (threshold); the PUT
+        // moves the stamp, so the old-stamp big entry purges on install
+        e.put("small", e.spark.range(10).toDF("y"))
+        assert(c.sqlArrowRowCount("SELECT * FROM small") == 10)
+        val statsBefore = gate.cacheStats
+        gate.awaitRecompress()
+        assert(gate.cacheStats == statsBefore,
+          "sub-threshold entry must not recompress (stats moved)")
+      } finally c.close()
+    } finally gate.close()
+  }
+
   test("table entry is stamp-keyed: mutations through the engine re-encode, bytes stay fresh") {
     val e = new Engine(spark.newSession())
     e.put("t", e.spark.range(10).toDF("x"))
