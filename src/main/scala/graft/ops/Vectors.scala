@@ -529,6 +529,68 @@ object Vectors {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    // ---- IVF with nprobe=2 ---------------------------------------------
+    // The IVF recall dial the LSH side already has (multi-probe): each
+    // query searches its TWO nearest cells instead of one. Candidates
+    // still come from bounded cell-keyed joins (a candidate lives in
+    // exactly one cell and the two probes are distinct, so no (q, c)
+    // pair duplicates — no dedup pass); cost is ≤ 2× sim_ivf's
+    // candidate list for a measured recall lift (SCALE.md). Same seed
+    // centroids and exact-arithmetic assignment as sim_ivf.
+    sql("sim_ivf_probe2", {
+      val cids = ivfCentroidIds.mkString("(", ", ", ")")
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id IN $cids),
+         |d AS (
+         |  SELECT e.vec_id, e.embedding, ${D.norm("e.embedding")} AS nrm, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${D.dot("e.embedding", "e.embedding")}
+         |                    - 2 * ${D.dot("e.embedding", "c.ce")}
+         |                    + ${D.dot("c.ce", "c.ce")}, c.cid) AS rn
+         |  FROM embeddings e, cent c),
+         |asg AS (SELECT vec_id, embedding, nrm, cid AS cell FROM d WHERE rn = 1),
+         |qp AS (SELECT vec_id, embedding, nrm, cid AS probe FROM d
+         |       WHERE rn <= 2 AND vec_id < 20),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |         ${D.dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM qp q JOIN asg c ON q.probe = c.cell
+         |  WHERE c.vec_id <> q.vec_id)
+         |SELECT q_id, c_id, rnk, floor(cos * 1000000 + 0.5) / 1000000 AS cosine
+         |FROM (SELECT q_id, c_id, cos,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+         |      FROM p) t
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+    }) { (s, d) =>
+      val e = emb(s, d)
+      val cent = e.filter(col("vec_id").isin(ivfCentroidIds: _*))
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val d2 = dot(col("embedding"), col("embedding")) -
+        lit(2) * dot(col("embedding"), col("ce")) + dot(col("ce"), col("ce"))
+      val wAsg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+      val ranked = maybeCache(e.join(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+          col("cid"), d2.as("d2"))
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") <= 2))
+      val asg = ranked.filter(col("rn") === 1)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce2"),
+          col("nrm").as("cn"), col("cid").as("cell"))
+      val qp = ranked.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("cid").as("probe"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      qp.join(asg, col("probe") === col("cell") && col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"), (dot(col("qe"), col("ce2")) / (col("qn") * col("cn"))).as("cos"))
+        .withColumn("rnk", row_number().over(wTop).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("c_id"), col("rnk"), pr6(col("cos")).as("cosine"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
     // ---- embedding near-dup dedup (bucketed, never all-pairs) ----------
     // Planted exact copies (vec_id+10000) land in the same LSH bucket
     // by construction; the bucket-keyed self-join + cosine ≥ 0.999
