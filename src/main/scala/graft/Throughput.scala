@@ -205,8 +205,7 @@ object Throughput {
       client.format("text")
       val textRows = math.min(rows, 2000000L)
       timed("SOCKET_GET_TEXT", textRows) {
-        val lines = client.sql(s"SELECT * FROM flights LIMIT $textRows")
-        require(lines.length.toLong == textRows, s"got ${lines.length} lines")
+        require(client.sqlLineCount(s"SELECT * FROM flights LIMIT $textRows") == textRows)
       }
       client.close()
     } finally gate.close() // non-daemon pool: an unclosed gate pins the JVM

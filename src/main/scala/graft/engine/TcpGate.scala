@@ -583,6 +583,49 @@ final class GateClient(host: String, port: Int) extends AutoCloseable {
   /** Text-mode statement: reply lines (JSON rows or `##error …`). */
   def sql(stmt: String): Seq[String] = { send(stmt); linesUntilEnd() }
 
+  /** Text-mode statement, rows COUNTED not retained — the text twin of
+    * [[sqlArrowRowCount]]: chunk-reads the socket and scans for line
+    * breaks, decoding only protocol lines (`##…`), so a multi-million-
+    * row JSON reply costs no per-row String allocation on the client.
+    * Throws on a server `##error`.
+    */
+  def sqlLineCount(stmt: String): Long = {
+    send(stmt)
+    val chunk = new Array[Byte](1 << 16)
+    val meta = new java.lang.StringBuilder(64)
+    var rows = 0L
+    var atLineStart = true
+    var metaLine = false
+    var err: String = null
+    var done = false
+    while (!done) {
+      val n = in.read(chunk)
+      if (n < 0) throw new java.io.EOFException("gate closed mid-reply")
+      var i = 0
+      while (i < n && !done) {
+        val b = chunk(i)
+        if (atLineStart) {
+          metaLine = b == '#'
+          if (metaLine) meta.setLength(0)
+          atLineStart = false
+        }
+        if (b == '\n') {
+          if (metaLine) {
+            val line = meta.toString
+            if (line.startsWith("##end")) done = true
+            else if (line.startsWith("##error")) err = line
+          } else rows += 1
+          atLineStart = true
+        } else if (metaLine && b != '\r') meta.append(b.toChar)
+        i += 1
+      }
+      // the server sends nothing after ##end until our next request,
+      // so a chunk never carries bytes past the reply boundary
+    }
+    if (err != null) throw new RuntimeException(s"gate error: $err")
+    rows
+  }
+
   /** `##auth`/`##token` handshake; returns the reply lines. */
   def handshake(line: String): Seq[String] = sql(line)
 

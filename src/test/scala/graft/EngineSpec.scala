@@ -618,6 +618,13 @@ class EngineSpec extends SparkSpec {
       // ##format text switches the same connection back to JSON rows
       c.format("text")
       assert(c.sql("SELECT 1 AS x") == Seq("""{"x":1}"""))
+      // streaming text client: counts rows without retaining them,
+      // agrees with the materializing client, surfaces errors, and the
+      // connection stays usable afterwards
+      assert(c.sqlLineCount("SELECT * FROM nation") == 25)
+      val terr = intercept[RuntimeException](c.sqlLineCount("SELECT * FROM graft_no_such"))
+      assert(terr.getMessage.contains("gate error"))
+      assert(c.sqlLineCount("SELECT 1 AS x") == 1)
       c.close()
     } finally gate.close()
   }
