@@ -68,11 +68,28 @@ object BatchLog {
     * written. The marker is an empty file; its creation is the atomic
     * commit point.
     */
-  def commit(spark: SparkSession, idxDir: String, key: String): Unit = {
+  def commit(spark: SparkSession, idxDir: String, key: String): Unit =
+    commitSuperseding(spark, idxDir, key, Map.empty)
+
+  /** Commit `key` AND mark earlier (half, key) pairs as superseded by
+    * it — the atomic commit point of a consolidation or compaction:
+    * the marker file's content lists `half key` lines, and [[read]]
+    * excludes those pairs from that moment on. The superseded
+    * directories can then be deleted as pure cleanup — a crash
+    * mid-delete leaves directories that are already invisible, never
+    * double-counted rows.
+    */
+  def commitSuperseding(spark: SparkSession, idxDir: String, key: String,
+      superseded: Map[String, Set[String]]): Unit = {
     val f = fs(spark, idxDir)
     val p = new Path(s"$idxDir/_commits/$key")
     f.mkdirs(p.getParent)
-    f.create(p, true).close()
+    val out = f.create(p, true)
+    val body = superseded.toSeq.sortBy(_._1)
+      .flatMap { case (half, keys) => keys.toSeq.sorted.map(k => s"$half $k") }
+      .mkString("\n")
+    if (body.nonEmpty) out.write(body.getBytes("UTF-8"))
+    out.close()
   }
 
   /** All committed batch keys of one index. */
@@ -81,6 +98,28 @@ object BatchLog {
     val p = new Path(s"$idxDir/_commits")
     if (!f.exists(p)) Set.empty
     else f.listStatus(p).map(_.getPath.getName).toSet
+  }
+
+  /** (half → superseded keys) across every committed marker. */
+  private def superseded(spark: SparkSession, idxDir: String): Map[String, Set[String]] = {
+    val f = fs(spark, idxDir)
+    val p = new Path(s"$idxDir/_commits")
+    if (!f.exists(p)) Map.empty
+    else f.listStatus(p).flatMap { st =>
+      if (st.getLen == 0) Seq.empty
+      else {
+        val in = f.open(st.getPath)
+        val bytes = new Array[Byte](st.getLen.toInt)
+        try in.readFully(bytes) finally in.close()
+        new String(bytes, "UTF-8").split("\n").toSeq
+          .map(_.trim).filter(_.nonEmpty).flatMap { line =>
+            line.split(" ", 2) match {
+              case Array(half, key) => Some(half -> key)
+              case _ => None
+            }
+          }
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
   }
 
   /** Write one half's rows for one batch: OVERWRITE into the batch's
@@ -93,19 +132,72 @@ object BatchLog {
       .parquet(s"$halfDir/batch=$key")
   }
 
-  /** The committed batch directories of one half (uncommitted partials
-    * pruned, committed-but-compacted-away keys tolerated by existence).
+  /** The live batch keys of one half: committed, minus pairs a later
+    * consolidation/compaction marker superseded.
+    */
+  def liveKeys(spark: SparkSession, idxDir: String, half: String): Set[String] =
+    committed(spark, idxDir) --
+      superseded(spark, idxDir).getOrElse(half, Set.empty)
+
+  /** The live batch directories of one half (uncommitted partials and
+    * superseded generations pruned; deleted-but-still-committed keys
+    * tolerated by existence).
     */
   def committedDirs(spark: SparkSession, idxDir: String, half: String): Seq[String] = {
     val halfDir = s"$idxDir/$half"
     val f = fs(spark, halfDir)
     if (!f.exists(new Path(halfDir))) Seq.empty
     else {
-      val live = committed(spark, idxDir)
+      val live = liveKeys(spark, idxDir, half)
       f.listStatus(new Path(halfDir)).filter(_.isDirectory).map(_.getPath)
         .filter(p => p.getName.startsWith("batch=") &&
           live(p.getName.stripPrefix("batch=")))
         .map(_.toString).toSeq.sorted
+    }
+  }
+
+  /** Next free generation key (`g0`, `g1`, …): one past the highest
+    * committed generation, so a crash-retry of an uncommitted
+    * consolidation reuses (and overwrites) the same name.
+    */
+  def nextGenKey(spark: SparkSession, idxDir: String): String = {
+    val n = committed(spark, idxDir)
+      .collect { case k if k.startsWith("g") && k.drop(1).forall(_.isDigit) =>
+        k.drop(1).toLong }
+      .foldLeft(-1L)(math.max) + 1
+    s"g$n"
+  }
+
+  /** Consolidate every live batch directory of the given halves into
+    * ONE generation directory each, committed atomically by a single
+    * superseding marker — the defense against the many-small-files
+    * regime a long-running ingest otherwise accumulates (read cost
+    * returns to one directory per half regardless of window count).
+    * Must run with no concurrent ingest, like compaction. Crash-safe:
+    * before the marker the half-written generation is invisible and
+    * the retry overwrites it; after the marker the superseded
+    * directories are already excluded from reads, so the cleanup
+    * deletes are idempotent cosmetics.
+    */
+  def consolidate(spark: SparkSession, idxDir: String,
+      halves: Seq[(String, StructType)]): Unit = {
+    // only halves split across ≥2 live directories gain anything; a
+    // single-directory half would just be copied
+    val worth = halves.filter { case (half, _) =>
+      liveKeys(spark, idxDir, half)
+        .count(batchDirExists(spark, idxDir, half, _)) >= 2
+    }
+    if (worth.isEmpty) return
+    val gen = nextGenKey(spark, idxDir)
+    val old: Map[String, Set[String]] = worth.map { case (half, schema) =>
+      val keys = liveKeys(spark, idxDir, half)
+        .filter(batchDirExists(spark, idxDir, half, _))
+      write(read(spark, idxDir, half, schema), s"$idxDir/$half", gen)
+      half -> keys
+    }.toMap
+    commitSuperseding(spark, idxDir, gen, old)
+    worth.foreach { case (half, _) =>
+      old(half).foreach(deleteBatchDir(spark, idxDir, half, _))
     }
   }
 
@@ -123,18 +215,20 @@ object BatchLog {
     else spark.read.schema(schema).parquet(dirs: _*)
   }
 
-  /** Delete every committed batch directory of `half` except `keep` —
-    * [[ClusterStream.compactIndex]]'s cleanup after the compacted
-    * generation is committed. Idempotent; a crash mid-delete leaves
-    * connectivity-redundant directories the next compaction removes.
+  /** Whether `key`'s directory exists under `half` (a committed key may
+    * have no directory for a half the batch never wrote, or one a
+    * supersession cleanup already deleted).
     */
-  def retainOnly(spark: SparkSession, idxDir: String, half: String,
-      keep: String): Unit = {
-    val f = fs(spark, s"$idxDir/$half")
-    val halfPath = new Path(s"$idxDir/$half")
-    if (f.exists(halfPath))
-      f.listStatus(halfPath).filter(_.isDirectory).map(_.getPath)
-        .filter(p => p.getName.startsWith("batch=") && p.getName != s"batch=$keep")
-        .foreach(p => f.delete(p, true))
+  def batchDirExists(spark: SparkSession, idxDir: String, half: String,
+      key: String): Boolean =
+    fs(spark, idxDir).exists(new Path(s"$idxDir/$half/batch=$key"))
+
+  /** Delete one batch directory — post-supersession cleanup only (the
+    * marker already excludes it from reads); idempotent.
+    */
+  def deleteBatchDir(spark: SparkSession, idxDir: String, half: String,
+      key: String): Unit = {
+    fs(spark, idxDir).delete(new Path(s"$idxDir/$half/batch=$key"), true)
+    ()
   }
 }

@@ -226,17 +226,16 @@ object ClusterStream {
     *
     * Runs at a labels() fixed point the stream already pays for, so a
     * deployment compacts for free whenever it extracts labels. The
-    * rewrite rides [[BatchLog]]'s commit protocol (r12): the star set
-    * is written as its own generation directory `batch=c<k>`, committed
-    * with one marker, and only THEN are the superseded batch
-    * directories deleted. A crash before the marker leaves the old
-    * generation fully live (the partial `c<k>` dir is uncommitted,
-    * invisible); a crash after the marker but mid-delete leaves
-    * connectivity-redundant directories (the star set already implies
-    * their edges) that the next compaction removes — labels are correct
-    * in every window, with no rename-swap gap at all. Replay tolerance
-    * is preserved: a re-appended old batch only adds edges between
-    * same-component members.
+    * rewrite rides [[BatchLog]]'s supersession protocol (r12): the
+    * star set is written as its own generation directory, then ONE
+    * marker atomically commits it AND marks every prior edge batch
+    * superseded. A crash before the marker leaves the old generation
+    * fully live (the partial generation dir is uncommitted,
+    * invisible); a crash after the marker loses nothing and
+    * double-counts nothing — the superseded directories are already
+    * excluded from reads, and the remaining deletes are idempotent
+    * cleanup. Replay tolerance is preserved: a re-appended old batch
+    * only adds edges between same-component members.
     */
   def compactIndex(spark: SparkSession, idxDir: String): (DataFrame, Long) = {
     val (lab, _, _) = labels(spark, idxDir)
@@ -245,20 +244,24 @@ object ClusterStream {
     // generation does not re-read the live edge directories
     val stars = lab.filter(col("id") =!= col("lbl"))
       .select(col("id").as("x"), col("lbl").as("y"))
-    // generation counter: one past the highest committed c<k> marker
-    // (count-based naming would collide after a crash-retry interleaves
-    // with a successful compaction)
-    val gen = BatchLog.committed(spark, idxDir)
-      .collect { case k if k.startsWith("c") && k.drop(1).forall(_.isDigit) =>
-        k.drop(1).toLong }
-      .foldLeft(-1L)(math.max) + 1
-    val genKey = s"c$gen"
-    BatchLog.write(stars, s"$idxDir/edges", genKey)
-    BatchLog.commit(spark, idxDir, genKey)
-    BatchLog.retainOnly(spark, idxDir, "edges", genKey)
+    val gen = BatchLog.nextGenKey(spark, idxDir)
+    val old = BatchLog.liveKeys(spark, idxDir, "edges")
+      .filter(BatchLog.batchDirExists(spark, idxDir, "edges", _))
+    BatchLog.write(stars, s"$idxDir/edges", gen)
+    BatchLog.commitSuperseding(spark, idxDir, gen, Map("edges" -> old))
+    old.foreach(BatchLog.deleteBatchDir(spark, idxDir, "edges", _))
     val rows = BatchLog.read(spark, idxDir, "edges", edgeSchema).count()
     (lab, rows)
   }
+
+  /** Consolidate the append-only halves (hs/bands/digests) into one
+    * generation directory each — the many-small-files defense for a
+    * long-running ingest; see [[BatchLog.consolidate]]. Run at the
+    * same no-concurrent-ingest points as [[compactIndex]].
+    */
+  def consolidateIndex(spark: SparkSession, idxDir: String): Unit =
+    BatchLog.consolidate(spark, idxDir, Seq(
+      "hs" -> hsSchema, "bands" -> bandSchema, "digests" -> digestSchema))
 
   def labels(spark: SparkSession, idxDir: String): (DataFrame, DataFrame, Int) = {
     // distinct: a deliberate full-replay through a FRESH checkpoint

@@ -128,6 +128,14 @@ object DedupStream {
     admitted.get()
   }
 
+  /** Consolidate the index halves into one generation directory each —
+    * the many-small-files defense for a long-running ingest; see
+    * [[BatchLog.consolidate]]. Run between ingest runs only.
+    */
+  def consolidateIndex(spark: SparkSession, idxDir: String): Unit =
+    BatchLog.consolidate(spark, idxDir, Seq(
+      "texts" -> textsSchema, "hs" -> hsSchema, "bands" -> bandSchema))
+
   /** One micro-batch's dedup-and-admit; package-private so the
     * crash-retry path can be spec-driven without a stream. Exactly-once
     * per `key`: committed batches skip, uncommitted retries recompute

@@ -84,6 +84,74 @@ class ExactlyOnceSpec extends graft.SparkSpec {
       "committed-batch retry mutated the index")
   }
 
+  test("consolidation: one generation dir per half, byte-equal reads, crash windows safe") {
+    import java.nio.file.{Files, Paths}
+    val root = graft.ops.purgeOnExit(
+      s"${graft.ops.scratchRoot(spark)}/spec_consol_${ProcessHandle.current().pid()}") +
+      s"/${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val idx = s"$root/idx"
+    val base = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    ClusterStream.seedIndex(spark, base.filter(col("doc_id") < 150), idx)
+    ClusterStream.ingestBatch(spark,
+      base.filter(col("doc_id") >= 150 && col("doc_id") < 250),
+      idx, BatchLog.key(s"$root/chk", 0L))
+    ClusterStream.ingestBatch(spark,
+      base.filter(col("doc_id") >= 250 && col("doc_id") < 350),
+      idx, BatchLog.key(s"$root/chk", 1L))
+    def dirs(half: String): Seq[String] =
+      BatchLog.committedDirs(spark, idx, half)
+    def rows(half: String, schema: org.apache.spark.sql.types.StructType) =
+      BatchLog.read(spark, idx, half, schema).collect().map(_.toString).sorted.toSeq
+    val before = Map(
+      "hs" -> rows("hs", hsSchema), "bands" -> rows("bands", bandSchema),
+      "digests" -> rows("digests", digestSchema))
+    assert(dirs("hs").size == 3) // seed + 2 batches
+
+    // crash window 1: a partial generation dir without its marker is
+    // invisible — stage one by writing under the NEXT gen key directly
+    BatchLog.write(base.limit(5).select(col("doc_id"),
+        org.apache.spark.sql.functions.array().cast("array<bigint>").as("hs")),
+      s"$idx/hs", BatchLog.nextGenKey(spark, idx))
+    assert(rows("hs", hsSchema) == before("hs"),
+      "uncommitted generation leaked into reads")
+
+    // real consolidation (the retry overwrites the staged partial)
+    ClusterStream.consolidateIndex(spark, idx)
+    for ((half, schema) <- Seq("hs" -> hsSchema, "bands" -> bandSchema,
+        "digests" -> digestSchema)) {
+      assert(rows(half, schema) == before(half),
+        s"consolidation changed '$half' rows")
+      assert(dirs(half).size == 1, s"'$half' not consolidated: ${dirs(half)}")
+    }
+
+    // crash window 2: supersession marker present but deletes never ran
+    // — simulate by re-creating a superseded-looking directory; the
+    // marker must keep it out of reads
+    val hsDirs = new java.io.File(s"$idx/hs").listFiles().filter(_.isDirectory)
+    assert(hsDirs.length >= 1)
+    val gen = dirs("hs").head.split('=').last
+    val ghost = Paths.get(s"$idx/hs/batch=zombie")
+    Files.createDirectories(ghost)
+    // "zombie" has no marker at all → not committed → excluded; also
+    // verify a superseded-but-present key stays excluded: re-write the
+    // seed dir contents under its old key
+    BatchLog.write(BatchLog.read(spark, idx, "hs", hsSchema).limit(3),
+      s"$idx/hs", "stale_probe") // written but never committed
+    assert(rows("hs", hsSchema) == before("hs"))
+    assert(dirs("hs").map(_.stripPrefix("file:")) == Seq(s"$idx/hs/batch=$gen"))
+
+    // consolidation composes with edge compaction and labels survive
+    val labBefore = ClusterStream.labels(spark, idx)._1
+      .collect().map(_.toString).sorted.toSeq
+    val (lab, nRows) = ClusterStream.compactIndex(spark, idx)
+    assert(lab.collect().map(_.toString).sorted.toSeq == labBefore)
+    assert(dirs("edges").size == 1)
+    assert(nRows == labBefore.count(r => {
+      val m = "\\[(\\d+),(\\d+)\\]".r.findFirstMatchIn(r)
+      m.exists(g => g.group(1) != g.group(2))
+    }))
+  }
+
   test("DedupStream: kill-mid-append + retry leaves every half byte-identical to a crash-free run") {
     val root = graft.ops.purgeOnExit(
       s"${graft.ops.scratchRoot(spark)}/spec_xonce_dd_${ProcessHandle.current().pid()}") +
