@@ -368,6 +368,52 @@ object ScaleProbe {
     val tmpRoot = graft.ops.purgeOnExit(
       s"${graft.ops.scratchRoot(spark)}/scaleprobe_${ProcessHandle.current().pid()}")
 
+    if (on("batchlog")) {
+      // Many-small-files probe for the streaming index commit log:
+      // ingest the documents corpus as MANY tiny windows (the
+      // long-running-ingest regime), then measure label extraction and
+      // on-disk file counts before and after generation consolidation
+      // + edge compaction. The claim under test: read cost grows with
+      // window count and consolidation returns it to O(1) directories
+      // per half with byte-identical semantics (byte-equality itself
+      // is spec-pinned in ExactlyOnceSpec; this probe measures cost).
+      import graft.streaming.{BatchLog, ClusterStream}
+      val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      val idx = s"$tmpRoot/blidx"
+      val nWin = 48
+      ClusterStream.seedIndex(spark, docs.limit(0), idx)
+      val tIn0 = System.nanoTime()
+      (0 until nWin).foreach { w =>
+        ClusterStream.ingestBatch(spark,
+          docs.filter(pmod(xxhash64(col("doc_id")), lit(nWin)) === w),
+          idx, BatchLog.key("probe", w.toLong))
+      }
+      val ingestSecs = (System.nanoTime() - tIn0) / 1e9
+      def files(p: java.io.File): Long =
+        if (p.isDirectory) Option(p.listFiles()).map(_.map(files).sum).getOrElse(0L)
+        else 1L
+      def labelSecs(): Double = {
+        val t0 = System.nanoTime()
+        ClusterStream.labels(spark, idx)._1.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def report(stage: String): Unit = {
+        val dirs = Seq("hs", "bands", "digests", "edges")
+          .map(h => s""""$h":${BatchLog.committedDirs(spark, idx, h).size}""")
+          .mkString("{", ",", "}")
+        val nf = files(new java.io.File(idx))
+        val s1 = labelSecs(); val s2 = labelSecs()
+        println(f"""{"shape":"batchlog_$stage","windows":$nWin,"dirs":$dirs,"files":$nf,"labels_secs":[$s1%.2f,$s2%.2f],"ingest_secs":$ingestSecs%.1f}""")
+      }
+      report("fragmented")
+      val tc0 = System.nanoTime()
+      ClusterStream.consolidateIndex(spark, idx)
+      ClusterStream.compactIndex(spark, idx)
+      val consolidateSecs = (System.nanoTime() - tc0) / 1e9
+      println(f"""{"shape":"batchlog_consolidate_cost","secs":$consolidateSecs%.2f}""")
+      report("consolidated")
+    }
+
     if (on("ann")) {
       val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
       for (factor <- Seq(1, 64)) {

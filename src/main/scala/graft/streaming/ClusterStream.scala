@@ -100,7 +100,7 @@ object ClusterStream {
     * subdirectories — and its overwrites replace them byte-identically.
     * The marker lands only after every half is written.
     */
-  private[streaming] def ingestBatch(spark: SparkSession, batch: DataFrame,
+  private[graft] def ingestBatch(spark: SparkSession, batch: DataFrame,
       idxDir: String, key: String): Long = {
     if (BatchLog.isCommitted(spark, idxDir, key)) return 0L
     // a batch is one ingest window — small by definition; materialize

@@ -141,7 +141,7 @@ object DedupStream {
     * per `key`: committed batches skip, uncommitted retries recompute
     * against committed state only and overwrite their own partials.
     */
-  private[streaming] def ingestBatch(spark: SparkSession, batch: DataFrame,
+  private[graft] def ingestBatch(spark: SparkSession, batch: DataFrame,
       idxDir: String, key: String): Long = {
     if (BatchLog.isCommitted(spark, idxDir, key)) return 0L
     // materialize once: the three writes below must see the SAME
