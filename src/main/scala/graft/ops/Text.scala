@@ -1238,6 +1238,87 @@ object Text {
         .agg(countDistinct(col("gram")).as("n_shared_grams"),
           countDistinct(col("eval_id")).as("n_eval_docs"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- BPE vocabulary induction (real merge training) -----------------
+    // Sennrich et al. 2016: learn the first 5 byte-pair merges from the
+    // corpus. Unlike token_bpe (which APPLIES a fixed chunking rule),
+    // this TRAINS: each round counts adjacent symbol pairs over the
+    // word-frequency table, merges the globally most frequent pair
+    // (ties → lexicographic), and rewrites the symbol sequences.
+    // Output = the learned merge table (rank, pair, weighted count) —
+    // the artifact a tokenizer ships.
+    //
+    // Scale shape is the published fast-BPE topology: the corpus is
+    // scanned ONCE to build (distinct word, frequency); every round
+    // after that is one explode + keyed aggregate over the VOCABULARY
+    // (≪ corpus — pair counts are frequency-weighted, so corpus size
+    // only enters through the initial count). The per-round argmax is
+    // a 1-row tree-reduced aggregate collected driver-side to bake the
+    // merge pair into the next round's plan — the same 1-row
+    // convergence-signature pattern as Pipeline.contractToLabels, not
+    // a data collect. Merge application is a symbol-boundary-safe
+    // string replace (leftmost, non-overlapping — BPE's standard
+    // greedy application) running map-side over the vocab.
+    //
+    // The oracle unrolls the same 5 rounds as CTE stages; both engines
+    // scan replaced text left-to-right without rescanning replacements,
+    // so "a a a" merges to "aa a" identically.
+    sql("bpe_train", {
+      def stage(i: Int): String =
+        s"""p$i AS (SELECT pr.lhs AS lhs, pr.rhs AS rhs, sum(freq)::BIGINT AS cnt
+           |       FROM (SELECT freq, unnest(list_transform(range(1, len(string_split(rep, ' '))),
+           |                    j -> struct_pack(lhs := string_split(rep, ' ')[j],
+           |                                     rhs := string_split(rep, ' ')[j + 1]))) AS pr
+           |             FROM r$i) s
+           |       GROUP BY 1, 2),
+           |m$i AS (SELECT lhs, rhs, cnt FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+           |r${i + 1} AS (SELECT token, freq,
+           |              trim(replace(' ' || rep || ' ', ' ' || m.lhs || ' ' || m.rhs || ' ',
+           |                           ' ' || m.lhs || m.rhs || ' ')) AS rep
+           |       FROM r$i, m$i m)""".stripMargin
+      s"""WITH w AS (SELECT token, count(*)::BIGINT AS freq
+         |           FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         |           GROUP BY token),
+         |r0 AS (SELECT token, freq, trim(regexp_replace(token, '(.)', '\\1 ', 'g')) AS rep
+         |       FROM w),
+         |${(0 until 5).map(stage).mkString(",\n")}
+         |${(0 until 5).map(i => s"SELECT ${i + 1}::BIGINT AS rnk, lhs, rhs, cnt FROM m$i")
+            .mkString("\n UNION ALL ")}
+         |ORDER BY rnk""".stripMargin
+    }) { (s, d) =>
+      val words = docs(s, d)
+        .select(explode(graft.ops.toks(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      var reps = words.select(col("token"), col("freq"),
+        trim(regexp_replace(col("token"), "(.)", "$1 ")).as("rep"))
+        .localCheckpoint(true) // vocab-sized; truncates the per-round lineage
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      for (i <- 1 to 5) {
+        val arr = split(col("rep"), " ")
+        // single-symbol reps have no pairs: sequence(1, 0) would count
+        // DOWN in Spark, so guard to an empty list (DuckDB's range is
+        // end-exclusive and already empty there)
+        val idx = when(size(arr) >= 2, sequence(lit(1), size(arr) - 1))
+          .otherwise(array().cast("array<int>"))
+        val top = reps.select(col("freq"), explode(
+            transform(idx, j => struct(element_at(arr, j).as("lhs"),
+              element_at(arr, j + 1).as("rhs")))).as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()(0)
+        val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
+        merges += ((i.toLong, l, r, c))
+        reps = reps.select(col("token"), col("freq"),
+          trim(call_function("replace",
+            concat(lit(" "), col("rep"), lit(" ")),
+            lit(s" $l $r "), lit(s" $l$r "))).as("rep"))
+          .localCheckpoint(true)
+      }
+      import s.implicits._
+      merges.result().toDF("rnk", "lhs", "rhs", "cnt")
+        .orderBy(col("rnk"))
     }
   )
 }

@@ -46,6 +46,11 @@ object Vectors {
   private val ivfCentroidIds: Seq[Long] =
     Seq(3L, 17L, 42L, 99L, 123L, 200L, 321L, 444L)
 
+  /** Deterministic per-subspace codebook picks for product
+    * quantization (sim_pq_adc): 4 codes per 8-dim subspace.
+    */
+  private val pqSeedIds: Seq[Long] = Seq(3L, 17L, 42L, 99L)
+
   /** Multi-probe masks: every 8-bit mask of hamming weight ≤ 2 — the
     * query's own bucket plus all buckets within hamming distance 2
     * (1 + 8 + 28 = 37 probes). The static variant of the standard
@@ -621,6 +626,183 @@ object Vectors {
         .filter(cos >= 0.999)
         .select(col("vec_id").as("vec_a"), col("vec_b"), pr6(cos).as("cosine"))
         .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // ---- semantic dedup (SemDeDup selection) ----------------------------
+    // Abbas et al. 2023 ("SemDeDup"): cluster the embedding space,
+    // then WITHIN each cluster drop every vector that has a
+    // near-identical neighbor closer to the cluster centroid — the
+    // embedding-space answer to "which of these near-copies do we
+    // keep?". Differs from dedup_embedding (which only LISTS dup
+    // pairs): this key emits the SELECTION — per doc its cell, its
+    // near-dup count, and the keep/drop verdict under the
+    // closest-to-centroid representative rule (tie → lower vec_id).
+    // Planted exact copies (+10000) tie their original on centroid
+    // distance and lose the id tie-break: all 500 drop, all originals
+    // survive — a provable recovery.
+    //
+    // Scale shape: the centroids are a broadcast constant (k rows);
+    // assignment is a map-side expand collapsed by a partial
+    // min(struct); the only self-join is CELL-keyed — SemDeDup's whole
+    // point is that k grows with the corpus so cells stay bounded and
+    // the pairwise work never approaches all-pairs. Centroid distance
+    // is exact integer arithmetic on micro-unit-quantized components
+    // (the sim_ivf_refined pattern), so the keep/drop frontier cannot
+    // drift between engines; the cosine itself is the same sequential
+    // double fold as every other vector key.
+    sql("dedup_semantic", {
+      val cids = ivfCentroidIds.mkString("(", ", ", ")")
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+         |                UNION ALL SELECT vec_id + 10000, embedding FROM embeddings),
+         |e AS (SELECT vec_id, embedding, ${D.norm("embedding")} AS nrm,
+         |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
+         |      FROM corpus),
+         |cent AS (SELECT vec_id AS cid, qe AS ce FROM e WHERE vec_id IN $cids),
+         |asg AS (SELECT vec_id, embedding, nrm, cell, d2c FROM
+         |          (SELECT e.vec_id, e.embedding, e.nrm, c.cid AS cell,
+         |                  list_sum(list_transform(range(1, ${dim + 1}),
+         |                    j -> (qe[j] - ce[j]) * (qe[j] - ce[j]))) AS d2c,
+         |                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |                    list_sum(list_transform(range(1, ${dim + 1}),
+         |                      j -> (qe[j] - ce[j]) * (qe[j] - ce[j]))), c.cid) AS rn
+         |           FROM e, cent c) t
+         |        WHERE rn = 1),
+         |pairs AS (SELECT a.vec_id, count(*)::BIGINT AS dup_cnt,
+         |                 max(CASE WHEN b.d2c < a.d2c
+         |                            OR (b.d2c = a.d2c AND b.vec_id < a.vec_id)
+         |                     THEN 1 ELSE 0 END) AS dominated
+         |          FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |          WHERE ${D.dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.999
+         |          GROUP BY a.vec_id)
+         |SELECT a.vec_id, a.cell, coalesce(p.dup_cnt, 0) AS dup_cnt,
+         |       coalesce(p.dominated, 0) = 0 AS kept
+         |FROM asg a LEFT JOIN pairs p ON a.vec_id = p.vec_id
+         |ORDER BY a.vec_id""".stripMargin
+    }) { (s, d) =>
+      val e = emb(s, d)
+      val corpus = e.select(col("vec_id"), col("embedding"))
+        .unionByName(e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      val quant = transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1000000d) + lit(0.5d)))
+      val base = corpus.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"), quant.as("qe"))
+      val cent = base.filter(col("vec_id").isin(ivfCentroidIds: _*))
+        .select(col("vec_id").as("cid"), col("qe").as("ce"))
+      def sq(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0d), (acc, v) => acc + v)
+      val asg = maybeCache(base.join(broadcast(cent))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(sq(col("qe"), col("ce")).as("d2"), col("cid"))).as("best"),
+          first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("best.cid").as("cell"), col("best.d2").as("d2c")))
+      val b = asg.select(col("vec_id").as("vid2"), col("embedding").as("e2"),
+        col("nrm").as("n2"), col("cell").as("cell2"), col("d2c").as("d2c2"))
+      val cos = dot(col("embedding"), col("e2")) / (col("nrm") * col("n2"))
+      val pairs = asg.join(b, col("cell") === col("cell2") && col("vec_id") =!= col("vid2"))
+        .filter(cos >= 0.999)
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("dup_cnt"),
+          max(when(col("d2c2") < col("d2c")
+            || (col("d2c2") === col("d2c") && col("vid2") < col("vec_id")), 1)
+            .otherwise(0)).as("dominated"))
+      asg.join(pairs, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("dup_cnt"), lit(0L)).as("dup_cnt"),
+          (coalesce(col("dominated"), lit(0)) === 0).as("kept"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- product quantization + asymmetric-distance search -------------
+    // Jégou et al. 2011 ("Product Quantization for Nearest Neighbor
+    // Search"): split the 64-d space into 8 subspaces of 8 dims, build
+    // a tiny per-subspace codebook (4 deterministic seed centroids),
+    // store each vector as 8 code indices, and answer queries by ADC —
+    // the query precomputes its distance to every codebook entry (a
+    // 8×4 table) and a candidate's approximate distance is just 8
+    // table lookups summed. The memory story IS the operator: a 100 TB
+    // embedding store serves from codes (8 small ints/vector, ~32×
+    // smaller than the floats) while exact vectors stay on cold
+    // storage; the codebook and every query table are broadcast-sized
+    // constants, and the scan side never touches a float.
+    //
+    // All arithmetic is exact: components quantize to micro-units
+    // (identical floor(x·1e6+0.5) doubles both engines), so every
+    // subspace distance is an integer and the ADC sum (≤ ~2.6e14)
+    // hash-matches exactly — no rounding frontier anywhere.
+    sql("sim_pq_adc", {
+      val seeds = pqSeedIds.zipWithIndex
+        .map { case (sid, c) => s"($c, $sid)" }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id,
+         |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
+         |           FROM embeddings),
+         |seeds(c, sid) AS (VALUES $seeds),
+         |cb AS (SELECT s.c, m.m, e.qe[m.m * 8 + 1 : m.m * 8 + 8] AS ce
+         |       FROM seeds s JOIN e ON e.vec_id = s.sid, range(0, 8) m(m)),
+         |sub AS (SELECT vec_id, m.m, qe[m.m * 8 + 1 : m.m * 8 + 8] AS sv
+         |        FROM e, range(0, 8) m(m)),
+         |dist AS (SELECT vec_id, sub.m, cb.c,
+         |                list_sum(list_transform(range(1, 9),
+         |                  j -> (sv[j] - ce[j]) * (sv[j] - ce[j]))) AS d2
+         |         FROM sub JOIN cb ON sub.m = cb.m),
+         |enc AS (SELECT vec_id, m, c AS code FROM
+         |          (SELECT vec_id, m, c,
+         |                  row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+         |           FROM dist) t
+         |        WHERE rn = 1),
+         |qd AS (SELECT vec_id AS q_id, m, c, d2 FROM dist WHERE vec_id < 20),
+         |adist AS (SELECT qd.q_id, enc.vec_id AS c_id, sum(qd.d2)::BIGINT AS ad
+         |          FROM enc JOIN qd ON enc.m = qd.m AND enc.code = qd.c
+         |          WHERE enc.vec_id <> qd.q_id
+         |          GROUP BY 1, 2)
+         |SELECT q_id, c_id, rnk, ad AS approx_d2 FROM
+         |  (SELECT q_id, c_id, ad,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS rnk
+         |   FROM adist) t
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+    }) { (s, d) =>
+      val e0 = emb(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
+      // codebook index c = position of the seed id in pqSeedIds
+      val cCol = pqSeedIds.zipWithIndex.foldLeft(lit(-1)) {
+        case (acc, (sid, c)) => when(col("vec_id") === sid, lit(c)).otherwise(acc)
+      }
+      val ms = explode(sequence(lit(0), lit(7))).as("m")
+      val cb = e0.filter(col("vec_id").isin(pqSeedIds: _*))
+        .select(cCol.as("c"), col("qe"))
+        .select(col("c"), ms, col("qe"))
+        .select(col("c"), col("m"), slice(col("qe"), col("m") * 8 + 1, lit(8)).as("ce"))
+      val sub = e0.select(col("vec_id"), ms, col("qe"))
+        .select(col("vec_id"), col("m"), slice(col("qe"), col("m") * 8 + 1, lit(8)).as("sv"))
+      def sq(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0d), (acc, v) => acc + v)
+      // one distance computation feeds BOTH the encoder and the query
+      // tables — at scale `dist` restricted to vec_id < 20 is the
+      // broadcast-sized query side, while the full stream is the
+      // one-pass encoder
+      val dist = maybeCache(sub.join(broadcast(cb), Seq("m"))
+        .select(col("vec_id"), col("m"), col("c"), sq(col("sv"), col("ce")).as("d2")))
+      val wEnc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("c"))
+      val enc = dist.withColumn("rn", row_number().over(wEnc))
+        .filter(col("rn") === 1)
+        .select(col("vec_id").as("c_id"), col("m"), col("c").as("code"))
+      val qd = dist.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("m").as("qm"), col("c"), col("d2"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("ad"), col("c_id"))
+      enc.join(broadcast(qd),
+          col("m") === col("qm") && col("code") === col("c")
+            && col("c_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("c_id"))
+        .agg(sum(col("d2")).cast("bigint").as("ad"))
+        .withColumn("rnk", row_number().over(wTop).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("c_id"), col("rnk"), col("ad").as("approx_d2"))
+        .orderBy(col("q_id"), col("rnk"))
     },
 
     // ---- per-label centroids via a typed Aggregator --------------------

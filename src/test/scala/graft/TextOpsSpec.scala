@@ -196,4 +196,31 @@ class TextOpsSpec extends SparkSpec {
     assert(out.filter(col("doc_id") < 50000).count() <
       Tables.documents(spark, sfDir).count() / 10)
   }
+
+  test("bpe_train: 5 ranked merges; round 1 is the argmax character bigram") {
+    val out = run("bpe_train").cache()
+    assert(out.count() == 5)
+    assert(out.select(col("rnk")).collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(out.filter(col("cnt") <= 0).count() == 0)
+    // merged pairs are distinct across rounds (a merged symbol never
+    // reappears as the same raw pair)
+    assert(out.select(col("lhs"), col("rhs")).distinct().count() == 5)
+    // independent check of round 1: argmax over raw character bigrams
+    // weighted by token frequency, tie-broken lexicographically
+    val bi = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      // 1-char tokens contribute no bigram (and sequence(1, 0) counts DOWN)
+      .filter(length(col("token")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(token) - 1), " +
+          "j -> struct(substring(token, j, 1) AS lhs, substring(token, j + 1, 1) AS rhs))")).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+      .limit(1).collect()(0)
+    val first = out.filter(col("rnk") === 1).collect()(0)
+    assert(first.getString(1) == bi.getString(0) && first.getString(2) == bi.getString(1)
+      && first.getLong(3) == bi.getLong(2))
+  }
 }

@@ -180,6 +180,32 @@ class VectorOpsSpec extends SparkSpec {
     assert(viaKey.exceptAll(viaSpec).count() == 0)
   }
 
+  test("dedup_semantic: every planted copy drops, every original survives") {
+    val out = run("dedup_semantic").cache()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.count() == 2 * n)
+    // the +10000 copies tie their originals on centroid distance and
+    // lose the id tie-break — exactly the copies drop
+    assert(out.filter(col("vec_id") >= 10000 && col("kept")).count() == 0)
+    assert(out.filter(col("vec_id") < 10000 && !col("kept")).count() == 0)
+    // a doc and its copy see each other: both report dup_cnt ≥ 1
+    assert(out.filter(col("dup_cnt") < 1).count() == 0)
+  }
+
+  test("sim_pq_adc: dense top-3 per query, ADC distance sorted and non-negative") {
+    val out = run("sim_pq_adc").cache()
+    val perQ = out.groupBy("q_id").agg(count(lit(1)).as("n"),
+      max(col("rnk")).as("maxr"), min(col("rnk")).as("minr"))
+    assert(perQ.filter(col("n") =!= 3 || col("maxr") =!= 3 || col("minr") =!= 1).count() == 0)
+    assert(out.filter(col("approx_d2") < 0).count() == 0)
+    // within a query, rank order is distance order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rnk"))
+    assert(out.withColumn("prev", lag(col("approx_d2"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > col("approx_d2"))
+      .count() == 0)
+  }
+
   test("ANN keys are cache-independent: spark.graft.ann.cache=false gives identical output") {
     // at 100 TB caching the bucketed corpus is a no-op-or-OOM choice;
     // the plan must be correct uncached (it then recomputes only the
