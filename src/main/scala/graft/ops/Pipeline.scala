@@ -1137,5 +1137,61 @@ object Pipeline {
           (size(col("lines")) - size(clean)).cast("bigint").as("n_removed"),
           h32(array_join(clean, " || ")).as("clean_hash"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- URL canonicalization dedup (crawl-frontier shape) -------------
+    // A crawl sees the same page under many spellings: scheme/host case,
+    // a www. prefix, tracking query params, fragments, trailing slashes.
+    // Canonicalize-then-group is the cheapest dedup in every web
+    // pipeline because it needs NO content comparison — one map-side
+    // regexp chain (pure codegen projection) and one groupBy on the
+    // canonical key. Every doc_id % 10 == 0 gets a planted messy alias
+    // (+50000: uppercased, no www, utm/ref params, #fragment, trailing
+    // slash) that must collapse onto its base URL; the recovery is
+    // provable because ONLY those groups may have 2 members.
+    // Canonical steps (identical RE2-safe patterns both engines):
+    // lowercase → strip scheme → strip www. → strip #fragment → strip
+    // utm_*/ref params → strip dangling ?/& → strip trailing slash.
+    sql("dedup_url", {
+      val mkUrl =
+        "'https://www.' || source || '-' || CAST(doc_id % 7 AS VARCHAR) " +
+          "|| '.example.com/doc/' || CAST(doc_id AS VARCHAR)"
+      val mkAlias =
+        "'HTTP://' || upper(source) || '-' || CAST(doc_id % 7 AS VARCHAR) " +
+          "|| '.EXAMPLE.COM/doc/' || CAST(doc_id AS VARCHAR) " +
+          "|| '/?utm_source=feed&ref=rss#top'"
+      s"""WITH crawl AS (
+         |  SELECT doc_id, $mkUrl AS url FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 50000, $mkAlias FROM documents WHERE doc_id % 10 = 0),
+         |canon AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(lower(url), '^https?://', ''),
+         |      '^www\\.', ''), '#.*$$', ''), '(utm_[a-z]+|ref)=[^&#]*&?', '', 'g'),
+         |      '[?&]+$$', ''), '/+$$', '') AS canon_url
+         |  FROM crawl)
+         |SELECT canon_url, min(doc_id)::BIGINT AS keeper,
+         |       count(*)::BIGINT AS n_variants
+         |FROM canon GROUP BY canon_url ORDER BY canon_url""".stripMargin
+    }) { (s, d) =>
+      val base = docs(s, d).select(col("doc_id"),
+        concat(lit("https://www."), col("source"), lit("-"),
+          (col("doc_id") % 7).cast("string"), lit(".example.com/doc/"),
+          col("doc_id").cast("string")).as("url"))
+      val alias = docs(s, d).filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 50000).as("doc_id"),
+          concat(lit("HTTP://"), upper(col("source")), lit("-"),
+            (col("doc_id") % 7).cast("string"), lit(".EXAMPLE.COM/doc/"),
+            col("doc_id").cast("string"),
+            lit("/?utm_source=feed&ref=rss#top")).as("url"))
+      val canon = base.unionByName(alias).select(col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(lower(col("url")), "^https?://", ""),
+          "^www\\.", ""), "#.*$", ""), "(utm_[a-z]+|ref)=[^&#]*&?", ""),
+          "[?&]+$", ""), "/+$", "").as("canon_url"))
+      canon.groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_variants"))
+        .orderBy(col("canon_url"))
     })
 }

@@ -1264,61 +1264,123 @@ object Text {
     // The oracle unrolls the same 5 rounds as CTE stages; both engines
     // scan replaced text left-to-right without rescanning replacements,
     // so "a a a" merges to "aa a" identically.
-    sql("bpe_train", {
-      def stage(i: Int): String =
-        s"""p$i AS (SELECT pr.lhs AS lhs, pr.rhs AS rhs, sum(freq)::BIGINT AS cnt
-           |       FROM (SELECT freq, unnest(list_transform(range(1, len(string_split(rep, ' '))),
-           |                    j -> struct_pack(lhs := string_split(rep, ' ')[j],
-           |                                     rhs := string_split(rep, ' ')[j + 1]))) AS pr
-           |             FROM r$i) s
-           |       GROUP BY 1, 2),
-           |m$i AS (SELECT lhs, rhs, cnt FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-           |r${i + 1} AS (SELECT token, freq,
-           |              trim(replace(' ' || rep || ' ', ' ' || m.lhs || ' ' || m.rhs || ' ',
-           |                           ' ' || m.lhs || m.rhs || ' ')) AS rep
-           |       FROM r$i, m$i m)""".stripMargin
-      s"""WITH w AS (SELECT token, count(*)::BIGINT AS freq
-         |           FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-         |           GROUP BY token),
-         |r0 AS (SELECT token, freq, trim(regexp_replace(token, '(.)', '\\1 ', 'g')) AS rep
-         |       FROM w),
-         |${(0 until 5).map(stage).mkString(",\n")}
-         |${(0 until 5).map(i => s"SELECT ${i + 1}::BIGINT AS rnk, lhs, rhs, cnt FROM m$i")
+    sql("bpe_train",
+      s"""WITH ${bpeOracleCtes(BpeRounds)}
+         |${(0 until BpeRounds)
+            .map(i => s"SELECT ${i + 1}::BIGINT AS rnk, lhs, rhs, cnt FROM m$i")
             .mkString("\n UNION ALL ")}
-         |ORDER BY rnk""".stripMargin
-    }) { (s, d) =>
-      val words = docs(s, d)
-        .select(explode(graft.ops.toks(col("text"))).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-      var reps = words.select(col("token"), col("freq"),
-        trim(regexp_replace(col("token"), "(.)", "$1 ")).as("rep"))
-        .localCheckpoint(true) // vocab-sized; truncates the per-round lineage
-      val merges = Seq.newBuilder[(Long, String, String, Long)]
-      for (i <- 1 to 5) {
-        val arr = split(col("rep"), " ")
-        // single-symbol reps have no pairs: sequence(1, 0) would count
-        // DOWN in Spark, so guard to an empty list (DuckDB's range is
-        // end-exclusive and already empty there)
-        val idx = when(size(arr) >= 2, sequence(lit(1), size(arr) - 1))
-          .otherwise(array().cast("array<int>"))
-        val top = reps.select(col("freq"), explode(
-            transform(idx, j => struct(element_at(arr, j).as("lhs"),
-              element_at(arr, j + 1).as("rhs")))).as("p"))
-          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
-          .limit(1).collect()(0)
-        val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
-        merges += ((i.toLong, l, r, c))
-        reps = reps.select(col("token"), col("freq"),
-          trim(call_function("replace",
-            concat(lit(" "), col("rep"), lit(" ")),
-            lit(s" $l $r "), lit(s" $l$r "))).as("rep"))
-          .localCheckpoint(true)
-      }
+         |ORDER BY rnk""".stripMargin) { (s, d) =>
       import s.implicits._
-      merges.result().toDF("rnk", "lhs", "rhs", "cnt")
-        .orderBy(col("rnk"))
+      bpeLearn(s, d)._1.toDF("rnk", "lhs", "rhs", "cnt").orderBy(col("rnk"))
+    },
+
+    // ---- BPE encoding (apply the trained merges) ------------------------
+    // The consumer half of bpe_train: encode the corpus with the learned
+    // merge table. Every distinct word already carries its final symbol
+    // sequence after the 5 training rounds — encoding the corpus is ONE
+    // broadcast-able join from exploded doc tokens to that vocab-sized
+    // mapping (the standard trained-tokenizer shape: the merge artifact
+    // is tiny, the corpus is the big side, and the encode pass is
+    // embarrassingly parallel). Output per doc: token count, post-merge
+    // subword count (the number a token-budget planner actually needs),
+    // and the first token's encoding as a visible witness that a real
+    // symbol sequence came back.
+    sql("bpe_apply",
+      s"""WITH ${bpeOracleCtes(BpeRounds)},
+         |tokd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |agg AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+         |               sum(len(string_split(r.rep, ' ')))::BIGINT AS n_subwords
+         |        FROM tokd t JOIN r$BpeRounds r ON t.token = r.token
+         |        GROUP BY t.doc_id),
+         |fst AS (SELECT doc_id, (string_split(text, ' '))[1] AS t0 FROM documents)
+         |SELECT a.doc_id, a.n_tokens, a.n_subwords, r.rep AS first_enc
+         |FROM agg a JOIN fst f ON a.doc_id = f.doc_id
+         |JOIN r$BpeRounds r ON f.t0 = r.token
+         |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      val reps = broadcast(bpeLearn(s, d)._2) // vocab-sized merge artifact
+      val enc = docs(s, d)
+        .select(col("doc_id"), explode(graft.ops.toks(col("text"))).as("token"))
+        .join(reps, "token")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(size(split(col("rep"), " "))).as("n_subwords"))
+      val first = docs(s, d)
+        .select(col("doc_id"), element_at(graft.ops.toks(col("text")), 1).as("token"))
+        .join(reps.select(col("token"), col("rep").as("first_enc")), "token")
+        .select(col("doc_id"), col("first_enc"))
+      enc.join(first, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_subwords"), col("first_enc"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  // ---- BPE learning (shared by bpe_train / bpe_apply) ------------------
+
+  /** Merge rounds trained/applied by the BPE operators. (A `def`, not a
+    * `val`: `defs` above initializes first and would read a val as 0.)
+    */
+  private def BpeRounds = 5
+
+  /** The oracle's CTE chain: w (word, freq) → r0 (char-split symbols) →
+    * per-round pair counts p_i, argmax m_i, rewritten vocab r_{i+1}.
+    */
+  private def bpeOracleCtes(rounds: Int): String = {
+    def stage(i: Int): String =
+      s"""p$i AS (SELECT pr.lhs AS lhs, pr.rhs AS rhs, sum(freq)::BIGINT AS cnt
+         |       FROM (SELECT freq, unnest(list_transform(range(1, len(string_split(rep, ' '))),
+         |                    j -> struct_pack(lhs := string_split(rep, ' ')[j],
+         |                                     rhs := string_split(rep, ' ')[j + 1]))) AS pr
+         |             FROM r$i) s
+         |       GROUP BY 1, 2),
+         |m$i AS (SELECT lhs, rhs, cnt FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |r${i + 1} AS (SELECT token, freq,
+         |              trim(replace(' ' || rep || ' ', ' ' || m.lhs || ' ' || m.rhs || ' ',
+         |                           ' ' || m.lhs || m.rhs || ' ')) AS rep
+         |       FROM r$i, m$i m)""".stripMargin
+    s"""w AS (SELECT token, count(*)::BIGINT AS freq
+       |           FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |           GROUP BY token),
+       |r0 AS (SELECT token, freq, trim(regexp_replace(token, '(.)', '\\1 ', 'g')) AS rep
+       |       FROM w),
+       |${(0 until rounds).map(stage).mkString(",\n")}""".stripMargin
+  }
+
+  /** Train `BpeRounds` merges; returns (merge rows, final token→rep map).
+    * Per-round cost is vocab-sized; the 1-row argmax is collected to
+    * bake the merge pair into the next round's plan (the contract-to-
+    * labels convergence-signature pattern, not a data collect).
+    */
+  private def bpeLearn(s: SparkSession, d: String)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    val words = docs(s, d)
+      .select(explode(graft.ops.toks(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    var reps = words.select(col("token"), col("freq"),
+      trim(regexp_replace(col("token"), "(.)", "$1 ")).as("rep"))
+      .localCheckpoint(true) // vocab-sized; truncates the per-round lineage
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (i <- 1 to BpeRounds) {
+      val arr = split(col("rep"), " ")
+      // single-symbol reps have no pairs: sequence(1, 0) would count
+      // DOWN in Spark, so guard to an empty list (DuckDB's range is
+      // end-exclusive and already empty there)
+      val idx = when(size(arr) >= 2, sequence(lit(1), size(arr) - 1))
+        .otherwise(array().cast("array<int>"))
+      val top = reps.select(col("freq"), explode(
+          transform(idx, j => struct(element_at(arr, j).as("lhs"),
+            element_at(arr, j + 1).as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()(0)
+      val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((i.toLong, l, r, c))
+      reps = reps.select(col("token"), col("freq"),
+        trim(call_function("replace",
+          concat(lit(" "), col("rep"), lit(" ")),
+          lit(s" $l $r "), lit(s" $l$r "))).as("rep"))
+        .localCheckpoint(true)
+    }
+    (merges.result(), reps.select(col("token"), col("rep")))
+  }
 }

@@ -263,4 +263,24 @@ class PipelineSpec extends SparkSpec {
     val removedTotal = rows.map(_._3).sum
     assert(removedTotal == rows.count(r => plantedSrcs(srcOf(r._1))))
   }
+
+  test("dedup_url: planted messy aliases collapse onto their base URL; nothing else merges") {
+    val rows = run("dedup_url").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    // one canonical group per page: every alias collapsed
+    assert(rows.length == nDocs)
+    rows.foreach { case (canon, keeper, n) =>
+      // canonical form carries no scheme, www, params, fragment, or
+      // trailing slash in ANY group (the regexp chain really applied)
+      assert(!canon.contains("://") && !canon.startsWith("www.")
+        && !canon.contains("?") && !canon.contains("#") && !canon.endsWith("/"),
+        s"uncanonical survivor: $canon")
+      assert(canon == canon.toLowerCase)
+      if (keeper % 10 == 0) assert(n == 2, s"alias of doc $keeper did not collapse")
+      else assert(n == 1, s"unexpected merge on $canon")
+      // the keeper is always the base doc (aliases live at +50000)
+      assert(keeper < 50000)
+    }
+  }
 }

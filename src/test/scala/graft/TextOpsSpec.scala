@@ -223,4 +223,29 @@ class TextOpsSpec extends SparkSpec {
     assert(first.getString(1) == bi.getString(0) && first.getString(2) == bi.getString(1)
       && first.getLong(3) == bi.getLong(2))
   }
+
+  test("bpe_apply: every doc encodes; merges compress below chars, never below tokens") {
+    val out = run("bpe_apply").cache()
+    val docs = Tables.documents(spark, sfDir)
+    assert(out.count() == docs.count())
+    // a token of L chars starts as L symbols; merges only shrink, and a
+    // symbol sequence is never shorter than one symbol per token
+    val bad = out.join(
+        docs.select(col("doc_id"),
+          expr("aggregate(transform(split(text, ' '), t -> length(t)), 0L, (a, x) -> a + x)")
+            .as("n_chars")),
+        "doc_id")
+      .filter(col("n_subwords") > col("n_chars") || col("n_subwords") < col("n_tokens"))
+    assert(bad.count() == 0)
+    // 5 corpus-wide merges must actually fire somewhere: strictly fewer
+    // subwords than characters overall
+    val sums = out.agg(sum(col("n_subwords")), sum(col("n_tokens"))).collect()(0)
+    val chars = docs.select(expr(
+      "aggregate(transform(split(text, ' '), t -> length(t)), 0L, (a, x) -> a + x)").as("c"))
+      .agg(sum(col("c"))).collect()(0).getLong(0)
+    assert(sums.getLong(0) < chars, "no merge fired")
+    // the witness column is a real symbol sequence: joining it back on
+    // the first token's final rep from the trained vocab cannot dangle
+    assert(out.filter(col("first_enc").isNull || length(col("first_enc")) === 0).count() == 0)
+  }
 }
