@@ -668,6 +668,31 @@ object Pipeline {
       applySurvivors(componentCorpus(docs(s, d)), labels)
     },
 
+    // ---- soft dedup (down-weight, don't drop) --------------------------
+    // The third way to consume the duplicate clusters (SoftDeDup, Niu
+    // et al. 2024): instead of deleting all but one member (dedup_apply)
+    // keep EVERY doc and scale its training weight by 1/cluster_size,
+    // so each distinct content contributes one unit of gradient mass
+    // regardless of how many copies the crawl found. Loses nothing a
+    // hard dedup's threshold call might regret, and the weight column
+    // composes with corpus_mix's temperature sampling downstream.
+    // Weights are exact micro-units (1e6 div size) — no float parity
+    // risk. Same shuffle shape as dedup_components plus one 2-column
+    // size aggregate; the weight itself is a map-side projection.
+    sql("dedup_soft",
+      s"""$componentsClosureCtes
+         |SELECT c.id AS doc_id, c.comp, n.comp_size,
+         |       (1000000 // n.comp_size)::BIGINT AS weight_micro
+         |FROM comp c JOIN sizes n ON c.comp = n.comp
+         |ORDER BY c.id""".stripMargin) { (s, d) =>
+      val (labels, _, _) = componentLabelsIndexed(s, d)
+      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comp_size"))
+      labels.join(sizes, Seq("lbl"))
+        .select(col("id").as("doc_id"), col("lbl").as("comp"), col("comp_size"),
+          expr("1000000 div comp_size").as("weight_micro"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- incremental cluster maintenance -------------------------------
     // Same output (and oracle: the full-corpus closure) as
     // dedup_components, computed the way continuous ingest has to:

@@ -74,6 +74,15 @@ object StreamingOps {
         |FROM events
         |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) { (s, d) =>
       EventStream.runHourly(s, d)
+    },
+
+    // streaming top-k: complete-mode counts + sort + limit INSIDE the
+    // streaming query — the stream's own emitted relation is the
+    // current top 10, not a batch post-pass over sunk state
+    sql("stream_topk_live",
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10""".stripMargin) { (s, d) =>
+      EventStream.runTopK(s, d)
     }
   )
 }

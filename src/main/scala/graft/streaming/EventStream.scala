@@ -351,4 +351,31 @@ object EventStream {
         round(col("total_raw"), 2).as("total"))
       .orderBy(col("hour"), col("event_type"))
   }
+
+  /** Streaming top-k: the complete-mode aggregation keeps per-user
+    * counts as state and the stream itself maintains the sorted,
+    * limited relation (sort + limit are legal in complete mode — the
+    * result table is fully re-emitted per trigger, so each trigger's
+    * memory-sink content IS the current top-k). k=10, ties broken by
+    * user_id so the contract is deterministic.
+    */
+  def runTopK(parent: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamSession(parent)
+    val sink = s"graft_stream_topk_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = source(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(10)
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(sink).select(col("user_id"), col("n"))
+      .orderBy(col("n").desc, col("user_id"))
+  }
 }

@@ -264,6 +264,34 @@ class PipelineSpec extends SparkSpec {
     assert(removedTotal == rows.count(r => plantedSrcs(srcOf(r._1))))
   }
 
+  test("dedup_soft: per-doc weight is exactly 1e6 div cluster size; gradient mass ~1 unit per cluster") {
+    val rows = run("dedup_soft").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (_, _, size, w) =>
+      assert(size >= 1)
+      assert(w == 1000000L / size)
+    }
+    // every base doc has at least its exact +10000 copy in-cluster (the
+    // truncated +20000 plant may miss the 0.8 Jaccard bar on 10-token
+    // docs), so every base doc's weight is genuinely scaled down
+    val sizeOf = rows.map(r => r._1 -> r._3).toMap
+    rows.filter(_._1 < 10000).foreach { case (id, _, size, _) =>
+      assert(size >= 2, s"base doc $id unclustered")
+      assert(sizeOf(id + 10000) == size, s"exact copy of $id in another cluster")
+    }
+    // docs sharing a cluster share a weight; cluster count is recovered
+    val byComp = rows.groupBy(_._2)
+    byComp.values.foreach { ds =>
+      assert(ds.map(_._4).distinct.length == 1)
+      assert(ds.map(_._3).head == ds.length) // stored size is the real size
+    }
+    // soft dedup's invariant: total weighted mass ≈ one unit per
+    // distinct content (floor loses < 1 micro-unit per member)
+    val mass = rows.map(_._4).sum
+    val n = byComp.size.toLong
+    assert(mass <= n * 1000000L && mass > n * 1000000L - rows.length)
+  }
+
   test("dedup_url: planted messy aliases collapse onto their base URL; nothing else merges") {
     val rows = run("dedup_url").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -26,6 +26,17 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming top-k: the stream's emitted relation is exactly the batch top-10") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.runTopK(spark, sfDir)
+    assert(streamed.count() == 10, "complete-mode sort+limit must emit exactly k rows")
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).limit(10)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("stream-static broadcast-dim join equals the batch enrichment") {
     import org.apache.spark.sql.functions._
     val streamed = EventStream.runEnrich(spark, sfDir)
