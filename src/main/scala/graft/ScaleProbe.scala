@@ -414,6 +414,28 @@ object ScaleProbe {
       report("consolidated")
     }
 
+    if (on("bpe")) {
+      // BPE training-cost split: the corpus-sized initial word count vs
+      // the vocab-sized per-round pair-count/argmax. scaledDocs keeps
+      // the TOKEN MULTISET of each replica identical (it only permutes
+      // order), so the vocabulary is invariant across factors while
+      // token instances grow by `factor` — exactly the regime where the
+      // fast-BPE claim ("rounds don't touch the corpus") is testable:
+      // count_secs should scale ~linearly, round_secs stay ~flat.
+      val docsBase = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      for (factor <- Seq(1, 8, 64).filter(_ <= maxFactor)) {
+        val dc = scaledDocs(docsBase, factor).repartition(cpus.toInt)
+        val t0 = System.nanoTime()
+        val reps = graft.ops.Text.bpeStartVocab(dc).localCheckpoint(true)
+        val vocab = reps.count()
+        val countSecs = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val (l, r, c) = graft.ops.Text.bpeTopPair(reps)
+        val roundSecs = (System.nanoTime() - t1) / 1e9
+        println(f"""{"shape":"bpe","factor":$factor,"vocab":$vocab,"count_secs":$countSecs%.2f,"round_secs":$roundSecs%.2f,"top":"$l+$r","cnt":$c}""")
+      }
+    }
+
     if (on("ann")) {
       val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
       for (factor <- Seq(1, 64)) {

@@ -1352,28 +1352,11 @@ object Text {
     */
   private def bpeLearn(s: SparkSession, d: String)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
-    val words = docs(s, d)
-      .select(explode(graft.ops.toks(col("text"))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-    var reps = words.select(col("token"), col("freq"),
-      trim(regexp_replace(col("token"), "(.)", "$1 ")).as("rep"))
+    var reps = bpeStartVocab(docs(s, d))
       .localCheckpoint(true) // vocab-sized; truncates the per-round lineage
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     for (i <- 1 to BpeRounds) {
-      val arr = split(col("rep"), " ")
-      // single-symbol reps have no pairs: sequence(1, 0) would count
-      // DOWN in Spark, so guard to an empty list (DuckDB's range is
-      // end-exclusive and already empty there)
-      val idx = when(size(arr) >= 2, sequence(lit(1), size(arr) - 1))
-        .otherwise(array().cast("array<int>"))
-      val top = reps.select(col("freq"), explode(
-          transform(idx, j => struct(element_at(arr, j).as("lhs"),
-            element_at(arr, j + 1).as("rhs")))).as("p"))
-        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-        .agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
-        .limit(1).collect()(0)
-      val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      val (l, r, c) = bpeTopPair(reps)
       merges += ((i.toLong, l, r, c))
       reps = reps.select(col("token"), col("freq"),
         trim(call_function("replace",
@@ -1383,4 +1366,34 @@ object Text {
     }
     (merges.result(), reps.select(col("token"), col("rep")))
   }
+
+  /** One training round's kernel: the frequency-weighted adjacent-pair
+    * count over a (token, freq, rep) vocab and its global argmax (ties
+    * lexicographic). Vocab-sized work regardless of corpus size — the
+    * claim ScaleProbe's `bpe` octave measures.
+    */
+  private[graft] def bpeTopPair(reps: DataFrame): (String, String, Long) = {
+    val arr = split(col("rep"), " ")
+    // single-symbol reps have no pairs: sequence(1, 0) would count
+    // DOWN in Spark, so guard to an empty list (DuckDB's range is
+    // end-exclusive and already empty there)
+    val idx = when(size(arr) >= 2, sequence(lit(1), size(arr) - 1))
+      .otherwise(array().cast("array<int>"))
+    val top = reps.select(col("freq"), explode(
+        transform(idx, j => struct(element_at(arr, j).as("lhs"),
+          element_at(arr, j + 1).as("rhs")))).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+      .limit(1).collect()(0)
+    (top.getString(0), top.getString(1), top.getLong(2))
+  }
+
+  /** Char-split starting vocab for BPE over an arbitrary corpus
+    * (shared with ScaleProbe). */
+  private[graft] def bpeStartVocab(corpus: DataFrame): DataFrame =
+    corpus.select(explode(graft.ops.toks(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .select(col("token"), col("freq"),
+        trim(regexp_replace(col("token"), "(.)", "$1 ")).as("rep"))
 }
