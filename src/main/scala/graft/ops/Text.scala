@@ -1240,6 +1240,85 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // ---- fuzzy decontamination (near-dup train-vs-eval) -----------------
+    // `decontaminate` flags exact 5-gram collisions; this is the
+    // complementary published method (Dodge et al. 2021's "documents
+    // too similar to the benchmark"): MinHash-banded candidate pairs
+    // between the TRAIN corpus and the (broadcast-small) EVAL set,
+    // Jaccard-verified, reporting each train doc's best-matching eval
+    // doc and the score in exact micro-units. Plants: every eval doc
+    // re-enters train as an exact copy (+50000, jac = 1e6) and a
+    // last-token truncation (+60000, jac < 1e6 but ≥ the 0.5 bar) —
+    // both must surface against their own eval twin. Scale shape: the
+    // eval side is 2% of the corpus and broadcast both times (bands +
+    // hs); the train side streams through one band join — never a
+    // train×eval gram blow-up, O(train) work per decontamination pass.
+    sql("decontaminate_fuzzy", {
+      val mixes = minhashMix.map { case (a, b) =>
+        s"list_min(list_transform(hs, h -> (h * $a + $b) % $minhashP))"
+      }.mkString("[", ",\n   ", "]")
+      val hsExpr = s"list_distinct(list_transform(${D.shingles}, x -> ${D.h32("x")}))"
+      s"""WITH eval_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+         |train_docs AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+         |  UNION ALL SELECT doc_id + 50000, text FROM eval_docs
+         |  UNION ALL SELECT doc_id + 60000,
+         |         array_to_string((${D.toks})[1:len(${D.toks})-1], ' ')
+         |  FROM eval_docs),
+         |ehs AS (SELECT doc_id, $hsExpr AS hs FROM eval_docs),
+         |ths AS (SELECT doc_id, $hsExpr AS hs FROM train_docs),
+         |eb AS (
+         |  SELECT s.doc_id, b,
+         |         sig[3*b+1]::VARCHAR || ',' || sig[3*b+2]::VARCHAR || ',' || sig[3*b+3]::VARCHAR AS bkey
+         |  FROM (SELECT doc_id, $mixes AS sig FROM ehs) s, range(0, 4) t(b)),
+         |tb AS (
+         |  SELECT s.doc_id, b,
+         |         sig[3*b+1]::VARCHAR || ',' || sig[3*b+2]::VARCHAR || ',' || sig[3*b+3]::VARCHAR AS bkey
+         |  FROM (SELECT doc_id, $mixes AS sig FROM ths) s, range(0, 4) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT t.doc_id AS tid, e.doc_id AS eid
+         |  FROM tb t JOIN eb e ON t.b = e.b AND t.bkey = e.bkey),
+         |jac AS (
+         |  SELECT c.tid, c.eid,
+         |         (len(list_intersect(th.hs, eh.hs)) * 1000000)
+         |           // len(list_distinct(list_concat(th.hs, eh.hs))) AS jac_micro
+         |  FROM cand c
+         |  JOIN ths th ON th.doc_id = c.tid
+         |  JOIN ehs eh ON eh.doc_id = c.eid)
+         |SELECT tid AS doc_id, eid AS eval_id, jac_micro::BIGINT AS jac_micro
+         |FROM (SELECT tid, eid, jac_micro,
+         |             row_number() OVER (PARTITION BY tid
+         |               ORDER BY jac_micro DESC, eid) AS rn
+         |      FROM jac WHERE jac_micro >= 500000) x
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val evalDocs = base.filter(col("doc_id") % 50 === 0)
+      val trainDocs = base.filter(col("doc_id") % 50 =!= 0)
+        .unionByName(evalDocs.select((col("doc_id") + 50000).as("doc_id"), col("text")))
+        .unionByName(evalDocs.select((col("doc_id") + 60000).as("doc_id"),
+          array_join(slice(tokens, lit(1), size(tokens) - 1), " ").as("text")))
+      val ehs = shingleHashes(evalDocs)
+      val ths = shingleHashes(trainDocs)
+      val eb = minhashBands(ehs).select(col("doc_id").as("eid"), col("b"), col("bkey"))
+      val cand = minhashBands(ths).select(col("doc_id").as("tid"), col("b"), col("bkey"))
+        .join(broadcast(eb), Seq("b", "bkey"))
+        .select(col("tid"), col("eid")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("tid")).orderBy(col("jac_micro").desc, col("eid"))
+      cand
+        .join(ths.select(col("doc_id").as("tid"), col("hs").as("ths")), "tid")
+        .join(broadcast(ehs.select(col("doc_id").as("eid"), col("hs").as("ehs"))), "eid")
+        .select(col("tid"), col("eid"),
+          expr("(size(array_intersect(ths, ehs)) * 1000000L) div size(array_union(ths, ehs))")
+            .as("jac_micro"))
+        .filter(col("jac_micro") >= 500000)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("tid").as("doc_id"), col("eid").as("eval_id"), col("jac_micro"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- BPE vocabulary induction (real merge training) -----------------
     // Sennrich et al. 2016: learn the first 5 byte-pair merges from the
     // corpus. Unlike token_bpe (which APPLIES a fixed chunking rule),

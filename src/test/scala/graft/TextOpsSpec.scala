@@ -197,6 +197,34 @@ class TextOpsSpec extends SparkSpec {
       Tables.documents(spark, sfDir).count() / 10)
   }
 
+  test("decontaminate_fuzzy: every planted leak surfaces; exact plants score 1e6, truncations >= 5e5") {
+    val out = run("decontaminate_fuzzy").cache()
+    val evalIds = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 50 === 0).select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (_, eid, jac) =>
+      assert(evalIds.contains(eid))
+      assert(jac >= 500000 && jac <= 1000000)
+    }
+    val byId = rows.map(r => r._1 -> r).toMap
+    evalIds.foreach { e =>
+      // the exact plant always reaches a FULL score; its argmax eval doc
+      // is the twin unless the fixture's organic near-dup pairs put an
+      // identically-shingled eval doc ahead (they don't — but docs 0/50
+      // ARE 0.95-similar, so the truncated plant's best match may
+      // legitimately be the twin's organic near-dup, not the twin)
+      val exact = byId(e + 50000)
+      assert(exact._3 == 1000000L, s"exact plant of $e: $exact")
+      // ≤, not <: with the fixture's repetitive vocab, the dropped last
+      // token's shingles can all recur earlier in the doc, leaving the
+      // DISTINCT shingle set — and so the Jaccard — exactly unchanged
+      val trunc = byId(e + 60000)
+      assert(trunc._3 >= 500000L && trunc._3 <= 1000000L, s"truncation score ${trunc._3}")
+    }
+    // fuzzy contamination is rare among genuine train docs too
+    assert(rows.count(_._1 < 50000) < Tables.documents(spark, sfDir).count() / 10)
+  }
+
   test("bpe_train: 5 ranked merges; round 1 is the argmax character bigram") {
     val out = run("bpe_train").cache()
     assert(out.count() == 5)
