@@ -431,6 +431,7 @@ object ScaleProbe {
         val countSecs = (System.nanoTime() - t0) / 1e9
         val t1 = System.nanoTime()
         val (l, r, c) = graft.ops.Text.bpeTopPair(reps)
+          .getOrElse(("", "", 0L)) // scaled fixture always has pairs
         val roundSecs = (System.nanoTime() - t1) / 1e9
         println(f"""{"shape":"bpe","factor":$factor,"vocab":$vocab,"count_secs":$countSecs%.2f,"round_secs":$roundSecs%.2f,"top":"$l+$r","cnt":$c}""")
       }

@@ -143,9 +143,19 @@ object Text {
 
   /** 4 bands × 3 signature slots as (doc_id, b, bkey) — the LSH
     * candidate-generation key.
+    *
+    * Docs with an EMPTY shingle set (< 3 tokens) are excluded: their
+    * signature slots are all null, which in SQL band joins (the
+    * oracles) never match — but Spark's `concat_ws` SKIPS nulls, so
+    * every such doc would land in one shared "" bucket and self-join
+    * quadratically (all candidates then fail the Jaccard verify:
+    * correct output, O(shorts²) wasted work — a real hot-bucket at
+    * web scale, where tiny docs are common). No shingles ⇒ not
+    * findable by this method ⇒ no band rows, matching the SQL-null
+    * semantics by construction.
     */
   private[graft] def minhashBands(hsDf: DataFrame): DataFrame =
-    minhashSig(hsDf).select(col("doc_id"),
+    minhashSig(hsDf.filter(size(col("hs")) > 0)).select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(3)), b =>
         concat_ws(",",
           element_at(col("sig"), b * 3 + 1),
@@ -1413,9 +1423,9 @@ object Text {
          |       GROUP BY 1, 2),
          |m$i AS (SELECT lhs, rhs, cnt FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
          |r${i + 1} AS (SELECT token, freq,
-         |              trim(replace(' ' || rep || ' ', ' ' || m.lhs || ' ' || m.rhs || ' ',
-         |                           ' ' || m.lhs || m.rhs || ' ')) AS rep
-         |       FROM r$i, m$i m)""".stripMargin
+         |              coalesce(trim(replace(' ' || rep || ' ', ' ' || m.lhs || ' ' || m.rhs || ' ',
+         |                           ' ' || m.lhs || m.rhs || ' ')), rep) AS rep
+         |       FROM r$i LEFT JOIN m$i m ON true)""".stripMargin
     s"""w AS (SELECT token, count(*)::BIGINT AS freq
        |           FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
        |           GROUP BY token),
@@ -1434,14 +1444,22 @@ object Text {
     var reps = bpeStartVocab(docs(s, d))
       .localCheckpoint(true) // vocab-sized; truncates the per-round lineage
     val merges = Seq.newBuilder[(Long, String, String, Long)]
-    for (i <- 1 to BpeRounds) {
-      val (l, r, c) = bpeTopPair(reps)
-      merges += ((i.toLong, l, r, c))
-      reps = reps.select(col("token"), col("freq"),
-        trim(call_function("replace",
-          concat(lit(" "), col("rep"), lit(" ")),
-          lit(s" $l $r "), lit(s" $l$r "))).as("rep"))
-        .localCheckpoint(true)
+    var exhausted = false
+    for (i <- 1 to BpeRounds if !exhausted) {
+      bpeTopPair(reps) match {
+        case None =>
+          // every rep is a single symbol — nothing left to merge; the
+          // oracle's empty m_i rounds emit no rows and leave the vocab
+          // unchanged (LEFT JOIN + coalesce), exactly this early stop
+          exhausted = true
+        case Some((l, r, c)) =>
+          merges += ((i.toLong, l, r, c))
+          reps = reps.select(col("token"), col("freq"),
+            trim(call_function("replace",
+              concat(lit(" "), col("rep"), lit(" ")),
+              lit(s" $l $r "), lit(s" $l$r "))).as("rep"))
+            .localCheckpoint(true)
+      }
     }
     (merges.result(), reps.select(col("token"), col("rep")))
   }
@@ -1451,21 +1469,21 @@ object Text {
     * lexicographic). Vocab-sized work regardless of corpus size — the
     * claim ScaleProbe's `bpe` octave measures.
     */
-  private[graft] def bpeTopPair(reps: DataFrame): (String, String, Long) = {
+  private[graft] def bpeTopPair(reps: DataFrame): Option[(String, String, Long)] = {
     val arr = split(col("rep"), " ")
     // single-symbol reps have no pairs: sequence(1, 0) would count
     // DOWN in Spark, so guard to an empty list (DuckDB's range is
     // end-exclusive and already empty there)
     val idx = when(size(arr) >= 2, sequence(lit(1), size(arr) - 1))
       .otherwise(array().cast("array<int>"))
-    val top = reps.select(col("freq"), explode(
+    reps.select(col("freq"), explode(
         transform(idx, j => struct(element_at(arr, j).as("lhs"),
           element_at(arr, j + 1).as("rhs")))).as("p"))
       .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
       .agg(sum(col("freq")).as("cnt"))
       .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
-      .limit(1).collect()(0)
-    (top.getString(0), top.getString(1), top.getLong(2))
+      .limit(1).collect().headOption // None: vocab has no adjacent pair left
+      .map(t => (t.getString(0), t.getString(1), t.getLong(2)))
   }
 
   /** Char-split starting vocab for BPE over an arbitrary corpus

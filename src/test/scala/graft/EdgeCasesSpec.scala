@@ -323,4 +323,39 @@ class EdgeCasesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.toSeq == again.toSeq)
   }
+
+  test("bpe_train/bpe_apply: a pair-less vocab stops early instead of crashing") {
+    // every token is a single character → round 1 has no adjacent pair
+    // anywhere; training must emit ZERO merges (the oracle's empty m_i
+    // rounds emit no rows) and encoding must fall back to the char
+    // vocab, one subword per token
+    val dir = stageDocs("bpechars",
+      Seq((0L, "s", "a b c a b"), (1L, "s", "c b a"), (2L, "s", "a a b")))
+    assert(SparkEntry.queries("bpe_train")(spark, dir).count() == 0)
+    val enc = SparkEntry.queries("bpe_apply")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(enc.length == 3)
+    enc.foreach { case (_, nTok, nSub, first) =>
+      assert(nSub == nTok, "unmerged single-char tokens encode 1:1")
+      assert(first.length == 1)
+    }
+  }
+
+  test("short-doc corpus (< 3 tokens each): no shingles, no band rows, no hot '' bucket") {
+    // every doc is under the 3-token shingle width → shingle sets are
+    // empty. The SQL-null band semantics (oracle side) never match;
+    // Spark must not fabricate a shared empty-string bucket that
+    // self-joins the whole corpus quadratically (the Jaccard verify
+    // would reject every pair, but at web scale the O(shorts²)
+    // candidate blow-up is the real failure). minhashBands drops
+    // empty-shingle docs; the dedup keys must come back empty+fast.
+    val dir = stageDocs("shorts", (0L until 40L).map(i => (i, "s", s"tok$i x")))
+    val near = SparkEntry.queries("dedup_near")(spark, dir)
+    assert(near.count() == 0)
+    // the band builder itself emits nothing for the staged corpus
+    val hs = graft.ops.Text.shingleHashes(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")))
+    assert(graft.ops.Text.minhashBands(hs).count() == 0)
+  }
 }
