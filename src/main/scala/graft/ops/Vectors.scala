@@ -944,6 +944,86 @@ object Vectors {
           pr6(aggregate(transform(sequence(lit(1), lit(16)), i => hexByte(i)),
             lit(0L), (acc, v) => acc + v).cast("double") / 16).as("brightness"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- approximate k-NN graph over IVF cells -------------------------
+    // The whole-corpus neighbor graph (EVERY vector's top-3 in-cell
+    // neighbors — sim_ivf restricted its probe side to 20 queries),
+    // plus the mutuality flag: an edge is `mutual` when each endpoint
+    // lists the other in ITS top-3. The mutual subgraph is the
+    // building block graph-based pipelines consume (SemDeDup-style
+    // cluster pruning, HNSW layer seeding, graph-diversity sampling);
+    // non-mutual edges mark hub vectors that many neighbors point at.
+    // Scale shape: candidate generation is bounded per IVF cell
+    // (sum of |cell|² total pairs, never corpus²), the top-3 cut is a
+    // per-vector window inside the cell join's shuffle, and the
+    // mutuality pass is a self-join of the (already top-k-sized,
+    // 3n-row) edge list on the reversed key — O(kn), not O(n²).
+    sql("knn_graph", {
+      val cids = ivfCentroidIds.mkString("(", ", ", ")")
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id IN $cids),
+         |asg AS (
+         |  SELECT vec_id, embedding, nrm, cid AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, ${D.norm("e.embedding")} AS nrm, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${D.dot("e.embedding", "e.embedding")}
+         |                      - 2 * ${D.dot("e.embedding", "c.ce")}
+         |                      + ${D.dot("c.ce", "c.ce")}, c.cid) AS rn
+         |    FROM embeddings e, cent c) t
+         |  WHERE rn = 1),
+         |p AS (
+         |  SELECT q.vec_id AS a_id, c.vec_id AS b_id,
+         |         ${D.dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM asg q JOIN asg c ON q.cell = c.cell
+         |  WHERE c.vec_id <> q.vec_id),
+         |t AS (
+         |  SELECT a_id, b_id, rnk, cos FROM (
+         |    SELECT a_id, b_id, cos,
+         |           row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rnk
+         |    FROM p) x
+         |  WHERE rnk <= 3)
+         |SELECT t.a_id, t.b_id, t.rnk,
+         |       floor(t.cos * 1000000 + 0.5) / 1000000 AS cosine,
+         |       (r.a_id IS NOT NULL) AS mutual
+         |FROM t LEFT JOIN t r ON r.a_id = t.b_id AND r.b_id = t.a_id
+         |ORDER BY t.a_id, t.rnk""".stripMargin
+    }) { (s, d) =>
+      val e = emb(s, d)
+      val cent = e.filter(col("vec_id").isin(ivfCentroidIds: _*))
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val d2 = dot(col("embedding"), col("embedding")) -
+        lit(2) * dot(col("embedding"), col("ce")) + dot(col("ce"), col("ce"))
+      val wAsg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+      val asg = maybeCache(e.join(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+          col("cid"), d2.as("d2"))
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell")))
+      val a = asg.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+        col("nrm").as("an"), col("cell"))
+      val b = asg.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+        col("nrm").as("bn"), col("cell").as("bcell"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
+      val t = maybeCache(
+        a.join(b, col("cell") === col("bcell") && col("b_id") =!= col("a_id"))
+          .select(col("a_id"), col("b_id"),
+            (dot(col("ae"), col("be")) / (col("an") * col("bn"))).as("cos"))
+          .withColumn("rnk", row_number().over(wTop).cast("bigint"))
+          .filter(col("rnk") <= 3)
+          .select(col("a_id"), col("b_id"), col("rnk"), col("cos")))
+      // mutuality: one self-join of the 3n-row edge list on the
+      // reversed (a, b) key
+      val rev = t.select(col("a_id").as("r_a"), col("b_id").as("r_b"))
+      t.join(rev, col("r_a") === col("b_id") && col("r_b") === col("a_id"), "left")
+        .select(col("a_id"), col("b_id"), col("rnk"),
+          pr6(col("cos")).as("cosine"),
+          col("r_a").isNotNull.as("mutual"))
+        .orderBy(col("a_id"), col("rnk"))
     }
   )
 }

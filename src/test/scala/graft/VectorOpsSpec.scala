@@ -206,6 +206,26 @@ class VectorOpsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("knn_graph: dense per-node ranks, correct mutuality flags, bounded cosine") {
+    val edges = run("knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(edges.nonEmpty)
+    // ranks are a dense 1..k (k ≤ 3) prefix per source node
+    edges.groupBy(_._1).foreach { case (a, es) =>
+      assert(es.map(_._3).sorted.sameElements(1L to es.length), s"node $a ranks")
+      assert(es.length <= 3)
+    }
+    // the mutual flag is EXACTLY "reverse edge exists in the top-k set"
+    val set = edges.map(e => (e._1, e._2)).toSet
+    edges.foreach { case (a, b, _, cos, m) =>
+      assert(m == set.contains((b, a)), s"mutual($a,$b) flag wrong")
+      assert(cos >= -1.0000001 && cos <= 1.0000001)
+    }
+    // mutuality is symmetric where both directions survive the cut
+    val mutuals = edges.filter(_._5).map(e => (e._1, e._2)).toSet
+    mutuals.foreach { case (a, b) => assert(mutuals.contains((b, a))) }
+  }
+
   test("ANN keys are cache-independent: spark.graft.ann.cache=false gives identical output") {
     // at 100 TB caching the bucketed corpus is a no-op-or-OOM choice;
     // the plan must be correct uncached (it then recomputes only the
