@@ -1024,6 +1024,107 @@ object Vectors {
           pr6(col("cos")).as("cosine"),
           col("r_a").isNotNull.as("mutual"))
         .orderBy(col("a_id"), col("rnk"))
+    },
+
+    // ---- exact media dedup (binary-payload fingerprinting) -------------
+    // The multimodal twin of dedup_exact: fingerprint the OPAQUE binary
+    // payload (no decode needed — crawls dedup images/audio by content
+    // hash before any pixel work) and keep one owner per distinct blob.
+    // The fingerprint is computed from the payload BYTES (md5 over the
+    // hex encoding — DuckDB's md5 is VARCHAR-only, and hex() is
+    // uppercase in both engines), not from the text the fixture derives
+    // them from; planted re-uploads (+10000) collapse onto their
+    // original. One map-side projection + one groupBy on the
+    // fingerprint — the same partial-agg single-shuffle shape as
+    // dedup_exact, payload bytes never shuffled (only the 32-char fp).
+    sql("dedup_media",
+      """WITH media AS (
+        |  SELECT doc_id, unhex(md5(text)) AS payload FROM documents
+        |  UNION ALL SELECT doc_id + 10000, unhex(md5(text)) FROM documents),
+        |fp AS (SELECT doc_id, md5(hex(payload)) AS media_fp,
+        |              octet_length(payload) AS byte_len FROM media)
+        |SELECT media_fp, min(doc_id)::BIGINT AS keeper,
+        |       count(*)::BIGINT AS n_copies, min(byte_len)::BIGINT AS byte_len
+        |FROM fp GROUP BY media_fp ORDER BY keeper""".stripMargin) { (s, d) =>
+      val base = docs(s, d).select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
+      val media = base.unionByName(
+        base.select((col("doc_id") + 10000).as("doc_id"), col("payload")))
+      media
+        .select(col("doc_id"), md5(hex(col("payload"))).as("media_fp"),
+          length(col("payload")).cast("bigint").as("byte_len"))
+        .groupBy(col("media_fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"),
+          min(col("byte_len")).as("byte_len"))
+        .orderBy(col("keeper"))
+    },
+
+    // ---- perceptual near-dup media pairs (multi-index hamming) ---------
+    // Exact fingerprints miss re-encoded media; production pipelines
+    // (pHash/PDQ-style) compare short perceptual hashes under a small
+    // hamming radius. Here the 16-bit phash is the high-bit pattern of
+    // the 16 payload bytes (a deterministic stand-in for DCT-sign bits
+    // — the container has no codecs; the SEARCH machinery is the
+    // point), and the radius-1 search uses the standard multi-index
+    // trick: split the hash into two 8-bit blocks — any pair within
+    // hamming 1 agrees EXACTLY on at least one block (pigeonhole), so
+    // two block-keyed self-joins generate all candidates with bounded
+    // bucket sizes (≈ n/256 per block key), never an all-pairs scan.
+    // Each planted +30000 re-encode perturbs ONE byte's high bit →
+    // hamming exactly 1 from its original; organic radius-1 pairs in
+    // the 16-bit space surface too (both engines agree bit-for-bit).
+    sql("multimodal_phash", {
+      def phashOf(h: String) =
+        s"""list_sum(list_transform(range(0, 16), i ->
+           |  CASE WHEN ('0x' || substr($h, 2*i + 1, 2))::BIGINT >= 128
+           |       THEN (1::BIGINT << i) ELSE 0 END))::BIGINT""".stripMargin
+      s"""WITH media AS (
+         |  SELECT doc_id, md5(text) AS h FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 30000,
+         |         substr(md5(text), 1, 30) ||
+         |           printf('%02x', (('0x' || substr(md5(text), 31, 2))::BIGINT + 128) % 256)
+         |  FROM documents),
+         |ph AS (SELECT doc_id, ${phashOf("h")} AS phash FROM media),
+         |blocks AS (
+         |  SELECT doc_id, phash, phash % 256 AS lo, phash // 256 AS hi FROM ph),
+         |cand AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.phash AS pa, b.phash AS pb
+         |  FROM blocks a JOIN blocks b ON a.lo = b.lo AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id, a.phash, b.phash
+         |  FROM blocks a JOIN blocks b ON a.hi = b.hi AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, bit_count(xor(pa, pb))::BIGINT AS hamming
+         |FROM cand WHERE bit_count(xor(pa, pb)) <= 1
+         |ORDER BY a_id, b_id""".stripMargin
+    }) { (s, d) =>
+      val base = docs(s, d).select(col("doc_id"), md5(col("text")).as("h"))
+      // re-encode plant: the last byte's high bit flips (+128 mod 256)
+      val reenc = base.select((col("doc_id") + 30000).as("doc_id"),
+        concat(substring(col("h"), 1, 30),
+          lpad(lower(conv(
+            ((conv(substring(col("h"), 31, 2), 16, 10).cast("long") + 128) % 256)
+              .cast("string"), 10, 16)), 2, "0")).as("h"))
+      val phash = aggregate(
+        transform(sequence(lit(0), lit(15)), i =>
+          when(conv(col("h").substr(i * 2 + 1, lit(2)), 16, 10)
+              .cast("long") >= 128,
+            // 2^i exact in doubles for i ≤ 15; shiftleft only takes Int
+            pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+        lit(0L), (acc, v) => acc + v)
+      val blocks = base.unionByName(reenc)
+        .select(col("doc_id"), phash.as("phash"))
+        .select(col("doc_id"), col("phash"),
+          (col("phash") % 256).as("lo"), expr("phash div 256").as("hi"))
+      def half(key: String) = blocks.as("a")
+        .join(blocks.as("b"),
+          col(s"a.$key") === col(s"b.$key") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.phash").as("pa"), col("b.phash").as("pb"))
+      half("lo").union(half("hi")).distinct()
+        .withColumn("hamming", bit_count(expr("pa ^ pb")).cast("bigint"))
+        .filter(col("hamming") <= 1)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy(col("a_id"), col("b_id"))
     }
   )
 }

@@ -226,6 +226,36 @@ class VectorOpsSpec extends SparkSpec {
     mutuals.foreach { case (a, b) => assert(mutuals.contains((b, a))) }
   }
 
+  test("dedup_media: every payload group holds its planted re-upload; keeper is the original") {
+    val rows = run("dedup_media").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, keeper, n, len) =>
+      assert(keeper < 10000, "keeper must be a base doc, never a +10000 re-upload")
+      assert(n >= 2 && n % 2 == 0, s"each distinct payload carries its plant (got $n)")
+      assert(len == 16)
+    }
+    // group count = distinct payloads = distinct texts (md5 is injective here)
+    val texts = Tables.documents(spark, sfDir).select(col("text")).distinct().count()
+    assert(rows.length.toLong == texts)
+  }
+
+  test("multimodal_phash: every planted re-encode pairs at hamming 1; radius bound holds") {
+    val pairs = run("multimodal_phash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ids = Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val set = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    ids.foreach { id =>
+      assert(set.get((id, id + 30000)).contains(1L),
+        s"planted re-encode of $id missing or not at hamming 1")
+    }
+    pairs.foreach { case (a, b, h) =>
+      assert(a < b, "pairs are canonical (a < b)")
+      assert(h >= 0 && h <= 1, s"radius exceeded: $h")
+    }
+  }
+
   test("ANN keys are cache-independent: spark.graft.ann.cache=false gives identical output") {
     // at 100 TB caching the bucketed corpus is a no-op-or-OOM choice;
     // the plan must be correct uncached (it then recomputes only the
