@@ -693,6 +693,117 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // ---- duplication-adjusted temperature mixing -----------------------
+    // corpus_mix's rates treat every token as distinct content — a
+    // source whose crawl double-counts its pages gets double the
+    // mixture share. This key composes the soft-dedup weights with the
+    // SAME tokens^(-1/2) temperature formula, but over EFFECTIVE token
+    // mass: each doc contributes tokens·(1e6 div cluster_size)
+    // micro-tokens, so duplicated content counts once per distinct
+    // text no matter how many copies exist (the cluster closure here
+    // runs on the RAW corpus — no planted triples — so most docs weigh
+    // 1.0 and the fixture's organic duplicate pairs weigh down).
+    // Shapes: clustering as in dedup_components; the weight join is
+    // the one corpus-sized extra join; everything after is the
+    // broadcast-scalar corpus_mix topology unchanged.
+    sql("mix_weighted", {
+      val shingles =
+        s"list_distinct(list_transform(range(1, len(${D.toks}) - 1), " +
+          s"i -> array_to_string((${D.toks})[i:i+2], ' ')))"
+      val hsExpr = s"list_distinct(list_transform($shingles, x -> ${D.h32("x")}))"
+      val mixes = Text.minhashMix.map { case (a, b) =>
+        s"list_min(list_transform(hs, h -> (h * $a + $b) % ${Text.minhashP}))"
+      }.mkString("[", ",\n   ", "]")
+      s"""WITH RECURSIVE rhs AS (SELECT doc_id, $hsExpr AS hs FROM documents),
+         |rbands AS (
+         |  SELECT s.doc_id, b,
+         |         sig[3*b+1]::VARCHAR || ',' || sig[3*b+2]::VARCHAR || ',' || sig[3*b+3]::VARCHAR AS bkey
+         |  FROM (SELECT doc_id, $mixes AS sig FROM rhs) s, range(0, 4) t(b)),
+         |rnear AS (
+         |  SELECT x, y FROM (
+         |    SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+         |    FROM rbands a JOIN rbands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id) p
+         |  JOIN rhs ha ON ha.doc_id = p.x JOIN rhs hb ON hb.doc_id = p.y
+         |  WHERE len(list_intersect(ha.hs, hb.hs))::DOUBLE
+         |        / len(list_distinct(list_concat(ha.hs, hb.hs))) >= 0.8),
+         |rexact AS (
+         |  SELECT c.doc_id AS x, r.rep AS y
+         |  FROM documents c
+         |  JOIN (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text) r
+         |    ON c.text = r.text
+         |  WHERE c.doc_id <> r.rep),
+         |redges AS (
+         |  SELECT x AS src, y AS dst FROM rnear UNION SELECT y, x FROM rnear
+         |  UNION SELECT x, y FROM rexact UNION SELECT y, x FROM rexact),
+         |rreach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.dst, rr.r FROM rreach rr JOIN redges e ON e.src = rr.id),
+         |rcomp AS (SELECT id, min(r) AS comp FROM rreach GROUP BY id),
+         |rsizes AS (SELECT comp, count(*) AS comp_size FROM rcomp GROUP BY comp),
+         |wts AS (
+         |  SELECT c.id AS doc_id, (1000000 // n.comp_size)::BIGINT AS weight_micro
+         |  FROM rcomp c JOIN rsizes n ON c.comp = n.comp),
+         |per_src AS (
+         |  SELECT d.source, count(*) AS n_docs,
+         |         CAST(sum(len(${D.toks})) AS BIGINT) AS src_tokens,
+         |         CAST(sum(len(${D.toks}) * w.weight_micro) AS BIGINT) AS eff_micro
+         |  FROM documents d JOIN wts w ON d.doc_id = w.doc_id GROUP BY d.source),
+         |eff AS (
+         |  SELECT source, n_docs, src_tokens, eff_micro // 1000000 AS eff_tokens,
+         |         CAST(floor(sqrt(CAST(eff_micro // 1000000 AS BIGINT)) * 1000 + 0.5) AS BIGINT) AS w_milli
+         |  FROM per_src),
+         |pd AS (
+         |  SELECT source, n_docs, src_tokens, eff_tokens,
+         |         CAST(floor(1000000.0 * w_milli / eff_tokens + 0.5) AS BIGINT) AS pd_micro
+         |  FROM eff),
+         |tot AS (SELECT CAST(sum(n_docs * pd_micro) AS BIGINT) AS w_total FROM pd),
+         |rates AS (
+         |  SELECT source, n_docs, src_tokens, eff_tokens,
+         |         CAST(least(1000000,
+         |           (1000000 * $MixTarget * pd_micro + w_total // 2) // w_total) AS BIGINT) AS rate_micro
+         |  FROM pd, tot),
+         |picked AS (
+         |  SELECT d.source, count(*) AS n_sampled
+         |  FROM documents d JOIN rates r ON d.source = r.source
+         |  WHERE ${D.h32s("'wmix'", "CAST(d.doc_id AS VARCHAR)")} % 1000000 < r.rate_micro
+         |  GROUP BY d.source)
+         |SELECT r.source, r.n_docs, r.src_tokens, r.eff_tokens, r.rate_micro,
+         |       coalesce(p.n_sampled, 0) AS n_sampled
+         |FROM rates r LEFT JOIN picked p ON r.source = p.source
+         |ORDER BY r.source""".stripMargin
+    }) { (s, d) =>
+      val base = docs(s, d)
+      val (labels, _, _) = componentLabels(base.select(col("doc_id"), col("text")))
+      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comp_size"))
+      val wts = labels.join(sizes, Seq("lbl"))
+        .select(col("id").as("doc_id"), expr("1000000 div comp_size").as("weight_micro"))
+      val perSrc = base.join(wts, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens)).cast("bigint").as("src_tokens"),
+          sum(size(tokens).cast("bigint") * col("weight_micro")).as("eff_micro"))
+        .withColumn("eff_tokens", expr("eff_micro div 1000000"))
+        .withColumn("w_milli", floor(sqrt(col("eff_tokens")) * 1000 + 0.5).cast("bigint"))
+        .withColumn("pd_micro",
+          floor(lit(1000000.0) * col("w_milli") / col("eff_tokens") + 0.5).cast("bigint"))
+      val tot = perSrc.agg(sum(col("n_docs") * col("pd_micro")).as("w_total"))
+      val rates = perSrc.crossJoin(broadcast(tot))
+        .withColumn("rate_micro",
+          least(lit(1000000L),
+            expr(s"(1000000L * $MixTarget * pd_micro + w_total div 2) div w_total")))
+        .select(col("source"), col("n_docs"), col("src_tokens"),
+          col("eff_tokens"), col("rate_micro"))
+      val picked = base
+        .join(broadcast(rates.select(col("source"), col("rate_micro"))), Seq("source"))
+        .filter(h32Seeded(lit("wmix"), col("doc_id")) % 1000000 < col("rate_micro"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+      rates.join(picked, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("src_tokens"), col("eff_tokens"),
+          col("rate_micro"), coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy(col("source"))
+    },
+
     // ---- incremental cluster maintenance -------------------------------
     // Same output (and oracle: the full-corpus closure) as
     // dedup_components, computed the way continuous ingest has to:

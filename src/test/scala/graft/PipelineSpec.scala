@@ -292,6 +292,29 @@ class PipelineSpec extends SparkSpec {
     assert(mass <= n * 1000000L && mass > n * 1000000L - rows.length)
   }
 
+  test("mix_weighted: effective mass never exceeds raw, duplicates discount it, budget holds") {
+    val rows = run("mix_weighted").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length == 20) // one row per source
+    rows.foreach { case (_, _, raw, eff, rate, _) =>
+      assert(eff <= raw, "soft weights are ≤ 1: effective mass cannot exceed raw")
+      assert(eff > 0 && rate > 0 && rate <= 1000000L)
+    }
+    // the corpus's organic duplicate pairs must discount SOME source
+    assert(rows.exists { case (_, _, raw, eff, _, _) => eff < raw },
+      "no source discounted — the weight join is a no-op")
+    // expected sample size stays on the MixTarget budget (rates are
+    // constructed so Σ n_docs·rate/1e6 ≈ 200; sampling is Bernoulli)
+    val expected = rows.map { case (_, n, _, _, rate, _) => n * rate }.sum / 1e6
+    assert(math.abs(expected - 200.0) <= 2.0, s"rate budget drifted: $expected")
+    val sampled = rows.map(_._6).sum.toDouble
+    assert(math.abs(sampled - expected) <= 4 * math.sqrt(expected))
+    // deterministic: the seeded-hash pick is a pure function
+    val again = run("mix_weighted").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(again.toSeq == rows.toSeq)
+  }
+
   test("dedup_url: planted messy aliases collapse onto their base URL; nothing else merges") {
     val rows = run("dedup_url").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
