@@ -615,6 +615,22 @@ object Pipeline {
   /** Max docs retained per domain (rank by doc_id). */
   private val DomainCap = 2
 
+  // ---- dedup_url canonicalizer -----------------------------------------
+
+  /** URL canonical form (dedup_url): lowercase → strip scheme → strip
+    * www. → strip #fragment → strip utm_* / ref params → strip dangling
+    * ?/& → strip trailing slash. RE2-and-Java-safe patterns, identical
+    * text in the oracle SQL. Idempotent (property-tested): a canonical
+    * URL contains none of the stripped material, so a second pass is a
+    * no-op — which is what lets incremental crawls canonicalize new
+    * URLs against an already-canonical frontier without re-processing.
+    */
+  private[graft] def canonicalizeUrl(url: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(lower(url), "^https?://", ""),
+      "^www\\.", ""), "#.*$", ""), "(utm_[a-z]+|ref)=[^&#]*&?", ""),
+      "[?&]+$", ""), "/+$", "")
+
   // ---- dedup_lines literals --------------------------------------------
 
   /** 10-token boilerplate line planted at the head of every doc from
@@ -1321,11 +1337,8 @@ object Pipeline {
             (col("doc_id") % 7).cast("string"), lit(".EXAMPLE.COM/doc/"),
             col("doc_id").cast("string"),
             lit("/?utm_source=feed&ref=rss#top")).as("url"))
-      val canon = base.unionByName(alias).select(col("doc_id"),
-        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          regexp_replace(lower(col("url")), "^https?://", ""),
-          "^www\\.", ""), "#.*$", ""), "(utm_[a-z]+|ref)=[^&#]*&?", ""),
-          "[?&]+$", ""), "/+$", "").as("canon_url"))
+      val canon = base.unionByName(alias)
+        .select(col("doc_id"), canonicalizeUrl(col("url")).as("canon_url"))
       canon.groupBy(col("canon_url"))
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_variants"))
         .orderBy(col("canon_url"))

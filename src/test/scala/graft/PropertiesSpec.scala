@@ -127,4 +127,56 @@ class PropertiesSpec extends SparkSpec {
         s"n=$n edges=${edges.take(8)}... contraction disagrees with union-find")
     }
   }
+
+  test("URL canonicalization is idempotent and strips all tracked material, any messy URL") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val urlGen = for {
+      scheme <- Gen.oneOf("http://", "https://", "HTTP://", "HTTPS://", "")
+      www <- Gen.oneOf("www.", "WWW.", "")
+      host <- Gen.oneOf("Example.COM", "sub.site.org", "a-b.net")
+      path <- Gen.listOfN(2, Gen.oneOf("Docs", "x", "p9")).map(_.mkString("/", "/", ""))
+      slash <- Gen.oneOf("", "/", "//")
+      params <- Gen.oneOf("", "?utm_source=a", "?utm_campaign=X&ref=rss",
+        "?ref=a&utm_medium=b&", "?keep=1&utm_source=a")
+      frag <- Gen.oneOf("", "#top", "#Sec-2")
+    } yield s"$scheme$www$host$path$slash$params$frag"
+    val urls = samples(urlGen, 60).distinct
+    val df = urls.toDF("url")
+      .select(col("url"), graft.ops.Pipeline.canonicalizeUrl(col("url")).as("c1"))
+      .select(col("url"), col("c1"), graft.ops.Pipeline.canonicalizeUrl(col("c1")).as("c2"))
+    df.collect().foreach { r =>
+      val (url, c1, c2) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(c1 == c2, s"not idempotent: $url -> $c1 -> $c2")
+      assert(!c1.contains("://") && !c1.startsWith("www.") && !c1.contains("#")
+        && !c1.endsWith("/") && !c1.contains("utm_") && c1 == c1.toLowerCase, s"$url -> $c1")
+      // non-tracking params survive (the chain strips trackers, not content)
+      if (url.contains("keep=1")) assert(c1.contains("keep=1"), s"$url -> $c1")
+    }
+  }
+
+  test("phash multi-index is complete at radius 1: any close pair shares a block (pigeonhole)") {
+    // pure arithmetic property of the search design in
+    // multimodal_phash: 16-bit hashes within hamming distance 1 MUST
+    // agree exactly on the low or the high 8-bit block, so the two
+    // block-keyed self-joins generate every qualifying pair
+    val pair = for {
+      x <- Gen.choose(0, 65535)
+      flip <- Gen.oneOf(-1 +: (0 until 16)) // -1 = identical pair
+    } yield (x, if (flip < 0) x else x ^ (1 << flip))
+    samples(pair, 200).foreach { case (x, y) =>
+      val hamming = Integer.bitCount(x ^ y)
+      assert(hamming <= 1)
+      assert((x % 256 == y % 256) || (x / 256 == y / 256),
+        f"close pair $x%04x/$y%04x shares no block — the candidate join would miss it")
+    }
+    // and the converse direction stays honest: a pair differing in BOTH
+    // blocks is at hamming ≥ 2, so missing it is correct
+    val far = for { x <- Gen.choose(0, 65535); a <- Gen.choose(0, 7); b <- Gen.choose(8, 15) }
+      yield (x, x ^ (1 << a) ^ (1 << b))
+    samples(far, 100).foreach { case (x, y) =>
+      assert(Integer.bitCount(x ^ y) >= 2)
+      assert(x % 256 != y % 256 && x / 256 != y / 256)
+    }
+  }
 }
