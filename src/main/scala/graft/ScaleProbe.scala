@@ -437,6 +437,51 @@ object ScaleProbe {
       }
     }
 
+    if (on("decontam")) {
+      // Fuzzy-decontamination scaling: the claim (PLANS.md) is O(train)
+      // per pass with the eval side broadcast both times. Hold the eval
+      // set FIXED (the base corpus's %50 slice) and grow only the train
+      // side by replication octaves — cost should scale ~linearly with
+      // the train factor, and the candidate count with the planted-leak
+      // count, never train².
+      import graft.ops.Text
+      val docsBase = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      val evalDocs = docsBase.filter(col("doc_id") % 50 === 0)
+      val ehs = Text.shingleHashes(evalDocs).cache()
+      val eb = Text.minhashBands(ehs)
+        .select(col("doc_id").as("eid"), col("b"), col("bkey")).cache()
+      ehs.count(); eb.count()
+      for (factor <- Seq(1, 8, 64).filter(_ <= maxFactor)) {
+        // plain replication (id offset, text unchanged) — exactly what a
+        // crawl's duplication looks like, and each replica of an
+        // eval-adjacent doc must hit, so hits scale with the factor.
+        // Materialize BEFORE t0: the timed section is the decontam pass
+        // (shingle+MinHash the train side, band join, Jaccard verify),
+        // not corpus construction.
+        val train = docsBase.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0), lit(factor - 1))).as("r"))
+          .select((col("doc_id") * factor + col("r")).as("doc_id"), col("text"))
+          .repartition(cpus.toInt).cache()
+        train.count()
+        val t0 = System.nanoTime()
+        val ths = Text.shingleHashes(train)
+        val cand = Text.minhashBands(ths)
+          .select(col("doc_id").as("tid"), col("b"), col("bkey"))
+          .join(broadcast(eb), Seq("b", "bkey"))
+          .select(col("tid"), col("eid")).distinct()
+        val hits = cand
+          .join(ths.select(col("doc_id").as("tid"), col("hs").as("ths")), "tid")
+          .join(broadcast(ehs.select(col("doc_id").as("eid"), col("hs").as("ehs"))), "eid")
+          .filter(expr("(size(array_intersect(ths, ehs)) * 1000000L)" +
+            " div size(array_union(ths, ehs))") >= 500000)
+          .count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"""{"shape":"decontam","train_factor":$factor,"hits":$hits,"secs":$secs%.2f}""")
+        train.unpersist()
+      }
+    }
+
     if (on("ann")) {
       val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
       for (factor <- Seq(1, 64)) {
