@@ -448,16 +448,14 @@ object ScaleProbe {
       val docsBase = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
       val evalDocs = docsBase.filter(col("doc_id") % 50 === 0)
       val ehs = Text.shingleHashes(evalDocs).cache()
-      val eb = Text.minhashBands(ehs)
-        .select(col("doc_id").as("eid"), col("b"), col("bkey")).cache()
-      ehs.count(); eb.count()
+      ehs.count()
       for (factor <- Seq(1, 8, 64).filter(_ <= maxFactor)) {
         // plain replication (id offset, text unchanged) — exactly what a
         // crawl's duplication looks like, and each replica of an
         // eval-adjacent doc must hit, so hits scale with the factor.
         // Materialize BEFORE t0: the timed section is the decontam pass
-        // (shingle+MinHash the train side, band join, Jaccard verify),
-        // not corpus construction.
+        // — Text.fuzzyPairs, the SAME code path the operator runs, with
+        // the train hs cached so shingling+MinHashing is paid once.
         val train = docsBase.filter(col("doc_id") % 50 =!= 0)
           .select(col("doc_id"), col("text"),
             explode(sequence(lit(0), lit(factor - 1))).as("r"))
@@ -465,20 +463,13 @@ object ScaleProbe {
           .repartition(cpus.toInt).cache()
         train.count()
         val t0 = System.nanoTime()
-        val ths = Text.shingleHashes(train)
-        val cand = Text.minhashBands(ths)
-          .select(col("doc_id").as("tid"), col("b"), col("bkey"))
-          .join(broadcast(eb), Seq("b", "bkey"))
-          .select(col("tid"), col("eid")).distinct()
-        val hits = cand
-          .join(ths.select(col("doc_id").as("tid"), col("hs").as("ths")), "tid")
-          .join(broadcast(ehs.select(col("doc_id").as("eid"), col("hs").as("ehs"))), "eid")
-          .filter(expr("(size(array_intersect(ths, ehs)) * 1000000L)" +
-            " div size(array_union(ths, ehs))") >= 500000)
+        val ths = Text.shingleHashes(train).cache()
+        val hits = Text.fuzzyPairs(ths, ehs)
+          .filter(col("jac_micro") >= 500000)
           .count()
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"""{"shape":"decontam","train_factor":$factor,"hits":$hits,"secs":$secs%.2f}""")
-        train.unpersist()
+        ths.unpersist(); train.unpersist()
       }
     }
 

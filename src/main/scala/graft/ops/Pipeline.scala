@@ -404,12 +404,16 @@ object Pipeline {
         .unionByName(newCorpus.select(col("doc_id"))), half)
   }
 
-  /** Shared DuckDB closure for `dedup_components` AND `dedup_apply`:
-    * planted corpus → MinHash/banded + exact edges → recursive reach →
-    * per-doc component (min root) + per-component size. Both oracles
-    * append only a final SELECT, so they can never drift apart.
+  /** Shared DuckDB closure for the duplicate-cluster keys
+    * (`dedup_components`, `dedup_apply`, `dedup_soft`, `mix_weighted`):
+    * corpus → MinHash/banded + exact edges → recursive reach → per-doc
+    * component (min root) + per-component size. Parameterized by the
+    * corpus SQL so every consumer shares ONE copy of the closure
+    * (shingle width, band count, 0.8 Jaccard bar, signature mixes) —
+    * a threshold change cannot pass one key's parity gate while
+    * silently diverging another's.
     */
-  private val componentsClosureCtes: String = {
+  private def componentsClosure(corpusSql: String): String = {
     val mixes = Text.minhashMix.map { case (a, b) =>
       s"list_min(list_transform(hs, h -> (h * $a + $b) % ${Text.minhashP}))"
     }.mkString("[", ",\n   ", "]")
@@ -418,11 +422,7 @@ object Pipeline {
         s"i -> array_to_string((${D.toks})[i:i+2], ' ')))"
     val hsExpr = s"list_distinct(list_transform($shingles, x -> ${D.h32("x")}))"
     s"""WITH RECURSIVE corpus AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL SELECT doc_id + 10000, text FROM documents
-       |  UNION ALL SELECT doc_id + 20000,
-       |         array_to_string((${D.toks})[1:len(${D.toks})-1], ' ')
-       |  FROM documents),
+       |  $corpusSql),
        |hs AS (SELECT doc_id, $hsExpr AS hs FROM corpus),
        |bands AS (
        |  SELECT s.doc_id, b,
@@ -455,6 +455,14 @@ object Pipeline {
        |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
        |sizes AS (SELECT comp, count(*) AS comp_size FROM comp GROUP BY comp)""".stripMargin
   }
+
+  /** The planted-triple corpus variant consumed by the dedup_* keys. */
+  private val componentsClosureCtes: String = componentsClosure(
+    s"""SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 10000, text FROM documents
+       |  UNION ALL SELECT doc_id + 20000,
+       |         array_to_string((${D.toks})[1:len(${D.toks})-1], ' ')
+       |  FROM documents""".stripMargin)
 
   private val componentsOracle: String =
     s"""$componentsClosureCtes
@@ -618,18 +626,28 @@ object Pipeline {
   // ---- dedup_url canonicalizer -----------------------------------------
 
   /** URL canonical form (dedup_url): lowercase → strip scheme → strip
-    * www. → strip #fragment → strip utm_* / ref params → strip dangling
-    * ?/& → strip trailing slash. RE2-and-Java-safe patterns, identical
+    * www. → strip #fragment → strip utm_* / ref params → strip the
+    * dangling ?/&/slash tail. RE2-and-Java-safe patterns, identical
     * text in the oracle SQL. Idempotent (property-tested): a canonical
     * URL contains none of the stripped material, so a second pass is a
     * no-op — which is what lets incremental crawls canonicalize new
     * URLs against an already-canonical frontier without re-processing.
+    *
+    * Two subtleties (both were review findings, both property-pinned):
+    * the tracker match is anchored to a param boundary — a RUN of
+    * consecutive tracking params after one [?&] collapses to that
+    * delimiter, and a second isolated run re-matches on its own
+    * delimiter — so `href=`/`xref=` (and `referrer=`) never lose their
+    * `ref` substring; and the tail strip treats ?, & and / as ONE
+    * trailing class, because stripping them in separate ordered passes
+    * is not idempotent (`p?/` → `p?` → `p` across two passes).
     */
+  private[graft] val UrlTrackerPattern = "([?&])((utm_[a-z]+|ref)=[^&#]*&?)+"
   private[graft] def canonicalizeUrl(url: Column): Column =
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(lower(url), "^https?://", ""),
-      "^www\\.", ""), "#.*$", ""), "(utm_[a-z]+|ref)=[^&#]*&?", ""),
-      "[?&]+$", ""), "/+$", "")
+      lower(url), "^https?://", ""),
+      "^www\\.", ""), "#.*$", ""), UrlTrackerPattern, "$1"),
+      "[?&/]+$", "")
 
   // ---- dedup_lines literals --------------------------------------------
 
@@ -723,43 +741,10 @@ object Pipeline {
     // the one corpus-sized extra join; everything after is the
     // broadcast-scalar corpus_mix topology unchanged.
     sql("mix_weighted", {
-      val shingles =
-        s"list_distinct(list_transform(range(1, len(${D.toks}) - 1), " +
-          s"i -> array_to_string((${D.toks})[i:i+2], ' ')))"
-      val hsExpr = s"list_distinct(list_transform($shingles, x -> ${D.h32("x")}))"
-      val mixes = Text.minhashMix.map { case (a, b) =>
-        s"list_min(list_transform(hs, h -> (h * $a + $b) % ${Text.minhashP}))"
-      }.mkString("[", ",\n   ", "]")
-      s"""WITH RECURSIVE rhs AS (SELECT doc_id, $hsExpr AS hs FROM documents),
-         |rbands AS (
-         |  SELECT s.doc_id, b,
-         |         sig[3*b+1]::VARCHAR || ',' || sig[3*b+2]::VARCHAR || ',' || sig[3*b+3]::VARCHAR AS bkey
-         |  FROM (SELECT doc_id, $mixes AS sig FROM rhs) s, range(0, 4) t(b)),
-         |rnear AS (
-         |  SELECT x, y FROM (
-         |    SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
-         |    FROM rbands a JOIN rbands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id) p
-         |  JOIN rhs ha ON ha.doc_id = p.x JOIN rhs hb ON hb.doc_id = p.y
-         |  WHERE len(list_intersect(ha.hs, hb.hs))::DOUBLE
-         |        / len(list_distinct(list_concat(ha.hs, hb.hs))) >= 0.8),
-         |rexact AS (
-         |  SELECT c.doc_id AS x, r.rep AS y
-         |  FROM documents c
-         |  JOIN (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text) r
-         |    ON c.text = r.text
-         |  WHERE c.doc_id <> r.rep),
-         |redges AS (
-         |  SELECT x AS src, y AS dst FROM rnear UNION SELECT y, x FROM rnear
-         |  UNION SELECT x, y FROM rexact UNION SELECT y, x FROM rexact),
-         |rreach AS (
-         |  SELECT doc_id AS id, doc_id AS r FROM documents
-         |  UNION
-         |  SELECT e.dst, rr.r FROM rreach rr JOIN redges e ON e.src = rr.id),
-         |rcomp AS (SELECT id, min(r) AS comp FROM rreach GROUP BY id),
-         |rsizes AS (SELECT comp, count(*) AS comp_size FROM rcomp GROUP BY comp),
+      s"""${componentsClosure("SELECT doc_id, text FROM documents")},
          |wts AS (
          |  SELECT c.id AS doc_id, (1000000 // n.comp_size)::BIGINT AS weight_micro
-         |  FROM rcomp c JOIN rsizes n ON c.comp = n.comp),
+         |  FROM comp c JOIN sizes n ON c.comp = n.comp),
          |per_src AS (
          |  SELECT d.source, count(*) AS n_docs,
          |         CAST(sum(len(${D.toks})) AS BIGINT) AS src_tokens,
@@ -794,6 +779,9 @@ object Pipeline {
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comp_size"))
       val wts = labels.join(sizes, Seq("lbl"))
         .select(col("id").as("doc_id"), expr("1000000 div comp_size").as("weight_micro"))
+      // cache the 20-row aggregate: it embeds the clustering + two
+      // corpus-sized joins, and the final plan otherwise re-evaluates
+      // it in the tot / rates / picked branches
       val perSrc = base.join(wts, "doc_id")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -803,6 +791,7 @@ object Pipeline {
         .withColumn("w_milli", floor(sqrt(col("eff_tokens")) * 1000 + 0.5).cast("bigint"))
         .withColumn("pd_micro",
           floor(lit(1000000.0) * col("w_milli") / col("eff_tokens") + 0.5).cast("bigint"))
+        .cache()
       val tot = perSrc.agg(sum(col("n_docs") * col("pd_micro")).as("w_total"))
       val rates = perSrc.crossJoin(broadcast(tot))
         .withColumn("rate_micro",
@@ -1319,9 +1308,9 @@ object Pipeline {
          |canon AS (
          |  SELECT doc_id,
          |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         |      regexp_replace(lower(url), '^https?://', ''),
-         |      '^www\\.', ''), '#.*$$', ''), '(utm_[a-z]+|ref)=[^&#]*&?', '', 'g'),
-         |      '[?&]+$$', ''), '/+$$', '') AS canon_url
+         |      lower(url), '^https?://', ''),
+         |      '^www\\.', ''), '#.*$$', ''), '$UrlTrackerPattern', '\\1', 'g'),
+         |      '[?&/]+$$', '') AS canon_url
          |  FROM crawl)
          |SELECT canon_url, min(doc_id)::BIGINT AS keeper,
          |       count(*)::BIGINT AS n_variants

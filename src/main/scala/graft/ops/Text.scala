@@ -1308,20 +1308,13 @@ object Text {
         .unionByName(evalDocs.select((col("doc_id") + 50000).as("doc_id"), col("text")))
         .unionByName(evalDocs.select((col("doc_id") + 60000).as("doc_id"),
           array_join(slice(tokens, lit(1), size(tokens) - 1), " ").as("text")))
-      val ehs = shingleHashes(evalDocs)
-      val ths = shingleHashes(trainDocs)
-      val eb = minhashBands(ehs).select(col("doc_id").as("eid"), col("b"), col("bkey"))
-      val cand = minhashBands(ths).select(col("doc_id").as("tid"), col("b"), col("bkey"))
-        .join(broadcast(eb), Seq("b", "bkey"))
-        .select(col("tid"), col("eid")).distinct()
+      // both halves are read twice (band candidates + Jaccard verify):
+      // cache so train-side shingling+MinHashing runs once per pass
+      val ehs = shingleHashes(evalDocs).cache()
+      val ths = shingleHashes(trainDocs).cache()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("tid")).orderBy(col("jac_micro").desc, col("eid"))
-      cand
-        .join(ths.select(col("doc_id").as("tid"), col("hs").as("ths")), "tid")
-        .join(broadcast(ehs.select(col("doc_id").as("eid"), col("hs").as("ehs"))), "eid")
-        .select(col("tid"), col("eid"),
-          expr("(size(array_intersect(ths, ehs)) * 1000000L) div size(array_union(ths, ehs))")
-            .as("jac_micro"))
+      fuzzyPairs(ths, ehs)
         .filter(col("jac_micro") >= 500000)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -1484,6 +1477,27 @@ object Text {
       .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
       .limit(1).collect().headOption // None: vocab has no adjacent pair left
       .map(t => (t.getString(0), t.getString(1), t.getLong(2)))
+  }
+
+  /** Banded MinHash candidates between a train corpus and a
+    * (broadcast-small) eval corpus with the exact micro-unit Jaccard
+    * attached: (tid, eid, jac_micro), unfiltered. ONE copy of the
+    * fuzzy-decontamination pipeline, shared by `decontaminate_fuzzy`
+    * and ScaleProbe's decontam octave — the probe measures the
+    * operator's actual code path, and a banding/Jaccard change cannot
+    * desynchronize them. Callers cache ths/ehs (both are read twice:
+    * band candidates + verify join).
+    */
+  private[graft] def fuzzyPairs(ths: DataFrame, ehs: DataFrame): DataFrame = {
+    val eb = minhashBands(ehs).select(col("doc_id").as("eid"), col("b"), col("bkey"))
+    minhashBands(ths).select(col("doc_id").as("tid"), col("b"), col("bkey"))
+      .join(broadcast(eb), Seq("b", "bkey"))
+      .select(col("tid"), col("eid")).distinct()
+      .join(ths.select(col("doc_id").as("tid"), col("hs").as("ths")), "tid")
+      .join(broadcast(ehs.select(col("doc_id").as("eid"), col("hs").as("ehs"))), "eid")
+      .select(col("tid"), col("eid"),
+        expr("(size(array_intersect(ths, ehs)) * 1000000L) div size(array_union(ths, ehs))")
+          .as("jac_micro"))
   }
 
   /** Char-split starting vocab for BPE over an arbitrary corpus

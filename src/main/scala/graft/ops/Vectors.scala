@@ -1111,10 +1111,12 @@ object Vectors {
             // 2^i exact in doubles for i ≤ 15; shiftleft only takes Int
             pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
         lit(0L), (acc, v) => acc + v)
-      val blocks = base.unionByName(reenc)
+      // both sides of BOTH block self-joins read this: cache, or the
+      // md5 + 16-way hex-conv phash projection recomputes four times
+      val blocks = maybeCache(base.unionByName(reenc)
         .select(col("doc_id"), phash.as("phash"))
         .select(col("doc_id"), col("phash"),
-          (col("phash") % 256).as("lo"), expr("phash div 256").as("hi"))
+          (col("phash") % 256).as("lo"), expr("phash div 256").as("hi")))
       def half(key: String) = blocks.as("a")
         .join(blocks.as("b"),
           col(s"a.$key") === col(s"b.$key") && col("a.doc_id") < col("b.doc_id"))

@@ -138,10 +138,17 @@ class PropertiesSpec extends SparkSpec {
       path <- Gen.listOfN(2, Gen.oneOf("Docs", "x", "p9")).map(_.mkString("/", "/", ""))
       slash <- Gen.oneOf("", "/", "//")
       params <- Gen.oneOf("", "?utm_source=a", "?utm_campaign=X&ref=rss",
-        "?ref=a&utm_medium=b&", "?keep=1&utm_source=a")
+        "?ref=a&utm_medium=b&", "?keep=1&utm_source=a",
+        // review-finding adversaries: params CONTAINING the tracker
+        // names, trackers sandwiching content params, tails where the
+        // ?/&/slash strips interact
+        "?href=page1", "?referrer=x&ref=y", "?utm_source=a&keep=1&ref=b",
+        "?a=1&utm_x=2&b=3", "?", "?/")
       frag <- Gen.oneOf("", "#top", "#Sec-2")
     } yield s"$scheme$www$host$path$slash$params$frag"
-    val urls = samples(urlGen, 60).distinct
+    val urls = (samples(urlGen, 80) ++ Seq(
+      "a.com/p?href=page1", "a.com/p?href=page2", "a.com/p?/", "a.com/p/?",
+      "a.com/p?utm_source=a&keep=1&ref=b", "a.com/p?referrer=x")).distinct
     val df = urls.toDF("url")
       .select(col("url"), graft.ops.Pipeline.canonicalizeUrl(col("url")).as("c1"))
       .select(col("url"), col("c1"), graft.ops.Pipeline.canonicalizeUrl(col("c1")).as("c2"))
@@ -150,8 +157,12 @@ class PropertiesSpec extends SparkSpec {
       assert(c1 == c2, s"not idempotent: $url -> $c1 -> $c2")
       assert(!c1.contains("://") && !c1.startsWith("www.") && !c1.contains("#")
         && !c1.endsWith("/") && !c1.contains("utm_") && c1 == c1.toLowerCase, s"$url -> $c1")
-      // non-tracking params survive (the chain strips trackers, not content)
-      if (url.contains("keep=1")) assert(c1.contains("keep=1"), s"$url -> $c1")
+      // non-tracking params survive INTACT — including ones whose NAME
+      // merely contains a tracker name (href=, referrer=): the tracker
+      // match is anchored to a [?&] boundary
+      for (p <- Seq("keep=1", "href=page1", "href=page2", "referrer=x", "a=1", "b=3"))
+        if (url.toLowerCase.contains(p)) assert(c1.contains(p), s"$url -> $c1 lost $p")
+      assert(!c1.contains("ref=rss") && !c1.matches(".*[?&]ref=.*"), s"$url -> $c1")
     }
   }
 
