@@ -83,6 +83,16 @@ object StreamingOps {
       """SELECT user_id, count(*) AS n FROM events
         |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10""".stripMargin) { (s, d) =>
       EventStream.runTopK(s, d)
+    },
+
+    // streaming media-ingest dedup via dropDuplicatesWithinWatermark —
+    // the state-BOUNDED dedup API (per-key state ≈ rate × delay), the
+    // right variant when the key space grows with the crawl forever;
+    // the deterministic contract is the deduplicated fingerprint set
+    sql("stream_media_dedup",
+      """SELECT DISTINCT md5(hex(unhex(md5(text)))) AS media_fp
+        |FROM documents ORDER BY media_fp""".stripMargin) { (s, d) =>
+      graft.streaming.MediaStream.runDedup(s, d)
     }
   )
 }

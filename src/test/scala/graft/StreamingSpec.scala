@@ -37,6 +37,19 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming media dedup (dropDuplicatesWithinWatermark) emits exactly the distinct fingerprint set") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.MediaStream.runDedup(spark, sfDir)
+    val batch = Tables.documents(spark, sfDir)
+      .select(md5(hex(unhex(md5(col("text"))))).as("media_fp"))
+      .distinct().orderBy(col("media_fp"))
+    // every planted re-upload (+10000 shares its base payload) dropped:
+    // the stream's key set is exactly the batch distinct set
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("stream-static broadcast-dim join equals the batch enrichment") {
     import org.apache.spark.sql.functions._
     val streamed = EventStream.runEnrich(spark, sfDir)
