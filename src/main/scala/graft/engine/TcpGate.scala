@@ -213,15 +213,34 @@ final class TcpGate(val engine: Engine, port: Int = 0,
   private val recompressPool = java.util.concurrent.Executors.newSingleThreadExecutor(
     (r: Runnable) => { val t = new Thread(r, "graft-gate-recompress"); t.setDaemon(true); t })
 
+  // Results whose encoded size exceeded cacheMaxBytes at their stamp:
+  // they can never install, so cold GETs must not re-queue the doomed
+  // re-execution per request (review finding — previously an
+  // over-bound table triggered a full re-execute + encode on EVERY
+  // GET forever). Pruned of dead stamps whenever a new key is added.
+  private val recompressSkip =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, (Long, Long))]()
+
+  /** Abort signal for an encode that crossed cacheMaxBytes mid-pass. */
+  private final class RecompressOverBound extends RuntimeException
+
   private def recompress(key: (String, (Long, Long)), df: DataFrame,
       schemaJson: String): Unit = {
+    if (recompressSkip.contains(key)) return
     recompressPool.submit(new Runnable {
       def run(): Unit = try {
         if (engine.mutationStamp != key._2) return // stale before we started
+        if (cacheGet(key).isDefined) return // an earlier pass already installed it
         val spark = engine.serveSession
         val frames = Vector.newBuilder[Array[Byte]]
         var bytes = 0L
-        def add(b: Array[Byte]): Unit = { frames += b; bytes += b.length }
+        // bound enforced INCREMENTALLY: an entry that cannot fit must
+        // not accumulate multi-GB of frames in driver memory before a
+        // final size check discards them
+        def add(b: Array[Byte]): Unit = {
+          frames += b; bytes += b.length
+          if (bytes > cacheMaxBytes) throw new RecompressOverBound
+        }
         add(GraftBridge.arrowStreamHeader(spark, df.schema))
         if (cacheCodec != "none")
           GraftBridge.arrowBatchesPipelinedCompressed(df, cacheCodec)(add)
@@ -232,7 +251,13 @@ final class TcpGate(val engine: Engine, port: Int = 0,
         // re-executed bytes may not match what stamp-keyed readers saw
         if (engine.mutationStamp == key._2 && bytes <= cacheMaxBytes)
           cachePut(key, CachedResult(schemaJson, frames.result(), bytes))
-      } catch { case _: Exception => () } // best-effort: raw entry stays valid
+      } catch {
+        case _: RecompressOverBound =>
+          recompressSkip.removeIf(_._2 != key._2) // drop dead-stamp keys
+          recompressSkip.add(key)
+          ()
+        case _: Exception => () // best-effort: raw serving stays valid
+      }
     })
     ()
   }

@@ -498,14 +498,17 @@ object Vectors {
         .select(col("vec_id").as("cid"), col("qe").as("ce"))
       def d2(a: Column, b: Column): Column =
         dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
-      // E-step vs seeds: 8-candidate expand, map-side partial min
-      val asg0 = base.join(broadcast(cent0))
+      // E-step vs seeds: 8-candidate expand, map-side partial min.
+      // Cached: both the M-step's broadcast side and the re-assignment's
+      // probe side read it — uncached, the corpus-sized expand+aggregate
+      // would run twice (review finding)
+      val asg0 = maybeCache(base.join(broadcast(cent0))
         .groupBy(col("vec_id"))
         .agg(min(struct(d2(col("qe"), col("ce")).as("d2"), col("cid"))).as("best"),
           first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"),
           first(col("qe")).as("qe"))
         .select(col("vec_id"), col("embedding"), col("nrm"), col("qe"),
-          col("best.cid").as("cell"))
+          col("best.cid").as("cell")))
       // M-step: exact elementwise mean of the quantized members
       val refined = asg0.groupBy(col("cell"))
         .agg(VectorMean.centroid(col("qe").cast("array<float>")).as("rce"))

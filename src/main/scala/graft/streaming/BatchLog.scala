@@ -100,37 +100,39 @@ object BatchLog {
     else f.listStatus(p).map(_.getPath.getName).toSet
   }
 
+  /** Parse one non-empty marker's `half key` supersession lines. */
+  private def parseMarker(f: FileSystem, st: org.apache.hadoop.fs.FileStatus)
+      : Seq[(String, String)] =
+    if (st.getLen == 0) Seq.empty
+    else {
+      val in = f.open(st.getPath)
+      val bytes = new Array[Byte](st.getLen.toInt)
+      try in.readFully(bytes) finally in.close()
+      new String(bytes, "UTF-8").split("\n").toSeq
+        .map(_.trim).filter(_.nonEmpty).flatMap { line =>
+          line.split(" ", 2) match {
+            case Array(half, key) => Some(half -> key)
+            case _ => None
+          }
+        }
+    }
+
   /** (half → superseded keys) across every committed marker. */
   private def superseded(spark: SparkSession, idxDir: String): Map[String, Set[String]] = {
     val f = fs(spark, idxDir)
     val p = new Path(s"$idxDir/_commits")
     if (!f.exists(p)) Map.empty
-    else f.listStatus(p).flatMap { st =>
-      if (st.getLen == 0) Seq.empty
-      else {
-        val in = f.open(st.getPath)
-        val bytes = new Array[Byte](st.getLen.toInt)
-        try in.readFully(bytes) finally in.close()
-        new String(bytes, "UTF-8").split("\n").toSeq
-          .map(_.trim).filter(_.nonEmpty).flatMap { line =>
-            line.split(" ", 2) match {
-              case Array(half, key) => Some(half -> key)
-              case _ => None
-            }
-          }
-      }
-    }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    else f.listStatus(p).flatMap(parseMarker(f, _))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
   }
 
   /** Write one half's rows for one batch: OVERWRITE into the batch's
     * own subdirectory, so a crash-retry replaces its partial files.
+    * (Flat layout — no caller sub-partitions below the batch dir; the
+    * bands half keeps `b` as an ordinary column.)
     */
-  def write(df: DataFrame, halfDir: String, key: String,
-      partitionCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(s"$halfDir/batch=$key")
-  }
+  def write(df: DataFrame, halfDir: String, key: String): Unit =
+    df.write.mode("overwrite").parquet(s"$halfDir/batch=$key")
 
   /** The live batch keys of one half: committed, minus pairs a later
     * consolidation/compaction marker superseded.
@@ -156,17 +158,56 @@ object BatchLog {
     }
   }
 
-  /** Next free generation key (`g0`, `g1`, …): one past the highest
-    * committed generation, so a crash-retry of an uncommitted
-    * consolidation reuses (and overwrites) the same name.
+  /** Next free generation key (`<prefix>0`, `<prefix>1`, …): one past
+    * the highest COMMITTED generation of that prefix, so a crash-retry
+    * of an uncommitted operation reuses (and overwrites) the same name.
+    *
+    * Each rewriting operation MUST use its own prefix (compaction `g`,
+    * consolidation `c` — review finding): generations are committed
+    * globally, so if a consolidation crashed after writing
+    * `hs/batch=g0` but before its marker, a compaction that also picks
+    * `g0` for edges would commit the key and make the crashed
+    * operation's PARTIAL hs directory visible as committed data.
+    * Distinct prefixes make an uncommitted generation reachable only by
+    * a retry of the SAME operation, which overwrites it. Ingest window
+    * keys (`<8 hex>-<n>`) always contain '-', so they can never collide
+    * with either prefix.
     */
-  def nextGenKey(spark: SparkSession, idxDir: String): String = {
+  def nextGenKey(spark: SparkSession, idxDir: String, prefix: String = "g"): String = {
     val n = committed(spark, idxDir)
-      .collect { case k if k.startsWith("g") && k.drop(1).forall(_.isDigit) =>
-        k.drop(1).toLong }
+      .collect { case k if k.startsWith(prefix) &&
+          k.length > prefix.length && k.drop(prefix.length).forall(_.isDigit) =>
+        k.drop(prefix.length).toLong }
       .foldLeft(-1L)(math.max) + 1
-    s"g$n"
+    s"$prefix$n"
   }
+
+  /** Whether `key` names a rewrite generation (vs an ingest window). */
+  private def isGenKey(key: String): Boolean =
+    key.matches("[cg][0-9]+")
+
+  /** Prune a SUPERSEDED generation's marker, first re-running that
+    * generation's own cleanup (deleting every directory its body lists
+    * — idempotent repair of a crashed cleanup, without which removing
+    * the marker could resurrect leftover directories). Without pruning,
+    * every read re-opens every historical consolidation/compaction
+    * marker — O(rewrites) GETs per read on an object store (review
+    * finding). Ingest window markers are NOT pruned: they are zero-byte
+    * (reads list but never open them) and they back the ingest path's
+    * re-delivery skip.
+    */
+  def pruneGenMarker(spark: SparkSession, idxDir: String, key: String): Unit =
+    if (isGenKey(key)) {
+      val f = fs(spark, idxDir)
+      val p = new Path(s"$idxDir/_commits/$key")
+      if (f.exists(p)) {
+        parseMarker(f, f.getFileStatus(p)).foreach { case (half, k) =>
+          deleteBatchDir(spark, idxDir, half, k)
+        }
+        f.delete(p, false)
+        ()
+      }
+    }
 
   /** Consolidate every live batch directory of the given halves into
     * ONE generation directory each, committed atomically by a single
@@ -188,7 +229,7 @@ object BatchLog {
         .count(batchDirExists(spark, idxDir, half, _)) >= 2
     }
     if (worth.isEmpty) return
-    val gen = nextGenKey(spark, idxDir)
+    val gen = nextGenKey(spark, idxDir, "c") // own namespace, see nextGenKey
     val old: Map[String, Set[String]] = worth.map { case (half, schema) =>
       val keys = liveKeys(spark, idxDir, half)
         .filter(batchDirExists(spark, idxDir, half, _))
@@ -199,13 +240,14 @@ object BatchLog {
     worth.foreach { case (half, _) =>
       old(half).foreach(deleteBatchDir(spark, idxDir, half, _))
     }
+    // superseded rewrite generations: repair their cleanup, drop markers
+    old.values.flatten.toSet[String].foreach(pruneGenMarker(spark, idxDir, _))
   }
 
   /** One half's committed rows. Each batch directory is passed as its
     * own root, so the `batch=` segment is part of the base path — never
-    * inferred as a partition column — while partition layouts BELOW it
-    * (the bands' `b=` dirs) resolve normally against the explicit
-    * schema. Empty-but-typed when nothing is committed yet.
+    * inferred as a partition column. Empty-but-typed when nothing is
+    * committed yet.
     */
   def read(spark: SparkSession, idxDir: String, half: String,
       schema: StructType): DataFrame = {

@@ -250,6 +250,8 @@ object ClusterStream {
     BatchLog.write(stars, s"$idxDir/edges", gen)
     BatchLog.commitSuperseding(spark, idxDir, gen, Map("edges" -> old))
     old.foreach(BatchLog.deleteBatchDir(spark, idxDir, "edges", _))
+    // superseded prior generations: repair their cleanup, drop markers
+    old.foreach(BatchLog.pruneGenMarker(spark, idxDir, _))
     val rows = BatchLog.read(spark, idxDir, "edges", edgeSchema).count()
     (lab, rows)
   }

@@ -108,12 +108,20 @@ class ExactlyOnceSpec extends graft.SparkSpec {
     assert(dirs("hs").size == 3) // seed + 2 batches
 
     // crash window 1: a partial generation dir without its marker is
-    // invisible — stage one by writing under the NEXT gen key directly
+    // invisible — stage one under consolidation's OWN next key, the
+    // real crashed-consolidation shape
     BatchLog.write(base.limit(5).select(col("doc_id"),
         org.apache.spark.sql.functions.array().cast("array<bigint>").as("hs")),
-      s"$idx/hs", BatchLog.nextGenKey(spark, idx))
+      s"$idx/hs", BatchLog.nextGenKey(spark, idx, "c"))
     assert(rows("hs", hsSchema) == before("hs"),
       "uncommitted generation leaked into reads")
+
+    // cross-operation isolation (review finding): edge compaction
+    // commits its OWN generation namespace (g*), which must not make
+    // the crashed consolidation's partial hs/batch=c0 visible
+    ClusterStream.compactIndex(spark, idx)
+    assert(rows("hs", hsSchema) == before("hs"),
+      "a compaction commit resurrected a crashed consolidation's partial dir")
 
     // real consolidation (the retry overwrites the staged partial)
     ClusterStream.consolidateIndex(spark, idx)
@@ -150,6 +158,20 @@ class ExactlyOnceSpec extends graft.SparkSpec {
       val m = "\\[(\\d+),(\\d+)\\]".r.findFirstMatchIn(r)
       m.exists(g => g.group(1) != g.group(2))
     }))
+
+    // rewrite-marker pruning (review finding): after repeated
+    // compactions only the LATEST generation marker of each namespace
+    // survives — reads never re-open a history of superseded markers
+    ClusterStream.compactIndex(spark, idx)
+    val genMarkers = BatchLog.committed(spark, idx)
+      .filter(_.matches("[cg][0-9]+")).toSeq.sorted
+    assert(genMarkers.count(_.startsWith("g")) == 1,
+      s"superseded compaction markers not pruned: $genMarkers")
+    assert(genMarkers.count(_.startsWith("c")) <= 1,
+      s"superseded consolidation markers not pruned: $genMarkers")
+    // and labels are still intact after the prune
+    assert(ClusterStream.labels(spark, idx)._1
+      .collect().map(_.toString).sorted.toSeq == labBefore)
   }
 
   test("DedupStream: kill-mid-append + retry leaves every half byte-identical to a crash-free run") {
