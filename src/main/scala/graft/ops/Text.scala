@@ -343,6 +343,116 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-document exact substring REMOVAL (Lee et al. 2021 §3,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr): when a span occurs in ≥2 documents, keep ONE
+    * canonical occurrence corpus-wide and strip the rest, emitting the
+    * cleaned corpus. `span_dedup` only *scores* repeated windows; this
+    * applies the edit.
+    *
+    * Spark-shaped approximation at 8-gram granularity (no suffix sort
+    * of the corpus — gram-keyed aggregates and join-backs only, the
+    * span_dedup topology):
+    *  1. explode token windows → (doc_id, pos, gram);
+    *  2. one gram-keyed aggregate (map-side combined) finds grams in
+    *     ≥2 distinct docs AND their canonical occurrence = min
+    *     (doc_id, pos) encoded as doc_id*1e6+pos;
+    *  3. join-back on the gram key: every NON-canonical occurrence of
+    *     a repeated gram is a removed window; its 8 covered token
+    *     positions go into a per-doc drop set (distinct + collect_set,
+    *     bounded by doc length);
+    *  4. rebuild each doc from its kept positions in order.
+    * A maximal shared paragraph of L tokens yields L-7 repeated
+    * windows whose union covers exactly the paragraph, so the edit
+    * removes whole repeated spans, not isolated tokens. Within-doc
+    * repeats are untouched (the repeat test is cross-doc, matching
+    * span_dedup). Kept fraction is exact integer micro-units.
+    * 100 TB: gram keys become xxhash64 (8 bytes) and step 4 runs as a
+    * second pass joining drop sets back to the text partition-local;
+    * nothing here is all-pairs and no stage holds more than one doc's
+    * positions in memory. Kept as text grams so the DuckDB oracle is
+    * byte-identical.
+    */
+  private[graft] def spanDedupClean(docsDf: DataFrame): DataFrame = {
+    val ts = split(col("text"), " ")
+    val toks = docsDf.select(col("doc_id"), ts.as("ts"), size(ts).as("n"))
+    val wins = toks.filter(col("n") >= 8)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), col("n") - 7),
+          i => struct(i.as("i"),
+            array_join(slice(col("ts"), i, lit(8)), " ").as("gram")))).as("w"))
+      .select(col("doc_id"), col("w.i").as("i"), col("w.gram").as("gram"))
+    val rep = wins.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        min(col("doc_id") * 1000000L + col("i")).as("canon"))
+      .filter(col("nd") > 1)
+      .select(col("gram"), col("canon"))
+    val drops = wins.join(rep, Seq("gram"))
+      .filter(col("doc_id") * 1000000L + col("i") =!= col("canon"))
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + 7)).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("drops"))
+    toks.join(drops, Seq("doc_id"), "left")
+      .withColumn("ds", coalesce(col("drops"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        col("n").cast("bigint").as("n_tokens"),
+        size(col("ds")).cast("bigint").as("n_dropped"),
+        expr("CAST((1000000 * (n - size(ds))) div n AS BIGINT)")
+          .as("kept_frac_micro"),
+        array_join(
+          transform(
+            filter(sequence(lit(1), col("n")),
+              p => !array_contains(col("ds"), p)),
+            p => element_at(col("ts"), p)),
+          " ").as("cleaned_text"))
+  }
+
+  /** Count of distinct 8-grams occurring in ≥2 distinct docs of
+    * `textCol` — one row, column `outCol`. The repeated-gram metric
+    * span_dedup scores and span_dedup_residual re-checks post-edit. */
+  private[graft] def spanRepGramCount(docsDf: DataFrame, textCol: String,
+                                      outCol: String): DataFrame = {
+    val ts = split(col(textCol), " ")
+    docsDf.select(col("doc_id"), ts.as("ts"), size(ts).as("n"))
+      .filter(col("n") >= 8)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), col("n") - 7),
+          i => array_join(slice(col("ts"), i, lit(8)), " "))).as("gram"))
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") > 1)
+      .agg(count(lit(1)).cast("bigint").as(outCol))
+  }
+
+  /** DuckDB twin of [[spanDedupClean]]'s CTE chain up to the cleaned
+    * per-doc rows, parameterized by the source relation. */
+  private def spanCleanSql(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS ts,
+       |               len(string_split(text, ' ')) AS n FROM $src),
+       |wins AS (
+       |  SELECT doc_id, i, array_to_string(ts[i:i+7], ' ') AS gram
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, n - 7)) AS i) x
+       |  WHERE n >= 8),
+       |rep AS (
+       |  SELECT gram, min(doc_id * 1000000 + i) AS canon
+       |  FROM wins GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+       |dropped AS (
+       |  SELECT DISTINCT w.doc_id, p
+       |  FROM wins w JOIN rep r USING (gram),
+       |       LATERAL (SELECT unnest(generate_series(w.i, w.i + 7)) AS p) y
+       |  WHERE w.doc_id * 1000000 + w.i <> r.canon),
+       |dsets AS (SELECT doc_id, list(p) AS drops FROM dropped GROUP BY doc_id),
+       |cleaned AS (
+       |  SELECT t.doc_id,
+       |    n::BIGINT AS n_tokens,
+       |    coalesce(len(drops), 0)::BIGINT AS n_dropped,
+       |    CAST((1000000 * (n - coalesce(len(drops), 0))) // n AS BIGINT)
+       |      AS kept_frac_micro,
+       |    array_to_string(list_transform(
+       |      list_filter(generate_series(1, n),
+       |                  p -> NOT list_contains(coalesce(drops, []), p)),
+       |      p -> ts[p]), ' ') AS cleaned_text
+       |  FROM toks t LEFT JOIN dsets USING (doc_id))""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup ----------------------------------------------------
@@ -571,6 +681,54 @@ object Text {
           expr("(1000000 * n_rep_spans) div n_windows").as("span_frac_micro"),
           (expr("(1000000 * n_rep_spans) div n_windows") > 500000).as("flagged"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- span-level dedup APPLY (cleaned corpus) -----------------------
+    // Emits the corpus with every non-canonical repeated span stripped
+    // (see spanDedupClean Scaladoc for the full design + 100 TB shape).
+    // Cleaned text hashes must agree byte-for-byte with the oracle's
+    // list_filter/list_transform rebuild, so kept-position filtering is
+    // identical on both sides.
+    sql("span_dedup_apply",
+      s"""WITH ${spanCleanSql("documents")}
+         |SELECT doc_id, n_tokens, n_dropped, kept_frac_micro, cleaned_text
+         |FROM cleaned ORDER BY doc_id""".stripMargin) { (s, d) =>
+      spanDedupClean(docs(s, d)).orderBy(col("doc_id"))
+    },
+
+    // ---- span-level dedup residual proof -------------------------------
+    // The correctness claim behind span_dedup_apply, stated as data:
+    // recompute the cross-doc repeated-8-gram set on the CLEANED
+    // corpus. Canonical occurrences survive in exactly one doc, so a
+    // residual repeat can only arise when stripping a middle span
+    // splices the flanking tokens into a new gram that happens to
+    // collide across docs — rare, and reported honestly rather than
+    // hidden (`n_rep_after` vs `n_rep_before`, plus the token totals
+    // the edit removed). One row; both engines run the identical
+    // chain, clean → re-window → re-aggregate.
+    sql("span_dedup_residual",
+      s"""WITH ${spanCleanSql("documents")},
+         |c_toks AS (SELECT doc_id, string_split(cleaned_text, ' ') AS ts,
+         |                  len(string_split(cleaned_text, ' ')) AS n
+         |           FROM cleaned),
+         |c_wins AS (
+         |  SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS gram
+         |  FROM c_toks, LATERAL (SELECT unnest(generate_series(1, n - 7)) AS i) x
+         |  WHERE n >= 8),
+         |c_rep AS (SELECT gram FROM c_wins GROUP BY gram
+         |          HAVING count(DISTINCT doc_id) > 1)
+         |SELECT (SELECT count(*) FROM rep)::BIGINT AS n_rep_before,
+         |  (SELECT count(*) FROM c_rep)::BIGINT AS n_rep_after,
+         |  (SELECT sum(n_tokens) FROM cleaned)::BIGINT AS tokens_before,
+         |  (SELECT sum(n_tokens - n_dropped) FROM cleaned)::BIGINT AS tokens_after
+         |""".stripMargin) { (s, d) =>
+      val cleaned = spanDedupClean(docs(s, d))
+      val repBefore = spanRepGramCount(docs(s, d), "text", "n_rep_before")
+      val repAfter = spanRepGramCount(cleaned, "cleaned_text", "n_rep_after")
+      val totals = cleaned.agg(
+        sum(col("n_tokens")).cast("bigint").as("tokens_before"),
+        sum(col("n_tokens") - col("n_dropped")).cast("bigint").as("tokens_after"))
+      repBefore.crossJoin(repAfter).crossJoin(totals)
     },
 
     // ---- Gopher quality-rule filter ------------------------------------

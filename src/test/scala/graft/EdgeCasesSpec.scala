@@ -164,6 +164,33 @@ class EdgeCasesSpec extends SparkSpec {
     assert(byId(5L)._4)
   }
 
+  test("span_dedup_apply: shared paragraph survives only in the canonical doc") {
+    // a 12-token paragraph planted in docs 0, 1, 2 (distinct flanks):
+    // its 5 interior 8-gram windows repeat across all three, canonical
+    // occurrence = min (doc_id, pos) = doc 0. The edit must strip
+    // exactly the 12 paragraph tokens from docs 1 and 2 (flanks
+    // intact, straddling grams are doc-unique so nothing else is
+    // touched), keep doc 0 byte-identical, and leave doc 3 alone.
+    val para = words("para", 12)
+    val dir = stageDocs("spanapply", Seq(
+      (0L, "s", words("a", 10) + " " + para),
+      (1L, "s", words("b", 10) + " " + para + " " + words("c", 10)),
+      (2L, "s", para + " " + words("d", 10)),
+      (3L, "s", words("e", 30))))
+    val out = SparkEntry.queries("span_dedup_apply")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(4)))).toMap
+    assert(out(0L) == ((0L, words("a", 10) + " " + para)), s"canonical doc edited: $out")
+    assert(out(1L) == ((12L, words("b", 10) + " " + words("c", 10))), s"got ${out(1L)}")
+    assert(out(2L) == ((12L, words("d", 10))), s"got ${out(2L)}")
+    assert(out(3L) == ((0L, words("e", 30))))
+    // the residual proof: re-windowing the cleaned corpus finds no
+    // cross-doc repeated gram at all
+    val res = SparkEntry.queries("span_dedup_residual")(spark, dir).collect()(0)
+    assert(res.getAs[Long]("n_rep_before") == 5L, s"got $res")
+    assert(res.getAs[Long]("n_rep_after") == 0L, s"cleaned corpus must be repeat-free: $res")
+    assert(res.getAs[Long]("tokens_before") - res.getAs[Long]("tokens_after") == 24L)
+  }
+
   test("gopher_filter: each rule fires on its planted doc, in precedence order") {
     val stop2 = "the a" // two stopwords
     val dir = stageDocs("gopher", Seq(
