@@ -447,10 +447,10 @@ object Text {
        |    coalesce(len(drops), 0)::BIGINT AS n_dropped,
        |    CAST((1000000 * (n - coalesce(len(drops), 0))) // n AS BIGINT)
        |      AS kept_frac_micro,
-       |    array_to_string(list_transform(
+       |    coalesce(array_to_string(list_transform(
        |      list_filter(generate_series(1, n),
        |                  p -> NOT list_contains(coalesce(drops, []), p)),
-       |      p -> ts[p]), ' ') AS cleaned_text
+       |      p -> ts[p]), ' '), '') AS cleaned_text
        |  FROM toks t LEFT JOIN dsets USING (doc_id))""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
