@@ -599,6 +599,109 @@ object Vectors {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    // ---- IVF, refined centroids × nprobe=2 (the composed production dial)
+    // sim_ivf_refined (one Lloyd pass) and sim_ivf_probe2 (search the 2
+    // nearest cells) are the two independent recall dials; production
+    // IVF turns both. Train: the refined centroids come from the exact
+    // micro-unit Lloyd step (sim_ivf_refined's arithmetic — summation-
+    // order-proof by construction). Search: corpus vectors live in
+    // their 1 nearest REFINED cell, each query probes its 2 nearest
+    // REFINED cells — candidates stay cell-keyed and duplicate-free (a
+    // candidate is in exactly one cell). Cost ≤ 2× the refined
+    // candidate list; recall measured against sim_topk in SCALE.md
+    // alongside each dial alone. Scale shape unchanged: centroids
+    // broadcast (8 rows) in both passes, rank-2 assignment is a window
+    // over 8 candidate rows per vector (bounded, never corpus-wide).
+    sql("sim_ivf_refined_probe2", {
+      val cids = ivfCentroidIds.mkString("(", ", ", ")")
+      val q = "list_transform(%s, x -> floor(x::DOUBLE * 1000000 + 0.5))"
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, ${q.format("embedding")} AS ce FROM embeddings
+         |  WHERE vec_id IN $cids),
+         |b AS (
+         |  SELECT vec_id, embedding, ${D.norm("embedding")} AS nrm,
+         |         ${q.format("embedding")} AS qe
+         |  FROM embeddings),
+         |asg0 AS (
+         |  SELECT vec_id, embedding, nrm, qe, cid AS cell FROM (
+         |    SELECT b.vec_id, b.embedding, b.nrm, b.qe, c.cid,
+         |           row_number() OVER (PARTITION BY b.vec_id
+         |             ORDER BY ${D.dot("b.qe", "b.qe")}
+         |                      - 2 * ${D.dot("b.qe", "c.ce")}
+         |                      + ${D.dot("c.ce", "c.ce")}, c.cid) AS rn
+         |    FROM b, cent c) t
+         |  WHERE rn = 1),
+         |m AS (SELECT cell, i, avg(qe[i]) AS mv
+         |      FROM asg0, range(1, 65) t(i) GROUP BY cell, i),
+         |rc AS (SELECT cell, list(mv ORDER BY i) AS rce FROM m GROUP BY cell),
+         |d AS (
+         |  SELECT a.vec_id, a.embedding, a.nrm, r.cell,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |           ORDER BY ${D.dot("a.qe", "a.qe")}
+         |                    - 2 * ${D.dot("a.qe", "r.rce")}
+         |                    + ${D.dot("r.rce", "r.rce")}, r.cell) AS rn
+         |  FROM asg0 a, rc r),
+         |asg AS (SELECT vec_id, embedding, nrm, cell FROM d WHERE rn = 1),
+         |qp AS (SELECT vec_id, embedding, nrm, cell AS probe FROM d
+         |       WHERE rn <= 2 AND vec_id < 20),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |         ${D.dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM qp q JOIN asg c ON q.probe = c.cell
+         |  WHERE c.vec_id <> q.vec_id)
+         |SELECT q_id, c_id, rnk, floor(cos * 1000000 + 0.5) / 1000000 AS cosine
+         |FROM (SELECT q_id, c_id, cos,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+         |      FROM p) t
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.VectorMean
+      val e = emb(s, d)
+      val quant = transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1000000d) + lit(0.5d)))
+      val base = e.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"), quant.as("qe"))
+      val cent0 = base.filter(col("vec_id").isin(ivfCentroidIds: _*))
+        .select(col("vec_id").as("cid"), col("qe").as("ce"))
+      def d2(a: Column, b: Column): Column =
+        dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
+      val asg0 = maybeCache(base.join(broadcast(cent0))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(d2(col("qe"), col("ce")).as("d2"), col("cid"))).as("best"),
+          first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"),
+          first(col("qe")).as("qe"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("qe"),
+          col("best.cid").as("cell")))
+      val refined = asg0.groupBy(col("cell"))
+        .agg(VectorMean.centroid(col("qe").cast("array<float>")).as("rce"))
+        .select(col("cell").as("rcell"), col("rce"))
+      // rank-2 re-assignment vs the refined centroids: window over the
+      // 8 candidate rows per vector (probe2's shape), both the corpus
+      // side (rn=1) and the query probes (rn≤2) read it
+      val wAsg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("rd2"), col("rcell"))
+      val ranked = maybeCache(asg0.join(broadcast(refined))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("rcell"),
+          d2(col("qe"), col("rce")).as("rd2"))
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") <= 2))
+      val asg = ranked.filter(col("rn") === 1)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce2"),
+          col("nrm").as("cn"), col("rcell").as("cell"))
+      val qp = ranked.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qemb"),
+          col("nrm").as("qn"), col("rcell").as("probe"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      qp.join(asg, col("probe") === col("cell") && col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"),
+          (dot(col("qemb"), col("ce2")) / (col("qn") * col("cn"))).as("cos"))
+        .withColumn("rnk", row_number().over(wTop).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("c_id"), col("rnk"), pr6(col("cos")).as("cosine"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
     // ---- embedding near-dup dedup (bucketed, never all-pairs) ----------
     // Planted exact copies (vec_id+10000) land in the same LSH bucket
     // by construction; the bucket-keyed self-join + cosine ≥ 0.999

@@ -81,7 +81,17 @@ class VectorOpsSpec extends SparkSpec {
     // single-bucket floor even on this adversarial data
     assert(rMulti >= rLsh, s"multi-probe recall $rMulti < single-bucket $rLsh")
     assert(rMulti >= 0.15, s"multi-probe recall $rMulti")
-    info(f"recall@3 on uniform-random vectors: lsh=$rLsh%.3f multiprobe=$rMulti%.3f ivf=$rIvf%.3f")
+    // the composed production dial (Lloyd-refined cells × nprobe=2)
+    // must not lose to either single dial: refinement and probe-2
+    // address orthogonal failure modes (cell boundary placement vs
+    // boundary crossings), so composing them can only help — measured
+    // 0.467 vs 0.333/0.417 at this scale (SCALE.md round-13 table)
+    val rRefined = recall(SparkEntry.queries("sim_ivf_refined")(spark, sfDir))
+    val rProbe2 = recall(SparkEntry.queries("sim_ivf_probe2")(spark, sfDir))
+    val rBoth = recall(SparkEntry.queries("sim_ivf_refined_probe2")(spark, sfDir))
+    assert(rBoth >= rRefined, s"composed $rBoth < refined $rRefined")
+    assert(rBoth >= rProbe2, s"composed $rBoth < probe2 $rProbe2")
+    info(f"recall@3 on uniform-random vectors: lsh=$rLsh%.3f multiprobe=$rMulti%.3f ivf=$rIvf%.3f refined=$rRefined%.3f probe2=$rProbe2%.3f composed=$rBoth%.3f")
   }
 
   test("dedup_embedding finds exactly the planted exact copies") {
