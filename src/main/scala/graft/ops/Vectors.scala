@@ -220,6 +220,53 @@ object Vectors {
          |       THEN (1::BIGINT << p) ELSE 0 END))::BIGINT""".stripMargin
   }
 
+  /** Shared PQ/ADC chain (sim_pq_adc, sim_pq_rerank): micro-unit
+    * vectors → 8×4 codebook from the seed vectors → per-(vector,
+    * subspace, code) distances feeding BOTH the one-pass encoder
+    * (argmin code) and the broadcast query distance tables → ADC
+    * aggregate. Returns (e0 = micro-unit vectors, adist = (q_id, c_id,
+    * ad)). Factored so both keys (and any probe) time the identical
+    * code path instead of drifting copies.
+    */
+  private def pqAdcChain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e0 = emb(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
+    // codebook index c = position of the seed id in pqSeedIds
+    val cCol = pqSeedIds.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (sid, c)) => when(col("vec_id") === sid, lit(c)).otherwise(acc)
+    }
+    val ms = explode(sequence(lit(0), lit(7))).as("m")
+    val cb = e0.filter(col("vec_id").isin(pqSeedIds: _*))
+      .select(cCol.as("c"), col("qe"))
+      .select(col("c"), ms, col("qe"))
+      .select(col("c"), col("m"), slice(col("qe"), col("m") * 8 + 1, lit(8)).as("ce"))
+    val sub = e0.select(col("vec_id"), ms, col("qe"))
+      .select(col("vec_id"), col("m"), slice(col("qe"), col("m") * 8 + 1, lit(8)).as("sv"))
+    def sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0d), (acc, v) => acc + v)
+    // one distance computation feeds BOTH the encoder and the query
+    // tables — at scale `dist` restricted to vec_id < 20 is the
+    // broadcast-sized query side, while the full stream is the
+    // one-pass encoder
+    val dist = maybeCache(sub.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("c"), sq(col("sv"), col("ce")).as("d2")))
+    val wEnc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("c"))
+    val enc = dist.withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("c_id"), col("m"), col("c").as("code"))
+    val qd = dist.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("m").as("qm"), col("c"), col("d2"))
+    val adist = enc.join(broadcast(qd),
+        col("m") === col("qm") && col("code") === col("c")
+          && col("c_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("d2")).cast("bigint").as("ad"))
+    (e0, adist)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- brute-force cosine top-k (the correctness baseline) -----------
@@ -868,46 +915,91 @@ object Vectors {
          |   FROM adist) t
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
     }) { (s, d) =>
-      val e0 = emb(s, d).select(col("vec_id"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
-      // codebook index c = position of the seed id in pqSeedIds
-      val cCol = pqSeedIds.zipWithIndex.foldLeft(lit(-1)) {
-        case (acc, (sid, c)) => when(col("vec_id") === sid, lit(c)).otherwise(acc)
-      }
-      val ms = explode(sequence(lit(0), lit(7))).as("m")
-      val cb = e0.filter(col("vec_id").isin(pqSeedIds: _*))
-        .select(cCol.as("c"), col("qe"))
-        .select(col("c"), ms, col("qe"))
-        .select(col("c"), col("m"), slice(col("qe"), col("m") * 8 + 1, lit(8)).as("ce"))
-      val sub = e0.select(col("vec_id"), ms, col("qe"))
-        .select(col("vec_id"), col("m"), slice(col("qe"), col("m") * 8 + 1, lit(8)).as("sv"))
-      def sq(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0d), (acc, v) => acc + v)
-      // one distance computation feeds BOTH the encoder and the query
-      // tables — at scale `dist` restricted to vec_id < 20 is the
-      // broadcast-sized query side, while the full stream is the
-      // one-pass encoder
-      val dist = maybeCache(sub.join(broadcast(cb), Seq("m"))
-        .select(col("vec_id"), col("m"), col("c"), sq(col("sv"), col("ce")).as("d2")))
-      val wEnc = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("c"))
-      val enc = dist.withColumn("rn", row_number().over(wEnc))
-        .filter(col("rn") === 1)
-        .select(col("vec_id").as("c_id"), col("m"), col("c").as("code"))
-      val qd = dist.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("m").as("qm"), col("c"), col("d2"))
+      val (_, adist) = pqAdcChain(s, d)
       val wTop = org.apache.spark.sql.expressions.Window
         .partitionBy(col("q_id")).orderBy(col("ad"), col("c_id"))
-      enc.join(broadcast(qd),
-          col("m") === col("qm") && col("code") === col("c")
-            && col("c_id") =!= col("q_id"))
-        .groupBy(col("q_id"), col("c_id"))
-        .agg(sum(col("d2")).cast("bigint").as("ad"))
+      adist
         .withColumn("rnk", row_number().over(wTop).cast("bigint"))
         .filter(col("rnk") <= 3)
         .select(col("q_id"), col("c_id"), col("rnk"), col("ad").as("approx_d2"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // ---- PQ search with exact re-ranking -------------------------------
+    // Production PQ (Jégou et al. 2011 §5.3) never serves the ADC
+    // order directly: the code scan produces a SHORTLIST (top-32 by
+    // approximate distance) and only those candidates fetch their
+    // exact vectors for an exact-distance re-rank — the two-tier
+    // memory story (codes hot, floats cold) with the accuracy of the
+    // exact metric on the short list. Here: ADC top-32 per query →
+    // join the 32·|Q| shortlist (broadcast — it is query-sized, never
+    // corpus-sized) back to the exact micro-unit vectors → exact
+    // integer squared L2 → top-3. All arithmetic stays integer-exact
+    // (micro-unit components, sums < 2^53), so the hash matches with
+    // no rounding frontier; recall vs the ADC-only top-3 is measured
+    // in SCALE.md.
+    sql("sim_pq_rerank", {
+      val seeds = pqSeedIds.zipWithIndex
+        .map { case (sid, c) => s"($c, $sid)" }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id,
+         |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
+         |           FROM embeddings),
+         |seeds(c, sid) AS (VALUES $seeds),
+         |cb AS (SELECT s.c, m.m, e.qe[m.m * 8 + 1 : m.m * 8 + 8] AS ce
+         |       FROM seeds s JOIN e ON e.vec_id = s.sid, range(0, 8) m(m)),
+         |sub AS (SELECT vec_id, m.m, qe[m.m * 8 + 1 : m.m * 8 + 8] AS sv
+         |        FROM e, range(0, 8) m(m)),
+         |dist AS (SELECT vec_id, sub.m, cb.c,
+         |                list_sum(list_transform(range(1, 9),
+         |                  j -> (sv[j] - ce[j]) * (sv[j] - ce[j]))) AS d2
+         |         FROM sub JOIN cb ON sub.m = cb.m),
+         |enc AS (SELECT vec_id, m, c AS code FROM
+         |          (SELECT vec_id, m, c,
+         |                  row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+         |           FROM dist) t
+         |        WHERE rn = 1),
+         |qd AS (SELECT vec_id AS q_id, m, c, d2 FROM dist WHERE vec_id < 20),
+         |adist AS (SELECT qd.q_id, enc.vec_id AS c_id, sum(qd.d2)::BIGINT AS ad
+         |          FROM enc JOIN qd ON enc.m = qd.m AND enc.code = qd.c
+         |          WHERE enc.vec_id <> qd.q_id
+         |          GROUP BY 1, 2),
+         |sl AS (SELECT q_id, c_id FROM
+         |         (SELECT q_id, c_id,
+         |                 row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS srn
+         |          FROM adist) t
+         |       WHERE srn <= 32),
+         |ex AS (SELECT sl.q_id, sl.c_id,
+         |              CAST(list_sum(list_transform(range(1, 65),
+         |                j -> (q.qe[j] - c.qe[j]) * (q.qe[j] - c.qe[j]))) AS BIGINT) AS exact_d2
+         |       FROM sl JOIN e q ON q.vec_id = sl.q_id
+         |               JOIN e c ON c.vec_id = sl.c_id)
+         |SELECT q_id, c_id, rnk, exact_d2 FROM
+         |  (SELECT q_id, c_id, exact_d2,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY exact_d2, c_id) AS rnk
+         |   FROM ex) t
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+    }) { (s, d) =>
+      val (e0, adist) = pqAdcChain(s, d)
+      def sq(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0d), (acc, v) => acc + v)
+      val wSl = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("ad"), col("c_id"))
+      // shortlist carries its query's exact vector along (query side is
+      // 20 rows), so the corpus fetch is ONE broadcast semi-lookup
+      val sl = adist.withColumn("srn", row_number().over(wSl))
+        .filter(col("srn") <= 32)
+        .select(col("q_id"), col("c_id"))
+        .join(e0.select(col("vec_id").as("q_id"), col("qe").as("qqe")), Seq("q_id"))
+      val ex = e0.select(col("vec_id").as("c_id"), col("qe").as("cqe"))
+        .join(broadcast(sl), Seq("c_id"))
+        .select(col("q_id"), col("c_id"),
+          sq(col("qqe"), col("cqe")).cast("bigint").as("exact_d2"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("exact_d2"), col("c_id"))
+      ex.withColumn("rnk", row_number().over(wTop).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("c_id"), col("rnk"), col("exact_d2"))
         .orderBy(col("q_id"), col("rnk"))
     },
 

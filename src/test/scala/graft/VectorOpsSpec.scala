@@ -216,6 +216,41 @@ class VectorOpsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("sim_pq_rerank: answers come from the ADC shortlist and exact order holds") {
+    val rr = run("sim_pq_rerank").cache()
+    // dense top-3 per query, exact_d2 non-negative, rank = distance order
+    val perQ = rr.groupBy("q_id").agg(count(lit(1)).as("n"), max(col("rnk")).as("maxr"))
+    assert(perQ.filter(col("n") =!= 3 || col("maxr") =!= 3).count() == 0)
+    assert(rr.filter(col("exact_d2") < 0).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rnk"))
+    assert(rr.withColumn("prev", lag(col("exact_d2"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > col("exact_d2"))
+      .count() == 0)
+    // exact re-rank of the top-32 shortlist must recover AT LEAST the
+    // true neighbors the raw ADC top-3 already had (vs exact-L2 brute
+    // force) — the whole point of the second tier. Ground truth on the
+    // same micro-unit arithmetic as the operator.
+    val e = Tables.embeddings(spark, sfDir).selectExpr("vec_id",
+      "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000 + 0.5)) AS qe")
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("qe").as("qq"))
+    val c = e.select(col("vec_id").as("c_id"), col("qe").as("cq"))
+    val d2 = expr("aggregate(zip_with(qq, cq, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (a, v) -> a + v)")
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+    val truth = broadcast(q).join(c, col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"), d2.as("d2"))
+      .withColumn("rnk", row_number().over(wT)).filter(col("rnk") <= 3)
+      .select(col("q_id"), col("c_id"))
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(col("q_id"), col("c_id")).intersect(truth).count()
+    val hAdc = hits(run("sim_pq_adc"))
+    val hRr = hits(rr)
+    assert(hRr >= hAdc, s"rerank hits $hRr < adc hits $hAdc")
+    assert(hRr > 0, "rerank must recover at least one true neighbor")
+  }
+
   test("knn_graph: dense per-node ranks, correct mutuality flags, bounded cosine") {
     val edges = run("knn_graph").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
