@@ -1320,9 +1320,15 @@ object Vectors {
           col(s"a.$key") === col(s"b.$key") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           col("a.phash").as("pa"), col("b.phash").as("pb"))
-      half("lo").union(half("hi")).distinct()
+      // hamming filter BEFORE the distinct: the radius cut is a pure
+      // map-side projection (codegen), so the dedup shuffle carries
+      // only the ≤1-hamming survivors instead of every block-collision
+      // candidate — same result (filter∘dedup ≡ dedup∘filter on a
+      // pure function of the row), ~bucket-sized less shuffle at scale
+      half("lo").union(half("hi"))
         .withColumn("hamming", bit_count(expr("pa ^ pb")).cast("bigint"))
         .filter(col("hamming") <= 1)
+        .distinct()
         .select(col("a_id"), col("b_id"), col("hamming"))
         .orderBy(col("a_id"), col("b_id"))
     }
