@@ -491,6 +491,146 @@ object ScaleProbe {
       }
     }
 
+    if (on("pq")) {
+      // PQ/ADC octave: the claim (PLANS/SCALE) is strict linearity —
+      // the encoder is one pass over the corpus (8 subspaces × 4 codes
+      // per row against a broadcast codebook) and the ADC search joins
+      // every code row to a broadcast query table, so candidate rows
+      // are EXACTLY |Q|·(n−1) (one ADC sum per query×candidate, self
+      // excluded). The probe runs the operator's own pqAdcChain (the
+      // shared stage sim_pq_adc/sim_pq_rerank execute) and asserts the
+      // exact count.
+      val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      for (factor <- Seq(1, 8, 64).filter(_ <= maxFactor)) {
+        val dir = s"$tmpRoot/pq_$factor"
+        scaledEmb(embBase, factor).repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+        val t0 = System.nanoTime()
+        val (_, adist) = graft.ops.Vectors.pqAdcChain(spark, dir)
+        val adRows = adist.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val expect = 20L * (n - 1)
+        assert(adRows == expect, s"ADC candidate rows $adRows != ${expect}")
+        println(f"""{"shape":"pq_adc","factor":$factor,"rows":$n,"adc_rows":$adRows,"expected":$expect,"secs":$secs%.2f}""")
+        spark.catalog.clearCache()
+      }
+    }
+
+    if (on("knn")) {
+      // k-NN graph octave: candidate pairs are Σ|cell|·(|cell|−1) by
+      // construction (cell-keyed self-join), asserted exactly against
+      // the cell histogram. With the 8 FIXED seed cells the sum is
+      // n²/8-shaped — the probe prints the prediction at every octave
+      // but only executes it while the pair count stays executable;
+      // the production dial (SemDeDup/IVF: k grows with the corpus so
+      // cells stay bounded) is the k = 8·factor leg, which holds
+      // per-cell size flat and total candidates linear — that leg runs
+      // at every octave.
+      val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      for (factor <- Seq(1, 8, 64).filter(_ <= maxFactor)) {
+        val ec = scaledEmb(embBase, factor).repartition(cpus.toInt).cache()
+        val n = ec.count()
+        for (k <- Seq(8, 8 * factor).distinct) {
+          val cent = ec.filter(col("vec_id") < k)
+            .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+          val d2 = dotp(col("embedding"), col("embedding")) -
+            lit(2) * dotp(col("embedding"), col("ce")) + dotp(col("ce"), col("ce"))
+          // the documented at-scale assignment shape: broadcast expand
+          // collapsed by a partial min(struct) — no window sort
+          val asg = ec.join(broadcast(cent))
+            .groupBy(col("vec_id"))
+            .agg(min(struct(d2.as("d2"), col("cid"))).as("best"))
+            .select(col("vec_id"), col("best.cid").as("cell"))
+            .cache()
+          asg.count()
+          val predicted = asg.groupBy(col("cell")).count()
+            .agg(sum(col("count") * (col("count") - 1)).cast("long"))
+            .collect()(0).getLong(0)
+          val (measured, secs) =
+            if (predicted <= 300000000L) {
+              val t0 = System.nanoTime()
+              val m = asg.as("a").join(asg.as("b"),
+                col("a.cell") === col("b.cell") &&
+                  col("a.vec_id") =!= col("b.vec_id")).count()
+              (m, (System.nanoTime() - t0) / 1e9)
+            } else (-1L, -1.0) // n²/k regime: prediction only
+          if (measured >= 0)
+            assert(measured == predicted, s"knn pairs $measured != $predicted")
+          println(f"""{"shape":"knn_cand","factor":$factor,"rows":$n,"k":$k,"predicted_pairs":$predicted,"measured_pairs":$measured,"secs":$secs%.2f}""")
+          asg.unpersist()
+        }
+        ec.unpersist()
+      }
+    }
+
+    if (on("phash")) {
+      // phash multi-index octave: candidates = Σ_bucket C(|bucket|,2)
+      // over BOTH 8-bit block halves (exactly the pigeonhole joins the
+      // key runs). 256 buckets per half ⇒ bucket size ≈ n/256 and the
+      // candidate space is n²/256-shaped — 256× under all-pairs but
+      // still quadratic, which is WHY production widens the hash (more
+      // blocks over a 64-bit phash) as n grows. The probe asserts the
+      // histogram prediction and executes the full oracled key while
+      // the candidate count stays executable.
+      val docsBase = Tables.documents(spark, sfDir).select("doc_id", "text")
+      for (factor <- Seq(1, 8, 64).filter(_ <= maxFactor)) {
+        val dir = s"$tmpRoot/ph_$factor"
+        scaledDocs(docsBase, factor).repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val blocks = graft.ops.Vectors.phashBlocks(spark, dir)
+        val n = blocks.count() // corpus + re-encode plants
+        def half(key: String): Long = blocks.groupBy(col(key)).count()
+          .agg(sum(col("count") * (col("count") - 1)).cast("long"))
+          .collect()(0).getLong(0) / 2
+        val predicted = half("lo") + half("hi")
+        val (outRows, secs) =
+          if (predicted <= 300000000L) {
+            val t0 = System.nanoTime()
+            val o = SparkEntry.queries("multimodal_phash")(spark, dir).count()
+            (o, (System.nanoTime() - t0) / 1e9)
+          } else (-1L, -1.0)
+        println(f"""{"shape":"phash_cand","factor":$factor,"rows":$n,"cand_pairs":$predicted,"per_row":${predicted / n},"out_rows":$outRows,"secs":$secs%.2f}""")
+        spark.catalog.clearCache()
+      }
+    }
+
+    if (on("media")) {
+      // media dedup: the claim is that payload BYTES never shuffle —
+      // only the 32-char fingerprint + ids + lengths do. Two dials:
+      // rows (1×/8×/64×) and payload size (32 B vs 2 KiB at the same
+      // rows). A SparkListener sums shuffle-write bytes during the
+      // operator's own mediaDedup stage (staging/cache excluded):
+      // shuffle per row must stay ~constant while payload bytes grow
+      // 64×, and scale linearly in rows.
+      val shuffled = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffled.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val docsBase = Tables.documents(spark, sfDir).select("doc_id", "text")
+      for (factor <- Seq(1, 8, 64).filter(_ <= maxFactor); inflate <- Seq(1, 64)) {
+        val media = scaledDocs(docsBase, factor)
+          .select(col("doc_id"),
+            unhex(expr(s"repeat(md5(text), $inflate)")).as("payload"))
+          .repartition(cpus.toInt).cache()
+        val n = media.count() // materialize BEFORE the counter resets
+        val payloadBytes = 16L * inflate * n
+        org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+        shuffled.set(0L)
+        val t0 = System.nanoTime()
+        val outRows = graft.ops.Vectors.mediaDedup(media).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+        val sb = shuffled.get()
+        println(f"""{"shape":"media_shuffle","factor":$factor,"inflate":$inflate,"rows":$n,"payload_bytes":$payloadBytes,"shuffle_bytes":$sb,"shuffle_per_row":${sb / n},"out_rows":$outRows,"secs":$secs%.2f}""")
+        media.unpersist()
+      }
+      spark.sparkContext.removeSparkListener(listener)
+    }
+
     if (on("state")) {
       val base = Tables.events(spark, sfDir).select("user_id", "event_id", "ts")
       for (factor <- Seq(1, maxFactor)) {

@@ -228,7 +228,7 @@ object Vectors {
     * ad)). Factored so both keys (and any probe) time the identical
     * code path instead of drifting copies.
     */
-  private def pqAdcChain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def pqAdcChain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e0 = emb(s, d).select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
@@ -266,6 +266,48 @@ object Vectors {
       .agg(sum(col("d2")).cast("bigint").as("ad"))
     (e0, adist)
   }
+
+  /** multimodal_phash's bucketing stage (also timed by ScaleProbe's
+    * phash mode, so probe and operator cannot drift): corpus +
+    * re-encoded plants → 16-bit perceptual hash → the two pigeonhole
+    * 8-bit block keys. Cached — both sides of BOTH block self-joins
+    * read it, or the md5 + 16-way hex-conv projection runs four times.
+    */
+  private[graft] def phashBlocks(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), md5(col("text")).as("h"))
+    // re-encode plant: the last byte's high bit flips (+128 mod 256)
+    val reenc = base.select((col("doc_id") + 30000).as("doc_id"),
+      concat(substring(col("h"), 1, 30),
+        lpad(lower(conv(
+          ((conv(substring(col("h"), 31, 2), 16, 10).cast("long") + 128) % 256)
+            .cast("string"), 10, 16)), 2, "0")).as("h"))
+    val phash = aggregate(
+      transform(sequence(lit(0), lit(15)), i =>
+        when(conv(col("h").substr(i * 2 + 1, lit(2)), 16, 10)
+            .cast("long") >= 128,
+          // 2^i exact in doubles for i ≤ 15; shiftleft only takes Int
+          pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+    maybeCache(base.unionByName(reenc)
+      .select(col("doc_id"), phash.as("phash"))
+      .select(col("doc_id"), col("phash"),
+        (col("phash") % 256).as("lo"), expr("phash div 256").as("hi")))
+  }
+
+  /** dedup_media's fingerprint + keeper aggregation over an arbitrary
+    * (doc_id, payload) frame — the operator feeds its fixture-derived
+    * payloads, ScaleProbe's media mode feeds KB-sized ones to prove
+    * the payload bytes never reach the shuffle (only the 32-char fp,
+    * ids, and lengths do).
+    */
+  private[graft] def mediaDedup(media: DataFrame): DataFrame =
+    media
+      .select(col("doc_id"), md5(hex(col("payload"))).as("media_fp"),
+        length(col("payload")).cast("bigint").as("byte_len"))
+      .groupBy(col("media_fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"),
+        min(col("byte_len")).as("byte_len"))
+      .orderBy(col("keeper"))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1247,13 +1289,7 @@ object Vectors {
       val base = docs(s, d).select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
       val media = base.unionByName(
         base.select((col("doc_id") + 10000).as("doc_id"), col("payload")))
-      media
-        .select(col("doc_id"), md5(hex(col("payload"))).as("media_fp"),
-          length(col("payload")).cast("bigint").as("byte_len"))
-        .groupBy(col("media_fp"))
-        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"),
-          min(col("byte_len")).as("byte_len"))
-        .orderBy(col("keeper"))
+      mediaDedup(media)
     },
 
     // ---- perceptual near-dup media pairs (multi-index hamming) ---------
@@ -1295,26 +1331,7 @@ object Vectors {
          |FROM cand WHERE bit_count(xor(pa, pb)) <= 1
          |ORDER BY a_id, b_id""".stripMargin
     }) { (s, d) =>
-      val base = docs(s, d).select(col("doc_id"), md5(col("text")).as("h"))
-      // re-encode plant: the last byte's high bit flips (+128 mod 256)
-      val reenc = base.select((col("doc_id") + 30000).as("doc_id"),
-        concat(substring(col("h"), 1, 30),
-          lpad(lower(conv(
-            ((conv(substring(col("h"), 31, 2), 16, 10).cast("long") + 128) % 256)
-              .cast("string"), 10, 16)), 2, "0")).as("h"))
-      val phash = aggregate(
-        transform(sequence(lit(0), lit(15)), i =>
-          when(conv(col("h").substr(i * 2 + 1, lit(2)), 16, 10)
-              .cast("long") >= 128,
-            // 2^i exact in doubles for i ≤ 15; shiftleft only takes Int
-            pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
-        lit(0L), (acc, v) => acc + v)
-      // both sides of BOTH block self-joins read this: cache, or the
-      // md5 + 16-way hex-conv phash projection recomputes four times
-      val blocks = maybeCache(base.unionByName(reenc)
-        .select(col("doc_id"), phash.as("phash"))
-        .select(col("doc_id"), col("phash"),
-          (col("phash") % 256).as("lo"), expr("phash div 256").as("hi")))
+      val blocks = phashBlocks(s, d)
       def half(key: String) = blocks.as("a")
         .join(blocks.as("b"),
           col(s"a.$key") === col(s"b.$key") && col("a.doc_id") < col("b.doc_id"))
