@@ -791,7 +791,7 @@ object Pipeline {
         .withColumn("w_milli", floor(sqrt(col("eff_tokens")) * 1000 + 0.5).cast("bigint"))
         .withColumn("pd_micro",
           floor(lit(1000000.0) * col("w_milli") / col("eff_tokens") + 0.5).cast("bigint"))
-        .cache()
+        .transform(maybePlanCache)
       val tot = perSrc.agg(sum(col("n_docs") * col("pd_micro")).as("w_total"))
       val rates = perSrc.crossJoin(broadcast(tot))
         .withColumn("rate_micro",

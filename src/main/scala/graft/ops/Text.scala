@@ -1468,8 +1468,9 @@ object Text {
           array_join(slice(tokens, lit(1), size(tokens) - 1), " ").as("text")))
       // both halves are read twice (band candidates + Jaccard verify):
       // cache so train-side shingling+MinHashing runs once per pass
-      val ehs = shingleHashes(evalDocs).cache()
-      val ths = shingleHashes(trainDocs).cache()
+      // (flag-gated — see maybePlanCache for the serve-session story)
+      val ehs = maybePlanCache(shingleHashes(evalDocs))
+      val ths = maybePlanCache(shingleHashes(trainDocs))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("tid")).orderBy(col("jac_micro").desc, col("eid"))
       fuzzyPairs(ths, ehs)

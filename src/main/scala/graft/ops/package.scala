@@ -55,6 +55,21 @@ package object ops {
     conv(substring(md5(concat(seed.cast("string"), lit(":"), c.cast("string"))), 1, 8), 16, 10)
       .cast(LongType)
 
+  /** Cache a frame that multiple branches of ONE query plan read —
+    * UNLESS `spark.graft.plan.cache=false`. Query builders cannot
+    * unpersist (the action runs in the caller), so in a long-lived
+    * serve session repeated executions would accumulate cached plans
+    * in the block manager (advisor finding, round 13); the flag is the
+    * escape hatch such a deployment flips, trading one extra
+    * computation per branch for bounded block-manager state — the same
+    * contract as Vectors.maybeCache (`spark.graft.ann.cache`). Lazy
+    * (no eager count): the branches run inside a single action, so the
+    * first evaluation fills the cache without a race.
+    */
+  def maybePlanCache(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("spark.graft.plan.cache", "true").toBoolean) df.cache()
+    else df
+
   /** Whitespace tokenization of `documents.text` (single-space-joined
     * tokens per FIXTURES.md). DuckDB twin: `string_split(text, ' ')`.
     */

@@ -186,6 +186,16 @@ object BatchLog {
   private def isGenKey(key: String): Boolean =
     key.matches("[cg][0-9]+")
 
+  /** Every half directory of the index (any subdirectory that is not
+    * the commit log). */
+  private def halvesOf(spark: SparkSession, idxDir: String): Seq[String] = {
+    val f = fs(spark, idxDir)
+    val root = new Path(idxDir)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(_ == "_commits").toSeq
+  }
+
   /** Prune a SUPERSEDED generation's marker, first re-running that
     * generation's own cleanup (deleting every directory its body lists
     * — idempotent repair of a crashed cleanup, without which removing
@@ -195,17 +205,38 @@ object BatchLog {
     * finding). Ingest window markers are NOT pruned: they are zero-byte
     * (reads list but never open them) and they back the ingest path's
     * re-delivery skip.
+    *
+    * The marker is a COMMIT: deleting it un-commits `key` for every
+    * half at once. So it may only disappear when nothing it governs
+    * remains on disk (advisor findings, round 13):
+    *  - every directory its body lists must be confirmed gone —
+    *    FileSystem.delete can fail by returning false without
+    *    throwing, and removing the supersession record while a
+    *    superseded directory survives would resurrect it as live data
+    *    on the next read (double-counted rows);
+    *  - no half may still hold this generation's OWN `batch=<key>`
+    *    data — a consolidation invoked over a subset of halves
+    *    supersedes only those, and dropping the marker would silently
+    *    un-commit the generation's live directories under every other
+    *    half.
+    * When either check fails the marker stays for the next prune
+    * attempt; reads are correct either way.
     */
   def pruneGenMarker(spark: SparkSession, idxDir: String, key: String): Unit =
     if (isGenKey(key)) {
       val f = fs(spark, idxDir)
       val p = new Path(s"$idxDir/_commits/$key")
       if (f.exists(p)) {
-        parseMarker(f, f.getFileStatus(p)).foreach { case (half, k) =>
-          deleteBatchDir(spark, idxDir, half, k)
+        val body = parseMarker(f, f.getFileStatus(p))
+        body.foreach { case (half, k) => deleteBatchDir(spark, idxDir, half, k) }
+        val bodyGone = body.forall { case (half, k) =>
+          !batchDirExists(spark, idxDir, half, k) }
+        val ownGone = halvesOf(spark, idxDir)
+          .forall(h => !batchDirExists(spark, idxDir, h, key))
+        if (bodyGone && ownGone) {
+          f.delete(p, false)
+          ()
         }
-        f.delete(p, false)
-        ()
       }
     }
 

@@ -208,4 +208,46 @@ class ExactlyOnceSpec extends graft.SparkSpec {
     assert(rowSet(crashed, "texts", textsSchema) ==
       rowSet(clean, "texts", textsSchema))
   }
+
+  test("pruneGenMarker: a generation's marker survives until EVERY half's data is superseded") {
+    // advisor finding (round 13): consolidating a SUBSET of halves
+    // supersedes only those — pruning the old generation's marker
+    // while another half's only live data still sits in its batch=cN
+    // directory would un-commit that data globally. The marker must
+    // survive the partial supersession and prune only after the last
+    // half lets go.
+    import spark.implicits._
+    val root = graft.ops.purgeOnExit(
+      s"${graft.ops.scratchRoot(spark)}/spec_prune_${ProcessHandle.current().pid()}") +
+      s"/${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val idx = s"$root/idx"
+    val sch = StructType(Seq(StructField("x", LongType), StructField("y", LongType)))
+    def df(ids: Seq[Long]) = ids.toDF("x").select(col("x"), (col("x") * 10).as("y"))
+    def rows(half: String): Seq[Long] =
+      BatchLog.read(spark, idx, half, sch).collect().map(_.getLong(0)).sorted.toSeq
+    for ((k, ids) <- Seq("aaaa-0" -> Seq(1L, 2L), "aaaa-1" -> Seq(3L, 4L))) {
+      BatchLog.write(df(ids), s"$idx/A", k)
+      BatchLog.write(df(ids.map(_ + 100)), s"$idx/B", k)
+      BatchLog.commit(spark, idx, k)
+    }
+    // c0 consolidates BOTH halves: each half's only live dir is batch=c0
+    BatchLog.consolidate(spark, idx, Seq("A" -> sch, "B" -> sch))
+    assert(rows("A") == Seq(1L, 2L, 3L, 4L) && rows("B") == Seq(101L, 102L, 103L, 104L))
+    // one more window, then consolidate ONLY half A (the subset case)
+    BatchLog.write(df(Seq(5L)), s"$idx/A", "aaaa-2")
+    BatchLog.write(df(Seq(105L)), s"$idx/B", "aaaa-2")
+    BatchLog.commit(spark, idx, "aaaa-2")
+    BatchLog.consolidate(spark, idx, Seq("A" -> sch))
+    assert(BatchLog.committed(spark, idx).contains("c0"),
+      "c0 pruned while half B's only data still lives in B/batch=c0")
+    assert(rows("A") == Seq(1L, 2L, 3L, 4L, 5L), "half A changed")
+    assert(rows("B") == Seq(101L, 102L, 103L, 104L, 105L),
+      "half B lost rows after a subset-of-halves consolidation")
+    // consolidating B supersedes the rest; NOW c0 must prune
+    BatchLog.consolidate(spark, idx, Seq("B" -> sch))
+    assert(rows("A") == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(rows("B") == Seq(101L, 102L, 103L, 104L, 105L))
+    assert(!BatchLog.committed(spark, idx).contains("c0"),
+      "fully-superseded generation marker should be pruned")
+  }
 }
