@@ -155,6 +155,9 @@ object ClusterStream {
     // 32-thread box
     spark.conf.set("spark.sql.shuffle.partitions",
       parent.conf.get("spark.sql.shuffle.partitions"))
+    // runtime confs don't cross newSession(): carry the reprocess flag
+    spark.conf.set("spark.graft.ingest.reprocess",
+      parent.conf.get("spark.graft.ingest.reprocess", "false"))
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
     val q = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", "1")
@@ -163,7 +166,7 @@ object ClusterStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         seen.addAndGet(ingestBatch(spark,
           batch.select(col("doc_id"), col("text")), idxDir,
-          BatchLog.key(checkpoint, batchId)))
+          BatchLog.ingestKey(spark, batch, checkpoint, batchId)))
         ()
       }
       .option("checkpointLocation", checkpoint)

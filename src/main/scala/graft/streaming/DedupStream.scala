@@ -112,12 +112,15 @@ object DedupStream {
       checkpoint: String): Long = {
     val spark = parent.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // runtime confs don't cross newSession(): carry the reprocess flag
+    spark.conf.set("spark.graft.ingest.reprocess",
+      parent.conf.get("spark.graft.ingest.reprocess", "false"))
     val admitted = new java.util.concurrent.atomic.AtomicLong(0)
     val q = spark.readStream.schema(docSchema).parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitted.addAndGet(
-          ingestBatch(spark, batch, idxDir, BatchLog.key(checkpoint, batchId)))
+        admitted.addAndGet(ingestBatch(spark, batch, idxDir,
+          BatchLog.ingestKey(spark, batch, checkpoint, batchId)))
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -209,6 +209,55 @@ class ExactlyOnceSpec extends graft.SparkSpec {
       rowSet(clean, "texts", textsSchema))
   }
 
+  test("fresh-checkpoint replay of ingested windows is a byte-identical no-op; reprocess flag re-appends") {
+    import java.nio.file.{Files, Paths}
+    val root = graft.ops.purgeOnExit(
+      s"${graft.ops.scratchRoot(spark)}/spec_ck_${ProcessHandle.current().pid()}") +
+      s"/${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val inDir = s"$root/in"
+    val idx = s"$root/idx"
+    Files.createDirectories(Paths.get(inDir))
+    val base = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    ClusterStream.seedIndex(spark, base.limit(0), idx)
+    Seq(0, 1).foreach { w =>
+      ClusterStream.stageFile(
+        base.filter(pmod(xxhash64(col("doc_id")), lit(2)) === w),
+        s"$root/stage_$w", s"$inDir/w$w.parquet")
+    }
+    assert(ClusterStream.runIngest(spark, inDir, idx, s"$root/chk_a") > 0)
+    // every file under the index, content-hashed — byte-identity, not
+    // just row-identity
+    def snapshot(): Map[String, String] = {
+      val rootPath = Paths.get(idx)
+      import scala.jdk.CollectionConverters._
+      Files.walk(rootPath).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map { p =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rootPath.relativize(p).toString ->
+            md.digest(Files.readAllBytes(p)).map(b => f"$b%02x").mkString
+        }.toMap
+    }
+    val before = snapshot()
+    // a FRESH checkpoint over the same staged windows: content-addressed
+    // keys are already committed, so nothing is processed or written
+    assert(ClusterStream.runIngest(spark, inDir, idx, s"$root/chk_b") == 0,
+      "fresh-checkpoint replay must skip every ingested window")
+    assert(snapshot() == before,
+      "fresh-checkpoint replay must leave the index byte-identical")
+    // the deliberate-reprocess path: checkpoint-scoped keys re-append
+    // (the documented at-least-once fallback the consumers tolerate)
+    spark.conf.set("spark.graft.ingest.reprocess", "true")
+    try {
+      assert(ClusterStream.runIngest(spark, inDir, idx, s"$root/chk_c") > 0,
+        "reprocess flag must re-append")
+      val labels = ClusterStream.labels(spark, idx)._1
+        .collect().map(_.getLong(0)).toSeq
+      assert(labels.length == labels.distinct.length,
+        "duplicated appends must not duplicate label rows")
+    } finally spark.conf.unset("spark.graft.ingest.reprocess")
+  }
+
   test("pruneGenMarker: a generation's marker survives until EVERY half's data is superseded") {
     // advisor finding (round 13): consolidating a SUBSET of halves
     // supersedes only those — pruning the old generation's marker

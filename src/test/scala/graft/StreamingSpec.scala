@@ -306,11 +306,10 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall { case (id, l) => after(id) == l },
       "late arrivals must not move existing labels")
 
-    // phase 3: replay tolerance — a FRESH checkpoint reprocesses every
-    // file against the already-populated index, which is exactly the
-    // at-least-once duplication a foreachBatch crash-retry produces
-    // (hs/bands/edges all re-append). Labels must not change, and no
-    // doc may gain a duplicate label row.
+    // phase 3: replay tolerance — a FRESH checkpoint replays every
+    // file, and the content-addressed window keys (round 13) make the
+    // ingest skip each one: the index must be unchanged. (The
+    // byte-identical + reprocess-flag legs live in ExactlyOnceSpec.)
     ClusterStream.runIngest(spark, inDir, idx, s"$root/chk_replay")
     val replayed = ClusterStream.labels(spark, idx)._1
       .collect().map(r => r.getLong(0) -> r.getLong(1))
