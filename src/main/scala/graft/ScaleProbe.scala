@@ -434,6 +434,15 @@ object ScaleProbe {
           .getOrElse(("", "", 0L)) // scaled fixture always has pairs
         val roundSecs = (System.nanoTime() - t1) / 1e9
         println(f"""{"shape":"bpe","factor":$factor,"vocab":$vocab,"count_secs":$countSecs%.2f,"round_secs":$roundSecs%.2f,"top":"$l+$r","cnt":$c}""")
+        // rounds-to-vocab ratio of the batched trainer (VERDICT r12
+        // #7): 16 merges through bpeLearnBatchedOver — the operator's
+        // real path — reporting how many counting rounds they cost.
+        // merges/rounds is the amortization factor a 30k-merge vocab
+        // would enjoy; sequential is by definition 1.0.
+        val t2 = System.nanoTime()
+        val (bm, _, rounds) = graft.ops.Text.bpeLearnBatchedOver(reps, 16, 8)
+        val batchedSecs = (System.nanoTime() - t2) / 1e9
+        println(f"""{"shape":"bpe_batched","factor":$factor,"merges":${bm.length},"rounds":$rounds,"merges_per_round":${bm.length.toDouble / rounds}%.2f,"secs":$batchedSecs%.2f}""")
       }
     }
 

@@ -276,4 +276,39 @@ class TextOpsSpec extends SparkSpec {
     // the first token's final rep from the trained vocab cannot dangle
     assert(out.filter(col("first_enc").isNull || length(col("first_enc")) === 0).count() == 0)
   }
+
+  test("batched BPE equals sequential BPE and actually batches") {
+    import graft.ops.Text
+    import spark.implicits._
+    // the real fixture: merges, final vocab, AND round count
+    val (seqM, seqReps) = Text.bpeLearn(spark, sfDir)
+    val (batM, batReps, rounds) = Text.bpeLearnBatched(spark, sfDir)
+    assert(batM == seqM, s"batched merges diverged:\n$batM\nvs\n$seqM")
+    assert(batReps.exceptAll(seqReps).count() == 0 &&
+      seqReps.exceptAll(batReps).count() == 0, "final vocab diverged")
+    assert(rounds <= seqM.length, "rounds cannot exceed merges")
+    // adversarial plants: the runner-up pair overlaps the argmax (must
+    // be skipped), a same-count pair touches batch symbols (must stop
+    // the batch), and an independent pair may ride along
+    val corpus = (
+      Seq.fill(30)("abc") ++   // (a,b)=30, (b,c)=30 — (b,c) overlaps (a,b)
+      Seq.fill(20)("xy") ++    // (x,y)=20 independent
+      Seq.fill(10)("pq")       // (p,q)=10 independent
+    ).zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val start = Text.bpeStartVocab(corpus)
+    val (bm, _, br) = Text.bpeLearnBatchedOver(start, 4, 8)
+    // sequential reference over the same vocab, one merge per round
+    var reps = start.localCheckpoint(true)
+    val sm = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 1 to 4) Text.bpeTopPair(reps).foreach { case (l, r, c) =>
+      sm += ((l, r, c))
+      reps = reps.select(col("token"), col("freq"),
+        trim(call_function("replace", concat(lit(" "), col("rep"), lit(" ")),
+          lit(s" $l $r "), lit(s" $l$r "))).as("rep")).localCheckpoint(true)
+    }
+    assert(bm.map(t => (t._2, t._3, t._4)) == sm.result(),
+      "batched merges diverged on the adversarial plant")
+    assert(br <= bm.length)
+  }
 }
