@@ -727,6 +727,39 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // ---- leakage-free train/val/test split (cluster-aware) -------------
+    // The eval-leakage failure mode of hash-splitting DOCUMENTS
+    // (split_assign documents that contrast): a near-duplicate pair
+    // split across train and test leaks the answer into training — the
+    // canonical finding of Lee et al. 2021 §6.2. The fix every serious
+    // pipeline ships: hash the duplicate-CLUSTER label, so all members
+    // of a cluster (exact copies, truncations, near-dups) land in the
+    // SAME split by construction. Cost over split_assign: the cluster
+    // labeling itself (the dedup_components closure, which a pipeline
+    // that deduped already has stored) — the split assignment proper
+    // stays a pure seeded-hash projection, zero extra shuffles.
+    sql("split_leakage_free",
+      s"""$componentsClosureCtes
+         |SELECT id AS doc_id, comp,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  bucket
+         |FROM (SELECT id, comp,
+         |        ('0x' || substr(md5('split:' || CAST(comp AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+         |      FROM comp) t
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val (labels, _, _) = componentLabelsIndexed(s, d)
+      labels
+        .select(col("id").as("doc_id"), col("lbl").as("comp"),
+          (h32Seeded(lit("split"), col("lbl")) % 100).as("bucket"))
+        .select(col("doc_id"), col("comp"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"),
+          col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- duplication-adjusted temperature mixing -----------------------
     // corpus_mix's rates treat every token as distinct content — a
     // source whose crawl double-counts its pages gets double the

@@ -1045,6 +1045,60 @@ object Vectors {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    // ---- semantic decontamination (embedding-space eval leakage) -------
+    // The third decontamination modality: `decontaminate` catches
+    // exact 5-gram leaks, `decontaminate_fuzzy` near-verbatim MinHash
+    // leaks — this catches PARAPHRASES: train items whose EMBEDDING
+    // sits within cosine ≥ 0.95 of an eval item (the contamination
+    // analyses of GPT-3/PaLM-era reports do exactly this sweep).
+    // Plants: exact copies of the eval slice at +50000 must surface at
+    // cosine 1.0; the uniform-random fixture's organic cross-pairs top
+    // out far below the threshold, so the output is exactly the
+    // planted leak set with its best eval match.
+    // 100 TB shape: the eval suite is tiny and BROADCASTS (the same
+    // asymmetry as both other decontam keys); the train scan is one
+    // map-side cosine sweep — O(train·|eval|) flops, no shuffle but
+    // the output sort, and the IVF/PQ dials measured in this file are
+    // the drop-in accelerators when |eval| grows.
+    sql("decontaminate_semantic",
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0
+         |  UNION ALL
+         |  SELECT vec_id + 50000, embedding FROM embeddings WHERE vec_id % 50 = 0),
+         |ev AS (SELECT vec_id AS eval_id, embedding AS ee, ${D.norm("embedding")} AS en
+         |       FROM embeddings WHERE vec_id % 50 = 0),
+         |tr AS (SELECT vec_id, embedding, ${D.norm("embedding")} AS nrm FROM corpus),
+         |p AS (SELECT t.vec_id, e.eval_id,
+         |             ${D.dot("t.embedding", "e.ee")} / (t.nrm * e.en) AS cos
+         |      FROM tr t, ev e)
+         |SELECT vec_id, eval_id, floor(cos * 1000000 + 0.5) / 1000000 AS cosine
+         |FROM (SELECT vec_id, eval_id, cos,
+         |             row_number() OVER (PARTITION BY vec_id
+         |               ORDER BY cos DESC, eval_id) AS rn
+         |      FROM p WHERE cos >= 0.95) x
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val e = emb(s, d)
+      val evalSide = e.filter(col("vec_id") % 50 === 0)
+      val corpus = e.filter(col("vec_id") % 50 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(evalSide.select((col("vec_id") + 50000).as("vec_id"),
+          col("embedding")))
+      val ev = evalSide.select(col("vec_id").as("eval_id"),
+        col("embedding").as("ee"), norm(col("embedding")).as("en"))
+      val tr = corpus.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      val cos = dot(col("embedding"), col("ee")) / (col("nrm") * col("en"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("eval_id"))
+      tr.join(broadcast(ev))
+        .select(col("vec_id"), col("eval_id"), cos.as("cos"))
+        .filter(col("cos") >= 0.95)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("eval_id"), pr6(col("cos")).as("cosine"))
+        .orderBy(col("vec_id"))
+    },
+
     // ---- per-label centroids via a typed Aggregator --------------------
     // Element-wise mean of 64-d vectors per label through
     // graft.functions.VectorMean (custom Aggregator[IN,BUF,OUT]): one

@@ -335,6 +335,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("split_leakage_free: no duplicate cluster straddles a split boundary") {
+    val out = SparkEntry.queries("split_leakage_free")(spark, sfDir).cache()
+    // THE property: every cluster maps to exactly one split (a doc-hash
+    // split provably violates this for the planted copies)
+    assert(out.groupBy(col("comp"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") =!= 1).count() == 0, "a cluster straddles splits")
+    // the planted exact copy (+10000) and truncation (+20000) of every
+    // doc land in their base doc's split
+    val m = out.select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    m.keys.filter(_ < 10000).foreach { id =>
+      assert(m(id + 10000) == m(id), s"exact copy of $id split apart")
+      assert(m(id + 20000) == m(id), s"truncation of $id split apart")
+    }
+    // the 80/10/10 target holds at cluster granularity (hash variance
+    // over ~500 clusters: generous bounds)
+    val n = out.count().toDouble
+    val train = out.filter(col("split") === "train").count() / n
+    assert(train > 0.6 && train < 0.95, s"train fraction $train")
+  }
+
   test("plan-cache keys are cache-independent: spark.graft.plan.cache=false gives identical output") {
     // query builders cannot unpersist (the action runs in the caller),
     // so a long-lived serve session flips the flag instead; the plan

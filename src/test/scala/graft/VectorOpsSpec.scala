@@ -251,6 +251,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(hRr > 0, "rerank must recover at least one true neighbor")
   }
 
+  test("decontaminate_semantic: exactly the planted leaks, each matched to its eval twin at 1.0") {
+    val out = run("decontaminate_semantic").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val evals = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 50 === 0).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    // every planted copy (+50000) surfaces, matched to ITS eval source
+    // at cosine exactly 1.0 — and nothing organic crosses 0.95 on the
+    // uniform-random fixture
+    assert(out.map(_._1).toSet == evals.map(_ + 50000),
+      s"flagged set != planted set: ${out.toSeq.sortBy(_._1)}")
+    out.foreach { case (tid, eid, cos) =>
+      assert(eid == tid - 50000, s"plant $tid matched wrong eval $eid")
+      assert(cos == 1.0, s"plant $tid cosine $cos")
+    }
+  }
+
   test("knn_graph: dense per-node ranks, correct mutuality flags, bounded cosine") {
     val edges = run("knn_graph").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
