@@ -243,6 +243,93 @@ object Relational {
         .limit(100)
     },
 
+    // TPC-H Q7 shape (volume shipping): bilateral trade between two
+    // nations by ship year. Spark-first: the 25-row nation table
+    // broadcasts onto supplier AND (through orders) onto customer, the
+    // symmetric nation-pair predicate collapses to a post-join filter
+    // on two broadcast-joined columns, and the only corpus-sized
+    // shuffles are lineitem⋈orders on orderkey and the final 4-group
+    // aggregate (map-side combined). Revenue in exact DECIMAL(18,2).
+    sql("q7_volume_shipping",
+      s"""SELECT supp_nation, cust_nation, l_year,
+        | $revenueExactSql AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |             year(l_shipdate) AS l_year,
+        |             l_extendedprice, l_discount
+        |      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |        AND c_nationkey = n2.n_nationkey
+        |        AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |          OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+        |        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') t
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+      val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+      val hi = lit("1998-01-01 00:00:00").cast("timestamp")
+      val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+        .filter(col("n_name").isin("NATION_18", "NATION_19"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"),
+          year(col("l_shipdate")).as("l_year"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(revenueExact.as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // TPC-H Q10 shape (returned-item reporting): which customers
+    // returned the most revenue in a quarter. The returnflag filter
+    // prunes lineitem at the scan, the quarter filter prunes orders,
+    // nation broadcasts, and the top 20 is a TakeOrderedAndProject
+    // (per-partition heaps — no global sort of the customer aggregate).
+    sql("q10_returned_items",
+      s"""SELECT c_custkey, c_name,
+        | $revenueExactSql AS revenue,
+        | round(c_acctbal, 2) AS acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val lo = lit("1996-10-01 00:00:00").cast("timestamp")
+      val hi = lit("1997-01-01 00:00:00").cast("timestamp")
+      val cust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(revenueExact.as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          r2(col("c_acctbal")).as("acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
     // --- joins --------------------------------------------------------
     sql("join_inner",
       """SELECT c_custkey, c_name, count(*) AS n_orders,

@@ -73,6 +73,32 @@ class RelationalOpsSpec extends SparkSpec {
     assert(shuffles <= 1, s"expected <=1 shuffle exchange, plan:\n${plan.take(2000)}")
   }
 
+  test("q7_volume_shipping: bilateral rows inside the window, nations broadcast") {
+    val df = run("q7_volume_shipping")
+    val rows = df.collect()
+    assert(rows.nonEmpty, "the chosen nation pair must trade at every SF")
+    // only the two nations appear, never a same-nation row, years in window
+    rows.foreach { r =>
+      val (sn, cn, y) = (r.getString(0), r.getString(1), r.getInt(2))
+      assert(Set("NATION_18", "NATION_19")(sn) && Set("NATION_18", "NATION_19")(cn))
+      assert(sn != cn, s"same-nation row $r")
+      assert(y == 1996 || y == 1997, s"year outside window: $r")
+    }
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("q10_returned_items: top-20 by revenue as TakeOrderedAndProject") {
+    val df = run("q10_returned_items")
+    val rows = df.collect()
+    assert(rows.length == 20)
+    val revs = rows.map(_.getDouble(2))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, "revenue not descending")
+    assert(revs.forall(_ > 0))
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
   test("sim_ivf: dense ranks and every query answered from its cell") {
     val out = SparkEntry.queries("sim_ivf")(spark, sfDir).cache()
     assert(out.count() > 0)
