@@ -330,6 +330,104 @@ object Relational {
         .limit(20)
     },
 
+    // TPC-H Q6 shape (forecasting revenue change): the pure
+    // scan-and-aggregate flagship — every predicate (date window,
+    // discount band, quantity cap) pushes into the parquet scan, the
+    // aggregate is a 1-row partial-combined sum, and nothing shuffles
+    // but the single scalar. Revenue = Σ extendedprice·discount in
+    // exact DECIMAL(18,2). The 100 TB story is the ReadSchema: 4 of
+    // 11 lineitem columns leave the files.
+    sql("q6_forecast_revenue",
+      """SELECT CAST(count(*) AS BIGINT) AS n_items,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.04
+        |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,2)")), 2).cast("double").as("revenue"))
+    },
+
+    // TPC-H Q14 shape (promotion effect): the promo share of one
+    // month's revenue. Part broadcasts onto the date-pruned lineitem
+    // slice; the share is EXACT integer arithmetic — revenue in
+    // 1e-4-currency units (the DECIMAL product's own scale, no
+    // rounding anywhere) and the fraction in floor-divided micro-units,
+    // so the conditional-aggregate ratio that Q14 exists to test has
+    // no float-parity surface at all.
+    sql("q14_promo_effect",
+      """WITH t AS (
+        |  SELECT p.p_type,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |              (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS units
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00')
+        |SELECT CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN units ELSE 0 END) AS BIGINT)
+        |         AS promo_units,
+        |       CAST(sum(units) AS BIGINT) AS total_units,
+        |       CAST((1000000 * sum(CASE WHEN p_type = 'ECONOMY' THEN units ELSE 0 END))
+        |              // sum(units) AS BIGINT) AS promo_frac_micro
+        |FROM t""".stripMargin) { (s, d) =>
+      val units = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)")) * 10000).cast("long")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-06-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-07-01 00:00:00").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("p_type"), units.as("units"))
+        .agg(sum(when(col("p_type") === "ECONOMY", col("units")).otherwise(0L))
+            .as("promo_units"),
+          sum(col("units")).as("total_units"))
+        .select(col("promo_units"), col("total_units"),
+          expr("(1000000 * promo_units) div total_units").as("promo_frac_micro"))
+    },
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicate): the
+    // planner stress Q19 exists for — an OR of conjunct bundles across
+    // two tables. Spark-first: part broadcasts, the disjunction runs as
+    // one post-join filter (each bundle references both sides, so
+    // nothing fully pushes — exactly Q19's point), and the output
+    // attributes revenue per bundle so the oracle checks the branch
+    // split, not just the total.
+    sql("q19_branded_revenue",
+      s"""SELECT branch, CAST(count(*) AS BIGINT) AS n_items,
+        | $revenueExactSql AS revenue
+        |FROM (
+        |  SELECT CASE WHEN p_brand = 'Brand#2' THEN 'b1' ELSE 'b2' END AS branch,
+        |         l_extendedprice, l_discount
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+        |           AND l_quantity BETWEEN 1 AND 20)
+        |     OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 30
+        |           AND l_quantity BETWEEN 5 AND 25)) t
+        |GROUP BY branch ORDER BY branch""".stripMargin) { (s, d) =>
+      val b1 = col("p_brand") === "Brand#2" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)
+      val b2 = col("p_brand") === "Brand#17" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(5, 25)
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(Tables.part(s, d)
+            .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("p_partkey") === col("l_partkey"))
+        .filter(b1 || b2)
+        .select(when(col("p_brand") === "Brand#2", "b1").otherwise("b2").as("branch"),
+          col("l_extendedprice"), col("l_discount"))
+        .groupBy(col("branch"))
+        .agg(count(lit(1)).as("n_items"), revenueExact.as("revenue"))
+        .orderBy(col("branch"))
+    },
+
     // --- joins --------------------------------------------------------
     sql("join_inner",
       """SELECT c_custkey, c_name, count(*) AS n_orders,

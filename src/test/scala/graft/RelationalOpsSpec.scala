@@ -99,6 +99,28 @@ class RelationalOpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
 
+  test("q6/q14/q19: pushdown, exact shares, branch attribution") {
+    // Q6: every predicate reaches the scan, 4 of 11 columns read
+    // (default maxMetadataStringLength elides the filter list at 100
+    // chars — widen it so the assertion sees the full pushdown)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    val q6 = run("q6_forecast_revenue")
+    val r6 = q6.collect()(0)
+    assert(r6.getLong(0) > 0 && r6.getDouble(1) > 0)
+    val scan = q6.queryExecution.executedPlan.toString
+    assert(scan.contains("GreaterThanOrEqual(l_discount,0.02)") &&
+      scan.contains("LessThan(l_quantity,24.0)"), "Q6 predicates not pushed")
+    // Q14: the promo share is a true fraction of the total
+    val r14 = run("q14_promo_effect").collect()(0)
+    val (promo, total, frac) = (r14.getLong(0), r14.getLong(1), r14.getLong(2))
+    assert(promo > 0 && promo < total)
+    assert(frac == 1000000L * promo / total, s"frac $frac")
+    // Q19: both disjunct branches produce revenue
+    val r19 = run("q19_branded_revenue").collect()
+    assert(r19.map(_.getString(0)).toSeq == Seq("b1", "b2"))
+    assert(r19.forall(r => r.getLong(1) > 0 && r.getDouble(2) > 0))
+  }
+
   test("sim_ivf: dense ranks and every query answered from its cell") {
     val out = SparkEntry.queries("sim_ivf")(spark, sfDir).cache()
     assert(out.count() > 0)
