@@ -428,6 +428,57 @@ object Relational {
         .orderBy(col("branch"))
     },
 
+    // --- time-series resample with gap filling -----------------------
+    // The densification every monitoring / feature pipeline needs:
+    // per-user hourly buckets over the user's OWN active span, with
+    // silent hours emitted as explicit zero rows (gap = true) — a
+    // LEFT JOIN against a generated per-user calendar, not a window
+    // trick, because downstream models need the absence rows to
+    // exist. Spark-first: one keyed aggregate (map-side combined),
+    // one span aggregate, a bounded `sequence()` explode (span-sized
+    // per user, never corpus-sized), one (user, hour)-keyed join.
+    // Value sums in exact DECIMAL(18,2); hours as formatted strings so
+    // the hash has no timestamp-encoding surface. At 100 TB the grid
+    // side stays proportional to users × span — the explicit output
+    // contract — and the join co-partitions on the same (user, hour)
+    // key the aggregate already shuffled on.
+    sql("resample_gapfill",
+      """WITH src AS (
+        |  SELECT user_id, date_trunc('hour', ts::TIMESTAMP) AS h,
+        |         CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE user_id < 50),
+        |agg AS (
+        |  SELECT user_id, h, count(*)::BIGINT AS n_events,
+        |         CAST(round(sum(v), 2) AS DOUBLE) AS total
+        |  FROM src GROUP BY user_id, h),
+        |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM src GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |         FROM span)
+        |SELECT g.user_id, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |       coalesce(a.n_events, 0)::BIGINT AS n_events,
+        |       coalesce(a.total, 0.0) AS total,
+        |       (a.n_events IS NULL) AS gap
+        |FROM grid g LEFT JOIN agg a ON a.user_id = g.user_id AND a.h = g.h
+        |ORDER BY g.user_id, g.h""".stripMargin) { (s, d) =>
+      val src = Tables.events(s, d).filter(col("user_id") < 50)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+          col("value").cast("decimal(18,2)").as("v"))
+      val agg = src.groupBy(col("user_id"), col("h"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("v")), 2).cast("double").as("total"))
+      val grid = src.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      grid.join(agg, Seq("user_id", "h"), "left")
+        .select(col("user_id"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("total"), lit(0.0)).as("total"),
+          col("n_events").isNull.as("gap"))
+        .orderBy(col("user_id"), col("hour"))
+    },
+
     // --- joins --------------------------------------------------------
     sql("join_inner",
       """SELECT c_custkey, c_name, count(*) AS n_orders,

@@ -309,6 +309,68 @@ object Vectors {
         min(col("byte_len")).as("byte_len"))
       .orderBy(col("keeper"))
 
+  /** knn_graph's edge chain (also the PageRank input): IVF cell
+    * assignment, in-cell cosine candidates, per-node top-3 —
+    * (a_id, b_id, rnk, cos). Shared so graph consumers cannot drift
+    * from the oracled edge definition.
+    */
+  private def knnEdges(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cent = e.filter(col("vec_id").isin(ivfCentroidIds: _*))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val d2 = dot(col("embedding"), col("embedding")) -
+      lit(2) * dot(col("embedding"), col("ce")) + dot(col("ce"), col("ce"))
+    val wAsg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    val asg = maybeCache(e.join(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+        col("cid"), d2.as("d2"))
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell")))
+    val a = asg.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+      col("nrm").as("an"), col("cell"))
+    val b = asg.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+      col("nrm").as("bn"), col("cell").as("bcell"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
+    maybeCache(
+      a.join(b, col("cell") === col("bcell") && col("b_id") =!= col("a_id"))
+        .select(col("a_id"), col("b_id"),
+          (dot(col("ae"), col("be")) / (col("an") * col("bn"))).as("cos"))
+        .withColumn("rnk", row_number().over(wTop).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("a_id"), col("b_id"), col("rnk"), col("cos")))
+  }
+
+  /** DuckDB twin of [[knnEdges]] as a CTE prefix ending in `t`. */
+  private lazy val knnEdgeCtes: String = {
+    val cids = ivfCentroidIds.mkString("(", ", ", ")")
+    s"""cent AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id IN $cids),
+       |asg AS (
+       |  SELECT vec_id, embedding, nrm, cid AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, ${D.norm("e.embedding")} AS nrm, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${D.dot("e.embedding", "e.embedding")}
+       |                      - 2 * ${D.dot("e.embedding", "c.ce")}
+       |                      + ${D.dot("c.ce", "c.ce")}, c.cid) AS rn
+       |    FROM embeddings e, cent c) t
+       |  WHERE rn = 1),
+       |p AS (
+       |  SELECT q.vec_id AS a_id, c.vec_id AS b_id,
+       |         ${D.dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+       |  FROM asg q JOIN asg c ON q.cell = c.cell
+       |  WHERE c.vec_id <> q.vec_id),
+       |t AS (
+       |  SELECT a_id, b_id, rnk, cos FROM (
+       |    SELECT a_id, b_id, cos,
+       |           row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rnk
+       |    FROM p) x
+       |  WHERE rnk <= 3)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- brute-force cosine top-k (the correctness baseline) -----------
@@ -1254,62 +1316,14 @@ object Vectors {
     // mutuality pass is a self-join of the (already top-k-sized,
     // 3n-row) edge list on the reversed key — O(kn), not O(n²).
     sql("knn_graph", {
-      val cids = ivfCentroidIds.mkString("(", ", ", ")")
-      s"""WITH cent AS (
-         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-         |  WHERE vec_id IN $cids),
-         |asg AS (
-         |  SELECT vec_id, embedding, nrm, cid AS cell FROM (
-         |    SELECT e.vec_id, e.embedding, ${D.norm("e.embedding")} AS nrm, c.cid,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${D.dot("e.embedding", "e.embedding")}
-         |                      - 2 * ${D.dot("e.embedding", "c.ce")}
-         |                      + ${D.dot("c.ce", "c.ce")}, c.cid) AS rn
-         |    FROM embeddings e, cent c) t
-         |  WHERE rn = 1),
-         |p AS (
-         |  SELECT q.vec_id AS a_id, c.vec_id AS b_id,
-         |         ${D.dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
-         |  FROM asg q JOIN asg c ON q.cell = c.cell
-         |  WHERE c.vec_id <> q.vec_id),
-         |t AS (
-         |  SELECT a_id, b_id, rnk, cos FROM (
-         |    SELECT a_id, b_id, cos,
-         |           row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rnk
-         |    FROM p) x
-         |  WHERE rnk <= 3)
+      s"""WITH $knnEdgeCtes
          |SELECT t.a_id, t.b_id, t.rnk,
          |       floor(t.cos * 1000000 + 0.5) / 1000000 AS cosine,
          |       (r.a_id IS NOT NULL) AS mutual
          |FROM t LEFT JOIN t r ON r.a_id = t.b_id AND r.b_id = t.a_id
          |ORDER BY t.a_id, t.rnk""".stripMargin
     }) { (s, d) =>
-      val e = emb(s, d)
-      val cent = e.filter(col("vec_id").isin(ivfCentroidIds: _*))
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      val d2 = dot(col("embedding"), col("embedding")) -
-        lit(2) * dot(col("embedding"), col("ce")) + dot(col("ce"), col("ce"))
-      val wAsg = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-      val asg = maybeCache(e.join(broadcast(cent))
-        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
-          col("cid"), d2.as("d2"))
-        .withColumn("rn", row_number().over(wAsg))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell")))
-      val a = asg.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
-        col("nrm").as("an"), col("cell"))
-      val b = asg.select(col("vec_id").as("b_id"), col("embedding").as("be"),
-        col("nrm").as("bn"), col("cell").as("bcell"))
-      val wTop = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
-      val t = maybeCache(
-        a.join(b, col("cell") === col("bcell") && col("b_id") =!= col("a_id"))
-          .select(col("a_id"), col("b_id"),
-            (dot(col("ae"), col("be")) / (col("an") * col("bn"))).as("cos"))
-          .withColumn("rnk", row_number().over(wTop).cast("bigint"))
-          .filter(col("rnk") <= 3)
-          .select(col("a_id"), col("b_id"), col("rnk"), col("cos")))
+      val t = knnEdges(s, d)
       // mutuality: one self-join of the 3n-row edge list on the
       // reversed (a, b) key
       val rev = t.select(col("a_id").as("r_a"), col("b_id").as("r_b"))
@@ -1318,6 +1332,59 @@ object Vectors {
           pr6(col("cos")).as("cosine"),
           col("r_a").isNotNull.as("mutual"))
         .orderBy(col("a_id"), col("rnk"))
+    },
+
+    // ---- PageRank over the k-NN graph ----------------------------------
+    // The canonical iterative graph workload, run where a training
+    // pipeline actually has a graph: the knn_graph edge list (a data
+    // valuation / centrality signal over the corpus — PageRank-style
+    // scores rank documents by how many near neighbors point at them).
+    // Power iteration in the Pregel shape: each of the 3 fixed rounds
+    // is ONE edge-keyed join (ranks ⋈ edges on src) + ONE dst-keyed
+    // aggregate — no driver-side graph, no collect. All arithmetic is
+    // exact integers: ranks in micro-units, contribution = rank div
+    // out-degree, damping as (850000·Σ) div 1e6 — both engines
+    // floor-divide identically, so three rounds hash-match with no
+    // float surface. At 100 TB: edges partition by src, ranks
+    // co-partition, and the per-round shuffle is edge-count-sized —
+    // the standard distributed PageRank cost model; iteration count is
+    // the convergence dial (fixed here so the oracle can unroll).
+    sql("graph_pagerank", {
+      def iter(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT n.id,
+           |         CAST(150000 + (850000 * coalesce(s.m, 0)) // 1000000 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, CAST(sum($prev.r // d.od) AS BIGINT) AS m
+           |    FROM e JOIN $prev ON $prev.id = e.src JOIN deg d ON d.src = e.src
+           |    GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
+      s"""WITH $knnEdgeCtes,
+         |e AS (SELECT a_id AS src, b_id AS dst FROM t),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+         |r0 AS (SELECT id, 1000000::BIGINT AS r FROM nodes),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT id, r AS rank_micro FROM r3 ORDER BY id""".stripMargin
+    }) { (s, d) =>
+      val edges = maybeCache(knnEdges(s, d)
+        .select(col("a_id").as("src"), col("b_id").as("dst")))
+      val nodes = maybeCache(edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct())
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
+      for (_ <- 1 to 3) {
+        val m = edges.join(deg, "src")
+          .join(ranks.select(col("id").as("src"), col("r")), "src")
+          .select(col("dst"), expr("r div od").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+        ranks = nodes.join(m, col("id") === col("dst"), "left")
+          .select(col("id"),
+            (lit(150000L) + expr("(850000 * coalesce(m, 0L)) div 1000000"))
+              .cast("long").as("r"))
+      }
+      ranks.select(col("id"), col("r").as("rank_micro")).orderBy(col("id"))
     },
 
     // ---- exact media dedup (binary-payload fingerprinting) -------------

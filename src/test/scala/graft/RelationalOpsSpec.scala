@@ -121,6 +121,24 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r19.forall(r => r.getLong(1) > 0 && r.getDouble(2) > 0))
   }
 
+  test("resample_gapfill: dense hourly grid per user, zero-filled gaps, mass conserved") {
+    val out = SparkEntry.queries("resample_gapfill")(spark, sfDir).cache()
+    // the grid is DENSE: per user, row count == span hours + 1
+    val span = out.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .withColumn("expect",
+        (unix_timestamp(col("h1")) - unix_timestamp(col("h0"))) / 3600 + 1)
+    assert(span.filter(col("n") =!= col("expect")).count() == 0, "grid has holes")
+    // gap rows are exactly the zero rows
+    assert(out.filter(col("gap") && (col("n_events") =!= 0 || col("total") =!= 0.0))
+      .count() == 0)
+    assert(out.filter(!col("gap") && col("n_events") < 1).count() == 0)
+    // no events invented or lost
+    val total = out.agg(sum(col("n_events"))).collect()(0).getLong(0)
+    val raw = Tables.events(spark, sfDir).filter(col("user_id") < 50).count()
+    assert(total == raw, s"gapfill changed event mass: $total != $raw")
+  }
+
   test("sim_ivf: dense ranks and every query answered from its cell") {
     val out = SparkEntry.queries("sim_ivf")(spark, sfDir).cache()
     assert(out.count() > 0)

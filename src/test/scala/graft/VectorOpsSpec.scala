@@ -251,6 +251,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(hRr > 0, "rerank must recover at least one true neighbor")
   }
 
+  test("graph_pagerank: every node ranked, floor rank iff no in-edges, mass sane") {
+    val ranks = run("graph_pagerank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = run("knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    assert(ranks.keySet == nodes, "rank set != graph node set")
+    val hasIn = edges.map(_._2).toSet
+    ranks.foreach { case (id, r) =>
+      assert(r >= 150000L, s"node $id below damping floor")
+      if (!hasIn(id)) assert(r == 150000L, s"source-only node $id rank $r")
+      else assert(r > 150000L, s"node $id has in-edges but floor rank")
+    }
+    // total mass stays in the same regime as the n·1e6 start (leaks
+    // only via dangling nodes — bounded sanity, not exact conservation)
+    val total = ranks.values.sum
+    assert(total > 150000L * ranks.size && total < 2000000L * ranks.size)
+  }
+
   test("decontaminate_semantic: exactly the planted leaks, each matched to its eval twin at 1.0") {
     val out = run("decontaminate_semantic").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
