@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -477,6 +477,58 @@ object Relational {
           coalesce(col("total"), lit(0.0)).as("total"),
           col("n_events").isNull.as("gap"))
         .orderBy(col("user_id"), col("hour"))
+    },
+
+    // --- ordered funnel analysis --------------------------------------
+    // The product-analytics staple: how many users progressed
+    // signup → view → click → purchase IN ORDER (each step strictly
+    // after the previous step's first occurrence). Spark-first: one
+    // min-aggregate per step over the type-pruned slice, each joined
+    // user-keyed to the previous step's survivors — the candidate set
+    // only shrinks, every aggregate is map-side combined, and at scale
+    // all four joins reuse ONE user_id partitioning (no re-shuffle
+    // between steps). Output is counts + exact floor-divided micro
+    // conversion rates — no float surface, no timestamp in the output.
+    sql("funnel_steps",
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 ON s3.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id),
+        |c AS (SELECT 1 AS step, 'signup' AS name, count(*) AS n FROM s1
+        |      UNION ALL SELECT 2, 'view', count(*) FROM s2
+        |      UNION ALL SELECT 3, 'click', count(*) FROM s3
+        |      UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
+        |SELECT step, name, CAST(n AS BIGINT) AS n_users,
+        |       CAST((1000000 * n) // (SELECT n FROM c WHERE step = 1) AS BIGINT)
+        |         AS conv_micro
+        |FROM c ORDER BY step""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      def first(tpe: String): DataFrame =
+        ev.filter(col("event_type") === tpe)
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      def after(prev: DataFrame, tpe: String): DataFrame =
+        ev.filter(col("event_type") === tpe)
+          .join(prev.select(col("user_id"), col("t").as("pt")), "user_id")
+          .filter(col("ts") > col("pt"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      val s1 = first("signup")
+      val s2 = after(s1, "view")
+      val s3 = after(s2, "click")
+      val s4 = after(s3, "purchase")
+      def cnt(df: DataFrame, step: Int, name: String): DataFrame =
+        df.agg(count(lit(1)).as("n"))
+          .select(lit(step).as("step"), lit(name).as("name"), col("n"))
+      val c = cnt(s1, 1, "signup").unionByName(cnt(s2, 2, "view"))
+        .unionByName(cnt(s3, 3, "click")).unionByName(cnt(s4, 4, "purchase"))
+      val n1 = c.filter(col("step") === 1).select(col("n").as("n1"))
+      c.crossJoin(broadcast(n1)) // 1-row scalar, the established topology
+        .select(col("step"), col("name"), col("n").cast("bigint").as("n_users"),
+          expr("(1000000 * n) div n1").as("conv_micro"))
+        .orderBy(col("step"))
     },
 
     // --- joins --------------------------------------------------------

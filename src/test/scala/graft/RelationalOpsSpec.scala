@@ -121,6 +121,20 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r19.forall(r => r.getLong(1) > 0 && r.getDouble(2) > 0))
   }
 
+  test("funnel_steps: counts shrink monotonically, rates are exact fractions of step 1") {
+    val rows = run("funnel_steps").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    assert(rows.map(_._2).toSeq == Seq("signup", "view", "click", "purchase"))
+    val ns = rows.map(_._3)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, s"funnel grew: $ns")
+    assert(ns.head > 0 && rows.head._4 == 1000000L)
+    val n1 = ns.head
+    rows.foreach { case (_, _, n, conv) =>
+      assert(conv == 1000000L * n / n1, s"conv not exact: $n $conv")
+    }
+  }
+
   test("resample_gapfill: dense hourly grid per user, zero-filled gaps, mass conserved") {
     val out = SparkEntry.queries("resample_gapfill")(spark, sfDir).cache()
     // the grid is DENSE: per user, row count == span hours + 1
