@@ -619,25 +619,28 @@ object ScaleProbe {
           shuffled.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
       }
       spark.sparkContext.addSparkListener(listener)
-      val docsBase = Tables.documents(spark, sfDir).select("doc_id", "text")
-      for (factor <- Seq(1, 8, 64).filter(_ <= maxFactor); inflate <- Seq(1, 64)) {
-        val media = scaledDocs(docsBase, factor)
-          .select(col("doc_id"),
-            unhex(expr(s"repeat(md5(text), $inflate)")).as("payload"))
-          .repartition(cpus.toInt).cache()
-        val n = media.count() // materialize BEFORE the counter resets
-        val payloadBytes = 16L * inflate * n
-        org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
-        shuffled.set(0L)
-        val t0 = System.nanoTime()
-        val outRows = graft.ops.Vectors.mediaDedup(media).count()
-        val secs = (System.nanoTime() - t0) / 1e9
-        org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
-        val sb = shuffled.get()
-        println(f"""{"shape":"media_shuffle","factor":$factor,"inflate":$inflate,"rows":$n,"payload_bytes":$payloadBytes,"shuffle_bytes":$sb,"shuffle_per_row":${sb / n},"out_rows":$outRows,"secs":$secs%.2f}""")
-        media.unpersist()
-      }
-      spark.sparkContext.removeSparkListener(listener)
+      // try/finally: a throw mid-loop must not leak the listener into
+      // later octaves' shuffle measurements (review finding)
+      try {
+        val docsBase = Tables.documents(spark, sfDir).select("doc_id", "text")
+        for (factor <- Seq(1, 8, 64).filter(_ <= maxFactor); inflate <- Seq(1, 64)) {
+          val media = scaledDocs(docsBase, factor)
+            .select(col("doc_id"),
+              unhex(expr(s"repeat(md5(text), $inflate)")).as("payload"))
+            .repartition(cpus.toInt).cache()
+          val n = media.count() // materialize BEFORE the counter resets
+          val payloadBytes = 16L * inflate * n
+          org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+          shuffled.set(0L)
+          val t0 = System.nanoTime()
+          val outRows = graft.ops.Vectors.mediaDedup(media).count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+          val sb = shuffled.get()
+          println(f"""{"shape":"media_shuffle","factor":$factor,"inflate":$inflate,"rows":$n,"payload_bytes":$payloadBytes,"shuffle_bytes":$sb,"shuffle_per_row":${sb / n},"out_rows":$outRows,"secs":$secs%.2f}""")
+          media.unpersist()
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
     }
 
     if (on("state")) {

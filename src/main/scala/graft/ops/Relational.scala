@@ -254,7 +254,7 @@ object Relational {
       s"""SELECT supp_nation, cust_nation, l_year,
         | $revenueExactSql AS revenue
         |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-        |             year(l_shipdate) AS l_year,
+        |             CAST(year(l_shipdate) AS BIGINT) AS l_year,
         |             l_extendedprice, l_discount
         |      FROM supplier, lineitem, orders, customer, nation n1, nation n2
         |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
@@ -281,7 +281,7 @@ object Relational {
         .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
         .select(col("l_orderkey"), col("l_suppkey"),
           col("l_extendedprice"), col("l_discount"),
-          year(col("l_shipdate")).as("l_year"))
+          year(col("l_shipdate")).cast("bigint").as("l_year"))
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))

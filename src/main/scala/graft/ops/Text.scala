@@ -376,12 +376,15 @@ object Text {
   private[graft] def spanDedupClean(docsDf: DataFrame): DataFrame = {
     val ts = split(col("text"), " ")
     val toks = docsDf.select(col("doc_id"), ts.as("ts"), size(ts).as("n"))
-    val wins = toks.filter(col("n") >= 8)
+    // wins feeds BOTH the rep aggregate and the drops join probe —
+    // cache (flag-gated) or the corpus-wide window explode runs twice
+    // per action (review finding)
+    val wins = maybePlanCache(toks.filter(col("n") >= 8)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), col("n") - 7),
           i => struct(i.as("i"),
             array_join(slice(col("ts"), i, lit(8)), " ").as("gram")))).as("w"))
-      .select(col("doc_id"), col("w.i").as("i"), col("w.gram").as("gram"))
+      .select(col("doc_id"), col("w.i").as("i"), col("w.gram").as("gram")))
     val rep = wins.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("nd"),
         min(col("doc_id") * 1000000L + col("i")).as("canon"))
@@ -722,7 +725,9 @@ object Text {
          |  (SELECT sum(n_tokens) FROM cleaned)::BIGINT AS tokens_before,
          |  (SELECT sum(n_tokens - n_dropped) FROM cleaned)::BIGINT AS tokens_after
          |""".stripMargin) { (s, d) =>
-      val cleaned = spanDedupClean(docs(s, d))
+      // cleaned feeds the repAfter re-window AND the totals aggregate —
+      // cache (flag-gated) so the full clean pipeline runs once
+      val cleaned = maybePlanCache(spanDedupClean(docs(s, d)))
       val repBefore = spanRepGramCount(docs(s, d), "text", "n_rep_before")
       val repAfter = spanRepGramCount(cleaned, "cleaned_text", "n_rep_after")
       val totals = cleaned.agg(
@@ -1714,9 +1719,13 @@ object Text {
     *    an existing overlapping pair ((x,ab) instances embed (x,a)
     *    instances), so sequential's next argmax can only differ from
     *    ours via one of those, and strict dominance rules them all
-    *    out. Ties between accepted disjoint members are safe: their
-    *    counts are unchanged by the other applications, so
-    *    sequential's lex tie-break visits them in exactly this order.
+    *    out. Note the tie guard is deliberately CONSERVATIVE: any
+    *    equal-count candidate that touches the batch's symbols stops
+    *    the batch — which includes the already-accepted members
+    *    themselves, so equal-count candidates never co-batch at all
+    *    (the count-tied tail is left for the next round, where
+    *    sequential order resolves it). Relaxing this needs a new
+    *    proof, not just a code change.
     * Selection stops at the first disjoint candidate that fails the
     * guard (everything after is smaller still). Worst case the batch
     * is just the argmax — never worse than sequential, usually several

@@ -220,6 +220,38 @@ object Vectors {
          |       THEN (1::BIGINT << p) ELSE 0 END))::BIGINT""".stripMargin
   }
 
+  /** Shared Lloyd-refinement stage (sim_ivf_refined,
+    * sim_ivf_refined_probe2 — factored per the same no-drift rule as
+    * pqAdcChain/knnEdges): micro-unit-quantized corpus, seed
+    * assignment via the broadcast expand + partial min(struct)
+    * (cached — the M-step and the re-assignment both read it), and
+    * the exact per-cell mean centroids. Returns
+    * (asg0 = (vec_id, embedding, nrm, qe, cell), refined = (rcell, rce)).
+    */
+  private def lloydRefined(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import graft.functions.VectorMean
+    val e = emb(s, d)
+    val quant = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1000000d) + lit(0.5d)))
+    val base = e.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"), quant.as("qe"))
+    val cent0 = base.filter(col("vec_id").isin(ivfCentroidIds: _*))
+      .select(col("vec_id").as("cid"), col("qe").as("ce"))
+    def d2(a: Column, b: Column): Column =
+      dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
+    val asg0 = maybeCache(base.join(broadcast(cent0))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(d2(col("qe"), col("ce")).as("d2"), col("cid"))).as("best"),
+        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"),
+        first(col("qe")).as("qe"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("qe"),
+        col("best.cid").as("cell")))
+    val refined = asg0.groupBy(col("cell"))
+      .agg(VectorMean.centroid(col("qe").cast("array<float>")).as("rce"))
+      .select(col("cell").as("rcell"), col("rce"))
+    (asg0, refined)
+  }
+
   /** Shared PQ/ADC chain (sim_pq_adc, sim_pq_rerank): micro-unit
     * vectors → 8×4 codebook from the seed vectors → per-(vector,
     * subspace, code) distances feeding BOTH the one-pass encoder
@@ -639,31 +671,9 @@ object Vectors {
          |      FROM p) t
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
     }) { (s, d) =>
-      import graft.functions.VectorMean
-      val e = emb(s, d)
-      val quant = transform(col("embedding"),
-        x => floor(x.cast("double") * lit(1000000d) + lit(0.5d)))
-      val base = e.select(col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("nrm"), quant.as("qe"))
-      val cent0 = base.filter(col("vec_id").isin(ivfCentroidIds: _*))
-        .select(col("vec_id").as("cid"), col("qe").as("ce"))
+      val (asg0, refined) = lloydRefined(s, d)
       def d2(a: Column, b: Column): Column =
         dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
-      // E-step vs seeds: 8-candidate expand, map-side partial min.
-      // Cached: both the M-step's broadcast side and the re-assignment's
-      // probe side read it — uncached, the corpus-sized expand+aggregate
-      // would run twice (review finding)
-      val asg0 = maybeCache(base.join(broadcast(cent0))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(d2(col("qe"), col("ce")).as("d2"), col("cid"))).as("best"),
-          first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"),
-          first(col("qe")).as("qe"))
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("qe"),
-          col("best.cid").as("cell")))
-      // M-step: exact elementwise mean of the quantized members
-      val refined = asg0.groupBy(col("cell"))
-        .agg(VectorMean.centroid(col("qe").cast("array<float>")).as("rce"))
-        .select(col("cell").as("rcell"), col("rce"))
       // E-step vs refined centroids, then cell-local cosine top-3
       val asg1 = maybeCache(asg0.join(broadcast(refined))
         .groupBy(col("vec_id"))
@@ -806,26 +816,9 @@ object Vectors {
          |      FROM p) t
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
     }) { (s, d) =>
-      import graft.functions.VectorMean
-      val e = emb(s, d)
-      val quant = transform(col("embedding"),
-        x => floor(x.cast("double") * lit(1000000d) + lit(0.5d)))
-      val base = e.select(col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("nrm"), quant.as("qe"))
-      val cent0 = base.filter(col("vec_id").isin(ivfCentroidIds: _*))
-        .select(col("vec_id").as("cid"), col("qe").as("ce"))
+      val (asg0, refined) = lloydRefined(s, d)
       def d2(a: Column, b: Column): Column =
         dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
-      val asg0 = maybeCache(base.join(broadcast(cent0))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(d2(col("qe"), col("ce")).as("d2"), col("cid"))).as("best"),
-          first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"),
-          first(col("qe")).as("qe"))
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("qe"),
-          col("best.cid").as("cell")))
-      val refined = asg0.groupBy(col("cell"))
-        .agg(VectorMean.centroid(col("qe").cast("array<float>")).as("rce"))
-        .select(col("cell").as("rcell"), col("rce"))
       // rank-2 re-assignment vs the refined centroids: window over the
       // 8 candidate rows per vector (probe2's shape), both the corpus
       // side (rn=1) and the query probes (rn≤2) read it
@@ -1368,8 +1361,11 @@ object Vectors {
          |${iter("r2", "r3")}
          |SELECT id, r AS rank_micro FROM r3 ORDER BY id""".stripMargin
     }) { (s, d) =>
-      val edges = maybeCache(knnEdges(s, d)
-        .select(col("a_id").as("src"), col("b_id").as("dst")))
+      // knnEdges is already cached inside the helper — a second
+      // maybeCache here would double-materialize (review finding);
+      // the projection below re-derives cheaply from that cache
+      val edges = knnEdges(s, d)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
       val nodes = maybeCache(edges.select(col("src").as("id"))
         .union(edges.select(col("dst").as("id"))).distinct())
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))

@@ -33,9 +33,10 @@ import org.apache.spark.sql.types.StructType
   *    the checkpoint commit) is skipped up front via [[isCommitted]].
   *
   * Batch keys (round 13): the ingest path keys each window by its
-  * CONTENT — the md5 of its doc_id set ([[contentKey]]) — so the skip
-  * is lineage-independent: a replay through a fresh checkpoint over
-  * the same staged windows finds every key committed and appends nothing
+  * CONTENT — md5 over its (doc_id, md5(text)) set ([[contentKey]]) —
+  * so the skip is lineage-independent: a replay through a fresh
+  * checkpoint over the same staged windows finds every key committed
+  * and appends nothing
   * (byte-identical index, ExactlyOnceSpec pins it). Deliberate
   * duplicate-append reprocessing remains available behind
   * `spark.graft.ingest.reprocess=true`, which reverts to
@@ -70,8 +71,11 @@ object BatchLog {
     s"$h-$batchId"
   }
 
-  /** Content-addressed window key: md5 of the window's sorted doc_id
-    * set. The same staged window hashes to the same key from ANY
+  /** Content-addressed window key: md5 over the window's sorted
+    * (doc_id, md5(text)) pairs — ids AND payloads, so a re-staged
+    * window with the same ids but corrected texts gets a NEW key and
+    * re-ingests (review finding: an id-only key would silently skip
+    * it). The same staged window hashes to the same key from ANY
     * checkpoint lineage, which makes the ingest skip (`isCommitted`)
     * cover fresh-checkpoint replays, not just same-lineage retries.
     * Addressed by DATA rather than by input-file paths because the
@@ -79,15 +83,19 @@ object BatchLog {
     * `inputFiles` is empty there, and a path set would also break on
     * staged-elsewhere re-deliveries of identical windows. Cost: one
     * window-sized aggregate per batch (a window is bounded by the
-    * trigger, never corpus-scale). The '-' keeps the key out of the
+    * trigger, never corpus-scale). The full 128-bit digest is kept —
+    * the marker is a zero-byte file, and truncation would make
+    * window-collision data loss a birthday problem at millions of
+    * windows (review finding). The '-' keeps the key out of the
     * rewrite-generation namespaces (see [[nextGenKey]]).
     */
   def contentKey(batch: DataFrame): String = {
     import org.apache.spark.sql.functions._
-    val ids = batch.agg(
-      md5(concat_ws(",", sort_array(collect_list(col("doc_id").cast("string")))))
+    val h = batch.agg(
+      md5(concat_ws(",", sort_array(collect_list(
+        concat(col("doc_id").cast("string"), lit(":"), md5(col("text")))))))
         .as("h")).collect()(0).getString(0)
-    s"w-${ids.take(12)}"
+    s"w-$h"
   }
 
   /** The ingest key for one micro-batch: content-addressed by default,

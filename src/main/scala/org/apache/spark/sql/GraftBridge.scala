@@ -33,16 +33,16 @@ object GraftBridge {
     * Mallard's servers are isolated (`flight_server.py:167-183`), so
     * ours must be too.
     */
+  def dropTempView(spark: SparkSession, name: String): Boolean =
+    spark.asInstanceOf[classic.SparkSession]
+      .sessionState.catalog.dropTempView(name)
+
   /** Block until every queued listener event is delivered — lets a
     * measurement (ScaleProbe's shuffle-bytes listener) read totals
     * without racing the async bus. `listenerBus` is private[spark],
     * hence the bridge. */
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty(60000)
-
-  def dropTempView(spark: SparkSession, name: String): Boolean =
-    spark.asInstanceOf[classic.SparkSession]
-      .sessionState.catalog.dropTempView(name)
 
   // ---- Arrow IPC (TcpGate's columnar wire format) -----------------------
   //
