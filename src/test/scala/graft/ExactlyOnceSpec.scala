@@ -258,6 +258,25 @@ class ExactlyOnceSpec extends graft.SparkSpec {
     } finally spark.conf.unset("spark.graft.ingest.reprocess")
   }
 
+  test("contentKey: sensitive to text changes and id changes, stable across staging paths") {
+    import spark.implicits._
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val a = BatchLog.contentKey(df(Seq(1L -> "alpha beta", 2L -> "gamma")))
+    // same content, different row order / partitioning → same key
+    val a2 = BatchLog.contentKey(df(Seq(2L -> "gamma", 1L -> "alpha beta")).repartition(4))
+    assert(a == a2, "key must not depend on row order or layout")
+    // a corrected text under the same ids MUST re-key (review finding:
+    // an id-only key would silently skip the corrected window)
+    val b = BatchLog.contentKey(df(Seq(1L -> "alpha beta FIXED", 2L -> "gamma")))
+    assert(b != a, "text change must produce a new window key")
+    // id change re-keys too, and the key stays out of the gen namespaces
+    val c = BatchLog.contentKey(df(Seq(3L -> "alpha beta", 2L -> "gamma")))
+    assert(c != a)
+    Seq(a, b, c).foreach { k =>
+      assert(k.startsWith("w-") && k.length == 34, s"unexpected key shape $k")
+    }
+  }
+
   test("pruneGenMarker: a generation's marker survives until EVERY half's data is superseded") {
     // advisor finding (round 13): consolidating a SUBSET of halves
     // supersedes only those — pruning the old generation's marker
