@@ -500,6 +500,50 @@ object ScaleProbe {
       }
     }
 
+    if (on("span")) {
+      // span_dedup_apply octave via the operator's own spanDedupClean
+      // (no drift). Two regimes:
+      //  - realistic growth: replica r prefixes every token with r —
+      //    disjoint vocabularies, so cross-replica grams never repeat
+      //    and the repeated-span density stays the base corpus's;
+      //    window rows and runtime should scale ~linearly;
+      //  - adversarial: scaledDocs' md5-sort canonicalizes every doc's
+      //    token ORDER globally, so docs become near-sorted sequences
+      //    sharing massive substrings (~92% of all windows repeat) —
+      //    the worst-case repeated-mass regime, probed at one factor to
+      //    show the pipeline and its repeat-free residual survive it.
+      def probe(label: String, dc0: DataFrame, factor: Int): Unit = {
+        val dc = dc0.repartition(cpus.toInt).cache()
+        val nDocs = dc.count()
+        val t0 = System.nanoTime()
+        val cleaned = graft.ops.Text.spanDedupClean(dc).cache()
+        val stats = cleaned.agg(sum(col("n_tokens")), sum(col("n_dropped")))
+          .collect()(0)
+        val cleanSecs = (System.nanoTime() - t0) / 1e9
+        val (toks, dropped) = (stats.getLong(0), stats.getLong(1))
+        val t1 = System.nanoTime()
+        val residual = graft.ops.Text
+          .spanRepGramCount(cleaned, "cleaned_text", "n")
+          .collect()(0).getLong(0)
+        val residSecs = (System.nanoTime() - t1) / 1e9
+        println(f"""{"shape":"$label","factor":$factor,"docs":$nDocs,"tokens":$toks,"dropped":$dropped,"dropped_frac_micro":${1000000L * dropped / toks},"residual_rep_grams":$residual,"clean_secs":$cleanSecs%.2f,"residual_secs":$residSecs%.2f}""")
+        cleaned.unpersist(); dc.unpersist()
+        spark.catalog.clearCache()
+      }
+      val docsBase = Tables.documents(spark, sfDir).select("doc_id", "text")
+      for (factor <- Seq(1, 8, 32).filter(_ <= maxFactor)) {
+        val distinctVocab = docsBase
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0), lit(factor - 1))).as("r"))
+          .select((col("doc_id") * factor + col("r")).as("doc_id"),
+            expr("""array_join(transform(split(text, ' '),
+                   |  t -> concat('r', CAST(r AS STRING), '_', t)), ' ')""".stripMargin)
+              .as("text"))
+        probe("span_apply", distinctVocab, factor)
+      }
+      probe("span_apply_adversarial", scaledDocs(docsBase, 8), 8)
+    }
+
     if (on("pq")) {
       // PQ/ADC octave: the claim (PLANS/SCALE) is strict linearity —
       // the encoder is one pass over the corpus (8 subspaces × 4 codes
