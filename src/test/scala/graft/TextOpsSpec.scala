@@ -277,6 +277,24 @@ class TextOpsSpec extends SparkSpec {
     assert(out.filter(col("first_enc").isNull || length(col("first_enc")) === 0).count() == 0)
   }
 
+  test("dedup_containment: half-length excerpts caught at >=0.9, mostly matched to their source") {
+    val out = SparkEntry.queries("dedup_containment")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val plants = out.keys.filter(_ >= 70000)
+    // prefix filtering has an honest miss rate (a plant whose shared
+    // shingles are all common finds no rare posting) — pin ≥ 98%
+    assert(plants.size >= (nDocs * 98) / 100,
+      s"only ${plants.size}/$nDocs excerpt plants caught")
+    assert(out.values.forall(_._2 >= 900000L), "row below the containment bar")
+    // the best match is USUALLY the source doc; the tiny shuffled
+    // vocabulary produces organic near-supersets, so pin a strong
+    // majority rather than exactness (see dedup_near's same caveat)
+    val toSource = plants.count(p => out(p)._1 == p - 70000)
+    assert(toSource >= (plants.size * 80) / 100,
+      s"only $toSource/${plants.size} plants matched their source")
+  }
+
   test("batched BPE equals sequential BPE and actually batches") {
     import graft.ops.Text
     import spark.implicits._
