@@ -79,7 +79,7 @@ class RelationalOpsSpec extends SparkSpec {
     assert(rows.nonEmpty, "the chosen nation pair must trade at every SF")
     // only the two nations appear, never a same-nation row, years in window
     rows.foreach { r =>
-      val (sn, cn, y) = (r.getString(0), r.getString(1), r.getInt(2))
+      val (sn, cn, y) = (r.getString(0), r.getString(1), r.getLong(2))
       assert(Set("NATION_18", "NATION_19")(sn) && Set("NATION_18", "NATION_19")(cn))
       assert(sn != cn, s"same-nation row $r")
       assert(y == 1996 || y == 1997, s"year outside window: $r")
