@@ -428,6 +428,333 @@ object Relational {
         .orderBy(col("branch"))
     },
 
+    // TPC-H Q4 shape (order-priority checking): the EXISTS flagship —
+    // orders in a quarter with at least one late lineitem, counted per
+    // priority. The driver testdata has no l_commitdate/l_receiptdate,
+    // so "late" is adapted to shipped >120 days after the order date
+    // (same two-table correlated predicate, same semi-join shape).
+    // Spark-first: LEFT SEMI join — the lineitem side is projected to
+    // (orderkey, shipdate) before the exchange and each order emits at
+    // most once regardless of how many lines are late; the final
+    // aggregate is 5 groups.
+    sql("q4_priority_check",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 120 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-07-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01 00:00:00").cast("timestamp"))
+        .join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 120 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // TPC-H Q8 shape (national market share): of the revenue ASIA-region
+    // customers spent on ECONOMY parts over two years, the share
+    // supplied by one nation, per order year. Spark-first: the
+    // fixed-small dims broadcast by hint (type-filtered part,
+    // nation, region); the supplier→nation and customer chains grow
+    // with SF so they carry NO hint — AQE broadcasts them while they
+    // fit and falls back to a keyed shuffle at scale. The corpus-sized
+    // shuffle is lineitem⋈orders on orderkey. The share is exact
+    // integer arithmetic — revenue in 1e-4-currency units and the
+    // ratio in floor-divided micro-units (the q14 convention), so the
+    // conditional-aggregate ratio has no float surface.
+    sql("q8_market_share",
+      """WITH t AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |         n2.n_name AS supp_nation,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |              (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS units
+        |  FROM part, lineitem, supplier, orders, customer,
+        |       nation n1, region, nation n2
+        |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND p_type = 'ECONOMY')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_18' THEN units ELSE 0 END) AS BIGINT)
+        |    AS nation_units,
+        |  CAST(sum(units) AS BIGINT) AS total_units,
+        |  CAST((1000000 * sum(CASE WHEN supp_nation = 'NATION_18' THEN units ELSE 0 END))
+        |         // sum(units) AS BIGINT) AS share_micro
+        |FROM t GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, d) =>
+      val units = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)")) * 10000).cast("long")
+      val econPart = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      val supNat = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val asiaCust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("bigint").as("o_year"))
+      val natUnits = sum(when(col("supp_nation") === "NATION_18", col("units"))
+        .otherwise(0L))
+      Tables.lineitem(s, d)
+        .join(broadcast(econPart), col("p_partkey") === col("l_partkey"))
+        .join(supNat, col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("supp_nation"), units.as("units"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_year"))
+        .agg(natUnits.as("nation_units"), sum(col("units")).as("total_units"))
+        .select(col("o_year"), col("nation_units"), col("total_units"),
+          expr("(1000000 * nation_units) div total_units").as("share_micro"))
+        .orderBy(col("o_year"))
+    },
+
+    // TPC-H Q12 shape (shipping priority classes): conditional
+    // priority counts over a fact⋈fact join. The testdata has no
+    // l_shipmode, so the grouping attribute is l_returnflag and "late"
+    // is the Q4 adaptation (shipped >120 days after ordering). The
+    // CASE-sum split of urgent-vs-other priorities — the conditional
+    // aggregation Q12 exists to test — is unchanged. One orderkey
+    // shuffle; the aggregate is 3 groups, map-side combined.
+    sql("q12_ship_priority",
+      """SELECT l_returnflag,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |               THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 120 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 120 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(urgent, 1).otherwise(0)).cast("bigint").as("high_line_count"),
+          sum(when(urgent, 0).otherwise(1)).cast("bigint").as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // TPC-H Q13 shape (customer order-count distribution): the LEFT
+    // JOIN + double aggregate — customers with ZERO qualifying orders
+    // must appear in the c_count=0 bucket, which an inner join would
+    // silently drop. The priority filter lives on the orders side
+    // BEFORE the join (equivalent to the spec's ON-clause filter).
+    // Spark-first: one custkey shuffle for the left join + count, then
+    // a tiny histogram aggregate over ≤ |distinct counts| groups.
+    sql("q13_customer_distribution",
+      """WITH c_orders AS (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM c_orders GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q15 shape (top supplier): a quarter's revenue per supplier,
+    // keep the max. Revenue is summed in exact 1e-4-currency BIGINT
+    // units so the `= max` tie surface is exact integer equality —
+    // the one comparison Q15 lives on, and the one a double sum can
+    // flip. Spark-first: one suppkey aggregate (map-side combined),
+    // the scalar max is a 1-row broadcast crossJoin (never a second
+    // scan of lineitem), supplier joins after the max filter when the
+    // frame is down to the winners.
+    sql("q15_top_supplier",
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT))
+        |         AS BIGINT) AS total_units
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_units
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_units = (SELECT max(total_units) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val units = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)")) * 10000).cast("long")
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .select(col("l_suppkey").as("supplier_no"), units.as("units"))
+        .groupBy(col("supplier_no"))
+        .agg(sum(col("units")).as("total_units"))
+      val top = rev.agg(max(col("total_units")).as("max_units"))
+      rev.join(broadcast(top), col("total_units") === col("max_units"))
+        .join(Tables.supplier(s, d), col("s_suppkey") === col("supplier_no"))
+        .select(col("s_suppkey"), col("s_name"), col("total_units"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    // aggregate subquery — lines of one brand whose quantity is below
+    // 20% of that part's average. De-correlated Spark-first: the brand
+    // filter broadcasts onto lineitem BEFORE the per-part aggregate,
+    // so both partkey shuffles carry only the brand's rows; the
+    // 0.2·avg comparison is cleared of division entirely
+    // (qty < sum/cnt/5  ⇔  5·qty·cnt < sum, quantities are
+    // integer-valued so the BIGINT forms are exact in both engines).
+    sql("q17_small_quantity",
+      """WITH br AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#2'),
+        |pa AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        |    CAST(count(*) AS BIGINT) AS cq
+        |  FROM br GROUP BY l_partkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 10000 AS BIGINT))
+        |       AS BIGINT) AS price_units
+        |FROM br JOIN pa ON l_partkey = pk
+        |WHERE 5 * CAST(l_quantity AS BIGINT) * cq < sq""".stripMargin) { (s, d) =>
+      val brandParts = Tables.part(s, d).filter(col("p_brand") === "Brand#2")
+        .select(col("p_partkey"))
+      val br = Tables.lineitem(s, d)
+        .join(broadcast(brandParts), col("p_partkey") === col("l_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val pa = br.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity").cast("bigint")).as("sq"),
+          count(lit(1)).as("cq"))
+      br.join(pa, col("l_partkey") === col("pk"))
+        .filter(lit(5) * col("l_quantity").cast("bigint") * col("cq") < col("sq"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") * 10000).cast("long"))
+            .as("price_units"))
+    },
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the
+    // EXISTS/NOT-EXISTS pair — on finished multi-supplier orders, the
+    // supplier who was the ONLY late one. De-correlated Spark-first:
+    // one (orderkey, suppkey) aggregate marks each supplier's
+    // lateness, one orderkey aggregate counts suppliers and late
+    // suppliers, and the pair of correlated subqueries collapses to
+    // `n_supp > 1 AND n_late = 1 AND late = 1` on the join-back —
+    // three orderkey-partitioned exchanges total, no per-order
+    // re-scan. "Late" is the Q4 adaptation (no l_receiptdate in the
+    // testdata).
+    sql("q21_waiting_supplier",
+      """WITH ol AS (
+        |  SELECT l_orderkey AS ok, l_suppkey AS sk,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 120 DAY
+        |             THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY l_orderkey, l_suppkey),
+        |ag AS (
+        |  SELECT ok, count(*) AS n_supp, sum(late) AS n_late
+        |  FROM ol GROUP BY ok)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM ol JOIN ag ON ol.ok = ag.ok
+        |JOIN supplier ON s_suppkey = ol.sk
+        |WHERE ol.late = 1 AND ag.n_supp > 1 AND ag.n_late = 1
+        |GROUP BY s_name ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val ol = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .agg(max(when(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 120 DAYS"), 1).otherwise(0))
+          .as("late"))
+      val ag = ol.groupBy(col("ok").as("agg_ok"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+      ol.join(ag, col("ok") === col("agg_ok"))
+        .filter(col("late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
+        .join(Tables.supplier(s, d), col("s_suppkey") === col("sk"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+
+    // TPC-H Q22 shape (global sales opportunity): rich-but-inactive
+    // customers per country — the scalar-average subquery plus
+    // NOT EXISTS anti-join. Adapted to the testdata (no c_phone):
+    // "country" is c_nationkey over a fixed 7-nation list, "inactive"
+    // is no order since 1999 (no-orders-ever is empty below sf0.1).
+    // The average comparison is cleared of division —
+    // bal > sum/cnt ⇔ bal·cnt > sum in exact DECIMAL/BIGINT — so the
+    // boundary customer can't flip on a float. Spark-first: the
+    // 1-row exact scalar broadcasts via crossJoin, the anti-join
+    // shuffles only (custkey) pairs, the final aggregate is 7 groups.
+    sql("q22_global_sales",
+      """WITH ab AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)) * 100) AS BIGINT) AS bal_cents,
+        |         CAST(count(*) AS BIGINT) AS n_pos
+        |  FROM customer
+        |  WHERE c_acctbal > 0
+        |    AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+        |SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+        |  CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
+        |FROM customer, ab
+        |WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+        |  AND CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * n_pos > bal_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin) { (s, d) =>
+      val nations = Seq(1, 3, 5, 7, 9, 11, 13)
+      val balCents = (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+      val cust = Tables.customer(s, d).filter(col("c_nationkey").isin(nations: _*))
+      val ab = cust.filter(col("c_acctbal") > 0)
+        .agg(sum(balCents).as("bal_cents"), count(lit(1)).as("n_pos"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1999-01-01 00:00:00").cast("timestamp"))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(ab))
+        .filter(balCents * col("n_pos") > col("bal_cents"))
+        .join(recent, col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("bigint").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")), 2).cast("double")
+            .as("totacctbal"))
+        .orderBy(col("cntrycode"))
+    },
+
     // --- time-series resample with gap filling -----------------------
     // The densification every monitoring / feature pipeline needs:
     // per-user hourly buckets over the user's OWN active span, with

@@ -160,4 +160,115 @@ class RelationalOpsSpec extends SparkSpec {
       count(lit(1)).as("n"))
     assert(perQ.filter(col("mn") =!= 1 || col("mx") =!= col("n") || col("n") > 3).count() == 0)
   }
+
+  test("q4_priority_check: semi-join counts orders once, totals match the distinct set") {
+    val rows = run("q4_priority_check").collect()
+    assert(rows.nonEmpty)
+    val prios = Set("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    assert(rows.forall(r => prios(r.getString(0)) && r.getLong(1) > 0))
+    // the semi-join must count each qualifying order exactly once
+    val direct = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-07-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01 00:00:00").cast("timestamp"))
+      .join(Tables.lineitem(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 120 DAYS"))
+      .select(col("o_orderkey")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == direct,
+      s"semi-join total != distinct qualifying orders ($direct)")
+  }
+
+  test("q8_market_share: exact micro share, both years, nation <= total") {
+    val rows = run("q8_market_share").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1996L, 1997L))
+    rows.foreach { r =>
+      val (nat, tot, share) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nat >= 0 && nat <= tot && tot > 0)
+      assert(share == 1000000L * nat / tot, s"share not exact: $r")
+    }
+  }
+
+  test("q12_ship_priority: priority split partitions the late-line count") {
+    val rows = run("q12_ship_priority").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A", "N", "R"))
+    val lateTotal = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .join(Tables.orders(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 120 DAYS"))
+      .count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == lateTotal)
+  }
+
+  test("q13_customer_distribution: buckets cover every customer and every kept order") {
+    val rows = run("q13_customer_distribution").collect()
+    val nCust = Tables.customer(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == nCust, "histogram must cover all customers")
+    val keptOrders = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .join(Tables.customer(spark, sfDir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .count()
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum == keptOrders,
+      "Σ c_count·custdist must equal the kept-order mass")
+    // descending by custdist with c_count as the deterministic tiebreak
+    val ord = rows.map(r => (r.getLong(1), r.getLong(0)))
+    assert(ord.zip(ord.tail).forall { case ((d1, c1), (d2, c2)) =>
+      d1 > d2 || (d1 == d2 && c1 > c2) }, "order not (custdist DESC, c_count DESC)")
+  }
+
+  test("q15_top_supplier: winners carry exactly the max exact-unit revenue") {
+    val rows = run("q15_top_supplier").collect()
+    assert(rows.nonEmpty)
+    val units = (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1) - col("l_discount").cast("decimal(18,2)")) * 10000).cast("long")
+    val best = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_suppkey")).agg(sum(units).as("u"))
+      .agg(max(col("u"))).collect()(0).getLong(0)
+    assert(rows.forall(_.getLong(2) == best), s"non-max winner (max=$best)")
+  }
+
+  test("q17_small_quantity: every counted line is below 20% of its part's average") {
+    val r = run("q17_small_quantity").collect()(0)
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    // recompute with a window instead of the agg+join-back topology
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    val direct = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).filter(col("p_brand") === "Brand#2")
+        .select(col("p_partkey")), col("p_partkey") === col("l_partkey"))
+      .withColumn("sq", sum(col("l_quantity").cast("bigint")).over(w))
+      .withColumn("cq", count(lit(1)).over(w))
+      .filter(lit(5) * col("l_quantity").cast("bigint") * col("cq") < col("sq"))
+      .count()
+    assert(r.getLong(0) == direct, s"n_items ${r.getLong(0)} != window recompute $direct")
+  }
+
+  test("q21_waiting_supplier: only-late-supplier semantics on multi-supplier F orders") {
+    val rows = run("q21_waiting_supplier").collect()
+    assert(rows.nonEmpty)
+    val ws = rows.map(_.getLong(1))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b }, "numwait not descending")
+    // every reported name is a real supplier
+    val names = Tables.supplier(spark, sfDir).select(col("s_name"))
+      .collect().map(_.getString(0)).toSet
+    assert(rows.forall(r => names(r.getString(0))))
+  }
+
+  test("q22_global_sales: inactive richer-than-average customers, exact boundary") {
+    val rows = run("q22_global_sales").collect()
+    assert(rows.nonEmpty)
+    val allowed = Set(1L, 3L, 5L, 7L, 9L, 11L, 13L)
+    assert(rows.forall(r => allowed(r.getLong(0)) && r.getLong(1) > 0))
+    // no counted customer ordered after the cutoff
+    val counted = rows.map(_.getLong(1)).sum
+    val active = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1999-01-01 00:00:00").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+    val inactive = cust.join(active, col("o_custkey") === col("c_custkey"), "left_anti")
+    assert(counted <= inactive.count(), "counted customers exceed the inactive pool")
+  }
 }
