@@ -76,6 +76,16 @@ object StreamingOps {
       EventStream.runHourly(s, d)
     },
 
+    // streaming gap-based sessions: the SAME session_window aggregation
+    // as the batch `sessionize` key, executed as a real watermarked
+    // stream (session_window is one of the few stateful operators whose
+    // batch and streaming semantics are defined to coincide); the
+    // oracle is the batch key's lag+running-sum SQL, so the hash-match
+    // IS the stream/batch parity claim, checked by the driver itself
+    sql("stream_session_live", Relational.Sql.sessionize) { (s, d) =>
+      EventStream.runSessions(s, d)
+    },
+
     // streaming top-k: complete-mode counts + sort + limit INSIDE the
     // streaming query — the stream's own emitted relation is the
     // current top 10, not a batch post-pass over sunk state
