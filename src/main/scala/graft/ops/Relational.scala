@@ -46,6 +46,30 @@ object Relational {
     "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
       "(1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)"
 
+  /** Per-row revenue in exact 1e-4-currency BIGINT units (the DECIMAL
+    * product's own scale ×10000 — integral by construction, so the
+    * cast is value-exact in both engines). Shared by q8/q14/q15 so the
+    * Spark expression and its oracle text cannot drift apart.
+    */
+  private[graft] def unitsExact: Column =
+    (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1) - col("l_discount").cast("decimal(18,2)")) * 10000).cast("long")
+
+  private val unitsExactSql: String =
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)"
+
+  /** Floor-divided micro-share num*1e6 div den, overflow-safe: the
+    * numerator is widened to DECIMAL(38,0) BEFORE the ×1e6 (a BIGINT
+    * multiply wraps silently under Spark's non-ANSI default once the
+    * unit sum passes ~9.2e12 — reachable for q8's two-year slice at
+    * sf10+ — while the DuckDB oracle's HUGEINT stays exact). `div` on
+    * decimals returns the integral quotient as BIGINT, and both sides
+    * are non-negative so floor and truncate agree.
+    */
+  private def shareMicro(num: String, den: String): Column =
+    expr(s"(CAST($num AS DECIMAL(38,0)) * 1000000) div $den").cast("long")
+
   val defs: Seq[QueryDef] = Seq(
 
     // --- projection / filter / aggregation (TPC-H Q1 shape) ----------
@@ -356,17 +380,17 @@ object Relational {
     },
 
     // TPC-H Q14 shape (promotion effect): the promo share of one
-    // month's revenue. Part broadcasts onto the date-pruned lineitem
-    // slice; the share is EXACT integer arithmetic — revenue in
+    // month's revenue. The part side carries NO hint (part grows with
+    // SF — AQE broadcasts it while small, shuffles at scale, per the
+    // header rule); the share is EXACT integer arithmetic — revenue in
     // 1e-4-currency units (the DECIMAL product's own scale, no
     // rounding anywhere) and the fraction in floor-divided micro-units,
     // so the conditional-aggregate ratio that Q14 exists to test has
     // no float-parity surface at all.
     sql("q14_promo_effect",
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT p.p_type,
-        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |              (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS units
+        |         $unitsExactSql AS units
         |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         |  WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00')
@@ -376,24 +400,23 @@ object Relational {
         |       CAST((1000000 * sum(CASE WHEN p_type = 'ECONOMY' THEN units ELSE 0 END))
         |              // sum(units) AS BIGINT) AS promo_frac_micro
         |FROM t""".stripMargin) { (s, d) =>
-      val units = (col("l_extendedprice").cast("decimal(18,2)") *
-        (lit(1) - col("l_discount").cast("decimal(18,2)")) * 10000).cast("long")
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1996-06-01 00:00:00").cast("timestamp") &&
           col("l_shipdate") < lit("1996-07-01 00:00:00").cast("timestamp"))
-        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
           col("p_partkey") === col("l_partkey"))
-        .select(col("p_type"), units.as("units"))
+        .select(col("p_type"), unitsExact.as("units"))
         .agg(sum(when(col("p_type") === "ECONOMY", col("units")).otherwise(0L))
             .as("promo_units"),
           sum(col("units")).as("total_units"))
         .select(col("promo_units"), col("total_units"),
-          expr("(1000000 * promo_units) div total_units").as("promo_frac_micro"))
+          shareMicro("promo_units", "total_units").as("promo_frac_micro"))
     },
 
     // TPC-H Q19 shape (discounted revenue, disjunctive predicate): the
     // planner stress Q19 exists for — an OR of conjunct bundles across
-    // two tables. Spark-first: part broadcasts, the disjunction runs as
+    // two tables. Spark-first: part joins unhinted (AQE broadcasts it
+    // while small — part grows with SF), the disjunction runs as
     // one post-join filter (each bundle references both sides, so
     // nothing fully pushes — exactly Q19's point), and the output
     // attributes revenue per bundle so the oracle checks the branch
@@ -417,8 +440,8 @@ object Relational {
       Tables.lineitem(s, d)
         .select(col("l_partkey"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"))
-        .join(broadcast(Tables.part(s, d)
-            .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        .join(Tables.part(s, d)
+            .select(col("p_partkey"), col("p_brand"), col("p_size")),
           col("p_partkey") === col("l_partkey"))
         .filter(b1 || b2)
         .select(when(col("p_brand") === "Brand#2", "b1").otherwise("b2").as("branch"),
@@ -461,9 +484,9 @@ object Relational {
 
     // TPC-H Q8 shape (national market share): of the revenue ASIA-region
     // customers spent on ECONOMY parts over two years, the share
-    // supplied by one nation, per order year. Spark-first: the
-    // fixed-small dims broadcast by hint (type-filtered part,
-    // nation, region); the supplier→nation and customer chains grow
+    // supplied by one nation, per order year. Spark-first: only the
+    // fixed-cardinality dims (nation, region) broadcast by hint; the
+    // type-filtered part slice and the supplier/customer chains grow
     // with SF so they carry NO hint — AQE broadcasts them while they
     // fit and falls back to a keyed shuffle at scale. The corpus-sized
     // shuffle is lineitem⋈orders on orderkey. The share is exact
@@ -471,11 +494,10 @@ object Relational {
     // ratio in floor-divided micro-units (the q14 convention), so the
     // conditional-aggregate ratio has no float surface.
     sql("q8_market_share",
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |         n2.n_name AS supp_nation,
-        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |              (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS units
+        |         $unitsExactSql AS units
         |  FROM part, lineitem, supplier, orders, customer,
         |       nation n1, region, nation n2
         |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
@@ -492,8 +514,6 @@ object Relational {
         |  CAST((1000000 * sum(CASE WHEN supp_nation = 'NATION_18' THEN units ELSE 0 END))
         |         // sum(units) AS BIGINT) AS share_micro
         |FROM t GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, d) =>
-      val units = (col("l_extendedprice").cast("decimal(18,2)") *
-        (lit(1) - col("l_discount").cast("decimal(18,2)")) * 10000).cast("long")
       val econPart = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
         .select(col("p_partkey"))
       val supNat = Tables.supplier(s, d)
@@ -516,14 +536,14 @@ object Relational {
       val natUnits = sum(when(col("supp_nation") === "NATION_18", col("units"))
         .otherwise(0L))
       Tables.lineitem(s, d)
-        .join(broadcast(econPart), col("p_partkey") === col("l_partkey"))
+        .join(econPart, col("p_partkey") === col("l_partkey"))
         .join(supNat, col("l_suppkey") === col("s_suppkey"))
-        .select(col("l_orderkey"), col("supp_nation"), units.as("units"))
+        .select(col("l_orderkey"), col("supp_nation"), unitsExact.as("units"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_year"))
         .agg(natUnits.as("nation_units"), sum(col("units")).as("total_units"))
         .select(col("o_year"), col("nation_units"), col("total_units"),
-          expr("(1000000 * nation_units) div total_units").as("share_micro"))
+          shareMicro("nation_units", "total_units").as("share_micro"))
         .orderBy(col("o_year"))
     },
 
@@ -597,11 +617,9 @@ object Relational {
     // scan of lineitem), supplier joins after the max filter when the
     // frame is down to the winners.
     sql("q15_top_supplier",
-      """WITH revenue AS (
+      s"""WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,
-        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |             (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT))
-        |         AS BIGINT) AS total_units
+        |    CAST(sum($unitsExactSql) AS BIGINT) AS total_units
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -610,12 +628,10 @@ object Relational {
         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
         |WHERE total_units = (SELECT max(total_units) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
-      val units = (col("l_extendedprice").cast("decimal(18,2)") *
-        (lit(1) - col("l_discount").cast("decimal(18,2)")) * 10000).cast("long")
       val rev = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
-        .select(col("l_suppkey").as("supplier_no"), units.as("units"))
+        .select(col("l_suppkey").as("supplier_no"), unitsExact.as("units"))
         .groupBy(col("supplier_no"))
         .agg(sum(col("units")).as("total_units"))
       val top = rev.agg(max(col("total_units")).as("max_units"))
@@ -651,7 +667,7 @@ object Relational {
       val brandParts = Tables.part(s, d).filter(col("p_brand") === "Brand#2")
         .select(col("p_partkey"))
       val br = Tables.lineitem(s, d)
-        .join(broadcast(brandParts), col("p_partkey") === col("l_partkey"))
+        .join(brandParts, col("p_partkey") === col("l_partkey"))
         .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
       val pa = br.groupBy(col("l_partkey").as("pk"))
         .agg(sum(col("l_quantity").cast("bigint")).as("sq"),

@@ -220,8 +220,7 @@ class RelationalOpsSpec extends SparkSpec {
   test("q15_top_supplier: winners carry exactly the max exact-unit revenue") {
     val rows = run("q15_top_supplier").collect()
     assert(rows.nonEmpty)
-    val units = (col("l_extendedprice").cast("decimal(18,2)") *
-      (lit(1) - col("l_discount").cast("decimal(18,2)")) * 10000).cast("long")
+    val units = graft.ops.Relational.unitsExact
     val best = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
@@ -250,10 +249,27 @@ class RelationalOpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     val ws = rows.map(_.getLong(1))
     assert(ws.zip(ws.tail).forall { case (a, b) => a >= b }, "numwait not descending")
-    // every reported name is a real supplier
-    val names = Tables.supplier(spark, sfDir).select(col("s_name"))
-      .collect().map(_.getString(0)).toSet
-    assert(rows.forall(r => names(r.getString(0))))
+    // independent recompute of the ONLY-late-supplier rule through a
+    // window topology (the key uses agg + join-back): per F order,
+    // late flag per supplier, supplier/late-supplier counts as window
+    // aggregates, winners = late on an n_supp>1, n_late==1 order
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ok"))
+    val expected = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .agg(max(when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 120 DAYS"), 1).otherwise(0)).as("late"))
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum(col("late")).over(w))
+      .filter(col("late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
+      .join(Tables.supplier(spark, sfDir), col("s_suppkey") === col("sk"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == expected,
+      "agg+join-back result differs from the window recompute")
   }
 
   test("q22_global_sales: inactive richer-than-average customers, exact boundary") {
