@@ -874,6 +874,53 @@ object Relational {
         .orderBy(col("step"))
     },
 
+    // --- cohort retention analysis -----------------------------------
+    // The product-analytics staple next to funnels and sessions: users
+    // cohorted by first-seen day, retention = the fraction of each
+    // cohort with PURCHASE activity at day offset k. Spark-first: one
+    // user-keyed aggregate for first-seen, one distinct over (user,
+    // active day) — both partition on user_id, so the cohort join-back
+    // reuses the partitioning without a new exchange shape — then a
+    // (cohort, offset)-keyed aggregate that is calendar-sized, and the
+    // cohort-size join (days × 1 row) broadcasts. Rates in exact
+    // floor-divided micro-units; dates compared day-truncated so both
+    // engines count identical offsets.
+    sql("cohort_retention",
+      """WITH first AS (
+        |  SELECT user_id, date_trunc('day', min(ts)) AS c
+        |  FROM events GROUP BY user_id),
+        |coh AS (SELECT c, count(*) AS n_cohort FROM first GROUP BY c),
+        |act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+        |        FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT f.c, date_diff('day', f.c, a.d) AS day_offset,
+        |             count(*) AS n_active
+        |      FROM act a JOIN first f ON a.user_id = f.user_id
+        |      GROUP BY f.c, day_offset)
+        |SELECT strftime(r.c, '%Y-%m-%d') AS cohort_day,
+        |  CAST(day_offset AS BIGINT) AS day_offset,
+        |  CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(n_cohort AS BIGINT) AS n_cohort,
+        |  CAST((1000000 * n_active) // n_cohort AS BIGINT) AS retention_micro
+        |FROM r JOIN coh ON r.c = coh.c
+        |ORDER BY cohort_day, day_offset""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val firstSeen = ev.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("c"))
+      val cohortSize = firstSeen.groupBy(col("c")).agg(count(lit(1)).as("n_cohort"))
+      val active = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("d")).distinct()
+      active.join(firstSeen, "user_id")
+        // act is distinct (user, day) and c is functional on user, so
+        // count(*) per (c, offset) IS the distinct active-user count
+        .groupBy(col("c"), datediff(col("d"), col("c")).cast("bigint").as("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(cohortSize, "c")
+        .select(date_format(col("c"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_active"), col("n_cohort"),
+          expr("(1000000 * n_active) div n_cohort").as("retention_micro"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+
     // --- joins --------------------------------------------------------
     sql("join_inner",
       """SELECT c_custkey, c_name, count(*) AS n_orders,

@@ -375,6 +375,53 @@ object Vectors {
         .select(col("a_id"), col("b_id"), col("rnk"), col("cos")))
   }
 
+  /** Per-node triangle counts over the undirected knn edge set.
+    * `byDegree = true` orients each edge low→high under (degree, id) —
+    * the arboricity-bounded production orientation (wedges enumerate at
+    * the lowest-degree endpoint, Σ out-deg² ≤ O(m^1.5) regardless of
+    * hubs); `false` orients by id, matching the oracle SQL. Any acyclic
+    * orientation gives every triangle exactly one source vertex, so
+    * both enumerate the SAME triangle set — the spec compares them.
+    */
+  private[graft] def triangleCounts(s: SparkSession, d: String,
+      byDegree: Boolean): DataFrame = {
+    val t = knnEdges(s, d)
+    val und = maybeCache(t.select(least(col("a_id"), col("b_id")).as("u"),
+      greatest(col("a_id"), col("b_id")).as("v")).distinct())
+    val oriented =
+      if (!byDegree)
+        und.select(col("u").as("src"), col("v").as("dst"),
+          struct(lit(0L).as("dg"), col("v").as("id")).as("dkey"))
+      else {
+        val deg = und.select(col("u").as("id")).unionByName(und.select(col("v").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+        val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+        und
+          .join(deg.select(col("id").as("u"), col("dg").as("du")), "u")
+          .join(deg.select(col("id").as("v"), col("dg").as("dv")), "v")
+          .select(when(uFirst, col("u")).otherwise(col("v")).as("src"),
+            when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+            when(uFirst, struct(col("dv").as("dg"), col("v").as("id")))
+              .otherwise(struct(col("du").as("dg"), col("u").as("id"))).as("dkey"))
+      }
+    val o = maybeCache(oriented)
+    val e1 = o.select(col("src"), col("dst").as("b"), col("dkey").as("bk"))
+    val e2 = o.select(col("src").as("src2"), col("dst").as("c"), col("dkey").as("ck"))
+    // wedges at the orientation-minimal vertex; the bk < ck cut emits
+    // each unordered out-neighbor pair once, closed by one semi-join
+    // against the oriented edge list (the closing edge of a bk<ck pair
+    // is oriented b→c by construction)
+    val tri = e1.join(e2, col("src2") === col("src") && col("bk") < col("ck"))
+      .select(col("src").as("a"), col("b"), col("c"))
+      .join(o.select(col("src").as("b2"), col("dst").as("c2")),
+        col("b2") === col("b") && col("c2") === col("c"), "left_semi")
+    tri.select(col("a").as("id"))
+      .unionByName(tri.select(col("b").as("id")))
+      .unionByName(tri.select(col("c").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("id"))
+  }
+
   /** DuckDB twin of [[knnEdges]] as a CTE prefix ending in `t`. */
   private lazy val knnEdgeCtes: String = {
     val cids = ivfCentroidIds.mkString("(", ", ", ")")
@@ -1381,6 +1428,37 @@ object Vectors {
               .cast("long").as("r"))
       }
       ranks.select(col("id"), col("r").as("rank_micro")).orderBy(col("id"))
+    },
+
+    // ---- triangle counting over the k-NN graph -------------------------
+    // Per-node triangle membership on the undirected knn edge set — the
+    // local-clustering signal (community cores vs hub spokes) graph
+    // pipelines compute next after degrees. Distributed-scale shape:
+    // edges are ORIENTED low→high by (degree, id) before wedge
+    // enumeration, so every wedge is generated at its lowest-degree
+    // vertex — candidate wedges are Σ out-deg², bounded O(m^1.5) by
+    // arboricity instead of exploding at hubs (a knn graph's in-degree
+    // is unbounded even when k=3) — then closed by one join against the
+    // oriented edge list. Every triangle has exactly ONE source vertex
+    // under an acyclic orientation, so each is counted once; the oracle
+    // uses the simpler id-orientation — a DIFFERENT acyclic orientation
+    // that provably enumerates the same triangle set (the spec
+    // additionally cross-checks the two orientations in Spark).
+    sql("graph_triangles", {
+      s"""WITH $knnEdgeCtes,
+         |ud AS (SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v
+         |       FROM t),
+         |tri AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM ud e1 JOIN ud e2 ON e2.u = e1.v
+         |  JOIN ud e3 ON e3.u = e1.u AND e3.v = e2.v)
+         |SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM (SELECT a AS id FROM tri
+         |      UNION ALL SELECT b FROM tri
+         |      UNION ALL SELECT c FROM tri) m
+         |GROUP BY id ORDER BY id""".stripMargin
+    }) { (s, d) =>
+      triangleCounts(s, d, byDegree = true)
     },
 
     // ---- exact media dedup (binary-payload fingerprinting) -------------

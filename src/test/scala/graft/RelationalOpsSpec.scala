@@ -272,6 +272,29 @@ class RelationalOpsSpec extends SparkSpec {
       "agg+join-back result differs from the window recompute")
   }
 
+  test("cohort_retention: offsets non-negative, rates exact fractions of the cohort") {
+    val rows = run("cohort_retention").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (off, act, coh, rate) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(off >= 0, s"negative offset: $r (first-seen is the min over ALL events)")
+      assert(act >= 1 && act <= coh, s"active outside [1, cohort]: $r")
+      assert(rate == 1000000L * act / coh, s"rate not exact: $r")
+    }
+    // cohorts partition the user base: the sizes of the cohorts that
+    // appear cover at most every user (cohorts with zero purchase
+    // activity legitimately emit no rows), and each cohort reports ONE
+    // consistent size across its offsets
+    val nUsers = Tables.events(spark, sfDir).select(col("user_id")).distinct().count()
+    val perCohort = rows.groupBy(_.getString(0)).map { case (_, rs) =>
+      val sizes = rs.map(_.getLong(3)).distinct
+      assert(sizes.length == 1, "cohort size varies across offsets")
+      sizes.head
+    }
+    assert(perCohort.sum <= nUsers, "cohort sizes exceed the user base")
+  }
+
   test("q22_global_sales: inactive richer-than-average customers, exact boundary") {
     val rows = run("q22_global_sales").collect()
     assert(rows.nonEmpty)

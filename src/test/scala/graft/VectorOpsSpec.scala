@@ -350,4 +350,17 @@ class VectorOpsSpec extends SparkSpec {
       assert(warm.exceptAll(cold).count() == 0, s"$key cached ⊄ uncached")
     }
   }
+
+  test("graph_triangles: degree orientation equals id orientation, counts divisible by 3") {
+    val byDeg = SparkEntry.queries("graph_triangles")(spark, sfDir)
+    val byId = graft.ops.Vectors.triangleCounts(spark, sfDir, byDegree = false)
+    // any acyclic orientation enumerates the same triangle set — the
+    // production (degree) and oracle (id) orientations must agree row-wise
+    assert(byDeg.exceptAll(byId).count() == 0 && byId.exceptAll(byDeg).count() == 0,
+      "orientation changed the triangle counts")
+    val rows = byDeg.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) > 0))
+    // each triangle contributes exactly 3 memberships
+    assert(rows.map(_.getLong(1)).sum % 3 == 0, "membership mass not divisible by 3")
+  }
 }
