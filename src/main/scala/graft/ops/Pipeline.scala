@@ -1140,6 +1140,61 @@ object Pipeline {
         .orderBy(col("source"))
     },
 
+    // ---- quality-tercile corpus bucketing (head / middle / tail) -------
+    // The CCNet regime (Wenzek et al. 2020): partition the corpus into
+    // head/middle/tail thirds by a per-doc quality signal, so a data
+    // recipe can oversample the head and drop or down-weight the tail.
+    // The signal is the engine's own quality_micro (factored in Text so
+    // both keys score the identical doubles). The tercile thresholds
+    // are computed EXACTLY but scale-free: scores quantize to centi
+    // cells (q_micro div 10⁴ ∈ [0, 100] — ≤ 101 distinct values by
+    // construction), the cumulative count runs over that bounded
+    // histogram (the unpartitioned window frames ≤ 101 rows no matter
+    // the corpus size — this is the quantize-then-rank trick that
+    // replaces a global percentile sort), and the two thresholds are
+    // the smallest cells whose cumulative count reaches ⌈N/3⌉ / ⌈2N/3⌉.
+    // Docs then bucket via a broadcast 1-row threshold join. All
+    // integer arithmetic after the score — no percentile function, no
+    // float frontier.
+    sql("quality_buckets",
+      s"""WITH q AS (${graft.ops.Text.qualityMicroSql}),
+         |c AS (SELECT doc_id, q_micro, q_micro // 10000 AS qc FROM q),
+         |hist AS (SELECT qc, count(*) AS cnt FROM c GROUP BY qc),
+         |cum AS (SELECT qc, sum(cnt) OVER (ORDER BY qc) AS cum FROM hist),
+         |n AS (SELECT count(*) AS nn FROM c),
+         |th AS (SELECT min(CASE WHEN cum >= (nn + 2) // 3 THEN qc END) AS t1,
+         |              min(CASE WHEN cum >= (2 * nn + 2) // 3 THEN qc END) AS t2
+         |       FROM cum, n),
+         |b AS (SELECT CASE WHEN qc <= t1 THEN 'tail'
+         |                  WHEN qc <= t2 THEN 'middle'
+         |                  ELSE 'head' END AS bucket, q_micro
+         |      FROM c, th)
+         |SELECT bucket, count(*) AS n_docs,
+         |       CAST(min(q_micro) AS BIGINT) AS min_q_micro,
+         |       CAST(max(q_micro) AS BIGINT) AS max_q_micro,
+         |       CAST(sum(q_micro) // count(*) AS BIGINT) AS avg_q_micro
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      val c = maybePlanCache(docs(s, d)
+        .select(col("doc_id"), graft.ops.Text.qualityMicroCol.as("q_micro"))
+        .withColumn("qc", expr("q_micro div 10000")))
+      val hist = c.groupBy(col("qc")).agg(count(lit(1)).as("cnt"))
+      val cum = hist.withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("qc"))))
+      val n = c.agg(count(lit(1)).as("nn"))
+      val th = cum.crossJoin(broadcast(n))
+        .agg(min(when(col("cum") >= expr("(nn + 2) div 3"), col("qc"))).as("t1"),
+          min(when(col("cum") >= expr("(2 * nn + 2) div 3"), col("qc"))).as("t2"))
+      c.crossJoin(broadcast(th)) // 1-row thresholds — the scalar topology
+        .select(when(col("qc") <= col("t1"), lit("tail"))
+          .when(col("qc") <= col("t2"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"), col("q_micro"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("q_micro")).as("min_q_micro"),
+          max(col("q_micro")).as("max_q_micro"),
+          expr("sum(q_micro) div count(1)").as("avg_q_micro"))
+        .orderBy(col("bucket"))
+    },
+
     // ---- deterministic training-shard assignment -----------------------
     // Sharding the corpus across data-parallel workers without a
     // global sort: shard = seeded hash of doc_id (map-side, uniform),

@@ -921,6 +921,122 @@ object Relational {
         .orderBy(col("cohort_day"), col("day_offset"))
     },
 
+    // --- first-order event transition matrix --------------------------
+    // The Markov view of user behavior: for consecutive events of the
+    // SAME user, how often does type a lead to type b, and with what
+    // probability. Spark-first: one user-keyed window (lead over
+    // (ts, event_id) — event_id breaks any equal-timestamp tie, so the
+    // sequence is total and both engines see the identical successor),
+    // then two tiny type-keyed aggregates; the transition matrix is
+    // |types|² rows, so everything after the window is broadcast-sized.
+    // Probabilities are exact floor-divided micro-units.
+    sql("markov_transitions",
+      """WITH seq AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |t AS (SELECT event_type AS from_type, next_type AS to_type,
+        |             count(*) AS n
+        |      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n) AS n_from FROM t GROUP BY 1)
+        |SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n_trans,
+        |       CAST(tot.n_from AS BIGINT) AS n_from,
+        |       CAST((1000000 * t.n) // tot.n_from AS BIGINT) AS p_micro
+        |FROM t JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val seq = Tables.events(s, d)
+        .select(col("event_type"), lead(col("event_type"), 1).over(w).as("next_type"))
+      val t = seq.filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      val tot = t.groupBy(col("from_type")).agg(sum(col("n_trans")).as("n_from"))
+      t.join(broadcast(tot), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n_trans"), col("n_from"),
+          expr("(1000000 * n_trans) div n_from").as("p_micro"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
+    // --- exact-integer rate anomaly detection --------------------------
+    // Hourly event-rate z-score flags without ever leaving integers:
+    // a count x in (type, hour) is anomalous when |z| > 2, i.e.
+    // (x − S/n)² > 4·σ² with population variance σ² = (n·Σx² − S²)/n².
+    // Multiplying through by n² gives (n·x − S)² > 4·(n·Σx² − S²) —
+    // pure integer arithmetic, so the flag frontier cannot drift
+    // between engines (no sqrt, no division). The cross-multiplies run
+    // in decimal(38,0) (Spark) / HUGEINT (DuckDB): at web scale an
+    // hourly count can pass ~3e6, where the BIGINT square overflows.
+    // Stats are computed over OBSERVED hours (empty hours don't emit a
+    // zero row — the groupBy can't see them); that is the documented
+    // semantics, not an accident. Shape: one (type, hour) aggregate
+    // (map-side combined), one |types|-row stats aggregate broadcast
+    // back — nothing here grows beyond the calendar.
+    sql("anomaly_zscore",
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+        |                  count(*) AS x
+        |           FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS n, sum(x) AS s,
+        |              sum(x * x) AS ss
+        |       FROM h GROUP BY 1)
+        |SELECT h.event_type, strftime(hr, '%Y-%m-%d %H') AS hour,
+        |       CAST(x AS BIGINT) AS n_events,
+        |       (CAST(n AS HUGEINT) * x - s) * (CAST(n AS HUGEINT) * x - s)
+        |         > 4 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+        |         AS is_anomaly
+        |FROM h JOIN st USING (event_type)
+        |ORDER BY event_type, hour""".stripMargin) { (s, d) =>
+      val h = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("x"))
+      val st = h.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+          sum(col("x") * col("x")).as("ss"))
+      h.join(broadcast(st), Seq("event_type"))
+        .select(col("event_type"),
+          date_format(col("hr"), "yyyy-MM-dd HH").as("hour"),
+          col("x").cast("bigint").as("n_events"),
+          expr("""(cast(n as decimal(38,0)) * x - s) * (cast(n as decimal(38,0)) * x - s)
+                 | > 4 * (cast(n as decimal(38,0)) * ss - cast(s as decimal(38,0)) * s)"""
+            .stripMargin.replace("\n", "")).as("is_anomaly"))
+        .orderBy(col("event_type"), col("hour"))
+    },
+
+    // --- inter-arrival time statistics ---------------------------------
+    // Per-stream cadence: the gap between consecutive events of the
+    // same (user, type), aggregated per type. The lag window partitions
+    // on (user_id, event_type) — the same user-keyed boundary
+    // sessionize uses, so no per-type global sort ever forms (a
+    // PARTITION BY event_type alone would funnel each type through one
+    // reducer at 100 TB). Gaps are exact integer microseconds
+    // (epoch_us both engines), the average an exact floor division.
+    sql("interarrival_stats",
+      """WITH g AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id, event_type
+        |           ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+        |       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+        |       CAST(sum(gap_us) // count(*) AS BIGINT) AS avg_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      Tables.events(s, d)
+        .select(col("event_type"), (us - lag(us, 1).over(w)).as("gap_us"))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_us")).as("min_gap_us"),
+          max(col("gap_us")).as("max_gap_us"),
+          expr("sum(gap_us) div count(1)").as("avg_gap_us"))
+        .orderBy(col("event_type"))
+    },
+
     // --- joins --------------------------------------------------------
     sql("join_inner",
       """SELECT c_custkey, c_name, count(*) AS n_orders,

@@ -166,6 +166,38 @@ object Text {
   private[graft] val enStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "is", "in", "it", "on", "for")
 
+  /** The quality_score signal factored as one expression so
+    * `quality_buckets` (Pipeline) buckets on the IDENTICAL doubles —
+    * operator and bucketing key cannot drift apart. TextOpsSpec pins
+    * this equal to quality_score's `quality_micro` per doc.
+    */
+  private[graft] def qualityMicroCol: org.apache.spark.sql.Column = {
+    val tk = split(col("text"), " ")
+    val sw = array(enStopwords.map(lit): _*)
+    val uniq = size(array_distinct(tk)).cast("double") / size(tk)
+    val stop = size(filter(tk, t => array_contains(sw, t))).cast("double") / size(tk)
+    floor((lit(0.5) * uniq
+      + lit(0.3) * least(stop * 5.0, lit(1.0))
+      + lit(0.2) * least(size(tk).cast("double") / 60.0, lit(1.0))) * 1000000)
+      .cast("bigint")
+  }
+
+  /** DuckDB twin of [[qualityMicroCol]] — a full `SELECT doc_id,
+    * q_micro FROM documents` usable as a CTE body.
+    */
+  private[graft] def qualityMicroSql: String = {
+    val sw = enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |  CAST(floor((0.5 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+       |                     / len(string_split(text, ' ')))
+       |    + 0.3 * least((len(list_filter(string_split(text, ' '),
+       |                     t -> list_contains($sw, t)))::DOUBLE
+       |                   / len(string_split(text, ' '))) * 5.0, 1.0)
+       |    + 0.2 * least(len(string_split(text, ' '))::DOUBLE / 60.0, 1.0))
+       |    * 1000000) AS BIGINT) AS q_micro
+       |FROM documents""".stripMargin
+  }
+
   /** Per-source retention rates (micro-units) for the stratified
     * sampling key — three mixing tiers over the fixture's 20 sources,
     * literal so the oracle replicates the dim as a VALUES list.

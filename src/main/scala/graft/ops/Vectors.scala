@@ -95,6 +95,16 @@ object Vectors {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Squared euclidean distance between two micro-unit-quantized
+    * vectors as a sequential left-to-right double fold — integer-valued
+    * and < 2⁵³, so it is EXACT, and the identical fold to the oracle's
+    * `list_sum(list_transform(...))`. Shared by dedup_semantic and
+    * embed_outliers so the two keys cannot drift.
+    */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0d), (acc, v) => acc + v)
+
   /** LSH bucket id of an embedding column: sign bit per plane, packed.
     * private[graft] so the spec can assert bucket invariants directly.
     *
@@ -985,12 +995,9 @@ object Vectors {
         norm(col("embedding")).as("nrm"), quant.as("qe"))
       val cent = base.filter(col("vec_id").isin(ivfCentroidIds: _*))
         .select(col("vec_id").as("cid"), col("qe").as("ce"))
-      def sq(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0d), (acc, v) => acc + v)
       val asg = maybeCache(base.join(broadcast(cent))
         .groupBy(col("vec_id"))
-        .agg(min(struct(sq(col("qe"), col("ce")).as("d2"), col("cid"))).as("best"),
+        .agg(min(struct(sqDist(col("qe"), col("ce")).as("d2"), col("cid"))).as("best"),
           first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
         .select(col("vec_id"), col("embedding"), col("nrm"),
           col("best.cid").as("cell"), col("best.d2").as("d2c")))
@@ -1008,6 +1015,67 @@ object Vectors {
         .select(col("vec_id"), col("cell"),
           coalesce(col("dup_cnt"), lit(0L)).as("dup_cnt"),
           (coalesce(col("dominated"), lit(0)) === 0).as("kept"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- prototype-distance outlier pruning ----------------------------
+    // The "prototypes" half of D4 (Tirumala et al. 2023, "D4:
+    // Improving LLM Pretraining via Document De-Duplication and
+    // Diversification"): after SemDeDup removes within-cluster
+    // duplicates, prune the vectors FARTHEST from their cluster
+    // centroid — distance-to-prototype is the diversification signal.
+    // Here a vector is an outlier when its squared centroid distance
+    // exceeds 1.2× its cell's mean, as the exact rational
+    // 5 · d2c · n_cell > 6 · Σ d2c — pure integer arithmetic over the
+    // micro-unit-quantized components (the dedup_semantic assignment,
+    // shared fold), cross-multiplied in decimal(38,0)/HUGEINT so
+    // web-scale cells cannot overflow the BIGINT product. The margin
+    // is deliberately tight: in 64 dims centroid distances CONCENTRATE
+    // (measured ratio-to-cell-mean p50 ≈ 1.01, p99 ≈ 1.21, max ≈ 1.35
+    // at sf0.1), so a naive 2× mean never fires — 1.2× prunes the
+    // farthest ~1%, the D4-style diversification margin. Scale shape: broadcast centroids, map-side
+    // partial min(struct) assignment, one cell-keyed stats aggregate
+    // broadcast back — no self-join at all, strictly lighter than
+    // SemDeDup itself.
+    sql("embed_outliers", {
+      val cids = ivfCentroidIds.mkString("(", ", ", ")")
+      s"""WITH e AS (SELECT vec_id,
+         |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
+         |           FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, qe AS ce FROM e WHERE vec_id IN $cids),
+         |asg AS (SELECT vec_id, cell, CAST(d2c AS BIGINT) AS d2c FROM
+         |          (SELECT e.vec_id, c.cid AS cell,
+         |                  list_sum(list_transform(range(1, ${dim + 1}),
+         |                    j -> (qe[j] - ce[j]) * (qe[j] - ce[j]))) AS d2c,
+         |                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |                    list_sum(list_transform(range(1, ${dim + 1}),
+         |                      j -> (qe[j] - ce[j]) * (qe[j] - ce[j]))), c.cid) AS rn
+         |           FROM e, cent c) t
+         |        WHERE rn = 1),
+         |st AS (SELECT cell, count(*) AS n_cell, sum(d2c) AS s_d2c
+         |       FROM asg GROUP BY cell)
+         |SELECT a.vec_id, a.cell, a.d2c, CAST(st.n_cell AS BIGINT) AS n_cell,
+         |       5 * CAST(a.d2c AS HUGEINT) * st.n_cell > 6 * st.s_d2c AS is_outlier
+         |FROM asg a JOIN st USING (cell)
+         |ORDER BY a.vec_id""".stripMargin
+    }) { (s, d) =>
+      val quant = transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1000000d) + lit(0.5d)))
+      val base = emb(s, d).select(col("vec_id"), quant.as("qe"))
+      val cent = base.filter(col("vec_id").isin(ivfCentroidIds: _*))
+        .select(col("vec_id").as("cid"), col("qe").as("ce"))
+      val asg = maybeCache(base.join(broadcast(cent))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(sqDist(col("qe"), col("ce")).as("d2"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cell"),
+          col("best.d2").cast("bigint").as("d2c")))
+      val st = asg.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_cell"),
+          sum(col("d2c").cast("decimal(38,0)")).as("s_d2c"))
+      asg.join(broadcast(st), Seq("cell"))
+        .select(col("vec_id"), col("cell"), col("d2c"), col("n_cell"),
+          (col("d2c").cast("decimal(38,0)") * col("n_cell") * 5 > col("s_d2c") * 6)
+            .as("is_outlier"))
         .orderBy(col("vec_id"))
     },
 

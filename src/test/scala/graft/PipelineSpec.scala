@@ -370,4 +370,21 @@ class PipelineSpec extends SparkSpec {
       assert(warm.exceptAll(cold).count() == 0, s"$key cached ⊄ uncached")
     }
   }
+
+  test("quality_buckets: terciles cover the corpus in disjoint ordered bands") {
+    val rows = run("quality_buckets").collect()
+    val n = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == n, "buckets don't partition the corpus")
+    val byB = rows.map(r => r.getString(0) -> r).toMap
+    for (b <- Seq("head", "middle", "tail"))
+      assert(byB.contains(b), s"missing bucket $b")
+    // centi-cell thresholds make the score bands strictly disjoint
+    assert(byB("tail").getLong(3) < byB("middle").getLong(2),
+      "tail and middle score bands overlap")
+    assert(byB("middle").getLong(3) < byB("head").getLong(2),
+      "middle and head score bands overlap")
+    // cumulative tercile bounds: cum(t1) ≥ ⌈N/3⌉, cum(t2) ≥ ⌈2N/3⌉
+    assert(byB("tail").getLong(1) >= (n + 2) / 3)
+    assert(byB("tail").getLong(1) + byB("middle").getLong(1) >= (2 * n + 2) / 3)
+  }
 }

@@ -310,4 +310,65 @@ class RelationalOpsSpec extends SparkSpec {
     val inactive = cust.join(active, col("o_custkey") === col("c_custkey"), "left_anti")
     assert(counted <= inactive.count(), "counted customers exceed the inactive pool")
   }
+
+  test("markov_transitions: each from-row is a proper conditional distribution") {
+    val rows = run("markov_transitions").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val nFrom = rs.map(_.getLong(3)).distinct
+      assert(nFrom.size == 1, s"$from: inconsistent n_from")
+      assert(rs.map(_.getLong(2)).sum == nFrom.head,
+        s"$from: transition counts don't sum to n_from")
+      // floor-divided probabilities: Σp ≤ 1e6, deficit < #successors
+      val pSum = rs.map(_.getLong(4)).sum
+      assert(pSum <= 1000000L && pSum > 1000000L - rs.length, s"$from: Σp_micro=$pSum")
+    }
+    // every user stream of length k contributes exactly k−1 transitions
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    assert(rows.map(_.getLong(2)).sum == perUser.map(_ - 1).sum)
+  }
+
+  test("anomaly_zscore: flags match an exact integer recompute of the z² frontier") {
+    val rows = run("anomaly_zscore").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val xs = rs.map(_.getLong(2))
+      val n = BigInt(xs.length)
+      val s = xs.map(BigInt(_)).sum
+      val ss = xs.map(x => BigInt(x) * x).sum
+      rs.foreach { r =>
+        val dev = n * r.getLong(2) - s
+        val expect = dev * dev > 4 * (n * ss - s * s)
+        assert(r.getBoolean(3) == expect,
+          s"flag mismatch at ${r.getString(0)} ${r.getString(1)}")
+      }
+    }
+    // the fixture's Poisson-ish rates flag a real but minority tail
+    val flags = rows.count(_.getBoolean(3))
+    assert(flags > 0 && flags < rows.length / 2, s"$flags of ${rows.length} flagged")
+  }
+
+  test("interarrival_stats: per-type stats match a driver recompute of per-user gap streams") {
+    val rows = run("interarrival_stats").collect()
+    assert(rows.nonEmpty && rows.map(_.getString(0)).distinct.length == rows.length)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gaps = ev.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((_, tpe), es) =>
+      es.sortBy(e => (e._3, e._4)).map(_._3).sliding(2)
+        .collect { case Array(a, b) => (tpe, b - a) }
+    }
+    val byType = gaps.groupBy(_._1)
+    rows.foreach { r =>
+      val g = byType(r.getString(0)).map(_._2)
+      assert(r.getLong(1) == g.length, s"${r.getString(0)}: gap count")
+      assert(r.getLong(2) == g.min && r.getLong(3) == g.max, s"${r.getString(0)}: extremes")
+      assert(r.getLong(4) == (g.map(BigInt(_)).sum / g.length).toLong,
+        s"${r.getString(0)}: floor average")
+      assert(g.forall(_ >= 0), "time went backwards inside a stream")
+    }
+  }
 }

@@ -329,4 +329,17 @@ class TextOpsSpec extends SparkSpec {
       "batched merges diverged on the adversarial plant")
     assert(br <= bm.length)
   }
+
+  test("qualityMicroCol is the quality_score signal (shared-factoring pin)") {
+    // quality_buckets buckets on Text.qualityMicroCol; this pins the
+    // factored expression to the quality_score key's quality_micro so
+    // the two can never drift apart silently
+    val viaHelper = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.ops.Text.qualityMicroCol.as("q"))
+    val viaKey = run("quality_score")
+      .select(col("doc_id"), col("quality_micro").as("q"))
+    assert(viaHelper.exceptAll(viaKey).count() == 0
+      && viaKey.exceptAll(viaHelper).count() == 0,
+      "factored quality expression diverged from quality_score")
+  }
 }

@@ -363,4 +363,21 @@ class VectorOpsSpec extends SparkSpec {
     // each triangle contributes exactly 3 memberships
     assert(rows.map(_.getLong(1)).sum % 3 == 0, "membership mass not divisible by 3")
   }
+
+  test("embed_outliers: the 1.2×-mean frontier matches an exact recompute, prunes a thin tail") {
+    val rows = run("embed_outliers").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(1)).foreach { case (cell, rs) =>
+      val s = rs.map(r => BigInt(r.getLong(2))).sum
+      val n = BigInt(rs.length)
+      rs.foreach { r =>
+        assert(r.getLong(3) == rs.length, s"cell $cell: n_cell mismatch")
+        val expect = 5 * BigInt(r.getLong(2)) * n > 6 * s
+        assert(r.getBoolean(4) == expect, s"cell $cell vec ${r.getLong(0)}: flag")
+      }
+    }
+    // concentration in 64-d: the frontier prunes some vectors, never many
+    val flagged = rows.count(_.getBoolean(4))
+    assert(flagged > 0 && flagged * 20 < rows.length, s"$flagged of ${rows.length}")
+  }
 }
