@@ -1037,6 +1037,144 @@ object Relational {
         .orderBy(col("event_type"))
     },
 
+    // --- time-of-day load profile --------------------------------------
+    // Seasonality per event type: event share by hour-of-day — the
+    // capacity-planning staple. Two tiny aggregates (|types|·24 rows,
+    // then |types|), the totals broadcast back; exact floor-divided
+    // micro shares.
+    sql("seasonal_profile",
+      """WITH h AS (SELECT event_type, hour(ts) AS hod, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, sum(n) AS nt FROM h GROUP BY 1)
+        |SELECT h.event_type, CAST(hod AS BIGINT) AS hod,
+        |       CAST(n AS BIGINT) AS n_events,
+        |       CAST((1000000 * n) // nt AS BIGINT) AS share_micro
+        |FROM h JOIN tot USING (event_type)
+        |ORDER BY event_type, hod""".stripMargin) { (s, d) =>
+      val h = Tables.events(s, d)
+        .groupBy(col("event_type"), hour(col("ts")).cast("bigint").as("hod"))
+        .agg(count(lit(1)).as("n_events"))
+      val tot = h.groupBy(col("event_type")).agg(sum(col("n_events")).as("nt"))
+      h.join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("hod"), col("n_events"),
+          expr("(1000000 * n_events) div nt").as("share_micro"))
+        .orderBy(col("event_type"), col("hod"))
+    },
+
+    // --- churn flagging -------------------------------------------------
+    // Per-user inactivity against the corpus frontier: last activity,
+    // event volume, days inactive, and a churn flag at the 24-hour
+    // boundary (timestamp interval arithmetic — exact microseconds, no
+    // calendar rounding in the flag; the day count is the calendar
+    // datediff both engines share). The boundary is a deployment dial
+    // (a subscription product would set 30 days); 24 h is the regime
+    // the one-month, always-on fixture can actually demonstrate — its
+    // maximum observed inactivity is 2 days, so any multi-day boundary
+    // would flag nothing and prove nothing. One user-keyed aggregate +
+    // the 1-row frontier broadcast.
+    sql("churn_flags",
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |u AS (SELECT user_id, max(ts) AS last_ts, count(*) AS n_events
+        |      FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |       strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+        |       CAST(n_events AS BIGINT) AS n_events,
+        |       CAST(date_diff('day', last_ts, m) AS BIGINT) AS inactive_days,
+        |       last_ts < m - INTERVAL 24 HOUR AS churned
+        |FROM u, mx ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val mx = ev.agg(max(col("ts")).as("m"))
+      ev.groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(mx)) // 1-row frontier
+        .select(col("user_id"),
+          date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_seen"),
+          col("n_events"),
+          datediff(col("m"), col("last_ts")).cast("bigint").as("inactive_days"),
+          (col("last_ts") < col("m") - expr("INTERVAL 24 HOUR")).as("churned"))
+        .orderBy(col("user_id"))
+    },
+
+    // --- RFM segmentation ----------------------------------------------
+    // The classic recency/frequency/monetary customer segmentation
+    // over purchase events, each dimension scored 1–3 by EXACT tercile
+    // thresholds computed with the quantize-then-rank move
+    // quality_buckets establishes: per metric, a value histogram
+    // (recency is already integer days, frequency integer counts,
+    // monetary quantized to $10 cells — all bounded far below the user
+    // count), a cumulative window over that bounded histogram, and the
+    // ⌈N/3⌉/⌈2N/3⌉ thresholds broadcast back as 1-row scalars.
+    // Monetary is exact integer cents (per-row floor(value·100+0.5) —
+    // the pr2 doubles both engines share — then BIGINT sums). Recency
+    // scores invert (fewer days = better); output is the 3×3×3 segment
+    // grid with exact floor-divided average spend.
+    sql("rfm_segments", {
+      def th(hist: String, alias: String) =
+        s"""c$alias AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM $hist),
+           |t$alias AS (SELECT min(CASE WHEN cum >= (nn + 2) // 3 THEN v END) AS ${alias}1,
+           |                   min(CASE WHEN cum >= (2 * nn + 2) // 3 THEN v END) AS ${alias}2
+           |            FROM c$alias, n)""".stripMargin
+      s"""WITH mx AS (SELECT max(ts) AS m FROM events),
+         |u AS (SELECT user_id,
+         |             CAST(date_diff('day', max(ts), (SELECT m FROM mx)) AS BIGINT) AS rec,
+         |             CAST(count(*) AS BIGINT) AS freq,
+         |             CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS cents
+         |      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         |n AS (SELECT count(*) AS nn FROM u),
+         |hr AS (SELECT rec AS v, count(*) AS c FROM u GROUP BY 1),
+         |${th("hr", "tr")},
+         |hf AS (SELECT freq AS v, count(*) AS c FROM u GROUP BY 1),
+         |${th("hf", "tf")},
+         |hm AS (SELECT cents // 1000 AS v, count(*) AS c FROM u GROUP BY 1),
+         |${th("hm", "tm")},
+         |sc AS (SELECT cents,
+         |         CASE WHEN rec <= tr1 THEN 3 WHEN rec <= tr2 THEN 2 ELSE 1 END AS r_score,
+         |         CASE WHEN freq <= tf1 THEN 1 WHEN freq <= tf2 THEN 2 ELSE 3 END AS f_score,
+         |         CASE WHEN cents // 1000 <= tm1 THEN 1 WHEN cents // 1000 <= tm2 THEN 2 ELSE 3 END AS m_score
+         |       FROM u, ttr, ttf, ttm)
+         |SELECT CAST(r_score AS BIGINT) AS r_score,
+         |       CAST(f_score AS BIGINT) AS f_score,
+         |       CAST(m_score AS BIGINT) AS m_score,
+         |       count(*) AS n_users,
+         |       CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents
+         |FROM sc GROUP BY 1, 2, 3
+         |ORDER BY r_score, f_score, m_score""".stripMargin
+    }) { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
+      val mx = ev.agg(max(col("ts")).as("m"))
+      val u = maybePlanCache(ev.groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("freq"),
+          sum(floor(col("value") * 100 + 0.5)).cast("bigint").as("cents"))
+        .crossJoin(broadcast(mx))
+        .select(col("user_id"),
+          datediff(col("m"), col("last_ts")).cast("bigint").as("rec"),
+          col("freq"), col("cents"), expr("cents div 1000").as("mc")))
+      val n = u.agg(count(lit(1)).as("nn"))
+      // tercile thresholds for one metric: bounded histogram →
+      // constant-frame cumulative window → 1-row (t1, t2)
+      def th(vcol: String, alias: String): DataFrame = {
+        val hist = u.groupBy(col(vcol).as("v")).agg(count(lit(1)).as("c"))
+        val cum = hist.withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))))
+        cum.crossJoin(broadcast(n))
+          .agg(min(when(col("cum") >= expr("(nn + 2) div 3"), col("v"))).as(alias + "1"),
+            min(when(col("cum") >= expr("(2 * nn + 2) div 3"), col("v"))).as(alias + "2"))
+      }
+      u.crossJoin(broadcast(th("rec", "tr")))
+        .crossJoin(broadcast(th("freq", "tf")))
+        .crossJoin(broadcast(th("mc", "tm")))
+        .select(col("cents"),
+          when(col("rec") <= col("tr1"), 3L).when(col("rec") <= col("tr2"), 2L)
+            .otherwise(1L).as("r_score"),
+          when(col("freq") <= col("tf1"), 1L).when(col("freq") <= col("tf2"), 2L)
+            .otherwise(3L).as("f_score"),
+          when(col("mc") <= col("tm1"), 1L).when(col("mc") <= col("tm2"), 2L)
+            .otherwise(3L).as("m_score"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_users"),
+          expr("sum(cents) div count(1)").as("avg_cents"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    },
+
     // --- joins --------------------------------------------------------
     sql("join_inner",
       """SELECT c_custkey, c_name, count(*) AS n_orders,

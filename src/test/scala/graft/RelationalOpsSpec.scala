@@ -371,4 +371,67 @@ class RelationalOpsSpec extends SparkSpec {
       assert(g.forall(_ >= 0), "time went backwards inside a stream")
     }
   }
+
+  test("seasonal_profile: shares are per-type distributions over valid hours") {
+    val rows = run("seasonal_profile").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 23), "hod out of range")
+    assert(rows.map(_.getLong(2)).sum == Tables.events(spark, sfDir).count(),
+      "profile drops or double-counts events")
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      val sSum = rs.map(_.getLong(3)).sum
+      assert(sSum <= 1000000L && sSum > 1000000L - rs.length, s"$tpe: Σshare=$sSum")
+    }
+  }
+
+  test("churn_flags: flags and day counts match a frontier recompute") {
+    val rows = run("churn_flags").collect()
+    val ev = Tables.events(spark, sfDir)
+    assert(rows.length == ev.select(col("user_id")).distinct().count())
+    val m = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("lastus"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val dayUs = 86400000000L
+    rows.foreach { r =>
+      val (lastus, n) = perUser(r.getLong(0))
+      assert(r.getLong(2) == n, s"user ${r.getLong(0)}: event count")
+      // session tz is UTC, so calendar-day diff == epoch-day diff
+      assert(r.getLong(3) == m / dayUs - lastus / dayUs, s"user ${r.getLong(0)}: days")
+      assert(r.getBoolean(4) == (lastus < m - 24L * 3600 * 1000000),
+        s"user ${r.getLong(0)}: churn flag")
+    }
+    val flagged = rows.count(_.getBoolean(4))
+    assert(flagged > 0 && flagged * 2 < rows.length, s"$flagged of ${rows.length}")
+  }
+
+  test("rfm_segments: segment grid matches a driver recompute of exact terciles") {
+    val out = run("rfm_segments").collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    val ev = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
+    val m = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val users = ev.groupBy(col("user_id"))
+      .agg(datediff(lit(m), max(col("ts"))).cast("long").as("rec"),
+        count(lit(1)).as("freq"),
+        sum(floor(col("value") * 100 + 0.5)).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // min v with cum(v) ≥ k over the histogram IS the k-th order statistic
+    def terciles(vs: Seq[Long]): (Long, Long) = {
+      val s = vs.sorted; val n = s.length
+      (s((n + 2) / 3 - 1), s((2 * n + 2) / 3 - 1))
+    }
+    val (tr1, tr2) = terciles(users.map(_._1).toSeq)
+    val (tf1, tf2) = terciles(users.map(_._2).toSeq)
+    val (tm1, tm2) = terciles(users.map(_._3 / 1000).toSeq)
+    val seg = users.groupBy { case (r, f, c) =>
+      (if (r <= tr1) 3L else if (r <= tr2) 2L else 1L,
+        if (f <= tf1) 1L else if (f <= tf2) 2L else 3L,
+        if (c / 1000 <= tm1) 1L else if (c / 1000 <= tm2) 2L else 3L)
+    }.map { case (k, us) =>
+      k -> ((us.length.toLong, (us.map(u => BigInt(u._3)).sum / us.length).toLong))
+    }
+    assert(out.keySet == seg.keySet, "segment grids differ")
+    seg.foreach { case (k, v) => assert(out(k) == v, s"segment $k: $v vs ${out(k)}") }
+  }
 }
