@@ -687,6 +687,66 @@ object ScaleProbe {
       } finally spark.sparkContext.removeSparkListener(listener)
     }
 
+    if (on("buckets")) {
+      // Tercile-threshold invariance under population octaves: exact
+      // corpus replication multiplies every histogram cell by k, so
+      // the ⌈N/3⌉-rank thresholds — and with them every bucket
+      // boundary — must be IDENTICAL at every factor while bucket
+      // populations scale exactly ×k (ceil(ceil(kN/3)/k) = ceil(N/3)).
+      // That is the quantize-then-rank scale claim: thresholds are
+      // rank statistics of a BOUNDED histogram, not of the corpus.
+      // Asserted on the operators' real code paths (factored builders).
+      val docsBase = Tables.documents(spark, sfDir).select("doc_id", "text")
+      // quality_buckets: scaledDocs only permutes token order and the
+      // score is bag-of-words, so every replica scores as its base doc
+      def qrows(factor: Int) =
+        Pipeline.qualityBuckets(scaledDocs(docsBase, factor).repartition(cpus.toInt))
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val q1 = qrows(1)
+      for (factor <- Seq(8, 64)) {
+        val t0 = System.nanoTime()
+        val qk = qrows(factor)
+        val secs = (System.nanoTime() - t0) / 1e9
+        require(qk.keySet == q1.keySet, s"bucket set changed at $factor×")
+        q1.foreach { case (b, (n1, mn, mx, avg)) =>
+          val (nk, mnk, mxk, avgk) = qk(b)
+          require(nk == n1 * factor, s"$b: population not ×$factor")
+          require(mnk == mn && mxk == mx && avgk == avg, s"$b: band drifted at $factor×")
+        }
+        println(f"""{"shape":"quality_buckets","factor":$factor,"docs":${q1.values.map(_._1).sum * factor},"bands_identical":true,"secs":$secs%.2f}""")
+      }
+      // rfm_segments: replicate USERS (fresh ids, identical history) —
+      // per-user metrics are replica-invariant, so the segment grid
+      // must scale ×k in population with identical average spend
+      val evBase = Tables.events(spark, sfDir)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+      def scaledUsers(factor: Int) =
+        evBase.select(col("ts"), col("event_type"), col("value"),
+            explode(sequence(lit(0), lit(factor - 1))).as("r"),
+            col("user_id"), col("event_id"))
+          .select((col("user_id") * factor + col("r")).as("user_id"),
+            (col("event_id") * factor + col("r")).as("event_id"),
+            col("ts"), col("event_type"), col("value"))
+      def rrows(factor: Int) =
+        graft.ops.Relational.rfmSegments(scaledUsers(factor).repartition(cpus.toInt))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+            ((r.getLong(3), r.getLong(4)))).toMap
+      val r1 = rrows(1)
+      for (factor <- Seq(8, 64)) {
+        val t0 = System.nanoTime()
+        val rk = rrows(factor)
+        val secs = (System.nanoTime() - t0) / 1e9
+        require(rk.keySet == r1.keySet, s"segment grid changed at $factor×")
+        r1.foreach { case (k, (n1, avg)) =>
+          val (nk, avgk) = rk(k)
+          require(nk == n1 * factor, s"$k: users not ×$factor")
+          require(avgk == avg, s"$k: average spend drifted at $factor×")
+        }
+        println(f"""{"shape":"rfm_segments","factor":$factor,"users":${r1.values.map(_._1).sum * factor},"grid_identical":true,"secs":$secs%.2f}""")
+      }
+    }
+
     if (on("state")) {
       val base = Tables.events(spark, sfDir).select("user_id", "event_id", "ts")
       for (factor <- Seq(1, maxFactor)) {

@@ -70,6 +70,32 @@ object Pipeline {
     val toks = "string_split(text, ' ')"
   }
 
+  /** The quality_buckets pipeline over an arbitrary (doc_id, text)
+    * corpus — factored so ScaleProbe's `buckets` mode drives the
+    * operator's REAL code path at corpus octaves (the probe-drift rule).
+    */
+  private[graft] def qualityBuckets(corpus: DataFrame): DataFrame = {
+    val c = maybePlanCache(corpus
+      .select(col("doc_id"), graft.ops.Text.qualityMicroCol.as("q_micro"))
+      .withColumn("qc", expr("q_micro div 10000")))
+    val hist = c.groupBy(col("qc")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("qc"))))
+    val n = c.agg(count(lit(1)).as("nn"))
+    val th = cum.crossJoin(broadcast(n))
+      .agg(min(when(col("cum") >= expr("(nn + 2) div 3"), col("qc"))).as("t1"),
+        min(when(col("cum") >= expr("(2 * nn + 2) div 3"), col("qc"))).as("t2"))
+    c.crossJoin(broadcast(th)) // 1-row thresholds — the scalar topology
+      .select(when(col("qc") <= col("t1"), lit("tail"))
+        .when(col("qc") <= col("t2"), lit("middle"))
+        .otherwise(lit("head")).as("bucket"), col("q_micro"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("q_micro")).as("min_q_micro"),
+        max(col("q_micro")).as("max_q_micro"),
+        expr("sum(q_micro) div count(1)").as("avg_q_micro"))
+      .orderBy(col("bucket"))
+  }
+
   // ---- dedup_components: shared corpus + edge construction -------------
 
   /** Corrupted corpus for cluster resolution: every doc also arrives
@@ -1174,25 +1200,7 @@ object Pipeline {
          |       CAST(max(q_micro) AS BIGINT) AS max_q_micro,
          |       CAST(sum(q_micro) // count(*) AS BIGINT) AS avg_q_micro
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
-      val c = maybePlanCache(docs(s, d)
-        .select(col("doc_id"), graft.ops.Text.qualityMicroCol.as("q_micro"))
-        .withColumn("qc", expr("q_micro div 10000")))
-      val hist = c.groupBy(col("qc")).agg(count(lit(1)).as("cnt"))
-      val cum = hist.withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("qc"))))
-      val n = c.agg(count(lit(1)).as("nn"))
-      val th = cum.crossJoin(broadcast(n))
-        .agg(min(when(col("cum") >= expr("(nn + 2) div 3"), col("qc"))).as("t1"),
-          min(when(col("cum") >= expr("(2 * nn + 2) div 3"), col("qc"))).as("t2"))
-      c.crossJoin(broadcast(th)) // 1-row thresholds — the scalar topology
-        .select(when(col("qc") <= col("t1"), lit("tail"))
-          .when(col("qc") <= col("t2"), lit("middle"))
-          .otherwise(lit("head")).as("bucket"), col("q_micro"))
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_docs"),
-          min(col("q_micro")).as("min_q_micro"),
-          max(col("q_micro")).as("max_q_micro"),
-          expr("sum(q_micro) div count(1)").as("avg_q_micro"))
-        .orderBy(col("bucket"))
+      qualityBuckets(docs(s, d))
     },
 
     // ---- deterministic training-shard assignment -----------------------

@@ -70,6 +70,46 @@ object Relational {
   private def shareMicro(num: String, den: String): Column =
     expr(s"(CAST($num AS DECIMAL(38,0)) * 1000000) div $den").cast("long")
 
+  /** The rfm_segments pipeline over an arbitrary events frame —
+    * factored so ScaleProbe's `buckets` mode drives the operator's
+    * REAL code path at user-population octaves (the probe-drift rule).
+    */
+  private[graft] def rfmSegments(events: DataFrame): DataFrame = {
+    val ev = events.filter(col("event_type") === "purchase")
+    val mx = ev.agg(max(col("ts")).as("m"))
+    val u = maybePlanCache(ev.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("freq"),
+        sum(floor(col("value") * 100 + 0.5)).cast("bigint").as("cents"))
+      .crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        datediff(col("m"), col("last_ts")).cast("bigint").as("rec"),
+        col("freq"), col("cents"), expr("cents div 1000").as("mc")))
+    val n = u.agg(count(lit(1)).as("nn"))
+    // tercile thresholds for one metric: bounded histogram →
+    // constant-frame cumulative window → 1-row (t1, t2)
+    def th(vcol: String, alias: String): DataFrame = {
+      val hist = u.groupBy(col(vcol).as("v")).agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))))
+      cum.crossJoin(broadcast(n))
+        .agg(min(when(col("cum") >= expr("(nn + 2) div 3"), col("v"))).as(alias + "1"),
+          min(when(col("cum") >= expr("(2 * nn + 2) div 3"), col("v"))).as(alias + "2"))
+    }
+    u.crossJoin(broadcast(th("rec", "tr")))
+      .crossJoin(broadcast(th("freq", "tf")))
+      .crossJoin(broadcast(th("mc", "tm")))
+      .select(col("cents"),
+        when(col("rec") <= col("tr1"), 3L).when(col("rec") <= col("tr2"), 2L)
+          .otherwise(1L).as("r_score"),
+        when(col("freq") <= col("tf1"), 1L).when(col("freq") <= col("tf2"), 2L)
+          .otherwise(3L).as("f_score"),
+        when(col("mc") <= col("tm1"), 1L).when(col("mc") <= col("tm2"), 2L)
+          .otherwise(3L).as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        expr("sum(cents) div count(1)").as("avg_cents"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // --- projection / filter / aggregation (TPC-H Q1 shape) ----------
@@ -1140,39 +1180,7 @@ object Relational {
          |FROM sc GROUP BY 1, 2, 3
          |ORDER BY r_score, f_score, m_score""".stripMargin
     }) { (s, d) =>
-      val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
-      val mx = ev.agg(max(col("ts")).as("m"))
-      val u = maybePlanCache(ev.groupBy(col("user_id"))
-        .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("freq"),
-          sum(floor(col("value") * 100 + 0.5)).cast("bigint").as("cents"))
-        .crossJoin(broadcast(mx))
-        .select(col("user_id"),
-          datediff(col("m"), col("last_ts")).cast("bigint").as("rec"),
-          col("freq"), col("cents"), expr("cents div 1000").as("mc")))
-      val n = u.agg(count(lit(1)).as("nn"))
-      // tercile thresholds for one metric: bounded histogram →
-      // constant-frame cumulative window → 1-row (t1, t2)
-      def th(vcol: String, alias: String): DataFrame = {
-        val hist = u.groupBy(col(vcol).as("v")).agg(count(lit(1)).as("c"))
-        val cum = hist.withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))))
-        cum.crossJoin(broadcast(n))
-          .agg(min(when(col("cum") >= expr("(nn + 2) div 3"), col("v"))).as(alias + "1"),
-            min(when(col("cum") >= expr("(2 * nn + 2) div 3"), col("v"))).as(alias + "2"))
-      }
-      u.crossJoin(broadcast(th("rec", "tr")))
-        .crossJoin(broadcast(th("freq", "tf")))
-        .crossJoin(broadcast(th("mc", "tm")))
-        .select(col("cents"),
-          when(col("rec") <= col("tr1"), 3L).when(col("rec") <= col("tr2"), 2L)
-            .otherwise(1L).as("r_score"),
-          when(col("freq") <= col("tf1"), 1L).when(col("freq") <= col("tf2"), 2L)
-            .otherwise(3L).as("f_score"),
-          when(col("mc") <= col("tm1"), 1L).when(col("mc") <= col("tm2"), 2L)
-            .otherwise(3L).as("m_score"))
-        .groupBy(col("r_score"), col("f_score"), col("m_score"))
-        .agg(count(lit(1)).as("n_users"),
-          expr("sum(cents) div count(1)").as("avg_cents"))
-        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+      rfmSegments(Tables.events(s, d))
     },
 
     // --- joins --------------------------------------------------------
