@@ -70,6 +70,33 @@ object Relational {
   private def shareMicro(num: String, den: String): Column =
     expr(s"(CAST($num AS DECIMAL(38,0)) * 1000000) div $den").cast("long")
 
+  /** Derived part-supplier bridge: the testdata ships no `partsupp`
+    * table (the gap PLANS.md records against TPC-H Q2/Q9/Q11/Q16/Q20),
+    * so those five shapes run over the relationship lineitem itself
+    * proves — one row per observed (partkey, suppkey) pair, with
+    * `ps_cost_cents` = the pair's minimum observed line price in exact
+    * cents (the deterministic integer "supplycost" proxy) and
+    * `ps_availqty` = the pair's total shipped quantity (the "availqty"
+    * proxy). One (partkey, suppkey) hash aggregate, map-side combined;
+    * at 100 TB the bridge is |distinct pairs|, not |lineitem|, and a
+    * caller whose part/supplier predicate restricts a GROUP KEY may
+    * filter `lineitem` BEFORE aggregating (same result, smaller
+    * shuffle) — `lineitem` defaults to the full table.
+    */
+  private def partsuppBridge(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(min((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("ps_cost_cents"),
+        sum(col("l_quantity").cast("bigint")).as("ps_availqty"))
+
+  private val psBridgeSql: String =
+    """ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    CAST(min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS ps_cost_cents,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)""".stripMargin
+
   /** The rfm_segments pipeline over an arbitrary events frame —
     * factored so ScaleProbe's `buckets` mode drives the operator's
     * REAL code path at user-population octaves (the probe-drift rule).
@@ -809,6 +836,244 @@ object Relational {
           round(sum(col("c_acctbal").cast("decimal(18,2)")), 2).cast("double")
             .as("totacctbal"))
         .orderBy(col("cntrycode"))
+    },
+
+    // TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+    // the regional supplier(s) whose cost equals the part's regional
+    // minimum — the correlated min subquery, de-correlated into a
+    // per-part min aggregate + exact-integer join-back (cost is already
+    // whole cents). Runs over the derived partsupp bridge (no partsupp
+    // table in the testdata — see partsuppBridge). Spark-first: the
+    // part predicate restricts the bridge's GROUP KEY, so lineitem is
+    // semi-joined to the filtered parts BEFORE the bridge aggregate
+    // (identical result, the pair shuffle carries only qualifying
+    // parts); nation/region broadcast onto supplier; the final sort is
+    // total (s_name is unique per supplier) so the LIMIT cutoff is
+    // deterministic, and ORDER BY + LIMIT plans as
+    // TakeOrderedAndProject — per-partition heaps, no global sort.
+    sql("q2_min_cost_supplier",
+      s"""WITH $psBridgeSql,
+        |cand AS (
+        |  SELECT p_partkey, p_name, s_name, s_acctbal, n_name, ps_cost_cents
+        |  FROM ps
+        |  JOIN part ON p_partkey = ps_partkey
+        |  JOIN supplier ON s_suppkey = ps_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  WHERE p_size <= 15 AND p_type = 'ECONOMY' AND r_name = 'EUROPE'),
+        |mn AS (SELECT p_partkey AS mpk, min(ps_cost_cents) AS min_cents
+        |       FROM cand GROUP BY p_partkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_cost_cents
+        |FROM cand JOIN mn ON p_partkey = mpk AND ps_cost_cents = min_cents
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      val parts = Tables.part(s, d)
+        .filter(col("p_size") <= 15 && col("p_type") === "ECONOMY")
+        .select(col("p_partkey"), col("p_name"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("r_regionkey") === col("n_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val bridge = partsuppBridge(Tables.lineitem(s, d)
+        .join(parts.select(col("p_partkey")),
+          col("p_partkey") === col("l_partkey"), "left_semi"))
+      val cand = maybePlanCache(bridge
+        .join(parts, col("p_partkey") === col("ps_partkey"))
+        .join(sup, col("s_suppkey") === col("ps_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"), col("s_acctbal"),
+          col("n_name"), col("ps_cost_cents")))
+      val mn = cand.groupBy(col("p_partkey").as("mpk"))
+        .agg(min(col("ps_cost_cents")).as("min_cents"))
+      cand.join(mn,
+          col("p_partkey") === col("mpk") && col("ps_cost_cents") === col("min_cents"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          col("p_name"), col("ps_cost_cents"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+
+    // TPC-H Q9 shape (product-type profit): per supplier nation and
+    // order year, the profit on a part family — revenue in exact
+    // 1e-4-currency units minus the bridge's cost proxy for the line's
+    // (part, supplier) pair (cents × 100 → the same 1e-4 scale, so the
+    // sum is exact integer arithmetic; a discounted line below the
+    // pair's minimum un-discounted price legitimately books a negative
+    // profit). Spark-first: the part-family semi-join lands on
+    // lineitem BEFORE both the bridge aggregate and the orders join
+    // (the filter is on the bridge's group key), nation broadcasts,
+    // and the only corpus-sized shuffles are the pair aggregate, the
+    // pair join-back, and lineitem⋈orders.
+    sql("q9_product_profit",
+      s"""WITH $psBridgeSql
+        |SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum($unitsExactSql - ps_cost_cents * 100) AS BIGINT) AS profit_units
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%bolt%'
+        |JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY 1, 2 DESC""".stripMargin) { (s, d) =>
+      val bolt = Tables.part(s, d).filter(col("p_name").like("%bolt%"))
+        .select(col("p_partkey"))
+      val li = maybePlanCache(Tables.lineitem(s, d)
+        .join(bolt, col("p_partkey") === col("l_partkey"), "left_semi"))
+      li.join(partsuppBridge(li),
+          col("ps_partkey") === col("l_partkey") &&
+            col("ps_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(sum(unitsExact - col("ps_cost_cents") * 100).as("profit_units"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // TPC-H Q11 shape (important stock): per part, the value a
+    // supplier group holds (cost × availqty over the bridge), keeping
+    // parts above a threshold from a scalar subquery. The spec's
+    // fraction is SF-dependent (0.0001/SF) precisely so the cut stays
+    // meaningful as data grows — here the threshold is intrinsically
+    // scale-invariant: keep parts whose value exceeds 2× the MEAN part
+    // value, as the exact cross-multiply value·n_parts > total·2 in
+    // DECIMAL(38,0) (a BIGINT ×n product would wrap silently under
+    // Spark's non-ANSI default while DuckDB's HUGEINT stays exact).
+    // Spark-first: the supplier-group semi-join lands on lineitem
+    // before the bridge aggregate (suppkey is a group key), the 1-row
+    // (total, count) scalar broadcasts via crossJoin, and the output
+    // is one partkey aggregate.
+    sql("q11_important_stock",
+      s"""WITH $psBridgeSql,
+        |sup AS (SELECT s_suppkey FROM supplier
+        |        JOIN nation ON n_nationkey = s_nationkey
+        |        JOIN region ON r_regionkey = n_regionkey
+        |        WHERE r_name = 'ASIA'),
+        |pv AS (SELECT ps_partkey, CAST(sum(ps_cost_cents * ps_availqty) AS BIGINT) AS value_cents
+        |       FROM ps JOIN sup ON s_suppkey = ps_suppkey GROUP BY ps_partkey),
+        |tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents,
+        |               CAST(count(*) AS BIGINT) AS n_parts FROM pv)
+        |SELECT ps_partkey, value_cents
+        |FROM pv, tot
+        |WHERE CAST(value_cents AS DECIMAL(38,0)) * n_parts
+        |    > CAST(total_cents AS DECIMAL(38,0)) * 2
+        |ORDER BY value_cents DESC, ps_partkey""".stripMargin) { (s, d) =>
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("r_regionkey") === col("n_regionkey"))
+        .select(col("s_suppkey"))
+      val pv = maybePlanCache(partsuppBridge(Tables.lineitem(s, d)
+          .join(sup, col("s_suppkey") === col("l_suppkey"), "left_semi"))
+        .groupBy(col("ps_partkey"))
+        .agg(sum(col("ps_cost_cents") * col("ps_availqty")).as("value_cents")))
+      val tot = pv.agg(sum(col("value_cents")).as("total_cents"),
+        count(lit(1)).as("n_parts"))
+      pv.crossJoin(broadcast(tot))
+        .filter(expr("CAST(value_cents AS DECIMAL(38,0)) * n_parts") >
+          expr("CAST(total_cents AS DECIMAL(38,0)) * 2"))
+        .select(col("ps_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("ps_partkey"))
+    },
+
+    // TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    // suppliers stock each qualifying (brand, type, size) — with the
+    // NOT IN supplier exclusion (the spec's complaint-comment
+    // predicate, adapted to negative account balance: the testdata
+    // ships no comments). Only the bridge's KEY SET matters here, so
+    // the pair relation is a 2-column DISTINCT over a pruned parquet
+    // scan, not the full cost/qty aggregate. Spark-first: part
+    // predicate first, exclusion as a left_anti join (supplier grows
+    // with SF — unhinted, AQE broadcasts while small), count(DISTINCT)
+    // over the ≤ brand×type×size group space.
+    sql("q16_supplier_relation",
+      """WITH pr AS (SELECT DISTINCT l_partkey AS ps_partkey,
+        |                            l_suppkey AS ps_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM pr JOIN part ON p_partkey = ps_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, d) =>
+      val parts = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val excluded = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .distinct()
+        .join(parts, col("p_partkey") === col("ps_partkey"))
+        .join(excluded, col("s_suppkey") === col("ps_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+
+    // TPC-H Q20 shape (excess availability): suppliers in a region
+    // who, for some part of a name family, concentrated their shipping
+    // in one year — the nested semi-join chain (part filter → pair
+    // threshold → supplier) with the spec's correlated half-of-sum
+    // comparison. Adapted to the derived bridge: availqty is
+    // total-history quantity, so the spec's `availqty > ½ · year` is
+    // trivially true and the meaningful form is the mirror
+    // `2 · year > availqty` ("more than half of this pair's history
+    // shipped in 1998") — same correlated threshold shape, selective
+    // on the testdata's 7-year span. Spark-first: the name-family
+    // semi-join lands on lineitem before BOTH per-pair aggregates
+    // (partkey is a group key for each), the two aggregates
+    // co-partition on the same pair key so the threshold join adds no
+    // exchange, and the supplier side is reached via one DISTINCT
+    // suppkey semi-join with broadcast nation/region.
+    sql("q20_excess_availability",
+      s"""WITH $psBridgeSql,
+        |q98 AS (
+        |  SELECT l_partkey AS qpk, l_suppkey AS qsk,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty98
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  GROUP BY l_partkey, l_suppkey),
+        |sm AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small %'),
+        |excess AS (
+        |  SELECT DISTINCT ps_suppkey
+        |  FROM ps
+        |  JOIN sm ON p_partkey = ps_partkey
+        |  JOIN q98 ON qpk = ps_partkey AND qsk = ps_suppkey
+        |  WHERE 2 * qty98 > ps_availqty)
+        |SELECT s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
+        |FROM supplier JOIN excess ON s_suppkey = ps_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |WHERE r_name = 'AMERICA'
+        |ORDER BY s_name""".stripMargin) { (s, d) =>
+      val sm = Tables.part(s, d).filter(col("p_name").like("small %"))
+        .select(col("p_partkey"))
+      val li = maybePlanCache(Tables.lineitem(s, d)
+        .join(sm, col("p_partkey") === col("l_partkey"), "left_semi"))
+      val q98 = li
+        .filter(col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_partkey").as("qpk"), col("l_suppkey").as("qsk"))
+        .agg(sum(col("l_quantity").cast("bigint")).as("qty98"))
+      val excess = partsuppBridge(li)
+        .join(q98, col("qpk") === col("ps_partkey") && col("qsk") === col("ps_suppkey"))
+        .filter(lit(2) * col("qty98") > col("ps_availqty"))
+        .select(col("ps_suppkey")).distinct()
+      Tables.supplier(s, d)
+        .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+          col("r_regionkey") === col("n_regionkey"))
+        .select(col("s_name"), col("s_nationkey").cast("bigint").as("s_nationkey"))
+        .orderBy(col("s_name"))
     },
 
     // --- time-series resample with gap filling -----------------------

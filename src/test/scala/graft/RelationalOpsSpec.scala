@@ -434,4 +434,133 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out.keySet == seg.keySet, "segment grids differ")
     seg.foreach { case (k, v) => assert(out(k) == v, s"segment $k: $v vs ${out(k)}") }
   }
+
+  /** The derived partsupp bridge the Q2/Q9/Q11/Q16/Q20 shapes run on,
+    * recomputed independently of partsuppBridge's aggregate topology.
+    */
+  private def bridgePairs(): Map[(Long, Long), (Long, Long)] =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        col("l_quantity").cast("bigint").as("qty"))
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case (k, rs) =>
+        k -> ((rs.map(_.getLong(2)).min, rs.map(_.getLong(3)).sum))
+      }
+
+  test("q2_min_cost_supplier: each winner carries its part's regional minimum cost") {
+    val rows = run("q2_min_cost_supplier").collect()
+    assert(rows.nonEmpty)
+    // winners per part all share ONE cost, and no regional candidate
+    // for that part is cheaper: recompute candidates driver-side
+    val pairs = bridgePairs()
+    val euroSupp = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("n_nationkey") === col("s_nationkey"))
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE"),
+        col("r_regionkey") === col("n_regionkey"))
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val okParts = Tables.part(spark, sfDir)
+      .filter(col("p_size") <= 15 && col("p_type") === "ECONOMY")
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val minByPart = pairs.toSeq
+      .filter { case ((pk, sk), _) => okParts(pk) && euroSupp(sk) }
+      .groupBy(_._1._1)
+      .map { case (pk, ps) => pk -> ps.map(_._2._1).min }
+    rows.foreach { r =>
+      val (pk, cents) = (r.getLong(3), r.getLong(5))
+      assert(okParts(pk), s"part $pk fails the size/type filter")
+      assert(minByPart(pk) == cents, s"part $pk: cost $cents != min ${minByPart(pk)}")
+    }
+    // the sort is total: strictly descending acctbal with the
+    // (n_name, s_name, p_partkey) tiebreak, so LIMIT is deterministic
+    val keys = rows.map(r => (-r.getDouble(0), r.getString(2), r.getString(1), r.getLong(3)))
+    assert(keys.zip(keys.tail).forall { case (a, b) =>
+      Ordering[(Double, String, String, Long)].lt(a, b) }, "sort not total/ordered")
+  }
+
+  test("q9_product_profit: group profits sum to the direct ungrouped computation") {
+    val rows = run("q9_product_profit").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) >= 1995 && r.getLong(1) <= 2001))
+    val total = rows.map(_.getLong(2)).sum
+    val pairs = bridgePairs()
+    val bolt = Tables.part(spark, sfDir).filter(col("p_name").like("%bolt%"))
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val direct = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        graft.ops.Relational.unitsExact.as("units"))
+      .collect()
+      .filter(r => bolt(r.getLong(0)))
+      .map(r => r.getLong(2) - pairs((r.getLong(0), r.getLong(1)))._1 * 100)
+      .sum
+    assert(total == direct, s"Σ profit $total != direct $direct")
+  }
+
+  test("q11_important_stock: kept parts are exactly those above twice the mean value") {
+    val rows = run("q11_important_stock").collect()
+    assert(rows.nonEmpty)
+    val pairs = bridgePairs()
+    val asia = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("n_nationkey") === col("s_nationkey"))
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA"),
+        col("r_regionkey") === col("n_regionkey"))
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val byPart = pairs.toSeq.filter { case ((_, sk), _) => asia(sk) }
+      .groupBy(_._1._1)
+      .map { case (pk, ps) => pk -> ps.map { case (_, (c, q)) => BigInt(c) * q }.sum }
+    val total = byPart.values.sum
+    val expected = byPart.filter { case (_, v) =>
+      v * byPart.size > total * 2 }.keySet
+    assert(rows.map(_.getLong(0)).toSet == expected, "kept part set differs")
+    rows.foreach(r => assert(BigInt(r.getLong(1)) == byPart(r.getLong(0)),
+      s"value mismatch for part ${r.getLong(0)}"))
+  }
+
+  test("q16_supplier_relation: counts match a NOT-IN recompute, excluded never counted") {
+    val rows = run("q16_supplier_relation").collect()
+    assert(rows.nonEmpty)
+    val excluded = Tables.supplier(spark, sfDir).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val partMeta = Tables.part(spark, sfDir)
+      .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getString(3), r.getInt(4))))
+      .toMap
+    val expected = bridgePairs().keySet.toSeq
+      .filter { case (pk, sk) => partMeta.contains(pk) && !excluded(sk) }
+      .groupBy { case (pk, _) => partMeta(pk) }
+      .map { case (g, ps) => g -> ps.map(_._2).distinct.length.toLong }
+    val got = rows.map(r =>
+      (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(got == expected, "per-(brand,type,size) distinct-supplier counts differ")
+  }
+
+  test("q20_excess_availability: every supplier has a 1998-concentrated small-part pair") {
+    val rows = run("q20_excess_availability").collect()
+    assert(rows.nonEmpty)
+    val pairs = bridgePairs()
+    val small = Tables.part(spark, sfDir).filter(col("p_name").like("small %"))
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val q98 = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01 00:00:00").cast("timestamp"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("bigint"))
+      .collect().groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case (k, rs) => k -> rs.map(_.getLong(2)).sum }
+    val qualifying = q98.keySet
+      .filter { case (pk, _) => small(pk) }
+      .filter { case k => 2 * q98(k) > pairs(k)._2 }
+      .map(_._2)
+    val americaSupp = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("n_nationkey") === col("s_nationkey"))
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === "AMERICA"),
+        col("r_regionkey") === col("n_regionkey"))
+      .select(col("s_name"), col("s_suppkey")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = americaSupp.filter { case (_, sk) => qualifying(sk) }.keySet
+    assert(rows.map(_.getString(0)).toSet == expected, "supplier set differs")
+    val names = rows.map(_.getString(0))
+    assert(names.sorted.sameElements(names), "not ordered by s_name")
+  }
 }
