@@ -78,12 +78,7 @@ object Pipeline {
     val c = maybePlanCache(corpus
       .select(col("doc_id"), graft.ops.Text.qualityMicroCol.as("q_micro"))
       .withColumn("qc", expr("q_micro div 10000")))
-    val hist = c.groupBy(col("qc")).agg(count(lit(1)).as("cnt"))
-    val cum = hist.withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("qc"))))
-    val n = c.agg(count(lit(1)).as("nn"))
-    val th = cum.crossJoin(broadcast(n))
-      .agg(min(when(col("cum") >= expr("(nn + 2) div 3"), col("qc"))).as("t1"),
-        min(when(col("cum") >= expr("(2 * nn + 2) div 3"), col("qc"))).as("t2"))
+    val th = graft.ops.tercileCuts(c.select(col("qc")), "qc", "t1", "t2")
     c.crossJoin(broadcast(th)) // 1-row thresholds — the scalar topology
       .select(when(col("qc") <= col("t1"), lit("tail"))
         .when(col("qc") <= col("t2"), lit("middle"))
@@ -1185,12 +1180,9 @@ object Pipeline {
     sql("quality_buckets",
       s"""WITH q AS (${graft.ops.Text.qualityMicroSql}),
          |c AS (SELECT doc_id, q_micro, q_micro // 10000 AS qc FROM q),
-         |hist AS (SELECT qc, count(*) AS cnt FROM c GROUP BY qc),
-         |cum AS (SELECT qc, sum(cnt) OVER (ORDER BY qc) AS cum FROM hist),
+         |hist AS (SELECT qc AS v, count(*) AS c FROM c GROUP BY qc),
          |n AS (SELECT count(*) AS nn FROM c),
-         |th AS (SELECT min(CASE WHEN cum >= (nn + 2) // 3 THEN qc END) AS t1,
-         |              min(CASE WHEN cum >= (2 * nn + 2) // 3 THEN qc END) AS t2
-         |       FROM cum, n),
+         |${graft.ops.tercileCutsSql("hist", "th", "t1", "t2")},
          |b AS (SELECT CASE WHEN qc <= t1 THEN 'tail'
          |                  WHEN qc <= t2 THEN 'middle'
          |                  ELSE 'head' END AS bucket, q_micro

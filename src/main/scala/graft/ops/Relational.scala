@@ -103,7 +103,11 @@ object Relational {
     */
   private[graft] def rfmSegments(events: DataFrame): DataFrame = {
     val ev = events.filter(col("event_type") === "purchase")
-    val mx = ev.agg(max(col("ts")).as("m"))
+    // recency anchors at the corpus-wide latest event (the analysis
+    // date), NOT the latest purchase — a trailing burst of non-purchase
+    // activity must age every user's recency (round-13 review: the
+    // purchase-filtered anchor silently diverged from the oracle's)
+    val mx = events.agg(max(col("ts")).as("m"))
     val u = maybePlanCache(ev.groupBy(col("user_id"))
       .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("freq"),
         sum(floor(col("value") * 100 + 0.5)).cast("bigint").as("cents"))
@@ -111,16 +115,10 @@ object Relational {
       .select(col("user_id"),
         datediff(col("m"), col("last_ts")).cast("bigint").as("rec"),
         col("freq"), col("cents"), expr("cents div 1000").as("mc")))
-    val n = u.agg(count(lit(1)).as("nn"))
-    // tercile thresholds for one metric: bounded histogram →
-    // constant-frame cumulative window → 1-row (t1, t2)
-    def th(vcol: String, alias: String): DataFrame = {
-      val hist = u.groupBy(col(vcol).as("v")).agg(count(lit(1)).as("c"))
-      val cum = hist.withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))))
-      cum.crossJoin(broadcast(n))
-        .agg(min(when(col("cum") >= expr("(nn + 2) div 3"), col("v"))).as(alias + "1"),
-          min(when(col("cum") >= expr("(2 * nn + 2) div 3"), col("v"))).as(alias + "2"))
-    }
+    // tercile thresholds for one metric — the shared quantize-then-rank
+    // helper (graft.ops.tercileCuts, also quality_buckets' path)
+    def th(vcol: String, alias: String): DataFrame =
+      tercileCuts(u.select(col(vcol)), vcol, alias + "1", alias + "2")
     u.crossJoin(broadcast(th("rec", "tr")))
       .crossJoin(broadcast(th("freq", "tf")))
       .crossJoin(broadcast(th("mc", "tm")))
@@ -985,11 +983,12 @@ object Relational {
     // NOT IN supplier exclusion (the spec's complaint-comment
     // predicate, adapted to negative account balance: the testdata
     // ships no comments). Only the bridge's KEY SET matters here, so
-    // the pair relation is a 2-column DISTINCT over a pruned parquet
+    // the pair relation is a DISTINCT over a 2-column pruned parquet
     // scan, not the full cost/qty aggregate. Spark-first: part
-    // predicate first, exclusion as a left_anti join (supplier grows
-    // with SF — unhinted, AQE broadcasts while small), count(DISTINCT)
-    // over the ≤ brand×type×size group space.
+    // predicate joins BELOW the distinct (partkey is a group key of
+    // it, so the distinct shuffles only the qualifying slice),
+    // exclusion as a left_anti join (supplier grows with SF —
+    // unhinted, AQE broadcasts while small).
     sql("q16_supplier_relation",
       """WITH pr AS (SELECT DISTINCT l_partkey AS ps_partkey,
         |                            l_suppkey AS ps_suppkey FROM lineitem)
@@ -1007,13 +1006,21 @@ object Relational {
         .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
       val excluded = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
         .select(col("s_suppkey"))
+      // the part predicate restricts a GROUP KEY of the distinct, so
+      // joining the filtered parts BELOW it is identity-preserving and
+      // the distinct shuffles only the qualifying slice (≈7 sizes of
+      // one non-PROMO family), never the corpus-wide pair set; after
+      // the join the distinct runs directly on (suppkey, brand, type,
+      // size), making the final count a plain per-group count — no
+      // count(DISTINCT) expand (round-13 review)
       Tables.lineitem(s, d)
         .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
-        .distinct()
         .join(parts, col("p_partkey") === col("ps_partkey"))
+        .select(col("ps_suppkey"), col("p_brand"), col("p_type"), col("p_size"))
+        .distinct()
         .join(excluded, col("s_suppkey") === col("ps_suppkey"), "left_anti")
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
-        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .agg(count(lit(1)).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
     },
 
@@ -1415,10 +1422,7 @@ object Relational {
     // grid with exact floor-divided average spend.
     sql("rfm_segments", {
       def th(hist: String, alias: String) =
-        s"""c$alias AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM $hist),
-           |t$alias AS (SELECT min(CASE WHEN cum >= (nn + 2) // 3 THEN v END) AS ${alias}1,
-           |                   min(CASE WHEN cum >= (2 * nn + 2) // 3 THEN v END) AS ${alias}2
-           |            FROM c$alias, n)""".stripMargin
+        tercileCutsSql(hist, "t" + alias, alias + "1", alias + "2")
       s"""WITH mx AS (SELECT max(ts) AS m FROM events),
          |u AS (SELECT user_id,
          |             CAST(date_diff('day', max(ts), (SELECT m FROM mx)) AS BIGINT) AS rec,

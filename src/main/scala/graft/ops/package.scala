@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -69,6 +70,34 @@ package object ops {
   def maybePlanCache(df: DataFrame): DataFrame =
     if (df.sparkSession.conf.get("spark.graft.plan.cache", "true").toBoolean) df.cache()
     else df
+
+  /** ⌈N/3⌉-rank tercile thresholds over one bounded-domain column —
+    * the quantize-then-rank move shared by quality_buckets and
+    * rfm_segments so the rank convention cannot drift between keys
+    * (round-13 review): value histogram → cumulative window over the
+    * BOUNDED histogram (never the row set) → the smallest values whose
+    * cumulative count reaches ⌈N/3⌉ / ⌈2N/3⌉, returned as a 1-row
+    * frame the caller broadcast-joins back. DuckDB twin:
+    * [[tercileCutsSql]].
+    */
+  def tercileCuts(values: DataFrame, vcol: String, a1: String, a2: String): DataFrame = {
+    val hist = values.groupBy(col(vcol).as("v")).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))))
+    val n = values.agg(count(lit(1)).as("nn"))
+    cum.crossJoin(broadcast(n))
+      .agg(min(when(col("cum") >= expr("(nn + 2) div 3"), col("v"))).as(a1),
+        min(when(col("cum") >= expr("(2 * nn + 2) div 3"), col("v"))).as(a2))
+  }
+
+  /** DuckDB twin of [[tercileCuts]]: given a histogram CTE
+    * `<hist>(v, c)` and a 1-row count CTE `n(nn)`, emits the
+    * cumulative CTE `c<out>` and the 1-row threshold CTE `<out>(a1, a2)`.
+    */
+  def tercileCutsSql(hist: String, out: String, a1: String, a2: String): String =
+    s"""c$out AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM $hist),
+       |$out AS (SELECT min(CASE WHEN cum >= (nn + 2) // 3 THEN v END) AS $a1,
+       |              min(CASE WHEN cum >= (2 * nn + 2) // 3 THEN v END) AS $a2
+       |       FROM c$out, n)""".stripMargin
 
   /** Whitespace tokenization of `documents.text` (single-space-joined
     * tokens per FIXTURES.md). DuckDB twin: `string_split(text, ' ')`.

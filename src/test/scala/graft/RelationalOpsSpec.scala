@@ -410,7 +410,10 @@ class RelationalOpsSpec extends SparkSpec {
       .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
         (r.getLong(3), r.getLong(4)))).toMap
     val ev = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
-    val m = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    // analysis-date anchor: latest event over the WHOLE corpus, not
+    // just purchases (matches the operator and the oracle)
+    val m = Tables.events(spark, sfDir).agg(max(col("ts")))
+      .collect()(0).getTimestamp(0)
     val users = ev.groupBy(col("user_id"))
       .agg(datediff(lit(m), max(col("ts"))).cast("long").as("rec"),
         count(lit(1)).as("freq"),
