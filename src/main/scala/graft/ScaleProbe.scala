@@ -349,8 +349,10 @@ object ScaleProbe {
                |       ELSE concat('w', chain, '_', i) END), ' ')""".stripMargin).as("text"))
 
   def main(args: Array[String]): Unit = {
-    // modes: all (default) | events | dedup | indexed | ann | state | cc —
-    // first non-numeric arg selects; numeric args keep their meaning
+    // modes: all (default) | events | dedup | indexed | ann | state |
+    // cc | ccdelta | ccchain | batchlog | bpe | decontam | span | pq |
+    // knn | phash | media | buckets | triangles | pagerank — first
+    // non-numeric arg selects; numeric args keep their meaning
     val modes = args.filter(a => !a.forall(_.isDigit) && a.nonEmpty).toSet
     def on(m: String) = modes.isEmpty || modes.contains(m)
     val nums = args.filter(a => a.nonEmpty && a.forall(_.isDigit))
@@ -685,6 +687,103 @@ object ScaleProbe {
           media.unpersist()
         }
       } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    if (on("triangles")) {
+      // Triangle-counting octave: the claim under test is the one
+      // graph_triangles documents — degree orientation bounds wedge
+      // candidates (Σ C(out-deg, 2)) by arboricity while id
+      // orientation explodes at hubs. Adversarial graph: one hub with
+      // n/2 spokes (a knn graph's unbounded in-degree, worst case)
+      // plus a squared path of n/2 nodes carrying the actual
+      // triangles. Under id orientation the hub (id 0, the LOW id)
+      // sources every spoke edge → C(n/2, 2) wedges, quadratic; under
+      // degree orientation every spoke (degree 1) points AT the hub →
+      // hub out-degree 0, wedges stay ≤ n. Both wedge counts come from
+      // the operator's own orientEdges; the executed pipeline is
+      // triangleCountsOver — the oracled key's code path — with the
+      // exact strip triangle count asserted, and the two orientations
+      // cross-checked per node at the base octave.
+      for (factor <- Seq(1, 8, 64).filter(_ <= maxFactor)) {
+        val n = 4096L * factor
+        val h = n / 2
+        val spokes = spark.range(1, h + 1)
+          .select(lit(0L).as("a_id"), col("id").as("b_id"))
+        val strip = spark.range(h + 1, n - 1)
+          .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+          .unionByName(spark.range(h + 1, n - 2)
+            .select(col("id").as("a_id"), (col("id") + 2).as("b_id")))
+        val pairs = spokes.unionByName(strip).repartition(cpus.toInt).cache()
+        pairs.count()
+        val und = pairs.select(least(col("a_id"), col("b_id")).as("u"),
+          greatest(col("a_id"), col("b_id")).as("v")).distinct()
+        def wedges(byDeg: Boolean): Long =
+          graft.ops.Vectors.orientEdges(und, byDeg)
+            .groupBy(col("src")).count()
+            .agg((sum(col("count") * (col("count") - 1)) / 2).cast("long"))
+            .collect()(0).getLong(0)
+        val wDeg = wedges(true)
+        val wId = wedges(false)
+        assert(wDeg <= n, s"degree-oriented wedges $wDeg not linear at n=$n")
+        assert(wId >= h * (h - 1) / 2, s"hub wedges missing from id orientation")
+        val t0 = System.nanoTime()
+        val out = graft.ops.Vectors.triangleCountsOver(pairs, byDegree = true)
+          .agg(sum(col("n_triangles")).cast("long"), count(lit(1))).collect()(0)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val expected = 3L * (n - 1 - h - 2) // strip triangles × 3 members
+        assert(out.getLong(0) == expected, s"triangles ${out.getLong(0)} != $expected")
+        if (factor == 1) {
+          val a = graft.ops.Vectors.triangleCountsOver(pairs, byDegree = true)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val b = graft.ops.Vectors.triangleCountsOver(pairs, byDegree = false)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(a == b, "orientations disagree on per-node counts")
+        }
+        println(f"""{"shape":"triangles_hub","factor":$factor,"nodes":$n,"wedges_degree":$wDeg,"wedges_id":$wId,"tri_rows":${out.getLong(1)},"secs":$secs%.2f}""")
+        pairs.unpersist()
+        spark.catalog.clearCache()
+      }
+    }
+
+    if (on("pagerank")) {
+      // PageRank octave: per-iteration cost is one edge-sized shuffle,
+      // and the micro-unit floor arithmetic admits CLOSED FORMS on
+      // regular graphs — asserted exactly at every octave. Ring leg
+      // (out-degree 3, in-degree 3): every rank is 999999 from round 1
+      // on (1e6 div 3 = 333333 three times → m = 999999 →
+      // 150000 + 849999). Star leg (max in-degree skew — the dst-keyed
+      // aggregate's partial combine is what absorbs the hot key):
+      // spokes hold 150000 from round 1, the hub ends at
+      // 150000 + (850000 · (n−1) · 150000) div 1e6.
+      for (factor <- Seq(1, 8, 64).filter(_ <= maxFactor)) {
+        val n = 20000L * factor
+        val ring = spark.range(n)
+          .select(col("id").as("src"), explode(array(lit(1L), lit(2L), lit(3L))).as("o"))
+          .select(col("src"), ((col("src") + col("o")) % n).as("dst"))
+          .repartition(cpus.toInt).cache()
+        ring.count()
+        val t0 = System.nanoTime()
+        val rr = graft.ops.Vectors.pageRankMicro(ring, 3)
+          .groupBy(col("rank_micro")).agg(count(lit(1))).collect()
+        val ringSecs = (System.nanoTime() - t0) / 1e9
+        assert(rr.length == 1 && rr(0).getLong(0) == 999999L && rr(0).getLong(1) == n,
+          s"ring ranks ${rr.mkString(",")}")
+        ring.unpersist()
+        val star = spark.range(1, n)
+          .select(col("id").as("src"), lit(0L).as("dst"))
+          .repartition(cpus.toInt).cache()
+        star.count()
+        val t1 = System.nanoTime()
+        val sr = graft.ops.Vectors.pageRankMicro(star, 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val starSecs = (System.nanoTime() - t1) / 1e9
+        val hubExpected = 150000L + (850000L * (n - 1) * 150000L) / 1000000L
+        assert(sr(0L) == hubExpected, s"hub ${sr(0L)} != $hubExpected")
+        assert(sr.forall { case (k, v) => k == 0L || v == 150000L }, "spoke ranks")
+        star.unpersist()
+        println(f"""{"shape":"pagerank_octave","factor":$factor,"nodes":$n,"ring_edges":${3 * n},"ring_secs":$ringSecs%.2f,"star_secs":$starSecs%.2f,"hub_rank":$hubExpected}""")
+        spark.catalog.clearCache()
+      }
     }
 
     if (on("buckets")) {

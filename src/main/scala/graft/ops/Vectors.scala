@@ -385,6 +385,32 @@ object Vectors {
         .select(col("a_id"), col("b_id"), col("rnk"), col("cos")))
   }
 
+  /** Integer-exact damped PageRank over an arbitrary (src, dst) edge
+    * frame — `iters` unrolled Pregel-shape rounds (ranks ⋈ edges on
+    * src, dst-keyed aggregate, micro-unit floor arithmetic), the same
+    * code path the oracled key runs; probe-drivable at edge octaves.
+    */
+  private[graft] def pageRankMicro(edges: DataFrame, iters: Int): DataFrame = {
+    // callers cache `edges` when it isn't already derived from a
+    // cached frame (the oracled key's knnEdges is — re-caching its
+    // projection would double-materialize, round-13 review)
+    val nodes = maybeCache(edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct())
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val m = edges.join(deg, "src")
+        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .select(col("dst"), expr("r div od").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      ranks = nodes.join(m, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("(850000 * coalesce(m, 0L)) div 1000000"))
+            .cast("long").as("r"))
+    }
+    ranks.select(col("id"), col("r").as("rank_micro"))
+  }
+
   /** Per-node triangle counts over the undirected knn edge set.
     * `byDegree = true` orients each edge low→high under (degree, id) —
     * the arboricity-bounded production orientation (wedges enumerate at
@@ -394,27 +420,40 @@ object Vectors {
     * both enumerate the SAME triangle set — the spec compares them.
     */
   private[graft] def triangleCounts(s: SparkSession, d: String,
-      byDegree: Boolean): DataFrame = {
-    val t = knnEdges(s, d)
+      byDegree: Boolean): DataFrame =
+    triangleCountsOver(knnEdges(s, d), byDegree)
+
+  /** Acyclic orientation of the undirected (u, v) edge set —
+    * (src, dst, dkey) with dkey the (degree, id) struct wedge pairs
+    * compare on. Exposed separately so ScaleProbe's `triangles` mode
+    * can count each orientation's Σ C(out-deg, 2) wedge candidates
+    * without re-deriving the key (the probe-drift rule).
+    */
+  private[graft] def orientEdges(und: DataFrame, byDegree: Boolean): DataFrame =
+    if (!byDegree)
+      und.select(col("u").as("src"), col("v").as("dst"),
+        struct(lit(0L).as("dg"), col("v").as("id")).as("dkey"))
+    else {
+      val deg = und.select(col("u").as("id")).unionByName(und.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+      val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+      und
+        .join(deg.select(col("id").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("id").as("v"), col("dg").as("dv")), "v")
+        .select(when(uFirst, col("u")).otherwise(col("v")).as("src"),
+          when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+          when(uFirst, struct(col("dv").as("dg"), col("v").as("id")))
+            .otherwise(struct(col("du").as("dg"), col("u").as("id"))).as("dkey"))
+    }
+
+  /** The triangle pipeline over an arbitrary (a_id, b_id) edge frame —
+    * the same code path the oracled key runs, probe-drivable at graph
+    * octaves.
+    */
+  private[graft] def triangleCountsOver(t: DataFrame, byDegree: Boolean): DataFrame = {
     val und = maybeCache(t.select(least(col("a_id"), col("b_id")).as("u"),
       greatest(col("a_id"), col("b_id")).as("v")).distinct())
-    val oriented =
-      if (!byDegree)
-        und.select(col("u").as("src"), col("v").as("dst"),
-          struct(lit(0L).as("dg"), col("v").as("id")).as("dkey"))
-      else {
-        val deg = und.select(col("u").as("id")).unionByName(und.select(col("v").as("id")))
-          .groupBy(col("id")).agg(count(lit(1)).as("dg"))
-        val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
-        und
-          .join(deg.select(col("id").as("u"), col("dg").as("du")), "u")
-          .join(deg.select(col("id").as("v"), col("dg").as("dv")), "v")
-          .select(when(uFirst, col("u")).otherwise(col("v")).as("src"),
-            when(uFirst, col("v")).otherwise(col("u")).as("dst"),
-            when(uFirst, struct(col("dv").as("dg"), col("v").as("id")))
-              .otherwise(struct(col("du").as("dg"), col("u").as("id"))).as("dkey"))
-      }
-    val o = maybeCache(oriented)
+    val o = maybeCache(orientEdges(und, byDegree))
     val e1 = o.select(col("src"), col("dst").as("b"), col("dkey").as("bk"))
     val e2 = o.select(col("src").as("src2"), col("dst").as("c"), col("dkey").as("ck"))
     // wedges at the orientation-minimal vertex; the bk < ck cut emits
@@ -1479,23 +1518,9 @@ object Vectors {
       // knnEdges is already cached inside the helper — a second
       // maybeCache here would double-materialize (review finding);
       // the projection below re-derives cheaply from that cache
-      val edges = knnEdges(s, d)
-        .select(col("a_id").as("src"), col("b_id").as("dst"))
-      val nodes = maybeCache(edges.select(col("src").as("id"))
-        .union(edges.select(col("dst").as("id"))).distinct())
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
-      var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
-      for (_ <- 1 to 3) {
-        val m = edges.join(deg, "src")
-          .join(ranks.select(col("id").as("src"), col("r")), "src")
-          .select(col("dst"), expr("r div od").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-        ranks = nodes.join(m, col("id") === col("dst"), "left")
-          .select(col("id"),
-            (lit(150000L) + expr("(850000 * coalesce(m, 0L)) div 1000000"))
-              .cast("long").as("r"))
-      }
-      ranks.select(col("id"), col("r").as("rank_micro")).orderBy(col("id"))
+      pageRankMicro(knnEdges(s, d)
+        .select(col("a_id").as("src"), col("b_id").as("dst")), iters = 3)
+        .orderBy(col("id"))
     },
 
     // ---- triangle counting over the k-NN graph -------------------------
