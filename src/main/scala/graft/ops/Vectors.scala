@@ -271,6 +271,22 @@ object Vectors {
     * code path instead of drifting copies.
     */
   private[graft] def pqAdcChain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (e0, enc, qd) = pqParts(s, d)
+    val adist = enc.join(broadcast(qd),
+        col("m") === col("qm") && col("code") === col("c")
+          && col("c_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("d2")).cast("bigint").as("ad"))
+    (e0, adist)
+  }
+
+  /** The PQ building blocks behind [[pqAdcChain]] — (e0 = micro-unit
+    * vectors, enc = (c_id, m, code) corpus codes, qd = broadcastable
+    * (q_id, qm, c, d2) query distance tables) — exposed separately so
+    * sim_ivf_pq can interpose the inverted-list cell filter between
+    * the codes and the ADC aggregate without re-deriving either side.
+    */
+  private[graft] def pqParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val e0 = emb(s, d).select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
@@ -301,12 +317,7 @@ object Vectors {
       .select(col("vec_id").as("c_id"), col("m"), col("c").as("code"))
     val qd = dist.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("m").as("qm"), col("c"), col("d2"))
-    val adist = enc.join(broadcast(qd),
-        col("m") === col("qm") && col("code") === col("c")
-          && col("c_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("c_id"))
-      .agg(sum(col("d2")).cast("bigint").as("ad"))
-    (e0, adist)
+    (e0, enc, qd)
   }
 
   /** multimodal_phash's bucketing stage (also timed by ScaleProbe's
@@ -1251,6 +1262,103 @@ object Vectors {
       ex.withColumn("rnk", row_number().over(wTop).cast("bigint"))
         .filter(col("rnk") <= 3)
         .select(col("q_id"), col("c_id"), col("rnk"), col("exact_d2"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // ---- IVF × PQ: the composed production index (FAISS IVFPQ shape) ---
+    // The two measured index families compose exactly the way
+    // production ANN serves 100 TB (Jégou et al. 2011 §5.1; FAISS
+    // IVFPQ with by_residual=false): a coarse quantizer routes every
+    // vector to an inverted list (cell), vectors are stored only as
+    // 8×2-bit PQ codes, and a query ADC-scans JUST its nprobe=2
+    // nearest cells' codes — never the whole code table, never a
+    // float. Build: cell assignment is the 8-row broadcast expand +
+    // bounded window; codes join their cell once (index-build
+    // co-partitioning — at scale the inverted lists are WRITTEN
+    // cell-partitioned, so the scan reads only probed partitions).
+    // Search: the query side (distance tables × 2 probe cells) stays
+    // broadcast-sized, the cell filter lands BEFORE the ADC aggregate,
+    // and all arithmetic is exact micro-unit integers end-to-end (the
+    // same no-rounding-frontier guarantee as both parents). Recall vs
+    // sim_topk is measured in SCALE.md next to each family alone.
+    sql("sim_ivf_pq", {
+      val seeds = pqSeedIds.zipWithIndex
+        .map { case (sid, c) => s"($c, $sid)" }.mkString(", ")
+      val cids = ivfCentroidIds.mkString("(", ", ", ")")
+      s"""WITH e AS (SELECT vec_id,
+         |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
+         |           FROM embeddings),
+         |seeds(c, sid) AS (VALUES $seeds),
+         |cb AS (SELECT s.c, m.m, e.qe[m.m * 8 + 1 : m.m * 8 + 8] AS ce
+         |       FROM seeds s JOIN e ON e.vec_id = s.sid, range(0, 8) m(m)),
+         |sub AS (SELECT vec_id, m.m, qe[m.m * 8 + 1 : m.m * 8 + 8] AS sv
+         |        FROM e, range(0, 8) m(m)),
+         |dist AS (SELECT vec_id, sub.m, cb.c,
+         |                list_sum(list_transform(range(1, 9),
+         |                  j -> (sv[j] - ce[j]) * (sv[j] - ce[j]))) AS d2
+         |         FROM sub JOIN cb ON sub.m = cb.m),
+         |enc AS (SELECT vec_id, m, c AS code FROM
+         |          (SELECT vec_id, m, c,
+         |                  row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+         |           FROM dist) t
+         |        WHERE rn = 1),
+         |qd AS (SELECT vec_id AS q_id, m, c, d2 FROM dist WHERE vec_id < 20),
+         |cent AS (SELECT vec_id AS cid, qe AS ce FROM e WHERE vec_id IN $cids),
+         |dd AS (SELECT e.vec_id, c.cid,
+         |              row_number() OVER (PARTITION BY e.vec_id
+         |                ORDER BY ${D.dot("e.qe", "e.qe")}
+         |                         - 2 * ${D.dot("e.qe", "c.ce")}
+         |                         + ${D.dot("c.ce", "c.ce")}, c.cid) AS rn
+         |       FROM e, cent c),
+         |asg AS (SELECT vec_id, cid AS cell FROM dd WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, cid AS pcell FROM dd
+         |           WHERE rn <= 2 AND vec_id < 20),
+         |adist AS (SELECT qd.q_id, enc.vec_id AS c_id, sum(qd.d2)::BIGINT AS ad
+         |          FROM enc JOIN asg ON asg.vec_id = enc.vec_id
+         |               JOIN probes pr ON pr.pcell = asg.cell
+         |               JOIN qd ON qd.q_id = pr.q_id
+         |                      AND qd.m = enc.m AND qd.c = enc.code
+         |          WHERE enc.vec_id <> qd.q_id
+         |          GROUP BY 1, 2)
+         |SELECT q_id, c_id, rnk, ad AS approx_d2 FROM
+         |  (SELECT q_id, c_id, ad,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS rnk
+         |   FROM adist) t
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+    }) { (s, d) =>
+      val (e0, enc, qd) = pqParts(s, d)
+      val cent = e0.filter(col("vec_id").isin(ivfCentroidIds: _*))
+        .select(col("vec_id").as("cid"), col("qe").as("ce"))
+      def cd2(a: Column, b: Column): Column =
+        dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
+      val wAsg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("d2c"), col("cid"))
+      val ranked = maybeCache(e0.join(broadcast(cent))
+        .select(col("vec_id"), col("cid"), cd2(col("qe"), col("ce")).as("d2c"))
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") <= 2))
+      // inverted lists: each code row learns its cell once (the
+      // build-time co-partitioning); the probe filter + ADC lookup is
+      // then ONE broadcast join of the query-sized (tables × probes)
+      // side against the cell-tagged code stream
+      val asg = ranked.filter(col("rn") === 1)
+        .select(col("vec_id").as("c_id"), col("cid").as("cell"))
+      val probes = ranked.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
+      val qside = qd.withColumnRenamed("q_id", "pq_id")
+        .join(probes, col("pq_id") === col("q_id"))
+        .select(col("q_id"), col("qm"), col("c"), col("d2"), col("pcell"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("ad"), col("c_id"))
+      enc.join(asg, Seq("c_id"))
+        .join(broadcast(qside),
+          col("m") === col("qm") && col("code") === col("c")
+            && col("cell") === col("pcell") && col("c_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("c_id"))
+        .agg(sum(col("d2")).cast("bigint").as("ad"))
+        .withColumn("rnk", row_number().over(wTop).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("c_id"), col("rnk"), col("ad").as("approx_d2"))
         .orderBy(col("q_id"), col("rnk"))
     },
 

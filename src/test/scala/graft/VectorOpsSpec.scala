@@ -251,6 +251,39 @@ class VectorOpsSpec extends SparkSpec {
     assert(hRr > 0, "rerank must recover at least one true neighbor")
   }
 
+  test("sim_ivf_pq: cell-restricted ADC agrees with full ADC on shared pairs") {
+    val ivfpq = run("sim_ivf_pq").cache()
+    val adc = run("sim_pq_adc").cache()
+    // dense top-3 per query, distance-sorted
+    val perQ = ivfpq.groupBy("q_id").agg(count(lit(1)).as("n"), max(col("rnk")).as("maxr"))
+    assert(perQ.filter(col("n") =!= 3 || col("maxr") =!= 3).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rnk"))
+    assert(ivfpq.withColumn("prev", lag(col("approx_d2"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > col("approx_d2"))
+      .count() == 0)
+    // the composed index scans a SUBSET of full ADC's candidates, so:
+    // (a) any (q, c) pair both keys return must carry the IDENTICAL
+    // ADC distance (same codes, same tables — the cell filter cannot
+    // change the arithmetic);
+    val shared = ivfpq.select(col("q_id"), col("c_id"), col("approx_d2").as("da"))
+      .join(adc.select(col("q_id"), col("c_id"), col("approx_d2").as("db")),
+        Seq("q_id", "c_id"))
+    assert(shared.filter(col("da") =!= col("db")).count() == 0,
+      "shared pairs disagree on ADC distance")
+    assert(shared.count() > 0, "no overlap with full ADC top-3 at all")
+    // (b) per query, restricting candidates can only RAISE the best
+    // (smallest) distance — never produce a closer candidate than the
+    // full scan found
+    val best = ivfpq.filter(col("rnk") === 1)
+      .select(col("q_id"), col("approx_d2").as("ba"))
+      .join(adc.filter(col("rnk") === 1)
+        .select(col("q_id"), col("approx_d2").as("bb")), Seq("q_id"))
+    assert(best.filter(col("ba") < col("bb")).count() == 0,
+      "cell-restricted scan beat the full scan")
+    ivfpq.unpersist(); adc.unpersist(); ()
+  }
+
   test("graph_pagerank: every node ranked, floor rank iff no in-edges, mass sane") {
     val ranks = run("graph_pagerank").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
