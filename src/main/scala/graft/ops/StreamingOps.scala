@@ -95,6 +95,24 @@ object StreamingOps {
       EventStream.runTopK(s, d)
     },
 
+    // chained stream-stream interval joins: the 3-step live funnel in
+    // ONE streaming query (two stateful joins back to back — Spark 4
+    // multiple-stateful-operator support); per-leg state is bounded by
+    // the interval, and the batch 3-way interval join is the oracle
+    sql("stream_funnel_live",
+      """SELECT s.event_id AS s_event, v.event_id AS v_event,
+        |       p.event_id AS p_event
+        |FROM events s
+        |JOIN events v ON v.user_id = s.user_id
+        | AND s.event_type = 'signup' AND v.event_type = 'view'
+        | AND v.ts > s.ts AND v.ts <= s.ts + INTERVAL 7 DAY
+        |JOIN events p ON p.user_id = v.user_id
+        | AND p.event_type = 'purchase'
+        | AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 7 DAY
+        |ORDER BY s_event, v_event, p_event""".stripMargin) { (s, d) =>
+      EventStream.runFunnel(s, d)
+    },
+
     // streaming media-ingest dedup via dropDuplicatesWithinWatermark —
     // the state-BOUNDED dedup API (per-key state ≈ rate × delay), the
     // right variant when the key space grows with the crawl forever;

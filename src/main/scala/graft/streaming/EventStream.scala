@@ -183,6 +183,47 @@ object EventStream {
     spark.table(sink).orderBy(col("signup_event"), col("purchase_event"))
   }
 
+  /** Chained stream-stream interval joins — the 3-step LIVE funnel
+    * (signup → view within 7 days → purchase within 7 more). Two
+    * stateful joins back to back in ONE streaming query (Spark 4's
+    * multiple-stateful-operator support): each leg carries its own
+    * watermark, each join buffers only the interval the time bound
+    * keeps live, so state ≈ rate × 7 days per leg regardless of
+    * history length — the unbounded-retention regime a batch funnel
+    * recomputation can't serve. Emitted triples are append-mode
+    * (each exactly once when its interval can no longer match); the
+    * oracle is the same 3-way interval join in batch SQL, so the
+    * hash-match IS the stream/batch parity claim.
+    */
+  def runFunnel(parent: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamSession(parent)
+    val sink = s"graft_stream_funnel_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    def leg(tpe: String, pfx: String): DataFrame = source(spark, sfDir)
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${pfx}_user"),
+        col("event_id").as(s"${pfx}_event"), col("ts").as(s"${pfx}_ts"))
+      .withWatermark(s"${pfx}_ts", "30 days")
+    val sv = leg("signup", "s").join(leg("view", "v"),
+      col("s_user") === col("v_user") &&
+        col("v_ts") > col("s_ts") &&
+        col("v_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"))
+    val q = sv.join(leg("purchase", "p"),
+        col("v_user") === col("p_user") &&
+          col("p_ts") > col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 7 DAYS"))
+      .select(col("s_event"), col("v_event"), col("p_event"))
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(sink)
+      .orderBy(col("s_event"), col("v_event"), col("p_event"))
+  }
+
   /** Checkpointed file sink — the production egress path (the memory
     * sink the other keys use is a test harness; real pipelines land
     * parquet). The checkpoint makes delivery exactly-once ACROSS

@@ -84,6 +84,25 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("chained stream-stream funnel joins equal the batch 3-way interval join") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.runFunnel(spark, sfDir)
+    val e = Tables.events(spark, sfDir)
+    def leg(tpe: String, pfx: String) = e.filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${pfx}_user"),
+        col("event_id").as(s"${pfx}_event"), col("ts").as(s"${pfx}_ts"))
+    val batch = leg("signup", "s").join(leg("view", "v"),
+        col("s_user") === col("v_user") && col("v_ts") > col("s_ts") &&
+          col("v_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"))
+      .join(leg("purchase", "p"),
+        col("v_user") === col("p_user") && col("p_ts") > col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 7 DAYS"))
+      .select(col("s_event"), col("v_event"), col("p_event"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("multi-micro-batch replay (3 files, maxFilesPerTrigger=1) converges to the batch answer") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
