@@ -351,8 +351,8 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     // modes: all (default) | events | dedup | indexed | ann | state |
     // cc | ccdelta | ccchain | batchlog | bpe | decontam | span | pq |
-    // knn | phash | media | buckets | triangles | pagerank — first
-    // non-numeric arg selects; numeric args keep their meaning
+    // ivfidx | knn | phash | media | buckets | triangles | pagerank —
+    // first non-numeric arg selects; numeric args keep their meaning
     val modes = args.filter(a => !a.forall(_.isDigit) && a.nonEmpty).toSet
     def on(m: String) = modes.isEmpty || modes.contains(m)
     val nums = args.filter(a => a.nonEmpty && a.forall(_.isDigit))
@@ -569,6 +569,40 @@ object ScaleProbe {
         assert(adRows == expect, s"ADC candidate rows $adRows != ${expect}")
         println(f"""{"shape":"pq_adc","factor":$factor,"rows":$n,"adc_rows":$adRows,"expected":$expect,"secs":$secs%.2f}""")
         spark.catalog.clearCache()
+      }
+    }
+
+    if (on("ivfidx")) {
+      // Persisted IVF×PQ index serve: the claim (SCALE.md / PLANS.md)
+      // is that the inverted lists land on disk PARTITIONED BY cell,
+      // so a serve scan reads files ∝ nprobe/cells — literal directory
+      // pruning, independent of everything outside the probed cells.
+      // The probe builds the staged index once per replicated corpus,
+      // then for each nprobe counts the files the PRUNED single-query
+      // scan enumerates (distinct input_file_name over the operator's
+      // own lists frame) against the index total, and times the full
+      // 20-query serve at that nprobe.
+      val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      for (factor <- Seq(1, 8, 64).filter(_ <= maxFactor)) {
+        val dir = s"$tmpRoot/ivfidx_$factor"
+        scaledEmb(embBase, factor).repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+        val idx = graft.ops.Vectors.stagedIvfPqIndex(spark, dir) // untimed — once per corpus
+        def pfiles(p: java.io.File): Long =
+          if (p.isDirectory) Option(p.listFiles()).map(_.map(pfiles).sum).getOrElse(0L)
+          else if (p.getName.endsWith(".parquet")) 1L else 0L
+        val total = pfiles(new java.io.File(s"$idx/lists"))
+        for (nprobe <- Seq(1, 2, 4, 8)) {
+          val (lists1, _, _) =
+            graft.ops.Vectors.ivfPqIndexedParts(spark, dir, 1L, nprobe)
+          val read1 = lists1.select(input_file_name()).distinct().count()
+          val t0 = System.nanoTime()
+          val out = graft.ops.Vectors.ivfPqIndexedServe(spark, dir, 20L, nprobe).count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(f"""{"shape":"ivfpq_indexed","factor":$factor,"rows":$n,"nprobe":$nprobe,"files_read_q1":$read1,"files_total":$total,"out_rows":$out,"secs":$secs%.2f}""")
+          spark.catalog.clearCache()
+        }
       }
     }
 

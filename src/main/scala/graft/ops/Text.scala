@@ -246,16 +246,9 @@ object Text {
   private[graft] def stagedHsIndex(s: SparkSession, d: String, name: String,
       extra: Map[String, (DataFrame, DataFrame, DataFrame) => DataFrame] = Map.empty)(
       corpus: => DataFrame): String = {
-    import java.nio.file._
-    val src = Paths.get(s"$d/documents.parquet")
-    val key = src.toString.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = Paths.get(s"${graft.ops.scratchRoot(s)}/${name}_$key")
-    val marker = dir.resolve("_built")
-    val stamp = s"${Files.size(src)}:${Files.getLastModifiedTime(src)}"
-    val fresh = Files.exists(marker) &&
-      new String(Files.readAllBytes(marker), "UTF-8") == stamp
-    if (!fresh) {
-      val stage = Paths.get(s"$dir.build-${ProcessHandle.current().pid()}")
+    val src = s"$d/documents.parquet"
+    val key = src.replaceAll("[^A-Za-z0-9.]", "_")
+    graft.ops.stagedArtifact(s, s"${name}_$key", graft.ops.sourceStamp(src)) { stage =>
       val c = corpus
       val oldHs = shingleHashes(c)
       oldHs.write.mode("overwrite").parquet(s"$stage/hs")
@@ -273,25 +266,7 @@ object Text {
       extra.foreach { case (part, f) =>
         f(c, writtenHs, writtenBands).write.mode("overwrite").parquet(s"$stage/$part")
       }
-      Files.write(stage.resolve("_built"), stamp.getBytes("UTF-8"))
-      // atomic publish; a concurrent winner keeps its copy
-      try {
-        if (Files.exists(dir)) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(dir.toFile)
-        }
-        Files.move(stage, dir, StandardCopyOption.ATOMIC_MOVE)
-      } catch {
-        case _: FileAlreadyExistsException | _: DirectoryNotEmptyException =>
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(stage.toFile)
-      }
     }
-    dir.toString
   }
 
   /** Shared oracle for both incremental-dedup variants — the indexed

@@ -510,6 +510,186 @@ object Vectors {
        |  WHERE rnk <= 3)""".stripMargin
   }
 
+  /** Shared DuckDB oracle for `sim_ivf_pq` AND `sim_ivf_pq_indexed` —
+    * the persisted-index serve must be hash-equal to the in-memory
+    * composition, so both keys pin against one SQL.
+    */
+  private def ivfPqOracle: String = {
+    val seeds = pqSeedIds.zipWithIndex
+      .map { case (sid, c) => s"($c, $sid)" }.mkString(", ")
+    val cids = ivfCentroidIds.mkString("(", ", ", ")")
+    s"""WITH e AS (SELECT vec_id,
+       |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
+       |           FROM embeddings),
+       |seeds(c, sid) AS (VALUES $seeds),
+       |cb AS (SELECT s.c, m.m, e.qe[m.m * 8 + 1 : m.m * 8 + 8] AS ce
+       |       FROM seeds s JOIN e ON e.vec_id = s.sid, range(0, 8) m(m)),
+       |sub AS (SELECT vec_id, m.m, qe[m.m * 8 + 1 : m.m * 8 + 8] AS sv
+       |        FROM e, range(0, 8) m(m)),
+       |dist AS (SELECT vec_id, sub.m, cb.c,
+       |                list_sum(list_transform(range(1, 9),
+       |                  j -> (sv[j] - ce[j]) * (sv[j] - ce[j]))) AS d2
+       |         FROM sub JOIN cb ON sub.m = cb.m),
+       |enc AS (SELECT vec_id, m, c AS code FROM
+       |          (SELECT vec_id, m, c,
+       |                  row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+       |           FROM dist) t
+       |        WHERE rn = 1),
+       |qd AS (SELECT vec_id AS q_id, m, c, d2 FROM dist WHERE vec_id < 20),
+       |cent AS (SELECT vec_id AS cid, qe AS ce FROM e WHERE vec_id IN $cids),
+       |dd AS (SELECT e.vec_id, c.cid,
+       |              row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY ${D.dot("e.qe", "e.qe")}
+       |                         - 2 * ${D.dot("e.qe", "c.ce")}
+       |                         + ${D.dot("c.ce", "c.ce")}, c.cid) AS rn
+       |       FROM e, cent c),
+       |asg AS (SELECT vec_id, cid AS cell FROM dd WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, cid AS pcell FROM dd
+       |           WHERE rn <= 2 AND vec_id < 20),
+       |adist AS (SELECT qd.q_id, enc.vec_id AS c_id, sum(qd.d2)::BIGINT AS ad
+       |          FROM enc JOIN asg ON asg.vec_id = enc.vec_id
+       |               JOIN probes pr ON pr.pcell = asg.cell
+       |               JOIN qd ON qd.q_id = pr.q_id
+       |                      AND qd.m = enc.m AND qd.c = enc.code
+       |          WHERE enc.vec_id <> qd.q_id
+       |          GROUP BY 1, 2)
+       |SELECT q_id, c_id, rnk, ad AS approx_d2 FROM
+       |  (SELECT q_id, c_id, ad,
+       |          row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS rnk
+       |   FROM adist) t
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** Shared ADC-serve tail of `sim_ivf_pq` and `sim_ivf_pq_indexed`
+    * (the persisted-index key must hash-equal the in-memory
+    * composition, so the probe-filtered ADC aggregate + top-3 is ONE
+    * code path): `lists` = cell-tagged PQ codes (c_id, m, code, cell),
+    * `qd` = query distance tables (q_id, qm, c, d2), `probes` =
+    * (q_id, pcell). The query side (tables × probes) broadcasts; the
+    * code stream never shuffles before the per-(q,c) partial
+    * aggregate.
+    */
+  private def ivfPqServe(lists: DataFrame, qd: DataFrame, probes: DataFrame): DataFrame = {
+    val qside = qd.withColumnRenamed("q_id", "pq_id")
+      .join(probes, col("pq_id") === col("q_id"))
+      .select(col("q_id"), col("qm"), col("c"), col("d2"), col("pcell"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("ad"), col("c_id"))
+    lists
+      .join(broadcast(qside),
+        col("m") === col("qm") && col("code") === col("c")
+          && col("cell") === col("pcell") && col("c_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("d2")).cast("bigint").as("ad"))
+      .withColumn("rnk", row_number().over(wTop).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("c_id"), col("rnk"), col("ad").as("approx_d2"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Staged, stamped on-disk IVF×PQ index over `embeddings.parquet` —
+    * the stored-artifact form of sim_ivf_pq's in-memory composition
+    * (FAISS persists exactly this: inverted lists of PQ codes plus the
+    * coarse centroids and sub-quantizer codebooks; Jégou et al. 2011
+    * §5.1). Layout under the returned dir:
+    * `lists/cell=N/` — (c_id, m, code) PQ codes parquet-PARTITIONED by
+    * coarse cell, so a query's nprobe cells are literal partition
+    * directories and a serve scan reads nothing else; `centroids/` —
+    * the 8 coarse (cid, ce) rows; `codebook/` — the 8×4 (c, m, ce)
+    * sub-quantizer rows. Built once per source stamp and atomically
+    * published via [[graft.ops.stagedArtifact]] — the same
+    * freshness/race contract as Text.stagedHsIndex.
+    */
+  private[graft] def stagedIvfPqIndex(s: SparkSession, d: String): String = {
+    val src = s"$d/embeddings.parquet"
+    val key = src.replaceAll("[^A-Za-z0-9.]", "_")
+    graft.ops.stagedArtifact(s, s"ivfpq_index_$key", graft.ops.sourceStamp(src)) { stage =>
+      val (e0, enc, _) = pqParts(s, d)
+      val cent = e0.filter(col("vec_id").isin(ivfCentroidIds: _*))
+        .select(col("vec_id").as("cid"), col("qe").as("ce"))
+      def cd2(a: Column, b: Column): Column =
+        dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
+      val wAsg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("d2c"), col("cid"))
+      val asg = e0.join(broadcast(cent))
+        .select(col("vec_id"), col("cid"), cd2(col("qe"), col("ce")).as("d2c"))
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+        .select(col("vec_id").as("c_id"), col("cid").cast("int").as("cell"))
+      enc.join(asg, Seq("c_id"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
+      cent.write.mode("overwrite").parquet(s"$stage/centroids")
+      val cCol = pqSeedIds.zipWithIndex.foldLeft(lit(-1)) {
+        case (acc, (sid, c)) => when(col("vec_id") === sid, lit(c)).otherwise(acc)
+      }
+      val ms = explode(sequence(lit(0), lit(7))).as("m")
+      e0.filter(col("vec_id").isin(pqSeedIds: _*))
+        .select(cCol.as("c"), ms, col("qe"))
+        .select(col("c"), col("m"), slice(col("qe"), col("m") * 8 + 1, lit(8)).as("ce"))
+        .write.mode("overwrite").parquet(s"$stage/codebook")
+    }
+  }
+
+  /** The three serve-side frames of `sim_ivf_pq_indexed` — (lists =
+    * partition-PRUNED inverted-list scan, qd = query distance tables
+    * from the stored codebook, probes = per-query cell plan) — split
+    * out so ScaleProbe's `ivfidx` mode can count the files the pruned
+    * scan actually touches at each nprobe. `qBound` bounds the query
+    * batch (vec_id < qBound); `nprobe` is the cells-per-query dial
+    * (the oracled key serves the canonical 2).
+    */
+  private[graft] def ivfPqIndexedParts(s: SparkSession, d: String,
+      qBound: Long, nprobe: Int): (DataFrame, DataFrame, DataFrame) = {
+    val idx = stagedIvfPqIndex(s, d)
+    val e0q = emb(s, d).filter(col("vec_id") < qBound)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
+    val cent = s.read.parquet(s"$idx/centroids")
+    def cd2(a: Column, b: Column): Column =
+      dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
+    val wAsg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d2c"), col("cid"))
+    val probes = maybeCache(e0q.join(broadcast(cent))
+      .select(col("vec_id"), col("cid"), cd2(col("qe"), col("ce")).as("d2c"))
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cid").as("pcell")))
+    // the query router's cell plan: nprobe cells per query, distinct
+    // across the (broadcast-sized) query batch — a driver-side
+    // collect of AT MOST ncells integers, never corpus data. The
+    // literal IN list is what turns into the scan's PartitionFilters.
+    val cells = probes.select(col("pcell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = s.read.parquet(s"$idx/lists")
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .select(col("c_id"), col("m"), col("code"), col("cell").cast("bigint").as("cell"))
+    // query distance tables from the STORED codebook (32 rows)
+    val ms = explode(sequence(lit(0), lit(7))).as("m")
+    val sub = e0q.select(col("vec_id"), ms, col("qe"))
+      .select(col("vec_id"), col("m"),
+        slice(col("qe"), col("m") * 8 + 1, lit(8)).as("sv"))
+    def sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0d), (acc, v) => acc + v)
+    val qd = sub.join(broadcast(s.read.parquet(s"$idx/codebook")), Seq("m"))
+      .select(col("vec_id").as("q_id"), col("m").as("qm"), col("c"),
+        sq(col("sv"), col("ce")).as("d2"))
+    (lists, qd, probes)
+  }
+
+  /** Serve a query batch (vec_id < `qBound`) from the persisted
+    * IVF×PQ index — the body of `sim_ivf_pq_indexed`, parameterized
+    * over the batch bound so VectorOpsSpec and ScaleProbe can serve a
+    * SINGLE query and measure that files-read tracks nprobe, not
+    * corpus size.
+    */
+  private[graft] def ivfPqIndexedServe(s: SparkSession, d: String,
+      qBound: Long = 20L, nprobe: Int = 2): DataFrame = {
+    val (lists, qd, probes) = ivfPqIndexedParts(s, d, qBound, nprobe)
+    ivfPqServe(lists, qd, probes)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- brute-force cosine top-k (the correctness baseline) -----------
@@ -1281,51 +1461,7 @@ object Vectors {
     // and all arithmetic is exact micro-unit integers end-to-end (the
     // same no-rounding-frontier guarantee as both parents). Recall vs
     // sim_topk is measured in SCALE.md next to each family alone.
-    sql("sim_ivf_pq", {
-      val seeds = pqSeedIds.zipWithIndex
-        .map { case (sid, c) => s"($c, $sid)" }.mkString(", ")
-      val cids = ivfCentroidIds.mkString("(", ", ", ")")
-      s"""WITH e AS (SELECT vec_id,
-         |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
-         |           FROM embeddings),
-         |seeds(c, sid) AS (VALUES $seeds),
-         |cb AS (SELECT s.c, m.m, e.qe[m.m * 8 + 1 : m.m * 8 + 8] AS ce
-         |       FROM seeds s JOIN e ON e.vec_id = s.sid, range(0, 8) m(m)),
-         |sub AS (SELECT vec_id, m.m, qe[m.m * 8 + 1 : m.m * 8 + 8] AS sv
-         |        FROM e, range(0, 8) m(m)),
-         |dist AS (SELECT vec_id, sub.m, cb.c,
-         |                list_sum(list_transform(range(1, 9),
-         |                  j -> (sv[j] - ce[j]) * (sv[j] - ce[j]))) AS d2
-         |         FROM sub JOIN cb ON sub.m = cb.m),
-         |enc AS (SELECT vec_id, m, c AS code FROM
-         |          (SELECT vec_id, m, c,
-         |                  row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
-         |           FROM dist) t
-         |        WHERE rn = 1),
-         |qd AS (SELECT vec_id AS q_id, m, c, d2 FROM dist WHERE vec_id < 20),
-         |cent AS (SELECT vec_id AS cid, qe AS ce FROM e WHERE vec_id IN $cids),
-         |dd AS (SELECT e.vec_id, c.cid,
-         |              row_number() OVER (PARTITION BY e.vec_id
-         |                ORDER BY ${D.dot("e.qe", "e.qe")}
-         |                         - 2 * ${D.dot("e.qe", "c.ce")}
-         |                         + ${D.dot("c.ce", "c.ce")}, c.cid) AS rn
-         |       FROM e, cent c),
-         |asg AS (SELECT vec_id, cid AS cell FROM dd WHERE rn = 1),
-         |probes AS (SELECT vec_id AS q_id, cid AS pcell FROM dd
-         |           WHERE rn <= 2 AND vec_id < 20),
-         |adist AS (SELECT qd.q_id, enc.vec_id AS c_id, sum(qd.d2)::BIGINT AS ad
-         |          FROM enc JOIN asg ON asg.vec_id = enc.vec_id
-         |               JOIN probes pr ON pr.pcell = asg.cell
-         |               JOIN qd ON qd.q_id = pr.q_id
-         |                      AND qd.m = enc.m AND qd.c = enc.code
-         |          WHERE enc.vec_id <> qd.q_id
-         |          GROUP BY 1, 2)
-         |SELECT q_id, c_id, rnk, ad AS approx_d2 FROM
-         |  (SELECT q_id, c_id, ad,
-         |          row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS rnk
-         |   FROM adist) t
-         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
-    }) { (s, d) =>
+    sql("sim_ivf_pq", ivfPqOracle) { (s, d) =>
       val (e0, enc, qd) = pqParts(s, d)
       val cent = e0.filter(col("vec_id").isin(ivfCentroidIds: _*))
         .select(col("vec_id").as("cid"), col("qe").as("ce"))
@@ -1345,21 +1481,24 @@ object Vectors {
         .select(col("vec_id").as("c_id"), col("cid").as("cell"))
       val probes = ranked.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
-      val qside = qd.withColumnRenamed("q_id", "pq_id")
-        .join(probes, col("pq_id") === col("q_id"))
-        .select(col("q_id"), col("qm"), col("c"), col("d2"), col("pcell"))
-      val wTop = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("ad"), col("c_id"))
-      enc.join(asg, Seq("c_id"))
-        .join(broadcast(qside),
-          col("m") === col("qm") && col("code") === col("c")
-            && col("cell") === col("pcell") && col("c_id") =!= col("q_id"))
-        .groupBy(col("q_id"), col("c_id"))
-        .agg(sum(col("d2")).cast("bigint").as("ad"))
-        .withColumn("rnk", row_number().over(wTop).cast("bigint"))
-        .filter(col("rnk") <= 3)
-        .select(col("q_id"), col("c_id"), col("rnk"), col("ad").as("approx_d2"))
-        .orderBy(col("q_id"), col("rnk"))
+      ivfPqServe(enc.join(asg, Seq("c_id")), qd, probes)
+    },
+
+    // ---- IVF × PQ served from the PERSISTED index ----------------------
+    // The stored-artifact form of sim_ivf_pq — what FAISS actually
+    // writes to disk and what a 100 TB deployment serves from: the
+    // inverted lists land on parquet PARTITIONED BY cell
+    // ([[stagedIvfPqIndex]]), the coarse centroids and sub-codebooks
+    // sit alongside, and a query plans its nprobe cells FIRST (a
+    // centroid scan that is metadata-sized — 8 rows), then reads ONLY
+    // those cells' directories: the scan's PartitionFilters carries
+    // the literal cell list, so files-read scales with nprobe/cells,
+    // not corpus size (VectorOpsSpec asserts the filter; SCALE.md
+    // measures the file counts). Arithmetic is identical to
+    // sim_ivf_pq end-to-end — the oracle is shared and the hash must
+    // match.
+    sql("sim_ivf_pq_indexed", ivfPqOracle) { (s, d) =>
+      ivfPqIndexedServe(s, d)
     },
 
     // ---- semantic decontamination (embedding-space eval leakage) -------

@@ -130,6 +130,49 @@ package object ops {
       .getOrElse(spark.conf.get("spark.sql.warehouse.dir") + "/_graft_scratch")
       .stripPrefix("file:")
 
+  /** Build-once staged publish for derived on-disk artifacts (MinHash
+    * band indexes, IVF×PQ inverted lists): if `<scratch>/<name>`'s
+    * `_built` marker doesn't match `stamp`, run `build(stageDir)`
+    * against a pid-unique staging directory and atomically rename it
+    * into place. A concurrent builder that loses the rename race keeps
+    * the winner's copy and discards its own — a lost race costs a
+    * duplicate build, never a torn index. Returns the published
+    * directory. The freshness `stamp` is typically [[sourceStamp]] of
+    * the parquet source the artifact derives from.
+    */
+  def stagedArtifact(spark: SparkSession, name: String, stamp: String)(
+      build: String => Unit): String = {
+    import java.nio.file._
+    val dir = Paths.get(s"${scratchRoot(spark)}/$name")
+    val marker = dir.resolve("_built")
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == stamp
+    if (!fresh) {
+      val stage = Paths.get(s"$dir.build-${ProcessHandle.current().pid()}")
+      build(stage.toString)
+      Files.write(stage.resolve("_built"), stamp.getBytes("UTF-8"))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      try {
+        if (Files.exists(dir)) rm(dir.toFile)
+        Files.move(stage, dir, StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case _: FileAlreadyExistsException | _: DirectoryNotEmptyException =>
+          rm(stage.toFile)
+      }
+    }
+    dir.toString
+  }
+
+  /** size+mtime stamp of a source file — the freshness key for
+    * [[stagedArtifact]] builds derived from one parquet source.
+    */
+  def sourceStamp(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    s"${java.nio.file.Files.size(p)}:${java.nio.file.Files.getLastModifiedTime(p)}"
+  }
+
   /** Register `path` for recursive deletion at JVM exit and return it
     * — for pid-scoped staging directories that would otherwise
     * accumulate one copy per run.

@@ -397,6 +397,33 @@ class VectorOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum % 3 == 0, "membership mass not divisible by 3")
   }
 
+  test("sim_ivf_pq_indexed: equals sim_ivf_pq, and the serve scan partition-prunes on cell") {
+    val fromIndex = run("sim_ivf_pq_indexed")
+    val inMemory = run("sim_ivf_pq")
+    assert(fromIndex.exceptAll(inMemory).count() == 0 &&
+      inMemory.exceptAll(fromIndex).count() == 0,
+      "persisted-index serve diverged from the in-memory composition")
+    // the inverted-list scan must carry the probed cells as PARTITION
+    // filters (directory pruning), not data filters
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"expected a cell partition filter in:\n${plan.take(3000)}")
+    // a single query probes nprobe=2 of the 8 cells: the files it
+    // reads must come from exactly its 2 probed directories, while
+    // the index holds files under all 8 — files-read ∝ nprobe/cells
+    val idx = graft.ops.Vectors.stagedIvfPqIndex(spark, sfDir)
+    val one = graft.ops.Vectors.ivfPqIndexedServe(spark, sfDir, qBound = 1L)
+    assert(one.count() > 0)
+    val onePlan = one.queryExecution.executedPlan.toString
+    val cellsInFilter = "cell#\\d+ IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(onePlan).map(_.group(1).split(",").length)
+    assert(cellsInFilter.contains(2),
+      s"single-query serve should probe exactly 2 cells; plan:\n${onePlan.take(3000)}")
+    val totalCells = new java.io.File(s"$idx/lists").listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(totalCells == 8, s"index should hold 8 cell directories, found $totalCells")
+  }
+
   test("embed_outliers: the 1.2×-mean frontier matches an exact recompute, prunes a thin tail") {
     val rows = run("embed_outliers").collect()
     assert(rows.nonEmpty)
