@@ -113,6 +113,27 @@ object StreamingOps {
       EventStream.runFunnel(s, d)
     },
 
+    // watermarked LEFT OUTER interval join — the drop-off funnel:
+    // signups with NO purchase within 7 days, emitted exactly once
+    // when the watermark closes their match interval. The oracle
+    // carries the same closure predicate (s_ts + 7d < max_ts − 1h):
+    // younger signups are PENDING, not absent — the hash-match pins
+    // the emission frontier along with the join semantics
+    sql("stream_funnel_dropoff",
+      """WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+        |SELECT s.event_id AS signup_event, s.user_id AS user_id
+        |FROM events s, wm
+        |WHERE s.event_type = 'signup'
+        |  AND s.ts + INTERVAL 7 DAY < wm.w
+        |  AND NOT EXISTS (SELECT 1 FROM events p
+        |                  WHERE p.event_type = 'purchase'
+        |                    AND p.user_id = s.user_id
+        |                    AND p.ts >= s.ts
+        |                    AND p.ts <= s.ts + INTERVAL 7 DAY)
+        |ORDER BY signup_event""".stripMargin) { (s, d) =>
+      EventStream.runFunnelDropoff(s, d)
+    },
+
     // streaming media-ingest dedup via dropDuplicatesWithinWatermark —
     // the state-BOUNDED dedup API (per-key state ≈ rate × delay), the
     // right variant when the key space grows with the crawl forever;

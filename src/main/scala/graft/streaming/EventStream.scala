@@ -183,6 +183,63 @@ object EventStream {
     spark.table(sink).orderBy(col("signup_event"), col("purchase_event"))
   }
 
+  /** Watermarked LEFT OUTER interval join — the DROP-OFF side of the
+    * conversion funnel: signups that did NOT purchase within 7 days.
+    * The missing-match rows are the interesting output, and they are
+    * exactly what a stream-stream left outer join emits ONCE the
+    * watermark passes the end of a signup's match interval (before
+    * that, a match could still arrive, so the row is unemittable —
+    * this is the semantic difference from the inner join, which can
+    * emit eagerly). The watermark delay is deliberately small (1
+    * hour): the emission frontier is `s_ts + 7 days < max(ts) − 1 h`,
+    * and signups younger than that remain PENDING by definition — the
+    * batch oracle carries the same closure predicate, so the
+    * hash-match pins the stream's emission frontier, not just the
+    * join. State per side ≈ rate × (interval + delay), evicted as the
+    * watermark advances; unmatched rows emit exactly once
+    * (StreamingSpec drives a two-batch scenario proving the
+    * non-converter appears only after its interval expires).
+    */
+  def runFunnelDropoff(parent: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamSession(parent)
+    val sink = s"graft_stream_dropoff_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = dropoffJoin(source(spark, sfDir))
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(sink).orderBy(col("signup_event"))
+  }
+
+  /** The drop-off join itself over any (event_id, user_id, event_type,
+    * ts) event stream — factored so StreamingSpec can drive the
+    * operator's REAL join/watermark code over a hand-staged two-batch
+    * stream and observe the emission frontier, not a re-implementation.
+    */
+  private[graft] def dropoffJoin(events: DataFrame): DataFrame = {
+    val signups = events
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"),
+        col("event_id").as("signup_event"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_event"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    signups.join(purchases,
+        col("s_user") === col("p_user") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"),
+        "leftOuter")
+      .filter(col("purchase_event").isNull)
+      .select(col("signup_event"), col("s_user").as("user_id"))
+  }
+
   /** Chained stream-stream interval joins — the 3-step LIVE funnel
     * (signup → view within 7 days → purchase within 7 more). Two
     * stateful joins back to back in ONE streaming query (Spark 4's

@@ -140,6 +140,60 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream_funnel_dropoff: a non-converter emits exactly once, only after its interval expires") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val root = graft.ops.purgeOnExit(
+      s"${graft.ops.scratchRoot(spark)}/spec_dropoff_${ProcessHandle.current().pid()}") +
+      s"/${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val (inDir, chk, outDir) = (s"$root/in", s"$root/chk", s"$root/out")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType)))
+    def write(rows: Seq[(Long, Long, String, String)]): Unit = {
+      import ss.implicits._
+      rows.toDF("event_id", "user_id", "event_type", "ts_s")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          to_timestamp(col("ts_s")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    def runOnce(): Unit = {
+      val q = EventStream.dropoffJoin(ss.readStream.schema(schema).parquet(inDir))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", chk).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    def emitted(): Seq[(Long, Long)] =
+      try ss.read.parquet(outDir).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      catch { case _: Throwable => Seq.empty }
+    // batch 1: u1 signs up (never converts), u2 signs up and converts
+    // next day. No window has closed (watermark = Jan 1 23:00), so the
+    // drop-off row for u1 must NOT appear yet — it is pending, and
+    // emitting it now would be wrong twice over (it could still convert)
+    write(Seq((1L, 1L, "signup", "2024-01-01 00:00:00"),
+      (2L, 2L, "signup", "2024-01-01 00:00:00"),
+      (3L, 2L, "purchase", "2024-01-02 00:00:00")))
+    runOnce()
+    assert(emitted().isEmpty, "no drop-off may emit while its interval is open")
+    // batch 2: late traffic on BOTH legs advances the global watermark
+    // past u1's interval end (Jan 8) → u1 emits; converted u2 never
+    // does; the fresh Jan-12 signup is itself still pending
+    write(Seq((4L, 98L, "signup", "2024-01-12 00:00:00"),
+      (5L, 99L, "purchase", "2024-01-12 00:00:00")))
+    runOnce()
+    assert(emitted() == Seq((1L, 1L)),
+      s"expected exactly u1's signup once, got ${emitted()}")
+    // restart with no new data: still exactly once (no replay, no dupe)
+    runOnce()
+    assert(emitted() == Seq((1L, 1L)))
+  }
+
   test("checkpointed file sink is exactly-once across restarts") {
     import org.apache.spark.sql.functions._
     val out = graft.ops.purgeOnExit(
