@@ -655,11 +655,12 @@ object ScaleProbe {
 
     if (on("phash")) {
       // phash multi-index octave: candidates = Σ_bucket C(|bucket|,2)
-      // over BOTH 8-bit block halves (exactly the pigeonhole joins the
-      // key runs). 256 buckets per half ⇒ bucket size ≈ n/256 and the
-      // candidate space is n²/256-shaped — 256× under all-pairs but
-      // still quadratic, which is WHY production widens the hash (more
-      // blocks over a 64-bit phash) as n grows. The probe asserts the
+      // over all FOUR 16-bit block indexes (exactly the pigeonhole
+      // joins the key runs — production width since round 14). 65,536
+      // buckets per block ⇒ bucket size ≈ n/65536 and the candidate
+      // space is n²/16384-shaped — the former 16-bit/8-bit-block toy
+      // was n²/256 and saturated at ~1e5 rows; the 64-bit widening
+      // buys 128× fewer candidates at equal n. The probe asserts the
       // histogram prediction and executes the full oracled key while
       // the candidate count stays executable.
       val docsBase = Tables.documents(spark, sfDir).select("doc_id", "text")
@@ -672,7 +673,7 @@ object ScaleProbe {
         def half(key: String): Long = blocks.groupBy(col(key)).count()
           .agg(sum(col("count") * (col("count") - 1)).cast("long"))
           .collect()(0).getLong(0) / 2
-        val predicted = half("lo") + half("hi")
+        val predicted = (0 to 3).map(k => half(s"b$k")).sum
         val (outRows, secs) =
           if (predicted <= 300000000L) {
             val t0 = System.nanoTime()

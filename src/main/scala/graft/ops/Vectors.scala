@@ -322,29 +322,42 @@ object Vectors {
 
   /** multimodal_phash's bucketing stage (also timed by ScaleProbe's
     * phash mode, so probe and operator cannot drift): corpus +
-    * re-encoded plants → 16-bit perceptual hash → the two pigeonhole
-    * 8-bit block keys. Cached — both sides of BOTH block self-joins
-    * read it, or the md5 + 16-way hex-conv projection runs four times.
+    * re-encoded plants → PRODUCTION-WIDTH 64-bit perceptual hash held
+    * as its four pigeonhole 16-bit blocks `b0..b3` (the pHash/PDQ
+    * deployment shape — 65,536 buckets per block index instead of the
+    * former 16-bit/8-bit-block toy, whose n²/256 candidate space
+    * ScaleProbe measured saturating at ~1e5 rows). Block k's 16 bits
+    * are the high bits of md5("k:" || text)'s 16 bytes (a
+    * deterministic stand-in for DCT-sign bits — the container has no
+    * codecs; the SEARCH machinery is the point). The hash never
+    * materializes as one 64-bit value: hamming distances sum the four
+    * per-block XOR popcounts, which keeps every number signed-safe in
+    * both engines. Cached — both sides of all four block self-joins
+    * read it.
     */
   private[graft] def phashBlocks(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d).select(col("doc_id"), md5(col("text")).as("h"))
-    // re-encode plant: the last byte's high bit flips (+128 mod 256)
+    val t = docs(s, d).select(col("doc_id"), col("text"))
+    def hk(k: Int) = md5(concat(lit(s"$k:"), col("text")))
+    val base = t.select(col("doc_id"), hk(0).as("h0"), hk(1).as("h1"),
+      hk(2).as("h2"), hk(3).as("h3"))
+    // re-encode plant: ONE bit of the 64-bit hash flips — the high bit
+    // of block 3's last byte (+128 mod 256) → hamming exactly 1
     val reenc = base.select((col("doc_id") + 30000).as("doc_id"),
-      concat(substring(col("h"), 1, 30),
+      col("h0"), col("h1"), col("h2"),
+      concat(substring(col("h3"), 1, 30),
         lpad(lower(conv(
-          ((conv(substring(col("h"), 31, 2), 16, 10).cast("long") + 128) % 256)
-            .cast("string"), 10, 16)), 2, "0")).as("h"))
-    val phash = aggregate(
+          ((conv(substring(col("h3"), 31, 2), 16, 10).cast("long") + 128) % 256)
+            .cast("string"), 10, 16)), 2, "0")).as("h3"))
+    def blockOf(h: Column) = aggregate(
       transform(sequence(lit(0), lit(15)), i =>
-        when(conv(col("h").substr(i * 2 + 1, lit(2)), 16, 10)
+        when(conv(h.substr(i * 2 + 1, lit(2)), 16, 10)
             .cast("long") >= 128,
           // 2^i exact in doubles for i ≤ 15; shiftleft only takes Int
           pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
       lit(0L), (acc, v) => acc + v)
     maybeCache(base.unionByName(reenc)
-      .select(col("doc_id"), phash.as("phash"))
-      .select(col("doc_id"), col("phash"),
-        (col("phash") % 256).as("lo"), expr("phash div 256").as("hi")))
+      .select(col("doc_id"), blockOf(col("h0")).as("b0"), blockOf(col("h1")).as("b1"),
+        blockOf(col("h2")).as("b2"), blockOf(col("h3")).as("b3")))
   }
 
   /** dedup_media's fingerprint + keeper aggregation over an arbitrary
@@ -1830,55 +1843,61 @@ object Vectors {
     // ---- perceptual near-dup media pairs (multi-index hamming) ---------
     // Exact fingerprints miss re-encoded media; production pipelines
     // (pHash/PDQ-style) compare short perceptual hashes under a small
-    // hamming radius. Here the 16-bit phash is the high-bit pattern of
-    // the 16 payload bytes (a deterministic stand-in for DCT-sign bits
-    // — the container has no codecs; the SEARCH machinery is the
-    // point), and the radius-1 search uses the standard multi-index
-    // trick: split the hash into two 8-bit blocks — any pair within
-    // hamming 1 agrees EXACTLY on at least one block (pigeonhole), so
-    // two block-keyed self-joins generate all candidates with bounded
-    // bucket sizes (≈ n/256 per block key), never an all-pairs scan.
-    // Each planted +30000 re-encode perturbs ONE byte's high bit →
-    // hamming exactly 1 from its original; organic radius-1 pairs in
-    // the 16-bit space surface too (both engines agree bit-for-bit).
+    // hamming radius. PRODUCTION WIDTH (round 14): the phash is 64
+    // bits held as four 16-bit pigeonhole blocks — any pair within
+    // hamming 1 agrees EXACTLY on at least 3 of the 4 blocks, so four
+    // block-keyed self-joins (65,536 buckets each, bucket size
+    // ≈ n/65536) generate every qualifying candidate, never an
+    // all-pairs scan; the former 16-bit/8-bit-block shape saturated at
+    // ~1e5 rows (n²/256 candidates — ScaleProbe phash, SCALE.md).
+    // Hamming sums the four per-block XOR popcounts, so no 64-bit
+    // value ever materializes (signed-safe in both engines). Each
+    // planted +30000 re-encode perturbs ONE byte's high bit in block
+    // 3 → hamming exactly 1 from its original.
     sql("multimodal_phash", {
-      def phashOf(h: String) =
+      def blockOf(h: String) =
         s"""list_sum(list_transform(range(0, 16), i ->
            |  CASE WHEN ('0x' || substr($h, 2*i + 1, 2))::BIGINT >= 128
            |       THEN (1::BIGINT << i) ELSE 0 END))::BIGINT""".stripMargin
-      s"""WITH media AS (
-         |  SELECT doc_id, md5(text) AS h FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 30000,
-         |         substr(md5(text), 1, 30) ||
-         |           printf('%02x', (('0x' || substr(md5(text), 31, 2))::BIGINT + 128) % 256)
+      def candHalf(k: Int) =
+        s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |       a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+           |       b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+           |FROM blocks a JOIN blocks b ON a.b$k = b.b$k AND a.doc_id < b.doc_id""".stripMargin
+      val ham = (0 to 3).map(k => s"bit_count(xor(a$k, c$k))").mkString(" + ")
+      s"""WITH d4 AS (
+         |  SELECT doc_id, md5('0:' || text) AS h0, md5('1:' || text) AS h1,
+         |         md5('2:' || text) AS h2, md5('3:' || text) AS h3
          |  FROM documents),
-         |ph AS (SELECT doc_id, ${phashOf("h")} AS phash FROM media),
-         |blocks AS (
-         |  SELECT doc_id, phash, phash % 256 AS lo, phash // 256 AS hi FROM ph),
-         |cand AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.phash AS pa, b.phash AS pb
-         |  FROM blocks a JOIN blocks b ON a.lo = b.lo AND a.doc_id < b.doc_id
-         |  UNION
-         |  SELECT a.doc_id, b.doc_id, a.phash, b.phash
-         |  FROM blocks a JOIN blocks b ON a.hi = b.hi AND a.doc_id < b.doc_id)
-         |SELECT a_id, b_id, bit_count(xor(pa, pb))::BIGINT AS hamming
-         |FROM cand WHERE bit_count(xor(pa, pb)) <= 1
+         |media AS (
+         |  SELECT doc_id, h0, h1, h2, h3 FROM d4
+         |  UNION ALL
+         |  SELECT doc_id + 30000, h0, h1, h2,
+         |         substr(h3, 1, 30) ||
+         |           printf('%02x', (('0x' || substr(h3, 31, 2))::BIGINT + 128) % 256)
+         |  FROM d4),
+         |blocks AS (SELECT doc_id, ${blockOf("h0")} AS b0, ${blockOf("h1")} AS b1,
+         |                  ${blockOf("h2")} AS b2, ${blockOf("h3")} AS b3 FROM media),
+         |cand AS (${(0 to 3).map(candHalf).mkString("\n", "\nUNION\n", "")})
+         |SELECT a_id, b_id, ($ham)::BIGINT AS hamming
+         |FROM cand WHERE $ham <= 1
          |ORDER BY a_id, b_id""".stripMargin
     }) { (s, d) =>
       val blocks = phashBlocks(s, d)
-      def half(key: String) = blocks.as("a")
+      def half(k: Int) = blocks.as("a")
         .join(blocks.as("b"),
-          col(s"a.$key") === col(s"b.$key") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.phash").as("pa"), col("b.phash").as("pb"))
+          col(s"a.b$k") === col(s"b.b$k") && col("a.doc_id") < col("b.doc_id"))
+        .select((col("a.doc_id").as("a_id") +: col("b.doc_id").as("b_id") +:
+          (0 to 3).flatMap(j => Seq(col(s"a.b$j").as(s"a$j"), col(s"b.b$j").as(s"c$j")))): _*)
+      val ham = (0 to 3).map(j => bit_count(expr(s"a$j ^ c$j")))
+        .reduce(_ + _).cast("bigint")
       // hamming filter BEFORE the distinct: the radius cut is a pure
       // map-side projection (codegen), so the dedup shuffle carries
       // only the ≤1-hamming survivors instead of every block-collision
       // candidate — same result (filter∘dedup ≡ dedup∘filter on a
       // pure function of the row), ~bucket-sized less shuffle at scale
-      half("lo").union(half("hi"))
-        .withColumn("hamming", bit_count(expr("pa ^ pb")).cast("bigint"))
+      (0 to 3).map(half).reduce(_.union(_))
+        .withColumn("hamming", ham)
         .filter(col("hamming") <= 1)
         .distinct()
         .select(col("a_id"), col("b_id"), col("hamming"))

@@ -91,9 +91,16 @@ object BatchLog {
     */
   def contentKey(batch: DataFrame): String = {
     import org.apache.spark.sql.functions._
+    // per-row term null-guarded (ADVICE r13): a NULL doc_id or text
+    // would null the whole concat, and collect_list DROPS nulls — two
+    // windows differing only in NULL-bearing rows would then share a
+    // key and the second would be skipped as already committed. The
+    // "null" sentinel cannot collide: a real id renders as digits and
+    // a real text term as 32-hex md5.
     val h = batch.agg(
       md5(concat_ws(",", sort_array(collect_list(
-        concat(col("doc_id").cast("string"), lit(":"), md5(col("text")))))))
+        concat(coalesce(col("doc_id").cast("string"), lit("null")), lit(":"),
+          coalesce(md5(col("text")), lit("null")))))))
         .as("h")).collect()(0).getString(0)
     s"w-$h"
   }

@@ -275,6 +275,26 @@ class ExactlyOnceSpec extends graft.SparkSpec {
     Seq(a, b, c).foreach { k =>
       assert(k.startsWith("w-") && k.length == 34, s"unexpected key shape $k")
     }
+    // NULL-bearing rows must CONTRIBUTE to the key (ADVICE r13: the
+    // unguarded concat nulled out and collect_list dropped it — two
+    // windows differing only in null rows collided and the second was
+    // skipped as committed)
+    def dfn(rows: Seq[(java.lang.Long, String)]) =
+      rows.toDF("doc_id", "text")
+    val base = dfn(Seq(java.lang.Long.valueOf(1L) -> "alpha"))
+    val withNullText = dfn(Seq(java.lang.Long.valueOf(1L) -> "alpha",
+      java.lang.Long.valueOf(2L) -> null))
+    val withNullId = dfn(Seq(java.lang.Long.valueOf(1L) -> "alpha",
+      null.asInstanceOf[java.lang.Long] -> "beta"))
+    assert(BatchLog.contentKey(withNullText) != BatchLog.contentKey(base),
+      "a NULL-text row must change the window key")
+    assert(BatchLog.contentKey(withNullId) != BatchLog.contentKey(base),
+      "a NULL-id row must change the window key")
+    assert(BatchLog.contentKey(withNullText) != BatchLog.contentKey(withNullId))
+    // and NULL text is not conflated with empty text
+    val withEmptyText = dfn(Seq(java.lang.Long.valueOf(1L) -> "alpha",
+      java.lang.Long.valueOf(2L) -> ""))
+    assert(BatchLog.contentKey(withEmptyText) != BatchLog.contentKey(withNullText))
   }
 
   test("pruneGenMarker: a generation's marker survives until EVERY half's data is superseded") {

@@ -168,26 +168,35 @@ class PropertiesSpec extends SparkSpec {
 
   test("phash multi-index is complete at radius 1: any close pair shares a block (pigeonhole)") {
     // pure arithmetic property of the search design in
-    // multimodal_phash: 16-bit hashes within hamming distance 1 MUST
-    // agree exactly on the low or the high 8-bit block, so the two
-    // block-keyed self-joins generate every qualifying pair
+    // multimodal_phash (production width): 64-bit hashes within
+    // hamming distance 1 differ in AT MOST one of the four 16-bit
+    // blocks, so they agree exactly on ≥ 3 blocks and every one of
+    // the four block-keyed self-joins that touches a shared block
+    // generates the pair
     val pair = for {
-      x <- Gen.choose(0, 65535)
-      flip <- Gen.oneOf(-1 +: (0 until 16)) // -1 = identical pair
-    } yield (x, if (flip < 0) x else x ^ (1 << flip))
-    samples(pair, 200).foreach { case (x, y) =>
-      val hamming = Integer.bitCount(x ^ y)
+      blocks <- Gen.listOfN(4, Gen.choose(0L, 65535L))
+      flip <- Gen.oneOf(-1 +: (0 until 64)) // -1 = identical pair
+    } yield (blocks, flip)
+    samples(pair, 200).foreach { case (bs, flip) =>
+      val ys = if (flip < 0) bs
+        else bs.updated(flip / 16, bs(flip / 16) ^ (1L << (flip % 16)))
+      val hamming = bs.zip(ys).map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
       assert(hamming <= 1)
-      assert((x % 256 == y % 256) || (x / 256 == y / 256),
-        f"close pair $x%04x/$y%04x shares no block — the candidate join would miss it")
+      assert(bs.zip(ys).count { case (a, b) => a == b } >= 3,
+        s"close pair $bs/$ys shares < 3 blocks — the candidate joins would miss it")
     }
-    // and the converse direction stays honest: a pair differing in BOTH
-    // blocks is at hamming ≥ 2, so missing it is correct
-    val far = for { x <- Gen.choose(0, 65535); a <- Gen.choose(0, 7); b <- Gen.choose(8, 15) }
-      yield (x, x ^ (1 << a) ^ (1 << b))
-    samples(far, 100).foreach { case (x, y) =>
-      assert(Integer.bitCount(x ^ y) >= 2)
-      assert(x % 256 != y % 256 && x / 256 != y / 256)
+    // and the converse direction stays honest: a pair differing in ALL
+    // FOUR blocks is at hamming ≥ 4, so generating no candidate for it
+    // is correct
+    val far = for {
+      blocks <- Gen.listOfN(4, Gen.choose(0L, 65535L))
+      flips <- Gen.listOfN(4, Gen.choose(0, 15))
+    } yield (blocks, flips)
+    samples(far, 100).foreach { case (bs, fs) =>
+      val ys = bs.zip(fs).map { case (b, f) => b ^ (1L << f) }
+      val hamming = bs.zip(ys).map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+      assert(hamming >= 4)
+      assert(bs.zip(ys).forall { case (a, b) => a != b })
     }
   }
 }
