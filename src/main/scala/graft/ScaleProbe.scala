@@ -649,6 +649,31 @@ object ScaleProbe {
           println(f"""{"shape":"knn_cand","factor":$factor,"rows":$n,"k":$k,"predicted_pairs":$predicted,"measured_pairs":$measured,"secs":$secs%.2f}""")
           asg.unpersist()
         }
+        // the OPERATOR's scaled dial (knn_graph_scaled, round 14):
+        // cells = max(8, ⌈n/125⌉) inside knnEdgesScaled itself —
+        // candidate histogram read from the operator's own centroid
+        // rule (scaledKnnCentroids), execution through the operator's
+        // real edge chain; per-row candidates must hold ≈ flat
+        {
+          val dir = s"$tmpRoot/knnsc_$factor"
+          ec.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+          val e2 = spark.read.parquet(s"$dir/embeddings.parquet")
+          val cent = graft.ops.Vectors.scaledKnnCentroids(e2, 125L)
+          val d2s = dotp(col("embedding"), col("embedding")) -
+            lit(2) * dotp(col("embedding"), col("ce")) + dotp(col("ce"), col("ce"))
+          val asgS = e2.join(broadcast(cent))
+            .groupBy(col("vec_id"))
+            .agg(min(struct(d2s.as("d2"), col("cid"))).as("best"))
+            .select(col("vec_id"), col("best.cid").as("cell"))
+          val predS = asgS.groupBy(col("cell")).count()
+            .agg(sum(col("count") * (col("count") - 1)).cast("long"))
+            .collect()(0).getLong(0)
+          val t0 = System.nanoTime()
+          val edges = graft.ops.Vectors.knnEdgesScaled(spark, dir, 125L).count()
+          val secsS = (System.nanoTime() - t0) / 1e9
+          println(f"""{"shape":"knn_scaled","factor":$factor,"rows":$n,"cells":${cent.count()},"cand_pairs":$predS,"per_row":${predS / n},"edges":$edges,"secs":$secsS%.2f}""")
+          spark.catalog.clearCache()
+        }
         ec.unpersist()
       }
     }

@@ -384,6 +384,48 @@ object Vectors {
     val e = emb(s, d)
     val cent = e.filter(col("vec_id").isin(ivfCentroidIds: _*))
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    knnEdgesOver(e, cent)
+  }
+
+  /** knn edges with the cell count SCALED TO THE CORPUS — the
+    * production dial the fixed-8-seed key lacks (SemDeDup/IVF: cells
+    * grow ∝ n so per-cell size — and with it per-row candidate work —
+    * stays FLAT as the corpus grows; ScaleProbe's knn mode proved the
+    * law on a probe-only path in round 13, this puts it in the
+    * operator). cells = max(8, ⌈n/perCell⌉), centroid seeds picked by
+    * the deterministic stride rule (every ⌊n/cells⌋-th vec_id — the
+    * reproducible stand-in for a sampled/k-means seeding, exactly as
+    * the fixed id list was; the oracle replicates the same integer
+    * formula). `perCell` is the per-cell size target
+    * (`spark.graft.knn.percell`, default 125 — the oracled default).
+    */
+  private[graft] def knnEdgesScaled(s: SparkSession, d: String,
+      perCell: Long = 125L): DataFrame = {
+    val e = emb(s, d)
+    knnEdgesOver(e, scaledKnnCentroids(e, perCell))
+  }
+
+  /** The corpus-sized centroid rule of [[knnEdgesScaled]] — exposed so
+    * ScaleProbe's histogram prediction reads the OPERATOR's centroid
+    * set, not a probe-side copy that could drift.
+    */
+  private[graft] def scaledKnnCentroids(e: DataFrame, perCell: Long): DataFrame = {
+    // one metadata-cheap count to size the index — the same scalar a
+    // production build reads from table stats before seeding k-means
+    val n = e.count()
+    val cells = math.max(8L, (n + perCell - 1) / perCell)
+    val stride = n / cells
+    e.filter(col("vec_id") % stride === 0 &&
+        col("vec_id") < lit(stride * cells))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+  }
+
+  /** The edge chain body shared by [[knnEdges]] (fixed 8 seeds) and
+    * [[knnEdgesScaled]] (corpus-scaled cell count): assignment to the
+    * given broadcast centroids, in-cell cosine candidates, per-node
+    * top-3.
+    */
+  private def knnEdgesOver(e: DataFrame, cent: DataFrame): DataFrame = {
     val d2 = dot(col("embedding"), col("embedding")) -
       lit(2) * dot(col("embedding"), col("ce")) + dot(col("ce"), col("ce"))
     val wAsg = org.apache.spark.sql.expressions.Window
@@ -498,9 +540,30 @@ object Vectors {
   /** DuckDB twin of [[knnEdges]] as a CTE prefix ending in `t`. */
   private lazy val knnEdgeCtes: String = {
     val cids = ivfCentroidIds.mkString("(", ", ", ")")
-    s"""cent AS (
-       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-       |  WHERE vec_id IN $cids),
+    knnEdgeCtesOver(
+      s"""cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id IN $cids)""".stripMargin)
+  }
+
+  /** DuckDB twin of [[knnEdgesScaled]]'s corpus-sized centroid rule
+    * (the integer formula mirrored exactly: cells = max(8, ⌈n/125⌉),
+    * stride = n // cells, seeds = multiples of stride below
+    * stride·cells).
+    */
+  private lazy val knnEdgeCtesScaled: String = knnEdgeCtesOver(
+    """nn AS (SELECT count(*) AS n FROM embeddings),
+      |par AS (SELECT greatest(8, (n + 124) // 125) AS cells,
+      |               n // greatest(8, (n + 124) // 125) AS stride FROM nn),
+      |cent AS (
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings, par
+      |  WHERE vec_id % stride = 0 AND vec_id < stride * cells)""".stripMargin)
+
+  /** The shared tail of both knn oracle chains: assignment, in-cell
+    * pairs, top-3 — ending in `t`.
+    */
+  private def knnEdgeCtesOver(centCte: String): String = {
+    s"""$centCte,
        |asg AS (
        |  SELECT vec_id, embedding, nrm, cid AS cell FROM (
        |    SELECT e.vec_id, e.embedding, ${D.norm("e.embedding")} AS nrm, c.cid,
@@ -1733,6 +1796,33 @@ object Vectors {
       val t = knnEdges(s, d)
       // mutuality: one self-join of the 3n-row edge list on the
       // reversed (a, b) key
+      val rev = t.select(col("a_id").as("r_a"), col("b_id").as("r_b"))
+      t.join(rev, col("r_a") === col("b_id") && col("r_b") === col("a_id"), "left")
+        .select(col("a_id"), col("b_id"), col("rnk"),
+          pr6(col("cos")).as("cosine"),
+          col("r_a").isNotNull.as("mutual"))
+        .orderBy(col("a_id"), col("rnk"))
+    },
+
+    // ---- k-NN graph with corpus-scaled cell count ----------------------
+    // The production dial in the operator itself (round 14 — SemDeDup
+    // §"k grows with the corpus", ScaleProbe's knn table proved the
+    // law probe-side in r13): cells = max(8, ⌈n/125⌉) so per-cell size
+    // — and per-row candidate work — stays ≈ 125 FLAT as the corpus
+    // grows, instead of the fixed-8-cell key's n²/8 candidate space.
+    // At sf0.1 (2000 vectors) this is 16 cells — a genuinely
+    // non-default index geometry verified by the oracle, which mirrors
+    // the integer sizing formula exactly.
+    sql("knn_graph_scaled", {
+      s"""WITH $knnEdgeCtesScaled
+         |SELECT t.a_id, t.b_id, t.rnk,
+         |       floor(t.cos * 1000000 + 0.5) / 1000000 AS cosine,
+         |       (r.a_id IS NOT NULL) AS mutual
+         |FROM t LEFT JOIN t r ON r.a_id = t.b_id AND r.b_id = t.a_id
+         |ORDER BY t.a_id, t.rnk""".stripMargin
+    }) { (s, d) =>
+      val perCell = s.conf.get("spark.graft.knn.percell", "125").toLong
+      val t = knnEdgesScaled(s, d, perCell)
       val rev = t.select(col("a_id").as("r_a"), col("b_id").as("r_b"))
       t.join(rev, col("r_a") === col("b_id") && col("r_b") === col("a_id"), "left")
         .select(col("a_id"), col("b_id"), col("rnk"),

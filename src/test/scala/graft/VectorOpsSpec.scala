@@ -424,6 +424,29 @@ class VectorOpsSpec extends SparkSpec {
     assert(totalCells == 8, s"index should hold 8 cell directories, found $totalCells")
   }
 
+  test("knn_graph_scaled: corpus-sized cells, per-node top-3, per-cell size tracks the target") {
+    val out = run("knn_graph_scaled").cache()
+    // per-node edge structure identical to knn_graph's contract
+    val perNode = out.groupBy("a_id").agg(count(lit(1)).as("n"), max(col("rnk")).as("maxr"))
+    assert(perNode.filter(col("n") > 3 || col("maxr") > 3).count() == 0)
+    // mutual flags are symmetric facts about the edge set
+    val edges = out.select(col("a_id"), col("b_id"), col("mutual")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getBoolean(2))).toMap
+    edges.foreach { case ((a, b), m) =>
+      assert(m == edges.contains((b, a)), s"mutual flag wrong for ($a,$b)")
+    }
+    // the sizing dial: a non-default per-cell target reshapes the index
+    // through the operator's own centroid rule — 500 vectors at
+    // perCell=31 ⇒ cells = ⌈500/31⌉ = 17, stride = 29
+    val e = Tables.embeddings(spark, sfDir)
+    val cents = graft.ops.Vectors.scaledKnnCentroids(e, 31L).collect()
+    assert(cents.length == 17, s"expected 17 cells, got ${cents.length}")
+    val scaled = graft.ops.Vectors.knnEdgesScaled(spark, sfDir, 31L)
+    val cellsUsed = scaled.select(col("a_id")).distinct().count()
+    assert(cellsUsed > 0 && scaled.groupBy("a_id").count()
+      .filter(col("count") > 3).count() == 0)
+  }
+
   test("embed_outliers: the 1.2×-mean frontier matches an exact recompute, prunes a thin tail") {
     val rows = run("embed_outliers").collect()
     assert(rows.nonEmpty)
