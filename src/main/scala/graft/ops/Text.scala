@@ -397,16 +397,42 @@ object Text {
         min(col("doc_id") * 1000000L + col("i")).as("canon"))
       .filter(col("nd") > 1)
       .select(col("gram"), col("canon"))
-    val drops = wins.join(rep, Seq("gram"))
+    // MAXIMAL-SPAN MERGE (round 14, closing the Lee §3 gap the
+    // windowed approximation left): adjacent/overlapping stripped
+    // windows of one doc merge into maximal spans BEFORE the edit —
+    // window starts sorted per doc, a new span opens when the gap to
+    // the previous start exceeds the window width (8), span = [min i,
+    // max i + 7]. A 200-token shared passage is then ONE reported
+    // span (n_spans/max_span_len in the output), not 193 fragments,
+    // and the strip positions derive from the spans — the same
+    // position union as before (interval merge IS position union), so
+    // the residual-zero proof carries over unchanged. Per-doc window
+    // sort only — bounded by doc length, never corpus-wide.
+    val dropWins = wins.join(rep, Seq("gram"))
       .filter(col("doc_id") * 1000000L + col("i") =!= col("canon"))
-      .select(col("doc_id"), explode(sequence(col("i"), col("i") + 7)).as("p"))
-      .distinct()
+      .select(col("doc_id"), col("i")).distinct()
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val spans = dropWins
+      .withColumn("newspan",
+        when(col("i") - lag(col("i"), 1).over(wSeq) <= 8, lit(0)).otherwise(lit(1)))
+      .withColumn("sid", sum(col("newspan")).over(wSeq))
+      .groupBy(col("doc_id"), col("sid"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + 7).as("e"))
+    val nspans = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_spans"),
+        max(col("e") - col("s") + 1).cast("bigint").as("max_span_len"))
+    val drops = spans
+      .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("p"))
       .groupBy(col("doc_id")).agg(collect_set(col("p")).as("drops"))
     toks.join(drops, Seq("doc_id"), "left")
+      .join(nspans, Seq("doc_id"), "left")
       .withColumn("ds", coalesce(col("drops"), array().cast("array<int>")))
       .select(col("doc_id"),
         col("n").cast("bigint").as("n_tokens"),
         size(col("ds")).cast("bigint").as("n_dropped"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span_len"), lit(0L)).as("max_span_len"),
         expr("CAST((1000000 * (n - size(ds))) div n AS BIGINT)")
           .as("kept_frac_micro"),
         array_join(
@@ -445,23 +471,42 @@ object Text {
        |rep AS (
        |  SELECT gram, min(doc_id * 1000000 + i) AS canon
        |  FROM wins GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
-       |dropped AS (
-       |  SELECT DISTINCT w.doc_id, p
-       |  FROM wins w JOIN rep r USING (gram),
-       |       LATERAL (SELECT unnest(generate_series(w.i, w.i + 7)) AS p) y
+       |dwins AS (
+       |  SELECT DISTINCT w.doc_id, w.i
+       |  FROM wins w JOIN rep r USING (gram)
        |  WHERE w.doc_id * 1000000 + w.i <> r.canon),
+       |marked AS (
+       |  SELECT doc_id, i,
+       |         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 8
+       |              THEN 0 ELSE 1 END AS newspan
+       |  FROM dwins),
+       |spans AS (
+       |  SELECT doc_id, sid, min(i) AS s, max(i) + 7 AS e FROM
+       |    (SELECT doc_id, i,
+       |            sum(newspan) OVER (PARTITION BY doc_id ORDER BY i) AS sid
+       |     FROM marked) z
+       |  GROUP BY doc_id, sid),
+       |nspans AS (SELECT doc_id, count(*)::BIGINT AS n_spans,
+       |                  max(e - s + 1)::BIGINT AS max_span_len
+       |           FROM spans GROUP BY doc_id),
+       |dropped AS (
+       |  SELECT DISTINCT doc_id, p
+       |  FROM spans, LATERAL (SELECT unnest(generate_series(s, e)) AS p) y),
        |dsets AS (SELECT doc_id, list(p) AS drops FROM dropped GROUP BY doc_id),
        |cleaned AS (
        |  SELECT t.doc_id,
        |    n::BIGINT AS n_tokens,
        |    coalesce(len(drops), 0)::BIGINT AS n_dropped,
+       |    coalesce(ns.n_spans, 0)::BIGINT AS n_spans,
+       |    coalesce(ns.max_span_len, 0)::BIGINT AS max_span_len,
        |    CAST((1000000 * (n - coalesce(len(drops), 0))) // n AS BIGINT)
        |      AS kept_frac_micro,
        |    coalesce(array_to_string(list_transform(
        |      list_filter(generate_series(1, n),
        |                  p -> NOT list_contains(coalesce(drops, []), p)),
        |      p -> ts[p]), ' '), '') AS cleaned_text
-       |  FROM toks t LEFT JOIN dsets USING (doc_id))""".stripMargin
+       |  FROM toks t LEFT JOIN dsets USING (doc_id)
+       |       LEFT JOIN nspans ns USING (doc_id))""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -701,7 +746,8 @@ object Text {
     // identical on both sides.
     sql("span_dedup_apply",
       s"""WITH ${spanCleanSql("documents")}
-         |SELECT doc_id, n_tokens, n_dropped, kept_frac_micro, cleaned_text
+         |SELECT doc_id, n_tokens, n_dropped, n_spans, max_span_len,
+         |       kept_frac_micro, cleaned_text
          |FROM cleaned ORDER BY doc_id""".stripMargin) { (s, d) =>
       spanDedupClean(docs(s, d)).orderBy(col("doc_id"))
     },

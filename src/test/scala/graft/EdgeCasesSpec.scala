@@ -178,17 +178,48 @@ class EdgeCasesSpec extends SparkSpec {
       (2L, "s", para + " " + words("d", 10)),
       (3L, "s", words("e", 30))))
     val out = SparkEntry.queries("span_dedup_apply")(spark, dir).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(4)))).toMap
-    assert(out(0L) == ((0L, words("a", 10) + " " + para)), s"canonical doc edited: $out")
-    assert(out(1L) == ((12L, words("b", 10) + " " + words("c", 10))), s"got ${out(1L)}")
-    assert(out(2L) == ((12L, words("d", 10))), s"got ${out(2L)}")
-    assert(out(3L) == ((0L, words("e", 30))))
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(6)))).toMap
+    assert(out(0L) == ((0L, 0L, 0L, words("a", 10) + " " + para)),
+      s"canonical doc edited: $out")
+    assert(out(1L) == ((12L, 1L, 12L, words("b", 10) + " " + words("c", 10))),
+      s"got ${out(1L)}")
+    assert(out(2L) == ((12L, 1L, 12L, words("d", 10))), s"got ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 0L, words("e", 30))))
     // the residual proof: re-windowing the cleaned corpus finds no
     // cross-doc repeated gram at all
     val res = SparkEntry.queries("span_dedup_residual")(spark, dir).collect()(0)
     assert(res.getAs[Long]("n_rep_before") == 5L, s"got $res")
     assert(res.getAs[Long]("n_rep_after") == 0L, s"cleaned corpus must be repeat-free: $res")
     assert(res.getAs[Long]("tokens_before") - res.getAs[Long]("tokens_after") == 24L)
+  }
+
+  test("span_dedup_apply: a 200-token shared passage strips as ONE maximal span, not 193 fragments") {
+    // the round-14 maximal-span merge (Lee §3): the non-canonical
+    // occurrence's 193 dropped windows merge into a single reported
+    // span covering exactly the 200 passage tokens
+    val para = words("long", 200)
+    val dir = stageDocs("spanmax", Seq(
+      (0L, "s", words("a", 10) + " " + para + " " + words("b", 10)),
+      (1L, "s", words("c", 12) + " " + para + " " + words("d", 8))))
+    val out = SparkEntry.queries("span_dedup_apply")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(6)))).toMap
+    assert(out(0L) == ((0L, 0L, 0L,
+      words("a", 10) + " " + para + " " + words("b", 10))),
+      "canonical doc must be untouched")
+    assert(out(1L) == ((200L, 1L, 200L, words("c", 12) + " " + words("d", 8))),
+      s"expected one 200-token span stripped, got ${out(1L)}")
+    // and two separated shared paragraphs in one doc stay TWO spans
+    // (the merge joins adjacent windows, it must not bridge a kept gap)
+    val p1 = words("p", 20); val p2 = words("q", 20)
+    val dir2 = stageDocs("spantwo", Seq(
+      (0L, "s", p1 + " " + words("x", 9) + " " + p2),
+      (1L, "s", p1 + " " + words("y", 9) + " " + p2)))
+    val out2 = SparkEntry.queries("span_dedup_apply")(spark, dir2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(6)))).toMap
+    assert(out2(1L) == ((40L, 2L, 20L, words("y", 9))), s"got ${out2(1L)}")
   }
 
   test("gopher_filter: each rule fires on its planted doc, in precedence order") {
