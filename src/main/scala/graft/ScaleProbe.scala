@@ -246,11 +246,14 @@ object ScaleProbe {
     * delay IS the state-sizing knob. Returns (max state rows across
     * batches, wall seconds).
     */
-  private def stateProbe(parent: SparkSession, staged: String, delay: String): (Long, Double) = {
+  private def stateProbe(parent: SparkSession, staged: String, delay: String,
+      provider: Option[String] = None): (Long, Double, Long, Long) = {
     import org.apache.spark.sql.types._
     val ss = parent.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    provider.foreach(p =>
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass", p))
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("ts", LongType)))
@@ -273,10 +276,12 @@ object ScaleProbe {
     try q.awaitTermination()
     finally q.stop()
     val secs = (System.nanoTime() - t0) / 1e9
-    val maxState = q.recentProgress
-      .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
-      .foldLeft(0L)(math.max)
-    (maxState, secs)
+    val ops = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+    val maxState = ops.map(_.numRowsTotal).foldLeft(0L)(math.max)
+    val maxCommitMs = ops.map(_.commitTimeMs).foldLeft(0L)(math.max)
+    val maxMem = ops.map(_.memoryUsedBytes).foldLeft(0L)(math.max)
+    (maxState, secs, maxCommitMs, maxMem)
   }
 
   /** Stage `e` as 8 time-ordered parquet files (micro-batch replay
@@ -350,9 +355,10 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     // modes: all (default) | events | dedup | indexed | ann | state |
-    // cc | ccdelta | ccchain | batchlog | bpe | decontam | span | pq |
-    // ivfidx | knn | phash | media | buckets | triangles | pagerank —
-    // first non-numeric arg selects; numeric args keep their meaning
+    // state-rocks | cc | ccdelta | ccchain | batchlog | bpe | decontam |
+    // span | pq | ivfidx | knn | phash | media | buckets | triangles |
+    // pagerank — first non-numeric arg selects; numeric args keep
+    // their meaning
     val modes = args.filter(a => !a.forall(_.isDigit) && a.nonEmpty).toSet
     def on(m: String) = modes.isEmpty || modes.contains(m)
     val nums = args.filter(a => a.nonEmpty && a.forall(_.isDigit))
@@ -914,8 +920,33 @@ object ScaleProbe {
         stageTimeOrdered(e, staged)
         val rows = spark.read.parquet(staged).count()
         for (delay <- Seq("1 hour", "30 days", "3650 days")) {
-          val (stateRows, secs) = stateProbe(spark, staged, delay)
+          val (stateRows, secs, _, _) = stateProbe(spark, staged, delay)
           println(f"""{"shape":"stream_state","factor":$factor,"rows":$rows,"delay":"$delay","state_rows_max":$stateRows,"secs":$secs%.2f}""")
+        }
+      }
+    }
+
+    if (on("state-rocks")) {
+      // HDFS-backed (heap) vs RocksDB state store at the max-state
+      // delay (nothing evicts inside the fixture window, so state =
+      // full distinct key set — the regime where SCALE.md says "flip
+      // spark.sql.streaming.stateStore.providerClass when state
+      // outgrows the heap" but never measured it). Same staged stream,
+      // same query, only the provider differs; reported: max state
+      // rows, end-to-end secs, worst per-batch state commit, state
+      // memory held. RocksDB keeps state off-heap/on-disk — the
+      // trade is commit latency for heap immunity.
+      val base = Tables.events(spark, sfDir).select("user_id", "event_id", "ts")
+      for (factor <- Seq(1, maxFactor).distinct) {
+        val staged = s"$tmpRoot/staterocks_events_$factor"
+        stageTimeOrdered(scaled(base, factor), staged)
+        val rows = spark.read.parquet(staged).count()
+        for ((label, prov) <- Seq(
+            "hdfs" -> None,
+            "rocksdb" -> Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))) {
+          val (stateRows, secs, commitMs, memBytes) =
+            stateProbe(spark, staged, "3650 days", prov)
+          println(f"""{"shape":"state_provider","factor":$factor,"rows":$rows,"provider":"$label","state_rows_max":$stateRows,"secs":$secs%.2f,"max_commit_ms":$commitMs,"state_mem_bytes":$memBytes}""")
         }
       }
     }
