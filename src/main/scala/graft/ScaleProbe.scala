@@ -356,9 +356,9 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     // modes: all (default) | events | dedup | indexed | ann | state |
     // state-rocks | cc | ccdelta | ccchain | batchlog | bpe | decontam |
-    // span | pq | ivfidx | knn | phash | media | buckets | triangles |
-    // pagerank — first non-numeric arg selects; numeric args keep
-    // their meaning
+    // span | pq | pqres | ivfidx | knn | phash | media | buckets |
+    // triangles | pagerank — first non-numeric arg selects; numeric
+    // args keep their meaning
     val modes = args.filter(a => !a.forall(_.isDigit) && a.nonEmpty).toSet
     def on(m: String) = modes.isEmpty || modes.contains(m)
     val nums = args.filter(a => a.nonEmpty && a.forall(_.isDigit))
@@ -574,6 +574,101 @@ object ScaleProbe {
         val expect = 20L * (n - 1)
         assert(adRows == expect, s"ADC candidate rows $adRows != ${expect}")
         println(f"""{"shape":"pq_adc","factor":$factor,"rows":$n,"adc_rows":$adRows,"expected":$expect,"secs":$secs%.2f}""")
+        spark.catalog.clearCache()
+      }
+    }
+
+    if (on("pqres")) {
+      // Residual-vs-flat PQ encoding (sim_ivf_pq_residual vs
+      // sim_ivf_pq) is a STRUCTURE dial, not a free win — and at the
+      // keys' deliberately brutal 2 bits/subspace the requirement is
+      // sharper than "the corpus has clusters": residual encoding
+      // wins exactly when the WITHIN-cell residual distribution is
+      // itself coverable by the 4-entry sub-codebooks. The synthetic
+      // embeddings fixture is isotropic (~0.5% between-label
+      // variance, measured), so there flat ≈ residual within noise
+      // (SCALE.md table). This probe plants both regimes over a
+      // corpus whose 8 coarse-centroid ids ARE cluster centers and
+      // every other row is center + residual:
+      //   iso        — residual = i.i.d. noise. Even with strong
+      //                coarse clusters, 4 codes cannot rank ~2k
+      //                near-equidistant cell members: flat ≈
+      //                residual ≈ chance. Coarse structure ALONE
+      //                does not buy the lift.
+      //   structured — residual = per-subspace choice among 4 shared
+      //                offsets (+ tiny jitter): the product space
+      //                (4^8 codewords) is exactly what a PQ residual
+      //                codebook can represent and a flat center-bred
+      //                codebook cannot (every cell member flat-codes
+      //                to its own center ⇒ intra-cell ADC ties).
+      //                The 4 residual-seed rows are planted on the 4
+      //                offset indices so the learned codebook covers
+      //                them — the miniature of FAISS training the
+      //                sub-quantizers on residuals (Jégou 2011 §II).
+      // Both legs run the operators' OWN adist chains (no-drift rule)
+      // over the written corpus; candidate counts are asserted equal
+      // (identical coarse assignment ⇒ identical scan — the recall
+      // difference is pure ranking).
+      val cids = graft.ops.Vectors.ivfCentroidIds
+      val rseeds = graft.ops.Vectors.pqResSeedIds
+      val n = 16000L
+      for ((regime, os, js) <- Seq(("iso", 0.0, 0.60), ("structured", 0.40, 0.05))) {
+        val dir = s"$tmpRoot/pqres_$regime"
+        val kCol = cids.zipWithIndex.foldLeft(
+            pmod(xxhash64(col("id")), lit(8)).cast("int")) {
+          case (acc, (cid, k)) => when(col("id") === cid, lit(k)).otherwise(acc)
+        }
+        val cs = 0.8
+        // per-subspace offset index: planted to the codebook index on
+        // the residual-seed rows, pseudo-random everywhere else
+        val oSql = rseeds.zipWithIndex
+          .map { case (sid, c) => s"when vec_id = $sid then $c" }
+          .mkString("case ", " ", " else pmod(xxhash64(concat('o:', vec_id, ':', j div 8)), 4) end")
+        spark.range(n)
+          .select(col("id").as("vec_id"), kCol.as("k"),
+            (!col("id").isin(cids: _*)).as("noisy"))
+          .select(col("vec_id"),
+            expr(s"""transform(sequence(0, 63), j -> cast(
+                 |  $cs * ((xxhash64(concat('c:', k, ':', j)) % 1000001) / 1000000.0)
+                 |  + (case when noisy then
+                 |       $os * ((xxhash64(concat('f:', ($oSql), ':', j)) % 1000001) / 1000000.0)
+                 |     + $js * ((xxhash64(concat('n:', vec_id, ':', j)) % 1000001) / 1000000.0)
+                 |     else 0.0 end) as float))""".stripMargin).as("embedding"))
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        val t0 = System.nanoTime()
+        def top3AndCount(ad: org.apache.spark.sql.DataFrame): (Set[(Long, Long)], Long) = {
+          val c = ad.cache()
+          val cnt = c.count()
+          val top = graft.ops.Vectors.ivfPqTop3(c).select("q_id", "c_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          (top, cnt)
+        }
+        val (flatTop, nFlat) = top3AndCount(graft.ops.Vectors.ivfPqFlatAdist(spark, dir))
+        val (resTop, nRes) = top3AndCount(graft.ops.Vectors.ivfPqResidualAdist(spark, dir))
+        val secs = (System.nanoTime() - t0) / 1e9
+        assert(nFlat == nRes,
+          s"equal-scan violated: flat candidates $nFlat != residual $nRes")
+        // exact micro-unit L2 ground truth (20 broadcast queries)
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))")
+            .as("qe"))
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("qe").as("qq"))
+        val d2 = aggregate(zip_with(col("qq"), col("qe"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+        val gt = e.select(col("vec_id").as("c_id"), col("qe"))
+          .join(broadcast(q), col("c_id") =!= col("q_id"))
+          .select(col("q_id"), col("c_id"), d2.as("d2"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select("q_id", "c_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val rf = flatTop.count(gt.contains) / gt.size.toDouble
+        val rr = resTop.count(gt.contains) / gt.size.toDouble
+        println(f"""{"shape":"pqres","regime":"$regime","rows":$n,"cand_flat":$nFlat,"cand_res":$nRes,"recall_flat":$rf%.3f,"recall_res":$rr%.3f,"secs":$secs%.1f}""")
         spark.catalog.clearCache()
       }
     }

@@ -43,13 +43,21 @@ object Vectors {
     Seq.tabulate(nPlanes, dim)((p, j) => md5h32(s"plane:$p:$j") % 1001 - 500)
 
   /** Deterministic coarse-quantizer picks for the IVF index. */
-  private val ivfCentroidIds: Seq[Long] =
+  private[graft] val ivfCentroidIds: Seq[Long] =
     Seq(3L, 17L, 42L, 99L, 123L, 200L, 321L, 444L)
 
   /** Deterministic per-subspace codebook picks for product
     * quantization (sim_pq_adc): 4 codes per 8-dim subspace.
     */
   private val pqSeedIds: Seq[Long] = Seq(3L, 17L, 42L, 99L)
+
+  /** Codebook picks for RESIDUAL product quantization
+    * (sim_ivf_pq_residual): residuals are taken from these vectors'
+    * own cell centroids, so they must NOT be centroid ids themselves
+    * (a centroid's residual is the zero vector — a degenerate
+    * codebook).
+    */
+  private[graft] val pqResSeedIds: Seq[Long] = Seq(7L, 21L, 55L, 77L)
 
   /** Multi-probe masks: every 8-bit mask of hamming weight ≤ 2 — the
     * query's own bucket plus all buckets within hamming distance 2
@@ -645,18 +653,134 @@ object Vectors {
     * code stream never shuffles before the per-(q,c) partial
     * aggregate.
     */
-  private def ivfPqServe(lists: DataFrame, qd: DataFrame, probes: DataFrame): DataFrame = {
+  private def ivfPqServe(lists: DataFrame, qd: DataFrame, probes: DataFrame): DataFrame =
+    ivfPqTop3(ivfPqAdist(lists, qd, probes))
+
+  /** The probe-filtered ADC aggregate alone — (q_id, c_id, ad) over
+    * exactly the probed cells' candidates. Factored out of
+    * [[ivfPqServe]] so ScaleProbe's `pqres` leg can count candidate
+    * rows (the equal-scan half of the flat-vs-residual comparison)
+    * through the operator's own join.
+    */
+  private[graft] def ivfPqAdist(lists: DataFrame, qd: DataFrame, probes: DataFrame): DataFrame = {
     val qside = qd.withColumnRenamed("q_id", "pq_id")
       .join(probes, col("pq_id") === col("q_id"))
       .select(col("q_id"), col("qm"), col("c"), col("d2"), col("pcell"))
-    val wTop = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("ad"), col("c_id"))
     lists
       .join(broadcast(qside),
         col("m") === col("qm") && col("code") === col("c")
           && col("cell") === col("pcell") && col("c_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("c_id"))
       .agg(sum(col("d2")).cast("bigint").as("ad"))
+  }
+
+  /** sim_ivf_pq's full chain up to the ADC aggregate (flat encoding,
+    * by_residual=false): pqParts codes + coarse cell assignment +
+    * nprobe=2 probes → [[ivfPqAdist]]. The key wraps it in
+    * [[ivfPqTop3]]; ScaleProbe's `pqres` leg reads the aggregate
+    * directly for the equal-scan candidate count.
+    */
+  private[graft] def ivfPqFlatAdist(s: SparkSession, d: String): DataFrame = {
+    val (e0, enc, qd) = pqParts(s, d)
+    val cent = e0.filter(col("vec_id").isin(ivfCentroidIds: _*))
+      .select(col("vec_id").as("cid"), col("qe").as("ce"))
+    def cd2(a: Column, b: Column): Column =
+      dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
+    val wAsg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d2c"), col("cid"))
+    val ranked = maybeCache(e0.join(broadcast(cent))
+      .select(col("vec_id"), col("cid"), cd2(col("qe"), col("ce")).as("d2c"))
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") <= 2))
+    // inverted lists: each code row learns its cell once (the
+    // build-time co-partitioning); the probe filter + ADC lookup is
+    // then ONE broadcast join of the query-sized (tables × probes)
+    // side against the cell-tagged code stream
+    val asg = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("c_id"), col("cid").as("cell"))
+    val probes = ranked.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
+    ivfPqAdist(enc.join(asg, Seq("c_id")), qd, probes)
+  }
+
+  /** sim_ivf_pq_residual's chain up to the ADC aggregate (FAISS
+    * by_residual=true): every vector PQ-encoded as its residual from
+    * its OWN coarse cell centroid, queries building PER-CELL distance
+    * tables from THEIR residual against each probed cell. The probed
+    * candidate set is identical to [[ivfPqFlatAdist]]'s by
+    * construction (same centroids, same nprobe — ScaleProbe's `pqres`
+    * leg asserts the counts equal); only the ranking changes.
+    */
+  private[graft] def ivfPqResidualAdist(s: SparkSession, d: String): DataFrame = {
+    val e0 = emb(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
+    val cent = e0.filter(col("vec_id").isin(ivfCentroidIds: _*))
+      .select(col("vec_id").as("cid"), col("qe").as("ce"))
+    def cd2(a: Column, b: Column): Column =
+      dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
+    val wAsg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d2c"), col("cid"))
+    val ranked = maybeCache(e0.join(broadcast(cent))
+      .select(col("vec_id"), col("cid"), cd2(col("qe"), col("ce")).as("d2c"))
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") <= 2))
+    val asg = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    // integer residuals from the OWN-cell centroid (corpus side)
+    val resv = maybeCache(e0.join(asg, Seq("vec_id"))
+      .join(broadcast(cent), col("cell") === col("cid"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("qe"), col("ce"), (x, y) => x - y).as("res")))
+    val cCol = pqResSeedIds.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (sid, c)) => when(col("vec_id") === sid, lit(c)).otherwise(acc)
+    }
+    val ms = explode(sequence(lit(0), lit(7))).as("m")
+    val cb = resv.filter(col("vec_id").isin(pqResSeedIds: _*))
+      .select(cCol.as("c"), ms, col("res"))
+      .select(col("c"), col("m"),
+        slice(col("res"), col("m") * 8 + 1, lit(8)).as("cv"))
+    def sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0d), (acc, v) => acc + v)
+    val sub = resv.select(col("vec_id"), col("cell"), ms, col("res"))
+      .select(col("vec_id"), col("cell"), col("m"),
+        slice(col("res"), col("m") * 8 + 1, lit(8)).as("sv"))
+    val wEnc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("c"))
+    val enc = sub.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("cell"), col("m"), col("c"),
+        sq(col("sv"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("c_id"), col("cell"), col("m"), col("c").as("code"))
+    // query side: PER-CELL residual distance tables (still
+    // broadcast-sized: |Q| × nprobe × 8 × 4 rows)
+    val probes = ranked.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
+    val qres = probes
+      .join(e0.withColumnRenamed("vec_id", "q_id"), Seq("q_id"))
+      .join(broadcast(cent), col("pcell") === col("cid"))
+      .select(col("q_id"), col("pcell"),
+        zip_with(col("qe"), col("ce"), (x, y) => x - y).as("res"))
+    val qd = qres.select(col("q_id"), col("pcell"), ms, col("res"))
+      .select(col("q_id"), col("pcell"), col("m").as("qm"),
+        slice(col("res"), col("m") * 8 + 1, lit(8)).as("sv"))
+      .join(broadcast(cb.withColumnRenamed("m", "cbm")), col("qm") === col("cbm"))
+      .select(col("q_id"), col("pcell"), col("qm"), col("c"),
+        sq(col("sv"), col("cv")).as("d2"))
+    enc.join(broadcast(qd),
+        col("m") === col("qm") && col("code") === col("c")
+          && col("cell") === col("pcell") && col("c_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("d2")).cast("bigint").as("ad"))
+  }
+
+  /** Shared top-3 tail over an ADC aggregate. */
+  private[graft] def ivfPqTop3(adist: DataFrame): DataFrame = {
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("ad"), col("c_id"))
+    adist
       .withColumn("rnk", row_number().over(wTop).cast("bigint"))
       .filter(col("rnk") <= 3)
       .select(col("q_id"), col("c_id"), col("rnk"), col("ad").as("approx_d2"))
@@ -1538,26 +1662,7 @@ object Vectors {
     // same no-rounding-frontier guarantee as both parents). Recall vs
     // sim_topk is measured in SCALE.md next to each family alone.
     sql("sim_ivf_pq", ivfPqOracle) { (s, d) =>
-      val (e0, enc, qd) = pqParts(s, d)
-      val cent = e0.filter(col("vec_id").isin(ivfCentroidIds: _*))
-        .select(col("vec_id").as("cid"), col("qe").as("ce"))
-      def cd2(a: Column, b: Column): Column =
-        dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
-      val wAsg = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("d2c"), col("cid"))
-      val ranked = maybeCache(e0.join(broadcast(cent))
-        .select(col("vec_id"), col("cid"), cd2(col("qe"), col("ce")).as("d2c"))
-        .withColumn("rn", row_number().over(wAsg))
-        .filter(col("rn") <= 2))
-      // inverted lists: each code row learns its cell once (the
-      // build-time co-partitioning); the probe filter + ADC lookup is
-      // then ONE broadcast join of the query-sized (tables × probes)
-      // side against the cell-tagged code stream
-      val asg = ranked.filter(col("rn") === 1)
-        .select(col("vec_id").as("c_id"), col("cid").as("cell"))
-      val probes = ranked.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
-      ivfPqServe(enc.join(asg, Seq("c_id")), qd, probes)
+      ivfPqTop3(ivfPqFlatAdist(s, d))
     },
 
     // ---- IVF × PQ served from the PERSISTED index ----------------------
@@ -1575,6 +1680,85 @@ object Vectors {
     // match.
     sql("sim_ivf_pq_indexed", ivfPqOracle) { (s, d) =>
       ivfPqIndexedServe(s, d)
+    },
+
+    // ---- IVF × PQ with RESIDUAL encoding (FAISS by_residual=true) ------
+    // The FAISS default the flat-encoded key deliberately skips:
+    // each vector is PQ-encoded as its residual from its coarse cell
+    // centroid (x − c(cell)), and a query builds PER-CELL distance
+    // tables from ITS residual against each probed cell (q − c(cell)).
+    // Scan cost is IDENTICAL to sim_ivf_pq by construction (same
+    // centroids, same nprobe → same candidate set; ScaleProbe's pqres
+    // leg asserts the counts equal). The recall effect is
+    // STRUCTURE-DEPENDENT and measured honestly in SCALE.md: on the
+    // synthetic fixture — 0.5% between-label variance, i.e. no coarse
+    // structure for the centroids to remove — residual ≈ flat within
+    // noise (residuals ARE the vectors there); on the probe's planted
+    // clustered corpus the residual codes win decisively, because the
+    // codebook spends its 2 bits/subspace on the within-cell noise
+    // instead of re-describing cluster centers. All arithmetic stays
+    // exact: micro-unit integers subtract to integer residuals, the
+    // query side grows to (tables × probes) per-cell rows — still
+    // broadcast-sized (20·2·8·4 = 1,280 rows) — and the codebook
+    // seeds are non-centroid vectors (a centroid's residual is the
+    // zero vector, a degenerate codebook).
+    sql("sim_ivf_pq_residual", {
+      val seeds = pqResSeedIds.zipWithIndex
+        .map { case (sid, c) => s"($c, $sid)" }.mkString(", ")
+      val cids = ivfCentroidIds.mkString("(", ", ", ")")
+      s"""WITH e AS (SELECT vec_id,
+         |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
+         |           FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, qe AS ce FROM e WHERE vec_id IN $cids),
+         |dd AS (SELECT e.vec_id, c.cid,
+         |              row_number() OVER (PARTITION BY e.vec_id
+         |                ORDER BY ${D.dot("e.qe", "e.qe")}
+         |                         - 2 * ${D.dot("e.qe", "c.ce")}
+         |                         + ${D.dot("c.ce", "c.ce")}, c.cid) AS rn
+         |       FROM e, cent c),
+         |asg AS (SELECT vec_id, cid AS cell FROM dd WHERE rn = 1),
+         |resv AS (SELECT e.vec_id, a.cell,
+         |                list_transform(range(1, 65), j -> e.qe[j] - c.ce[j]) AS res
+         |         FROM e JOIN asg a ON a.vec_id = e.vec_id
+         |                JOIN cent c ON c.cid = a.cell),
+         |seeds(c, sid) AS (VALUES $seeds),
+         |cb AS (SELECT s.c, m.m, r.res[m.m * 8 + 1 : m.m * 8 + 8] AS cv
+         |       FROM seeds s JOIN resv r ON r.vec_id = s.sid, range(0, 8) m(m)),
+         |sub AS (SELECT vec_id, cell, m.m, res[m.m * 8 + 1 : m.m * 8 + 8] AS sv
+         |        FROM resv, range(0, 8) m(m)),
+         |dist AS (SELECT vec_id, cell, sub.m, cb.c,
+         |                list_sum(list_transform(range(1, 9),
+         |                  j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))) AS d2
+         |         FROM sub JOIN cb ON sub.m = cb.m),
+         |enc AS (SELECT vec_id, cell, m, c AS code FROM
+         |          (SELECT vec_id, cell, m, c,
+         |                  row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+         |           FROM dist) t
+         |        WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, cid AS pcell FROM dd
+         |           WHERE rn <= 2 AND vec_id < 20),
+         |qres AS (SELECT p.q_id, p.pcell,
+         |                list_transform(range(1, 65), j -> e.qe[j] - c.ce[j]) AS res
+         |         FROM probes p JOIN e ON e.vec_id = p.q_id
+         |                JOIN cent c ON c.cid = p.pcell),
+         |qsub AS (SELECT q_id, pcell, m.m, res[m.m * 8 + 1 : m.m * 8 + 8] AS sv
+         |         FROM qres, range(0, 8) m(m)),
+         |qd AS (SELECT q_id, pcell, qsub.m, cb.c,
+         |              list_sum(list_transform(range(1, 9),
+         |                j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))) AS d2
+         |       FROM qsub JOIN cb ON qsub.m = cb.m),
+         |adist AS (SELECT qd.q_id, enc.vec_id AS c_id, sum(qd.d2)::BIGINT AS ad
+         |          FROM enc JOIN qd ON qd.pcell = enc.cell
+         |                          AND qd.m = enc.m AND qd.c = enc.code
+         |          WHERE enc.vec_id <> qd.q_id
+         |          GROUP BY 1, 2)
+         |SELECT q_id, c_id, rnk, ad AS approx_d2 FROM
+         |  (SELECT q_id, c_id, ad,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS rnk
+         |   FROM adist) t
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+    }) { (s, d) =>
+      ivfPqTop3(ivfPqResidualAdist(s, d))
     },
 
     // ---- semantic decontamination (embedding-space eval leakage) -------

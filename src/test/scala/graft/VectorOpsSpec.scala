@@ -424,6 +424,26 @@ class VectorOpsSpec extends SparkSpec {
     assert(totalCells == 8, s"index should hold 8 cell directories, found $totalCells")
   }
 
+  test("sim_ivf_pq_residual: identical candidate scan to sim_ivf_pq, well-formed top-3") {
+    val out = run("sim_ivf_pq_residual").cache()
+    val perQ = out.groupBy("q_id").agg(count(lit(1)).as("n"), max(col("rnk")).as("maxr"))
+    assert(perQ.filter(col("n") =!= 3 || col("maxr") =!= 3).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rnk"))
+    assert(out.withColumn("prev", lag(col("approx_d2"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > col("approx_d2"))
+      .count() == 0)
+    // by_residual=true changes ONLY the ranking, never the scan: the
+    // coarse assignment and nprobe are shared with sim_ivf_pq, so the
+    // candidate (q, c) set out of the ADC aggregate must be identical
+    val flat = graft.ops.Vectors.ivfPqFlatAdist(spark, sfDir)
+      .select("q_id", "c_id")
+    val res = graft.ops.Vectors.ivfPqResidualAdist(spark, sfDir)
+      .select("q_id", "c_id")
+    assert(flat.exceptAll(res).count() == 0 && res.exceptAll(flat).count() == 0,
+      "residual encoding changed the probed candidate set")
+  }
+
   test("knn_graph_scaled: corpus-sized cells, per-node top-3, per-cell size tracks the target") {
     val out = run("knn_graph_scaled").cache()
     // per-node edge structure identical to knn_graph's contract
