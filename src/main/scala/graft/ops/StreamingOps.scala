@@ -116,11 +116,19 @@ object StreamingOps {
     // watermarked LEFT OUTER interval join — the drop-off funnel:
     // signups with NO purchase within 7 days, emitted exactly once
     // when the watermark closes their match interval. The oracle
-    // carries the same closure predicate (s_ts + 7d < max_ts − 1h):
-    // younger signups are PENDING, not absent — the hash-match pins
-    // the emission frontier along with the join semantics
+    // carries the stream's ACTUAL closure predicate: each
+    // withWatermark node observes only its filtered leg, so under the
+    // default multipleWatermarkPolicy=min the global watermark is
+    // least(max signup ts, max purchase ts) − 1h — NOT max(ts) over
+    // all events, whose global max can be a view/click that advances
+    // neither leg. Younger signups are PENDING, not absent — the
+    // hash-match pins the emission frontier along with the join
+    // semantics
     sql("stream_funnel_dropoff",
-      """WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+      """WITH wm AS (SELECT least(
+        |              (SELECT max(ts) FROM events WHERE event_type = 'signup'),
+        |              (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |            - INTERVAL 1 HOUR AS w)
         |SELECT s.event_id AS signup_event, s.user_id AS user_id
         |FROM events s, wm
         |WHERE s.event_type = 'signup'

@@ -294,10 +294,18 @@ object Vectors {
     * sim_ivf_pq can interpose the inverted-list cell filter between
     * the codes and the ADC aggregate without re-deriving either side.
     */
-  private[graft] def pqParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
-    val e0 = emb(s, d).select(col("vec_id"),
+  /** Micro-unit integer projection of the embeddings table —
+    * (vec_id, qe) with qe = floor(x·1e6 + 0.5) per component: the ONE
+    * exact frame every PQ/IVF chain (and spec recompute) quantizes
+    * from.
+    */
+  private[graft] def microVecs(s: SparkSession, d: String): DataFrame =
+    emb(s, d).select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
+
+  private[graft] def pqParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val e0 = microVecs(s, d)
     // codebook index c = position of the seed id in pqSeedIds
     val cCol = pqSeedIds.zipWithIndex.foldLeft(lit(-1)) {
       case (acc, (sid, c)) => when(col("vec_id") === sid, lit(c)).otherwise(acc)
@@ -404,8 +412,9 @@ object Vectors {
     * the deterministic stride rule (every ⌊n/cells⌋-th vec_id — the
     * reproducible stand-in for a sampled/k-means seeding, exactly as
     * the fixed id list was; the oracle replicates the same integer
-    * formula). `perCell` is the per-cell size target
-    * (`spark.graft.knn.percell`, default 125 — the oracled default).
+    * formula). `perCell` is the per-cell size target (the oracled key
+    * always serves the default 125; probes/specs pass other targets
+    * explicitly).
     */
   private[graft] def knnEdgesScaled(s: SparkSession, d: String,
       perCell: Long = 125L): DataFrame = {
@@ -422,7 +431,10 @@ object Vectors {
     // production build reads from table stats before seeding k-means
     val n = e.count()
     val cells = math.max(8L, (n + perCell - 1) / perCell)
-    val stride = n / cells
+    // degenerate corpora (n < cells) would stride to 0 — ANSI mode
+    // makes vec_id % 0 a runtime error (DuckDB NULLs it); clamp to 1
+    // so both engines degrade to the same dense seeding
+    val stride = math.max(1L, n / cells)
     e.filter(col("vec_id") % stride === 0 &&
         col("vec_id") < lit(stride * cells))
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
@@ -562,7 +574,7 @@ object Vectors {
   private lazy val knnEdgeCtesScaled: String = knnEdgeCtesOver(
     """nn AS (SELECT count(*) AS n FROM embeddings),
       |par AS (SELECT greatest(8, (n + 124) // 125) AS cells,
-      |               n // greatest(8, (n + 124) // 125) AS stride FROM nn),
+      |               greatest(1, n // greatest(8, (n + 124) // 125)) AS stride FROM nn),
       |cent AS (
       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings, par
       |  WHERE vec_id % stride = 0 AND vec_id < stride * cells)""".stripMargin)
@@ -598,11 +610,16 @@ object Vectors {
     * the persisted-index serve must be hash-equal to the in-memory
     * composition, so both keys pin against one SQL.
     */
-  private def ivfPqOracle: String = {
+  /** The CTE chain shared by `sim_ivf_pq`'s and `sim_ivf_pq_rerank`'s
+    * oracles — everything through the probe-filtered ADC aggregate
+    * `adist` (and the exact-vector frame `e` the re-rank tail joins
+    * back to).
+    */
+  private def ivfPqAdistCtes: String = {
     val seeds = pqSeedIds.zipWithIndex
       .map { case (sid, c) => s"($c, $sid)" }.mkString(", ")
     val cids = ivfCentroidIds.mkString("(", ", ", ")")
-    s"""WITH e AS (SELECT vec_id,
+    s"""e AS (SELECT vec_id,
        |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
        |           FROM embeddings),
        |seeds(c, sid) AS (VALUES $seeds),
@@ -636,13 +653,34 @@ object Vectors {
        |               JOIN qd ON qd.q_id = pr.q_id
        |                      AND qd.m = enc.m AND qd.c = enc.code
        |          WHERE enc.vec_id <> qd.q_id
-       |          GROUP BY 1, 2)
+       |          GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def ivfPqOracle: String =
+    s"""WITH $ivfPqAdistCtes
        |SELECT q_id, c_id, rnk, ad AS approx_d2 FROM
        |  (SELECT q_id, c_id, ad,
        |          row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS rnk
        |   FROM adist) t
        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
-  }
+
+  private def ivfPqRerankOracle: String =
+    s"""WITH $ivfPqAdistCtes,
+       |sl AS (SELECT q_id, c_id FROM
+       |         (SELECT q_id, c_id,
+       |                 row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS srn
+       |          FROM adist) t
+       |       WHERE srn <= 32),
+       |ex AS (SELECT sl.q_id, sl.c_id,
+       |              CAST(list_sum(list_transform(range(1, 65),
+       |                j -> (q.qe[j] - c.qe[j]) * (q.qe[j] - c.qe[j]))) AS BIGINT) AS exact_d2
+       |       FROM sl JOIN e q ON q.vec_id = sl.q_id
+       |               JOIN e c ON c.vec_id = sl.c_id)
+       |SELECT q_id, c_id, rnk, exact_d2 FROM
+       |  (SELECT q_id, c_id, exact_d2,
+       |          row_number() OVER (PARTITION BY q_id ORDER BY exact_d2, c_id) AS rnk
+       |   FROM ex) t
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
   /** Shared ADC-serve tail of `sim_ivf_pq` and `sim_ivf_pq_indexed`
     * (the persisted-index key must hash-equal the in-memory
@@ -674,24 +712,51 @@ object Vectors {
       .agg(sum(col("d2")).cast("bigint").as("ad"))
   }
 
+  /** The 8-row coarse-centroid frame (cid, ce) picked from a
+    * micro-unit vector frame — shared by every IVF×PQ chain so the
+    * centroid set is ONE definition.
+    */
+  private def ivfCent(e0: DataFrame): DataFrame =
+    e0.filter(col("vec_id").isin(ivfCentroidIds: _*))
+      .select(col("vec_id").as("cid"), col("qe").as("ce"))
+
+  /** Shared coarse-quantizer routing: every vector's micro-unit L2 to
+    * the broadcast centroid frame, ranked by (d2c, cid), kept to
+    * rn ≤ nprobe — (vec_id, cid, rn). The ONE arithmetic all four
+    * IVF×PQ chains (flat, residual, index build, index serve) derive
+    * their assignment/probe splits from: the flat↔residual equal-scan
+    * assertion and the in-memory↔persisted hash equality both depend
+    * on these chains never drifting, so the formula lives once.
+    */
+  private[graft] def coarseRanked(e0: DataFrame, cent: DataFrame,
+      nprobe: Int = 2): DataFrame = {
+    def cd2(a: Column, b: Column): Column =
+      dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
+    val wAsg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d2c"), col("cid"))
+    e0.join(broadcast(cent))
+      .select(col("vec_id"), col("cid"), cd2(col("qe"), col("ce")).as("d2c"))
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") <= nprobe)
+  }
+
   /** sim_ivf_pq's full chain up to the ADC aggregate (flat encoding,
     * by_residual=false): pqParts codes + coarse cell assignment +
     * nprobe=2 probes → [[ivfPqAdist]]. The key wraps it in
     * [[ivfPqTop3]]; ScaleProbe's `pqres` leg reads the aggregate
     * directly for the equal-scan candidate count.
     */
-  private[graft] def ivfPqFlatAdist(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ivfPqFlatAdist(s: SparkSession, d: String): DataFrame =
+    ivfPqFlatParts(s, d)._2
+
+  /** [[ivfPqFlatAdist]] plus the micro-unit vector frame it was built
+    * from — (e0, adist) — so `sim_ivf_pq_rerank` can fetch exact
+    * vectors for its shortlist without re-deriving (and re-caching)
+    * the PQ chain.
+    */
+  private[graft] def ivfPqFlatParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val (e0, enc, qd) = pqParts(s, d)
-    val cent = e0.filter(col("vec_id").isin(ivfCentroidIds: _*))
-      .select(col("vec_id").as("cid"), col("qe").as("ce"))
-    def cd2(a: Column, b: Column): Column =
-      dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
-    val wAsg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("d2c"), col("cid"))
-    val ranked = maybeCache(e0.join(broadcast(cent))
-      .select(col("vec_id"), col("cid"), cd2(col("qe"), col("ce")).as("d2c"))
-      .withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") <= 2))
+    val ranked = maybeCache(coarseRanked(e0, ivfCent(e0)))
     // inverted lists: each code row learns its cell once (the
     // build-time co-partitioning); the probe filter + ADC lookup is
     // then ONE broadcast join of the query-sized (tables × probes)
@@ -700,7 +765,7 @@ object Vectors {
       .select(col("vec_id").as("c_id"), col("cid").as("cell"))
     val probes = ranked.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
-    ivfPqAdist(enc.join(asg, Seq("c_id")), qd, probes)
+    (e0, ivfPqAdist(enc.join(asg, Seq("c_id")), qd, probes))
   }
 
   /** sim_ivf_pq_residual's chain up to the ADC aggregate (FAISS
@@ -712,19 +777,9 @@ object Vectors {
     * leg asserts the counts equal); only the ranking changes.
     */
   private[graft] def ivfPqResidualAdist(s: SparkSession, d: String): DataFrame = {
-    val e0 = emb(s, d).select(col("vec_id"),
-      transform(col("embedding"),
-        x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
-    val cent = e0.filter(col("vec_id").isin(ivfCentroidIds: _*))
-      .select(col("vec_id").as("cid"), col("qe").as("ce"))
-    def cd2(a: Column, b: Column): Column =
-      dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
-    val wAsg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("d2c"), col("cid"))
-    val ranked = maybeCache(e0.join(broadcast(cent))
-      .select(col("vec_id"), col("cid"), cd2(col("qe"), col("ce")).as("d2c"))
-      .withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") <= 2))
+    val e0 = microVecs(s, d)
+    val cent = ivfCent(e0)
+    val ranked = maybeCache(coarseRanked(e0, cent))
     val asg = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
     // integer residuals from the OWN-cell centroid (corpus side)
@@ -776,6 +831,36 @@ object Vectors {
       .agg(sum(col("d2")).cast("bigint").as("ad"))
   }
 
+  /** Shared exact-re-rank tail of `sim_pq_rerank` and
+    * `sim_ivf_pq_rerank` (Jégou 2011 §5.3 over either ADC aggregate):
+    * top-32 shortlist by approximate distance → fetch exact
+    * micro-unit vectors for ONLY those candidates → exact integer
+    * squared-L2 top-3. The shortlist (with its query's exact vector
+    * riding along) is query-sized and broadcasts into the corpus
+    * fetch — the floats stay cold.
+    */
+  private[graft] def exactRerank(e0: DataFrame, adist: DataFrame): DataFrame = {
+    def sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0d), (acc, v) => acc + v)
+    val wSl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("ad"), col("c_id"))
+    val sl = adist.withColumn("srn", row_number().over(wSl))
+      .filter(col("srn") <= 32)
+      .select(col("q_id"), col("c_id"))
+      .join(e0.select(col("vec_id").as("q_id"), col("qe").as("qqe")), Seq("q_id"))
+    val ex = e0.select(col("vec_id").as("c_id"), col("qe").as("cqe"))
+      .join(broadcast(sl), Seq("c_id"))
+      .select(col("q_id"), col("c_id"),
+        sq(col("qqe"), col("cqe")).cast("bigint").as("exact_d2"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("exact_d2"), col("c_id"))
+    ex.withColumn("rnk", row_number().over(wTop).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("c_id"), col("rnk"), col("exact_d2"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Shared top-3 tail over an ADC aggregate. */
   private[graft] def ivfPqTop3(adist: DataFrame): DataFrame = {
     val wTop = org.apache.spark.sql.expressions.Window
@@ -805,16 +890,8 @@ object Vectors {
     val key = src.replaceAll("[^A-Za-z0-9.]", "_")
     graft.ops.stagedArtifact(s, s"ivfpq_index_$key", graft.ops.sourceStamp(src)) { stage =>
       val (e0, enc, _) = pqParts(s, d)
-      val cent = e0.filter(col("vec_id").isin(ivfCentroidIds: _*))
-        .select(col("vec_id").as("cid"), col("qe").as("ce"))
-      def cd2(a: Column, b: Column): Column =
-        dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
-      val wAsg = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("d2c"), col("cid"))
-      val asg = e0.join(broadcast(cent))
-        .select(col("vec_id"), col("cid"), cd2(col("qe"), col("ce")).as("d2c"))
-        .withColumn("rn", row_number().over(wAsg))
-        .filter(col("rn") === 1)
+      val cent = ivfCent(e0)
+      val asg = coarseRanked(e0, cent, nprobe = 1)
         .select(col("vec_id").as("c_id"), col("cid").cast("int").as("cell"))
       enc.join(asg, Seq("c_id"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
@@ -841,19 +918,9 @@ object Vectors {
   private[graft] def ivfPqIndexedParts(s: SparkSession, d: String,
       qBound: Long, nprobe: Int): (DataFrame, DataFrame, DataFrame) = {
     val idx = stagedIvfPqIndex(s, d)
-    val e0q = emb(s, d).filter(col("vec_id") < qBound)
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
+    val e0q = microVecs(s, d).filter(col("vec_id") < qBound)
     val cent = s.read.parquet(s"$idx/centroids")
-    def cd2(a: Column, b: Column): Column =
-      dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
-    val wAsg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("d2c"), col("cid"))
-    val probes = maybeCache(e0q.join(broadcast(cent))
-      .select(col("vec_id"), col("cid"), cd2(col("qe"), col("ce")).as("d2c"))
-      .withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") <= nprobe)
+    val probes = maybeCache(coarseRanked(e0q, cent, nprobe)
       .select(col("vec_id").as("q_id"), col("cid").as("pcell")))
     // the query router's cell plan: nprobe cells per query, distinct
     // across the (broadcast-sized) query batch — a driver-side
@@ -1622,27 +1689,7 @@ object Vectors {
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
     }) { (s, d) =>
       val (e0, adist) = pqAdcChain(s, d)
-      def sq(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0d), (acc, v) => acc + v)
-      val wSl = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("ad"), col("c_id"))
-      // shortlist carries its query's exact vector along (query side is
-      // 20 rows), so the corpus fetch is ONE broadcast semi-lookup
-      val sl = adist.withColumn("srn", row_number().over(wSl))
-        .filter(col("srn") <= 32)
-        .select(col("q_id"), col("c_id"))
-        .join(e0.select(col("vec_id").as("q_id"), col("qe").as("qqe")), Seq("q_id"))
-      val ex = e0.select(col("vec_id").as("c_id"), col("qe").as("cqe"))
-        .join(broadcast(sl), Seq("c_id"))
-        .select(col("q_id"), col("c_id"),
-          sq(col("qqe"), col("cqe")).cast("bigint").as("exact_d2"))
-      val wTop = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("exact_d2"), col("c_id"))
-      ex.withColumn("rnk", row_number().over(wTop).cast("bigint"))
-        .filter(col("rnk") <= 3)
-        .select(col("q_id"), col("c_id"), col("rnk"), col("exact_d2"))
-        .orderBy(col("q_id"), col("rnk"))
+      exactRerank(e0, adist)
     },
 
     // ---- IVF × PQ: the composed production index (FAISS IVFPQ shape) ---
@@ -1759,6 +1806,24 @@ object Vectors {
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
     }) { (s, d) =>
       ivfPqTop3(ivfPqResidualAdist(s, d))
+    },
+
+    // ---- IVF × PQ with exact re-ranking (the full FAISS serve path) ----
+    // The complete production serve stack in one key (Jégou 2011
+    // §5.1 + §5.3; FAISS IVFPQ + refine): coarse cells route the
+    // query to its nprobe=2 inverted lists, the PQ-code ADC scan of
+    // JUST those lists produces a top-32 shortlist, and only the
+    // shortlist fetches exact vectors for an exact integer-L2 top-3.
+    // Each tier pays its own bounded cost — the cell filter caps the
+    // code scan at the probed lists, the 32·|Q| shortlist caps the
+    // float fetch — so at 100 TB the scan reads nprobe/cells of the
+    // codes and 32 vectors per query, never the corpus. Composes the
+    // two measured dials (sim_ivf_pq's 26%-scan, sim_pq_rerank's 3–4×
+    // recall lift); SCALE.md measures the composition against each
+    // tier alone.
+    sql("sim_ivf_pq_rerank", ivfPqRerankOracle) { (s, d) =>
+      val (e0, adist) = ivfPqFlatParts(s, d)
+      exactRerank(e0, adist)
     },
 
     // ---- semantic decontamination (embedding-space eval leakage) -------
@@ -2005,8 +2070,12 @@ object Vectors {
          |FROM t LEFT JOIN t r ON r.a_id = t.b_id AND r.b_id = t.a_id
          |ORDER BY t.a_id, t.rnk""".stripMargin
     }) { (s, d) =>
-      val perCell = s.conf.get("spark.graft.knn.percell", "125").toLong
-      val t = knnEdgesScaled(s, d, perCell)
+      // perCell stays the oracled constant 125: oracleSql is a static
+      // string, so a session knob here could silently diverge from the
+      // oracle's hardcoded sizing — non-default geometries go through
+      // knnEdgesScaled(perCell) directly (ScaleProbe's knn octave,
+      // VectorOpsSpec), where the caller owns the expected counts
+      val t = knnEdgesScaled(s, d)
       val rev = t.select(col("a_id").as("r_a"), col("b_id").as("r_b"))
       t.join(rev, col("r_a") === col("b_id") && col("r_b") === col("a_id"), "left")
         .select(col("a_id"), col("b_id"), col("rnk"),

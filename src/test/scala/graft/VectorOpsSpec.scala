@@ -444,6 +444,29 @@ class VectorOpsSpec extends SparkSpec {
       "residual encoding changed the probed candidate set")
   }
 
+  test("sim_ivf_pq_rerank: top-3 drawn from the probed shortlist, exact distances, tiers agree") {
+    val out = run("sim_ivf_pq_rerank").cache()
+    val perQ = out.groupBy("q_id").agg(count(lit(1)).as("n"), max(col("rnk")).as("maxr"))
+    assert(perQ.filter(col("n") =!= 3 || col("maxr") =!= 3).count() == 0)
+    // every re-ranked hit must come out of the IVF-probed candidate
+    // set (the re-rank never widens the scan — it only re-orders the
+    // ADC shortlist drawn from the probed cells)
+    val cand = graft.ops.Vectors.ivfPqFlatAdist(spark, sfDir)
+      .select("q_id", "c_id")
+    assert(out.select("q_id", "c_id").exceptAll(cand).count() == 0,
+      "re-ranked results escaped the probed candidate set")
+    // exact_d2 is the TRUE integer micro-unit L2 (spot-check against
+    // a direct recompute over the embedding table)
+    val e0 = graft.ops.Vectors.microVecs(spark, sfDir)
+    val truth = out.join(e0.select(col("vec_id").as("q_id"), col("qe").as("qq")), Seq("q_id"))
+      .join(e0.select(col("vec_id").as("c_id"), col("qe").as("cq")), Seq("c_id"))
+      .select(col("q_id"), col("c_id"), col("exact_d2"),
+        aggregate(zip_with(col("qq"), col("cq"), (x, y) => (x - y) * (x - y)),
+          lit(0d), (acc, v) => acc + v).cast("bigint").as("true_d2"))
+    assert(truth.filter(col("exact_d2") =!= col("true_d2")).count() == 0,
+      "re-ranked exact_d2 diverged from the direct recompute")
+  }
+
   test("knn_graph_scaled: corpus-sized cells, per-node top-3, per-cell size tracks the target") {
     val out = run("knn_graph_scaled").cache()
     // per-node edge structure identical to knn_graph's contract
