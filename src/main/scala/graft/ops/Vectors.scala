@@ -782,6 +782,27 @@ object Vectors {
     val ranked = maybeCache(coarseRanked(e0, cent))
     val asg = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
+    val (cb, enc) = residualEncode(e0, cent, asg)
+    val probes = ranked.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
+    ivfPqCellAdist(enc, residualQueryTables(e0, cent, probes, cb))
+  }
+
+  private def resSq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0d), (acc, v) => acc + v)
+
+  /** Residual PQ encode over own-cell assignments (FAISS
+    * by_residual=true build): integer residuals from each vector's
+    * cell centroid, the 4-seed sub-codebook learned FROM residuals
+    * (pqResSeedIds — non-centroid rows, a centroid's residual being
+    * the zero vector), one bounded argmin per (vector, subspace).
+    * Returns (cb = 32-row (c, m, cv) codebook, enc = (c_id, cell, m,
+    * code) residual code stream). Shared by the in-memory chain and
+    * the persisted-index build so the two cannot drift.
+    */
+  private[graft] def residualEncode(e0: DataFrame, cent: DataFrame,
+      asg: DataFrame): (DataFrame, DataFrame) = {
     // integer residuals from the OWN-cell centroid (corpus side)
     val resv = maybeCache(e0.join(asg, Seq("vec_id"))
       .join(broadcast(cent), col("cell") === col("cid"))
@@ -795,9 +816,6 @@ object Vectors {
       .select(cCol.as("c"), ms, col("res"))
       .select(col("c"), col("m"),
         slice(col("res"), col("m") * 8 + 1, lit(8)).as("cv"))
-    def sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0d), (acc, v) => acc + v)
     val sub = resv.select(col("vec_id"), col("cell"), ms, col("res"))
       .select(col("vec_id"), col("cell"), col("m"),
         slice(col("res"), col("m") * 8 + 1, lit(8)).as("sv"))
@@ -805,31 +823,48 @@ object Vectors {
       .partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("c"))
     val enc = sub.join(broadcast(cb), Seq("m"))
       .select(col("vec_id"), col("cell"), col("m"), col("c"),
-        sq(col("sv"), col("cv")).as("d2"))
+        resSq(col("sv"), col("cv")).as("d2"))
       .withColumn("rn", row_number().over(wEnc))
       .filter(col("rn") === 1)
       .select(col("vec_id").as("c_id"), col("cell"), col("m"), col("c").as("code"))
-    // query side: PER-CELL residual distance tables (still
-    // broadcast-sized: |Q| × nprobe × 8 × 4 rows)
-    val probes = ranked.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
+    (cb, enc)
+  }
+
+  /** PER-CELL residual query distance tables — (q_id, pcell, qm, c,
+    * d2), still broadcast-sized (|Q| × nprobe × 8 × 4 rows): each
+    * probed cell gets tables built from the QUERY's residual against
+    * THAT cell's centroid. Shared by the in-memory chain and the
+    * persisted-index serve (which feeds the STORED centroids and
+    * codebook).
+    */
+  private[graft] def residualQueryTables(e0q: DataFrame, cent: DataFrame,
+      probes: DataFrame, cb: DataFrame): DataFrame = {
+    val ms = explode(sequence(lit(0), lit(7))).as("m")
     val qres = probes
-      .join(e0.withColumnRenamed("vec_id", "q_id"), Seq("q_id"))
+      .join(e0q.withColumnRenamed("vec_id", "q_id"), Seq("q_id"))
       .join(broadcast(cent), col("pcell") === col("cid"))
       .select(col("q_id"), col("pcell"),
         zip_with(col("qe"), col("ce"), (x, y) => x - y).as("res"))
-    val qd = qres.select(col("q_id"), col("pcell"), ms, col("res"))
+    qres.select(col("q_id"), col("pcell"), ms, col("res"))
       .select(col("q_id"), col("pcell"), col("m").as("qm"),
         slice(col("res"), col("m") * 8 + 1, lit(8)).as("sv"))
       .join(broadcast(cb.withColumnRenamed("m", "cbm")), col("qm") === col("cbm"))
       .select(col("q_id"), col("pcell"), col("qm"), col("c"),
-        sq(col("sv"), col("cv")).as("d2"))
-    enc.join(broadcast(qd),
+        resSq(col("sv"), col("cv")).as("d2"))
+  }
+
+  /** The per-cell ADC aggregate for residual serving: `qd` already
+    * carries its pcell (tables differ per probed cell), so the cell
+    * filter is part of the one broadcast join condition, below the
+    * aggregate — the same only-corpus-scaled-shuffle guarantee as
+    * [[ivfPqAdist]].
+    */
+  private[graft] def ivfPqCellAdist(lists: DataFrame, qd: DataFrame): DataFrame =
+    lists.join(broadcast(qd),
         col("m") === col("qm") && col("code") === col("c")
           && col("cell") === col("pcell") && col("c_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("c_id"))
       .agg(sum(col("d2")).cast("bigint").as("ad"))
-  }
 
   /** Shared exact-re-rank tail of `sim_pq_rerank` and
     * `sim_ivf_pq_rerank` (Jégou 2011 §5.3 over either ADC aggregate):
@@ -957,6 +992,181 @@ object Vectors {
     ivfPqServe(lists, qd, probes)
   }
 
+  /** Staged, stamped on-disk RESIDUAL IVF×PQ index — the
+    * by_residual=true twin of [[stagedIvfPqIndex]], proving the
+    * PLANS.md claim that residual codes partition by cell exactly
+    * like flat codes (FAISS stores them the same way): same
+    * `lists/cell=N/` + `centroids/` + `codebook/` layout, the only
+    * differences being the stored sub-codebook (learned from
+    * residuals) and the codes it indexes.
+    */
+  private[graft] def stagedIvfPqResIndex(s: SparkSession, d: String): String = {
+    val src = s"$d/embeddings.parquet"
+    val key = src.replaceAll("[^A-Za-z0-9.]", "_")
+    graft.ops.stagedArtifact(s, s"ivfpqres_index_$key", graft.ops.sourceStamp(src)) { stage =>
+      val e0 = microVecs(s, d)
+      val cent = ivfCent(e0)
+      val asg = coarseRanked(e0, cent, nprobe = 1)
+        .select(col("vec_id"), col("cid").as("cell"))
+      val (cb, enc) = residualEncode(e0, cent, asg)
+      enc.withColumn("cell", col("cell").cast("int"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
+      cent.write.mode("overwrite").parquet(s"$stage/centroids")
+      cb.write.mode("overwrite").parquet(s"$stage/codebook")
+    }
+  }
+
+  /** Serve a query batch from the persisted RESIDUAL index — the
+    * body of `sim_ivf_pq_residual_indexed`: plan nprobe cells from
+    * the stored 8-row centroid scan, read ONLY those cells' list
+    * partitions (the literal IN list becomes PartitionFilters,
+    * spec-asserted), build per-cell residual distance tables from the
+    * STORED codebook, per-cell ADC aggregate, top-3.
+    */
+  private[graft] def ivfPqResIndexedServe(s: SparkSession, d: String,
+      qBound: Long = 20L, nprobe: Int = 2): DataFrame = {
+    val idx = stagedIvfPqResIndex(s, d)
+    val e0q = microVecs(s, d).filter(col("vec_id") < qBound)
+    val cent = s.read.parquet(s"$idx/centroids")
+    val probes = maybeCache(coarseRanked(e0q, cent, nprobe)
+      .select(col("vec_id").as("q_id"), col("cid").as("pcell")))
+    // the cell plan: AT MOST ncells integers collected, never corpus data
+    val cells = probes.select(col("pcell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = s.read.parquet(s"$idx/lists")
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .select(col("c_id"), col("m"), col("code"), col("cell").cast("bigint").as("cell"))
+    val cb = s.read.parquet(s"$idx/codebook")
+    ivfPqTop3(ivfPqCellAdist(lists, residualQueryTables(e0q, cent, probes, cb)))
+  }
+
+  /** sim_mmr's greedy chain over any micro-unit (vec_id, qe) frame —
+    * exact top-8 shortlist per query (vec_id < `qBound`), then three
+    * unrolled λ=1/2 MMR rounds, every comparison pure BIGINT
+    * (min-d2-to-picked − d2-to-query). Factored so VectorOpsSpec can
+    * drive a PLANTED corpus (near-duplicate shortlist entries) through
+    * the operator's real code and watch diversity beat plain NN order.
+    */
+  private[graft] def mmrPicks(e0: DataFrame, qBound: Long = 20L): DataFrame = {
+    def sqd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0d), (acc, v) => acc + v).cast("bigint")
+    val q = e0.filter(col("vec_id") < qBound)
+      .select(col("vec_id").as("q_id"), col("qe").as("qq"))
+    val wCand = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2q"), col("c_id"))
+    val cand = maybeCache(
+      e0.select(col("vec_id").as("c_id"), col("qe").as("ce"))
+        .join(broadcast(q), col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"), col("ce"),
+          sqd(col("qq"), col("ce")).as("d2q"))
+        .withColumn("rn", row_number().over(wCand))
+        .filter(col("rn") <= 8))
+    // pairwise exact distances within a query's shortlist: ≤ 8·7
+    // rows per query, both sides the cached 8-row-per-query frame
+    // every frame past the shortlist is query-sized (≤ 8·|Q| rows) —
+    // broadcast hints keep the three greedy rounds exchange-free
+    val pd = cand.select(col("q_id"), col("c_id").as("a_id"), col("ce").as("ae"))
+      .join(broadcast(cand.select(col("q_id"), col("c_id").as("b_id"), col("ce").as("be"))),
+        Seq("q_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        sqd(col("ae"), col("be")).as("d2ab"))
+    val p1 = cand.filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id"), col("d2q"))
+    def pickNext(picked: Seq[DataFrame]): DataFrame = {
+      val base = picked.zipWithIndex.foldLeft(
+          cand.select(col("q_id"), col("c_id"), col("d2q"))) {
+        case (acc, (p, i)) =>
+          acc.join(broadcast(p.select(col("q_id"), col("c_id").as(s"p$i"))), Seq("q_id"))
+            .filter(col("c_id") =!= col(s"p$i"))
+      }
+      val scored = picked.indices.foldLeft(base) { (acc, i) =>
+        acc.join(broadcast(pd.select(col("q_id"), col("a_id").as("c_id"),
+            col("b_id").as(s"b$i"), col("d2ab").as(s"d$i"))),
+          Seq("q_id", "c_id"))
+          .filter(col(s"b$i") === col(s"p$i"))
+          .drop(s"b$i")
+      }
+      val minRed = picked.indices.map(i => col(s"d$i"))
+        .reduceLeft((a, b) => least(a, b))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id"))
+        .orderBy((minRed - col("d2q")).desc, col("c_id"))
+      scored.withColumn("rnn", row_number().over(w))
+        .filter(col("rnn") === 1)
+        .select(col("q_id"), col("c_id"), col("d2q"))
+    }
+    val p2 = pickNext(Seq(p1))
+    val p3 = pickNext(Seq(p1, p2))
+    p1.withColumn("pick", lit(1L))
+      .unionByName(p2.withColumn("pick", lit(2L)))
+      .unionByName(p3.withColumn("pick", lit(3L)))
+      .select(col("q_id"), col("c_id"), col("pick"), col("d2q"))
+      .orderBy(col("q_id"), col("pick"))
+  }
+
+  /** The by_residual=true oracle — shared verbatim by `sim_ivf_pq_residual`
+    * and `sim_ivf_pq_residual_indexed` (the persisted serve must be
+    * hash-equal to the in-memory composition).
+    */
+  private def ivfPqResidualOracle: String = {
+      val seeds = pqResSeedIds.zipWithIndex
+        .map { case (sid, c) => s"($c, $sid)" }.mkString(", ")
+      val cids = ivfCentroidIds.mkString("(", ", ", ")")
+      s"""WITH e AS (SELECT vec_id,
+         |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
+         |           FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, qe AS ce FROM e WHERE vec_id IN $cids),
+         |dd AS (SELECT e.vec_id, c.cid,
+         |              row_number() OVER (PARTITION BY e.vec_id
+         |                ORDER BY ${D.dot("e.qe", "e.qe")}
+         |                         - 2 * ${D.dot("e.qe", "c.ce")}
+         |                         + ${D.dot("c.ce", "c.ce")}, c.cid) AS rn
+         |       FROM e, cent c),
+         |asg AS (SELECT vec_id, cid AS cell FROM dd WHERE rn = 1),
+         |resv AS (SELECT e.vec_id, a.cell,
+         |                list_transform(range(1, 65), j -> e.qe[j] - c.ce[j]) AS res
+         |         FROM e JOIN asg a ON a.vec_id = e.vec_id
+         |                JOIN cent c ON c.cid = a.cell),
+         |seeds(c, sid) AS (VALUES $seeds),
+         |cb AS (SELECT s.c, m.m, r.res[m.m * 8 + 1 : m.m * 8 + 8] AS cv
+         |       FROM seeds s JOIN resv r ON r.vec_id = s.sid, range(0, 8) m(m)),
+         |sub AS (SELECT vec_id, cell, m.m, res[m.m * 8 + 1 : m.m * 8 + 8] AS sv
+         |        FROM resv, range(0, 8) m(m)),
+         |dist AS (SELECT vec_id, cell, sub.m, cb.c,
+         |                list_sum(list_transform(range(1, 9),
+         |                  j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))) AS d2
+         |         FROM sub JOIN cb ON sub.m = cb.m),
+         |enc AS (SELECT vec_id, cell, m, c AS code FROM
+         |          (SELECT vec_id, cell, m, c,
+         |                  row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+         |           FROM dist) t
+         |        WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, cid AS pcell FROM dd
+         |           WHERE rn <= 2 AND vec_id < 20),
+         |qres AS (SELECT p.q_id, p.pcell,
+         |                list_transform(range(1, 65), j -> e.qe[j] - c.ce[j]) AS res
+         |         FROM probes p JOIN e ON e.vec_id = p.q_id
+         |                JOIN cent c ON c.cid = p.pcell),
+         |qsub AS (SELECT q_id, pcell, m.m, res[m.m * 8 + 1 : m.m * 8 + 8] AS sv
+         |         FROM qres, range(0, 8) m(m)),
+         |qd AS (SELECT q_id, pcell, qsub.m, cb.c,
+         |              list_sum(list_transform(range(1, 9),
+         |                j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))) AS d2
+         |       FROM qsub JOIN cb ON qsub.m = cb.m),
+         |adist AS (SELECT qd.q_id, enc.vec_id AS c_id, sum(qd.d2)::BIGINT AS ad
+         |          FROM enc JOIN qd ON qd.pcell = enc.cell
+         |                          AND qd.m = enc.m AND qd.c = enc.code
+         |          WHERE enc.vec_id <> qd.q_id
+         |          GROUP BY 1, 2)
+         |SELECT q_id, c_id, rnk, ad AS approx_d2 FROM
+         |  (SELECT q_id, c_id, ad,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS rnk
+         |   FROM adist) t
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- brute-force cosine top-k (the correctness baseline) -----------
@@ -987,6 +1197,48 @@ object Vectors {
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("c_id"), col("rnk"), pr6(col("cos")).as("cosine"))
         .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // ---- radius (range) search ----------------------------------------
+    // FAISS range_search's shape: return EVERY neighbor within a
+    // radius, not a fixed k — the query dedup/near-match primitives
+    // actually want (\"all docs within d of this one\"), where top-k
+    // either truncates real matches or pads with noise. Under
+    // distance concentration a FIXED radius degenerates (catches
+    // nothing or everything — SCALE.md's embed_outliers measured
+    // p99/mean ≈ 1.21 on this corpus), so the radius is per-query
+    // and self-scaling: r² = 105% of the query's exact NN distance —
+    // \"everything within 5% of the nearest\" — computed in pure
+    // integers (micro-unit d2, ·105 div 100). One corpus scan,
+    // queries broadcast, the per-query min is an aggregate over the
+    // cached distance frame; result sets are output-sized. At 100 TB
+    // the distance stage rides the IVF probes unchanged.
+    sql("sim_range_search",
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
+        |           FROM embeddings),
+        |p AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |             CAST(list_sum(list_transform(range(1, 65),
+        |               j -> (q.qe[j] - c.qe[j]) * (q.qe[j] - c.qe[j]))) AS BIGINT) AS d2
+        |      FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT q_id, (min(d2) * 105) // 100 AS r2 FROM p GROUP BY 1)
+        |SELECT p.q_id, p.c_id, p.d2 FROM p JOIN r ON r.q_id = p.q_id
+        |WHERE p.d2 <= r.r2 ORDER BY p.q_id, p.d2, p.c_id""".stripMargin) { (s, d) =>
+      val e0 = microVecs(s, d)
+      def sqd(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0d), (acc, v) => acc + v).cast("bigint")
+      val q = e0.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("qe").as("qq"))
+      val dist = maybeCache(e0.select(col("vec_id").as("c_id"), col("qe").as("ce"))
+        .join(broadcast(q), col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"), sqd(col("qq"), col("ce")).as("d2")))
+      val r2 = dist.groupBy(col("q_id"))
+        .agg(expr("(min(d2) * 105) div 100").as("r2"))
+      dist.join(broadcast(r2), Seq("q_id"))
+        .filter(col("d2") <= col("r2"))
+        .select(col("q_id"), col("c_id"), col("d2"))
+        .orderBy(col("q_id"), col("d2"), col("c_id"))
     },
 
     // ---- ANN via random-hyperplane LSH buckets (the scale path) --------
@@ -1749,63 +2001,20 @@ object Vectors {
     // broadcast-sized (20·2·8·4 = 1,280 rows) — and the codebook
     // seeds are non-centroid vectors (a centroid's residual is the
     // zero vector, a degenerate codebook).
-    sql("sim_ivf_pq_residual", {
-      val seeds = pqResSeedIds.zipWithIndex
-        .map { case (sid, c) => s"($c, $sid)" }.mkString(", ")
-      val cids = ivfCentroidIds.mkString("(", ", ", ")")
-      s"""WITH e AS (SELECT vec_id,
-         |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
-         |           FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, qe AS ce FROM e WHERE vec_id IN $cids),
-         |dd AS (SELECT e.vec_id, c.cid,
-         |              row_number() OVER (PARTITION BY e.vec_id
-         |                ORDER BY ${D.dot("e.qe", "e.qe")}
-         |                         - 2 * ${D.dot("e.qe", "c.ce")}
-         |                         + ${D.dot("c.ce", "c.ce")}, c.cid) AS rn
-         |       FROM e, cent c),
-         |asg AS (SELECT vec_id, cid AS cell FROM dd WHERE rn = 1),
-         |resv AS (SELECT e.vec_id, a.cell,
-         |                list_transform(range(1, 65), j -> e.qe[j] - c.ce[j]) AS res
-         |         FROM e JOIN asg a ON a.vec_id = e.vec_id
-         |                JOIN cent c ON c.cid = a.cell),
-         |seeds(c, sid) AS (VALUES $seeds),
-         |cb AS (SELECT s.c, m.m, r.res[m.m * 8 + 1 : m.m * 8 + 8] AS cv
-         |       FROM seeds s JOIN resv r ON r.vec_id = s.sid, range(0, 8) m(m)),
-         |sub AS (SELECT vec_id, cell, m.m, res[m.m * 8 + 1 : m.m * 8 + 8] AS sv
-         |        FROM resv, range(0, 8) m(m)),
-         |dist AS (SELECT vec_id, cell, sub.m, cb.c,
-         |                list_sum(list_transform(range(1, 9),
-         |                  j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))) AS d2
-         |         FROM sub JOIN cb ON sub.m = cb.m),
-         |enc AS (SELECT vec_id, cell, m, c AS code FROM
-         |          (SELECT vec_id, cell, m, c,
-         |                  row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
-         |           FROM dist) t
-         |        WHERE rn = 1),
-         |probes AS (SELECT vec_id AS q_id, cid AS pcell FROM dd
-         |           WHERE rn <= 2 AND vec_id < 20),
-         |qres AS (SELECT p.q_id, p.pcell,
-         |                list_transform(range(1, 65), j -> e.qe[j] - c.ce[j]) AS res
-         |         FROM probes p JOIN e ON e.vec_id = p.q_id
-         |                JOIN cent c ON c.cid = p.pcell),
-         |qsub AS (SELECT q_id, pcell, m.m, res[m.m * 8 + 1 : m.m * 8 + 8] AS sv
-         |         FROM qres, range(0, 8) m(m)),
-         |qd AS (SELECT q_id, pcell, qsub.m, cb.c,
-         |              list_sum(list_transform(range(1, 9),
-         |                j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))) AS d2
-         |       FROM qsub JOIN cb ON qsub.m = cb.m),
-         |adist AS (SELECT qd.q_id, enc.vec_id AS c_id, sum(qd.d2)::BIGINT AS ad
-         |          FROM enc JOIN qd ON qd.pcell = enc.cell
-         |                          AND qd.m = enc.m AND qd.c = enc.code
-         |          WHERE enc.vec_id <> qd.q_id
-         |          GROUP BY 1, 2)
-         |SELECT q_id, c_id, rnk, ad AS approx_d2 FROM
-         |  (SELECT q_id, c_id, ad,
-         |          row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS rnk
-         |   FROM adist) t
-         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
-    }) { (s, d) =>
+    sql("sim_ivf_pq_residual", ivfPqResidualOracle) { (s, d) =>
       ivfPqTop3(ivfPqResidualAdist(s, d))
+    },
+
+    // ---- residual IVF x PQ served from the PERSISTED index -------------
+    // The by_residual=true stored-artifact serve: residual codes
+    // partition by cell exactly like flat codes (FAISS stores them
+    // identically), so the sim_ivf_pq_indexed pruning story carries
+    // over unchanged -- the nprobe cell plan becomes literal
+    // PartitionFilters on the lists scan, the stored residual
+    // codebook builds the per-cell query tables, and the result is
+    // hash-equal to the in-memory sim_ivf_pq_residual (same oracle).
+    sql("sim_ivf_pq_residual_indexed", ivfPqResidualOracle) { (s, d) =>
+      ivfPqResIndexedServe(s, d)
     },
 
     // ---- IVF × PQ with exact re-ranking (the full FAISS serve path) ----
@@ -1824,6 +2033,111 @@ object Vectors {
     sql("sim_ivf_pq_rerank", ivfPqRerankOracle) { (s, d) =>
       val (e0, adist) = ivfPqFlatParts(s, d)
       exactRerank(e0, adist)
+    },
+
+    // ---- MMR-diversified retrieval (Carbonell & Goldstein 1998) --------
+    // The serving-side diversity dial a training-data picker needs:
+    // nearest-neighbor top-k returns near-duplicates of one mode;
+    // maximal marginal relevance greedily picks candidates balancing
+    // query relevance against redundancy with what's already picked.
+    // λ = 1/2 makes the greedy argmax INTEGER-exact: maximizing
+    // λ·sim − (1−λ)·max-sim-to-picked over sim = −d2 (exact micro-unit
+    // squared L2) reduces to maximizing min_picked d2(c, picked) −
+    // d2(q, c) — pure BIGINT arithmetic, no float tie frontier, so
+    // both engines pick identical sets. Three picks unroll into three
+    // bounded rounds (the BPE/PageRank unrolled-iteration pattern).
+    // Scale shape: the candidate stage is the sim_topk top-8 window
+    // (broadcast queries, WindowGroupLimit caps the corpus stream
+    // map-side); every MMR round then works on ≤ 8·|Q| rows —
+    // query-sized, never corpus-sized. At 100 TB the shortlist would
+    // come from the IVFPQ serve instead (same downstream shape).
+    sql("sim_mmr",
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
+        |           FROM embeddings),
+        |cand AS (SELECT * FROM (
+        |    SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.qe AS ce,
+        |           CAST(list_sum(list_transform(range(1, 65),
+        |             j -> (q.qe[j] - c.qe[j]) * (q.qe[j] - c.qe[j]))) AS BIGINT) AS d2q,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_sum(list_transform(range(1, 65),
+        |               j -> (q.qe[j] - c.qe[j]) * (q.qe[j] - c.qe[j]))), c.vec_id) AS rn
+        |    FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id <> q.vec_id) t
+        |  WHERE rn <= 8),
+        |pd AS (SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id,
+        |              CAST(list_sum(list_transform(range(1, 65),
+        |                j -> (a.ce[j] - b.ce[j]) * (a.ce[j] - b.ce[j]))) AS BIGINT) AS d2ab
+        |       FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.c_id <> b.c_id),
+        |p1 AS (SELECT q_id, c_id, d2q FROM cand WHERE rn = 1),
+        |s2 AS (SELECT c.q_id, c.c_id, c.d2q, pd.d2ab - c.d2q AS score,
+        |              row_number() OVER (PARTITION BY c.q_id
+        |                ORDER BY pd.d2ab - c.d2q DESC, c.c_id) AS rn2
+        |       FROM cand c JOIN p1 ON p1.q_id = c.q_id AND p1.c_id <> c.c_id
+        |                   JOIN pd ON pd.q_id = c.q_id AND pd.a_id = c.c_id
+        |                          AND pd.b_id = p1.c_id),
+        |p2 AS (SELECT q_id, c_id, d2q FROM s2 WHERE rn2 = 1),
+        |s3 AS (SELECT c.q_id, c.c_id, c.d2q,
+        |              least(d1.d2ab, d2.d2ab) - c.d2q AS score,
+        |              row_number() OVER (PARTITION BY c.q_id
+        |                ORDER BY least(d1.d2ab, d2.d2ab) - c.d2q DESC, c.c_id) AS rn3
+        |       FROM cand c JOIN p1 ON p1.q_id = c.q_id AND p1.c_id <> c.c_id
+        |                   JOIN p2 ON p2.q_id = c.q_id AND p2.c_id <> c.c_id
+        |                   JOIN pd d1 ON d1.q_id = c.q_id AND d1.a_id = c.c_id
+        |                             AND d1.b_id = p1.c_id
+        |                   JOIN pd d2 ON d2.q_id = c.q_id AND d2.a_id = c.c_id
+        |                             AND d2.b_id = p2.c_id),
+        |p3 AS (SELECT q_id, c_id, d2q FROM s3 WHERE rn3 = 1)
+        |SELECT q_id, c_id, pick, d2q FROM (
+        |  SELECT q_id, c_id, 1::BIGINT AS pick, d2q FROM p1
+        |  UNION ALL SELECT q_id, c_id, 2, d2q FROM p2
+        |  UNION ALL SELECT q_id, c_id, 3, d2q FROM p3)
+        |ORDER BY q_id, pick""".stripMargin) { (s, d) =>
+      mmrPicks(microVecs(s, d))
+    },
+    // ---- hard-negative mining (contrastive training data) --------------
+    // For each anchor, the nearest candidates whose LABEL differs —
+    // the textbook hard-negative miner for contrastive/embedding
+    // training (nearest wrong-class examples carry the gradient).
+    // Exact micro-unit d2, label inequality inside the join condition
+    // (pushed below the window), anchors broadcast; the per-anchor
+    // top-3 is a WindowGroupLimit over the single corpus pass — the
+    // sim_topk scan shape. At 100 TB the candidate stage rides the
+    // IVF route (probe cells, then the label filter) unchanged.
+    sql("mine_hard_negatives",
+      """WITH e AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
+        |           FROM embeddings),
+        |p AS (SELECT a.vec_id AS a_id, a.label AS a_label,
+        |             c.vec_id AS neg_id, c.label AS neg_label,
+        |             CAST(list_sum(list_transform(range(1, 65),
+        |               j -> (a.qe[j] - c.qe[j]) * (a.qe[j] - c.qe[j]))) AS BIGINT) AS d2
+        |      FROM e a JOIN e c ON a.vec_id < 20 AND c.label <> a.label)
+        |SELECT a_id, a_label, neg_id, neg_label, rnk, d2 FROM
+        |  (SELECT a_id, a_label, neg_id, neg_label, d2,
+        |          row_number() OVER (PARTITION BY a_id ORDER BY d2, neg_id) AS rnk
+        |   FROM p) t
+        |WHERE rnk <= 3 ORDER BY a_id, rnk""".stripMargin) { (s, d) =>
+      val e0 = emb(s, d).select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
+      def sqd(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0d), (acc, v) => acc + v).cast("bigint")
+      val anchors = e0.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+          col("qe").as("aq"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a_id")).orderBy(col("d2"), col("neg_id"))
+      e0.select(col("vec_id").as("neg_id"), col("label").as("neg_label"),
+          col("qe").as("cq"))
+        .join(broadcast(anchors), col("neg_label") =!= col("a_label"))
+        .select(col("a_id"), col("a_label"), col("neg_id"), col("neg_label"),
+          sqd(col("aq"), col("cq")).as("d2"))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("a_id"), col("a_label"), col("neg_id"), col("neg_label"),
+          col("rnk"), col("d2"))
+        .orderBy(col("a_id"), col("rnk"))
     },
 
     // ---- semantic decontamination (embedding-space eval leakage) -------

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 class VectorOpsSpec extends SparkSpec {
@@ -465,6 +466,100 @@ class VectorOpsSpec extends SparkSpec {
           lit(0d), (acc, v) => acc + v).cast("bigint").as("true_d2"))
     assert(truth.filter(col("exact_d2") =!= col("true_d2")).count() == 0,
       "re-ranked exact_d2 diverged from the direct recompute")
+  }
+
+  test("sim_ivf_pq_residual_indexed: equals the in-memory residual chain, serve scan partition-prunes") {
+    val fromIndex = run("sim_ivf_pq_residual_indexed")
+    val inMemory = run("sim_ivf_pq_residual")
+    assert(fromIndex.exceptAll(inMemory).count() == 0 &&
+      inMemory.exceptAll(fromIndex).count() == 0,
+      "persisted residual-index serve diverged from the in-memory composition")
+    // residual codes partition by cell exactly like flat codes: the
+    // lists scan must carry the probed cells as PARTITION filters
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"expected a cell partition filter in:\n${plan.take(3000)}")
+    // single query → exactly its nprobe=2 cells in the IN list, out
+    // of the 8 directories the index holds on disk
+    val idx = graft.ops.Vectors.stagedIvfPqResIndex(spark, sfDir)
+    val one = graft.ops.Vectors.ivfPqResIndexedServe(spark, sfDir, qBound = 1L)
+    assert(one.count() > 0)
+    val onePlan = one.queryExecution.executedPlan.toString
+    val cellsInFilter = "cell#\\d+ IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(onePlan).map(_.group(1).split(",").length)
+    assert(cellsInFilter.contains(2),
+      s"single-query residual serve should probe exactly 2 cells; plan:\n${onePlan.take(3000)}")
+    val totalCells = new java.io.File(s"$idx/lists").listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(totalCells == 8, s"residual index should hold 8 cell directories, found $totalCells")
+  }
+
+  test("sim_range_search: self-scaling radius — NN always in, every hit within 105% of it") {
+    val out = run("sim_range_search").cache()
+    // every query emits at least its exact nearest neighbor
+    assert(out.select("q_id").distinct().count() == 20)
+    // recompute the full exact distance frame independently, derive
+    // each query's true-NN radius, and pin the result to EXACT set
+    // equality: everything inside the radius, nothing outside it
+    val e0 = graft.ops.Vectors.microVecs(spark, sfDir)
+    def sqd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0d), (acc, v) => acc + v).cast("bigint")
+    val q = e0.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("qe").as("qq"))
+    val full = e0.select(col("vec_id").as("c_id"), col("qe").as("ce"))
+      .join(broadcast(q), col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"), sqd(col("qq"), col("ce")).as("d2"))
+      .cache()
+    val r2 = full.groupBy("q_id").agg(expr("(min(d2) * 105) div 100").as("r2"))
+    val should = full.join(r2, Seq("q_id"))
+      .filter(col("d2") <= col("r2")).select("q_id", "c_id", "d2")
+    assert(should.exceptAll(out.select("q_id", "c_id", "d2")).count() == 0,
+      "a vector inside the radius is missing from the result")
+    assert(out.select("q_id", "c_id", "d2").exceptAll(should).count() == 0,
+      "the result contains a vector outside the radius")
+  }
+
+  test("sim_mmr: 3 distinct picks led by the exact NN; diversity demotes a planted near-dup") {
+    val out = run("sim_mmr").cache()
+    val perQ = out.groupBy("q_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("c_id")).as("nd"),
+        max(col("pick")).as("maxp"))
+    assert(perQ.filter(col("n") =!= 3 || col("nd") =!= 3 || col("maxp") =!= 3).count() == 0)
+    // pick 1 is pure relevance — the exact nearest neighbor, so its
+    // d2q is the minimum across the query's picked set
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+    assert(out.withColumn("mn", min(col("d2q")).over(w))
+      .filter(col("pick") === 1 && col("d2q") =!= col("mn")).count() == 0)
+    // planted corpus through the operator's REAL chain: c2 is a
+    // near-duplicate of the top hit c1 (d2=1 apart) and nearer to the
+    // query than the diverse c3 — plain NN order is (c1, c2, c3), MMR
+    // must demote the near-dup: (c1, c3, c2)
+    def vec(parts: (Int, Double)*): Seq[Double] =
+      Seq.tabulate(64)(i => parts.toMap.getOrElse(i, 0d))
+    val e0 = spark.createDataFrame(Seq(
+      (0L, vec()),
+      (100L, vec(0 -> 10d)),
+      (101L, vec(0 -> 11d)),
+      (102L, vec(1 -> 12d))
+    )).toDF("vec_id", "qe")
+    val picks = graft.ops.Vectors.mmrPicks(e0, qBound = 1L)
+      .orderBy("pick").select("c_id").collect().map(_.getLong(0)).toSeq
+    assert(picks == Seq(100L, 102L, 101L),
+      s"expected MMR order (100, 102, 101), got $picks")
+  }
+
+  test("mine_hard_negatives: 3 per anchor, labels always differ, d2 nondecreasing") {
+    val out = run("mine_hard_negatives").cache()
+    val perA = out.groupBy("a_id").agg(count(lit(1)).as("n"), max(col("rnk")).as("maxr"))
+    assert(perA.filter(col("n") =!= 3 || col("maxr") =!= 3).count() == 0)
+    assert(out.filter(col("neg_label") === col("a_label")).count() == 0,
+      "a mined negative shares its anchor's label")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id")).orderBy(col("rnk"))
+    assert(out.withColumn("prev", lag(col("d2"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > col("d2")).count() == 0,
+      "mined negatives not ordered by distance")
   }
 
   test("knn_graph_scaled: corpus-sized cells, per-node top-3, per-cell size tracks the target") {
