@@ -1026,18 +1026,117 @@ object Vectors {
   private[graft] def ivfPqResIndexedServe(s: SparkSession, d: String,
       qBound: Long = 20L, nprobe: Int = 2): DataFrame = {
     val idx = stagedIvfPqResIndex(s, d)
+    resIndexServe(s, d, s"$idx/lists", idx, qBound, nprobe)
+  }
+
+  /** The shared residual-serve tail: plan nprobe cells from the
+    * stored centroids under `quantDir`, prune the `listsPath` scan to
+    * those cells, rebuild the per-cell query tables from the stored
+    * codebook, ADC-aggregate, top-3. One implementation serving BOTH
+    * the batch-built index (`sim_ivf_pq_residual_indexed`) and the
+    * stream-maintained one (`stream_ivfpq_index`) — the lists'
+    * lineage (batch rewrite vs streaming appends) is the ONLY
+    * difference between those keys, so the serve must not fork.
+    */
+  private[graft] def resIndexServe(s: SparkSession, d: String,
+      listsPath: String, quantDir: String,
+      qBound: Long = 20L, nprobe: Int = 2): DataFrame = {
     val e0q = microVecs(s, d).filter(col("vec_id") < qBound)
-    val cent = s.read.parquet(s"$idx/centroids")
+    val cent = s.read.parquet(s"$quantDir/centroids")
     val probes = maybeCache(coarseRanked(e0q, cent, nprobe)
       .select(col("vec_id").as("q_id"), col("cid").as("pcell")))
     // the cell plan: AT MOST ncells integers collected, never corpus data
     val cells = probes.select(col("pcell").cast("int")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val lists = s.read.parquet(s"$idx/lists")
+    val lists = s.read.parquet(listsPath)
       .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
       .select(col("c_id"), col("m"), col("code"), col("cell").cast("bigint").as("cell"))
-    val cb = s.read.parquet(s"$idx/codebook")
+    val cb = s.read.parquet(s"$quantDir/codebook")
     ivfPqTop3(ivfPqCellAdist(lists, residualQueryTables(e0q, cent, probes, cb)))
+  }
+
+  /** Streaming maintenance of the persisted residual IVF×PQ index —
+    * the FAISS `add()` path as a Structured Streaming job. The
+    * quantizers (8 coarse centroids + the 32-row residual codebook)
+    * are trained ONCE by the batch build and FROZEN — the production
+    * reality for IVF indexes: re-training the quantizers re-keys every
+    * stored code, so arriving vectors are encoded with the shipped
+    * quantizers (exactly what FAISS workers hold in RAM). Here that
+    * means two metadata-sized collects at stream start, compiled into
+    * literal column expressions, so each micro-batch plans as
+    * Scan → Project(assign cell, residual-encode) → posexplode →
+    * FileSink — ZERO exchanges, no state store, no join: every
+    * arriving vector appends to its `cell=N/` directory and the index
+    * the serve path reads is current after each commit. Both distance
+    * folds are exact integer arithmetic in doubles (< 2^53), so the
+    * streamed codes are bit-equal to the batch [[residualEncode]] —
+    * the spec asserts list set-equality and the key's oracle is the
+    * same `ivfPqResidualOracle` as the in-memory and batch-indexed
+    * forms. Exactly-once across restarts via the checkpointed file
+    * sink (the stream_embed_index machinery).
+    */
+  private[graft] def streamIvfPqIngest(s: SparkSession, d: String,
+      srcDir: Option[String] = None, fixedPath: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): String = {
+    import org.apache.spark.sql.types._
+    val quantDir = stagedIvfPqResIndex(s, d)
+    // metadata-sized by construction: 8 × 64 longs + 32 × 8 longs
+    val cents: Seq[(Long, Seq[Long])] = s.read.parquet(s"$quantDir/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
+    val cbk: Map[Int, Seq[(Int, Seq[Long])]] = s.read.parquet(s"$quantDir/codebook")
+      .collect().map(r => (r.getInt(1), (r.getInt(0), r.getSeq[Long](2))))
+      .toSeq.groupBy(_._1).map { case (m, xs) => m -> xs.map(_._2).sortBy(_._1) }
+    def sqLit(v: Column, arr: Seq[Long]): Column =
+      aggregate(zip_with(v, array(arr.map(lit): _*), (x, y) => (x - y) * (x - y)),
+        lit(0d), (acc, x) => acc + x)
+    // own-cell assignment: argmin(d2, cid) over the 8 literal centroids
+    val cellCol = cents.map { case (cid, ce) =>
+      struct(sqLit(col("qe"), ce).as("d"), lit(cid).as("cid")) }
+      .reduceLeft(least(_, _)).getField("cid")
+    // residual from the assigned centroid (literal per-cell subtraction)
+    val resCol = cents.foldLeft(lit(null).cast("array<bigint>")) {
+      case (acc, (cid, ce)) =>
+        when(col("cell") === cid,
+          zip_with(col("qe"), array(ce.map(lit): _*), (x, y) => x - y))
+          .otherwise(acc)
+    }
+    // per-subspace code: argmin(d2, c) over that subspace's 4 codes
+    val codesCol = array((0 until 8).map { m =>
+      cbk(m).map { case (c, cv) =>
+        struct(sqLit(slice(col("res"), m * 8 + 1, 8), cv).as("d"), lit(c).as("c"))
+      }.reduceLeft(least(_, _)).getField("c")
+    }: _*)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val idx = fixedPath.getOrElse(
+      graft.ops.purgeOnExit(
+        s"${graft.ops.scratchRoot(s)}/ivfpq_stream_${ProcessHandle.current().pid()}") +
+        s"/${java.util.UUID.randomUUID.toString.replace("-", "")}")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val reader = ss.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val q = reader.parquet(srcDir.getOrElse(stageEmb(s, d)))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
+      .withColumn("cell", cellCol)
+      .withColumn("res", resCol)
+      .select(col("vec_id").as("c_id"), col("cell").cast("int").as("cell"),
+        posexplode(codesCol).as(Seq("m", "code")))
+      .writeStream
+      .format("parquet")
+      .option("path", idx)
+      .option("checkpointLocation", s"$idx-chk")
+      .partitionBy("cell")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    idx
   }
 
   /** sim_mmr's greedy chain over any micro-unit (vec_id, qe) frame —
@@ -2015,6 +2114,24 @@ object Vectors {
     // hash-equal to the in-memory sim_ivf_pq_residual (same oracle).
     sql("sim_ivf_pq_residual_indexed", ivfPqResidualOracle) { (s, d) =>
       ivfPqResIndexedServe(s, d)
+    },
+
+    // ---- streaming IVF x PQ index maintenance ---------------------------
+    // The FAISS add() path as a Structured Streaming job: quantizers
+    // trained once by the batch build and FROZEN (the production
+    // reality -- retraining re-keys every stored code), arriving
+    // vectors cell-assigned and residual-PQ-encoded map-side against
+    // the collected quantizer literals, appended to their cell=N/
+    // list partition by the checkpointed file sink. Each micro-batch
+    // is Scan -> Project -> posexplode -> FileSink: zero exchanges,
+    // no state store, exactly-once across restarts. The serve is the
+    // SAME resIndexServe as the batch index (partition-pruned cell
+    // reads), and the result is hash-equal to sim_ivf_pq_residual --
+    // in-memory, batch-persisted and stream-maintained are one
+    // contract with three lineages.
+    sql("stream_ivfpq_index", ivfPqResidualOracle) { (s, d) =>
+      val lists = streamIvfPqIngest(s, d)
+      resIndexServe(s, d, lists, stagedIvfPqResIndex(s, d))
     },
 
     // ---- IVF × PQ with exact re-ranking (the full FAISS serve path) ----

@@ -494,6 +494,48 @@ class VectorOpsSpec extends SparkSpec {
     assert(totalCells == 8, s"residual index should hold 8 cell directories, found $totalCells")
   }
 
+  test("stream_ivfpq_index: streamed appends equal the batch lists; 2-batch replay composes") {
+    // 1. the oracled key: streamed-index serve == the in-memory chain
+    val served = run("stream_ivfpq_index")
+    val inMemory = run("sim_ivf_pq_residual")
+    assert(served.exceptAll(inMemory).count() == 0 &&
+      inMemory.exceptAll(served).count() == 0,
+      "stream-maintained index serve diverged from the in-memory composition")
+    // 2. the streamed lists are BIT-EQUAL to the batch-built lists:
+    // the map-side literal-quantizer encode is the same integer
+    // arithmetic as residualEncode, so the rows must match as a set
+    val batchIdx = graft.ops.Vectors.stagedIvfPqResIndex(spark, sfDir)
+    val streamed = graft.ops.Vectors.streamIvfPqIngest(spark, sfDir)
+    val sl = spark.read.parquet(streamed)
+      .select(col("c_id"), col("cell").cast("int").as("cell"), col("m"), col("code"))
+    val bl = spark.read.parquet(s"$batchIdx/lists")
+      .select(col("c_id"), col("cell").cast("int").as("cell"), col("m"), col("code"))
+    assert(sl.exceptAll(bl).count() == 0 && bl.exceptAll(sl).count() == 0,
+      "streamed list rows diverged from the batch residualEncode")
+    // 3. incremental appends compose: the corpus split into two files,
+    // replayed one file per micro-batch through ONE checkpoint — the
+    // second batch appends to the first's cell directories and the
+    // final index is complete (nothing rebuilds, nothing is lost)
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq_two").toString
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // the file source lists FILES, not subdirs: stage each half's part
+    // file flat under src/ (the stageEmb move)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+    Seq(0, 1).foreach { h =>
+      e.filter(col("vec_id") % 2 === h).coalesce(1).write.parquet(s"$tmp/w$h")
+      val part = new java.io.File(s"$tmp/w$h").listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$tmp/src/half$h.parquet"))
+    }
+    val twoBatch = graft.ops.Vectors.streamIvfPqIngest(spark, sfDir,
+      srcDir = Some(s"$tmp/src"), fixedPath = Some(s"$tmp/idx"),
+      maxFilesPerTrigger = Some(1))
+    val tl = spark.read.parquet(twoBatch)
+      .select(col("c_id"), col("cell").cast("int").as("cell"), col("m"), col("code"))
+    assert(tl.exceptAll(bl).count() == 0 && bl.exceptAll(tl).count() == 0,
+      "two-micro-batch replay did not converge to the batch lists")
+  }
+
   test("sim_range_search: self-scaling radius — NN always in, every hit within 105% of it") {
     val out = run("sim_range_search").cache()
     // every query emits at least its exact nearest neighbor
