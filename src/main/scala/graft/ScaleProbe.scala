@@ -356,7 +356,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     // modes: all (default) | events | dedup | indexed | ann | state |
     // state-rocks | cc | ccdelta | ccchain | batchlog | bpe | decontam |
-    // span | pq | pqres | ivfidx | knn | phash | media | buckets |
+    // span | pq | pqres | ivfidx | ivfstream | knn | phash | media | buckets |
     // triangles | pagerank — first non-numeric arg selects; numeric
     // args keep their meaning
     val modes = args.filter(a => !a.forall(_.isDigit) && a.nonEmpty).toSet
@@ -704,6 +704,39 @@ object ScaleProbe {
           println(f"""{"shape":"ivfpq_indexed","factor":$factor,"rows":$n,"nprobe":$nprobe,"files_read_q1":$read1,"files_total":$total,"out_rows":$out,"secs":$secs%.2f}""")
           spark.catalog.clearCache()
         }
+      }
+    }
+
+    if (on("ivfstream")) {
+      // Streaming IVF×PQ ingest octave: the claim (PLANS.md) is that
+      // the per-micro-batch plan is Scan → Project → posexplode →
+      // FileSink with ZERO exchanges, so ingest cost is per-row flat —
+      // 64× the arrivals cost ~64× the wall clock on fixed cores,
+      // never worse (no shuffle, no state store to grow). The probe
+      // streams each scaled corpus through the REAL operator code
+      // (frozen quantizers from the batch build, untimed — trained
+      // once) in 4 micro-batches, and reports rows/s plus the on-disk
+      // append layout (files per cell directory grows with COMMITS,
+      // not rows — the compaction story BatchLog already measures).
+      val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      for (factor <- Seq(1, 8, 64).filter(_ <= maxFactor)) {
+        val dir = s"$tmpRoot/ivfstream_$factor"
+        scaledEmb(embBase, factor).repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+        graft.ops.Vectors.stagedIvfPqResIndex(spark, dir) // quantizers: once, untimed
+        val t0 = System.nanoTime()
+        val idx = graft.ops.Vectors.streamIvfPqIngest(spark, dir,
+          srcDir = Some(s"$dir/embeddings.parquet"),
+          maxFilesPerTrigger = Some(cpus.toInt / 4))
+        val secs = (System.nanoTime() - t0) / 1e9
+        val rows = spark.read.parquet(idx).count()
+        val cellDirs = new java.io.File(idx).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        val filesPerCell = cellDirs.map(
+          _.listFiles().count(_.getName.endsWith(".parquet")))
+        println(f"""{"shape":"ivfpq_stream","factor":$factor,"vectors":$n,"code_rows":$rows,"secs":$secs%.1f,"rows_per_sec":${(n / secs).toLong},"cells":${cellDirs.length},"files_per_cell_max":${filesPerCell.max}}""")
+        spark.catalog.clearCache()
       }
     }
 
