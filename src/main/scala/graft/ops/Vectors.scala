@@ -2257,6 +2257,81 @@ object Vectors {
         .orderBy(col("a_id"), col("rnk"))
     },
 
+    // ---- attribute-filtered ANN on the IVF route ------------------------
+    // Filtered vector search — the dial every production vector store
+    // ships: top-k nearest AMONG candidates satisfying a metadata
+    // predicate (here: label = (query's label + 1) mod 10, ~10%
+    // selectivity). The predicate rides INSIDE the probed-cell
+    // candidate join, below the top-k window (PRE-filtering): the
+    // top-3 are guaranteed to satisfy the filter. The tempting
+    // alternative — post-filtering an unfiltered top-k — silently
+    // under-returns whenever the true top-k contains non-matching
+    // vectors (the spec demonstrates this on the fixture). Scale
+    // shape: identical to sim_ivf's cell-keyed join with one more
+    // conjunct — the filter prunes candidates at the join, so a
+    // selective filter makes the scan CHEAPER, never wider; the
+    // production note is that a filter of selectivity s thins each
+    // probed cell to s·|cell|, so serving raises nprobe to keep k
+    // matches (we use the established nprobe=2).
+    sql("sim_ivf_filtered", {
+      val cids = ivfCentroidIds.mkString("(", ", ", ")")
+      s"""WITH e AS (SELECT vec_id, label,
+         |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
+         |           FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, qe AS ce FROM e WHERE vec_id IN $cids),
+         |dd AS (SELECT e.vec_id, c.cid,
+         |              row_number() OVER (PARTITION BY e.vec_id
+         |                ORDER BY ${D.dot("e.qe", "e.qe")}
+         |                         - 2 * ${D.dot("e.qe", "c.ce")}
+         |                         + ${D.dot("c.ce", "c.ce")}, c.cid) AS rn
+         |       FROM e, cent c),
+         |cand AS (SELECT e.vec_id AS c_id, e.label AS c_label, e.qe AS ce2, dd.cid AS cell
+         |         FROM e JOIN dd ON dd.vec_id = e.vec_id AND dd.rn = 1),
+         |probes AS (SELECT e.vec_id AS q_id, e.label AS q_label, e.qe AS qq, dd.cid AS pcell
+         |           FROM e JOIN dd ON dd.vec_id = e.vec_id AND dd.rn <= 2
+         |           WHERE e.vec_id < 20),
+         |p AS (SELECT q.q_id, c.c_id, c.c_label,
+         |             CAST(list_sum(list_transform(range(1, 65),
+         |               j -> (q.qq[j] - c.ce2[j]) * (q.qq[j] - c.ce2[j]))) AS BIGINT) AS d2
+         |      FROM probes q JOIN cand c
+         |        ON c.cell = q.pcell AND c.c_label = (q.q_label + 1) % 10
+         |           AND c.c_id <> q.q_id)
+         |SELECT q_id, c_id, c_label, rnk, d2 FROM
+         |  (SELECT q_id, c_id, c_label, d2,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rnk
+         |   FROM p) t
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+    }) { (s, d) =>
+      val e0 = emb(s, d).select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
+      def sqd(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0d), (acc, v) => acc + v).cast("bigint")
+      val ranked = maybeCache(coarseRanked(e0, ivfCent(e0)))
+      val cand = e0.join(ranked.filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid").as("cell")), Seq("vec_id"))
+        .select(col("vec_id").as("c_id"), col("label").as("c_label"),
+          col("qe").as("ce2"), col("cell"))
+      val probes = e0.filter(col("vec_id") < 20)
+        .join(ranked.filter(col("vec_id") < 20)
+          .select(col("vec_id"), col("cid").as("pcell")), Seq("vec_id"))
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("qe").as("qq"), col("pcell"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+      cand.join(broadcast(probes),
+          col("cell") === col("pcell")
+            && col("c_label") === (col("q_label") + 1) % 10
+            && col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"), col("c_label"),
+          sqd(col("qq"), col("ce2")).as("d2"))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("c_id"), col("c_label"), col("rnk"), col("d2"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
     // ---- semantic decontamination (embedding-space eval leakage) -------
     // The third decontamination modality: `decontaminate` catches
     // exact 5-gram leaks, `decontaminate_fuzzy` near-verbatim MinHash

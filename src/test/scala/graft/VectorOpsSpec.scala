@@ -604,6 +604,38 @@ class VectorOpsSpec extends SparkSpec {
       "mined negatives not ordered by distance")
   }
 
+  test("sim_ivf_filtered: every hit satisfies the predicate; post-filtering would under-return") {
+    val out = run("sim_ivf_filtered").cache()
+    // 1. the filter holds on every emitted row: label = (query's + 1) % 10
+    val lab = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    assert(out.join(lab, Seq("q_id"))
+      .filter(col("c_label") =!= (col("q_label") + 1) % 10).count() == 0,
+      "a result violates the attribute filter")
+    // 2. dense ranks from 1, d2 nondecreasing within a query
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rnk"))
+    val chk = out.withColumn("prnk", lag(col("rnk"), 1).over(w))
+      .withColumn("pd2", lag(col("d2"), 1).over(w))
+    assert(chk.filter(
+      (col("prnk").isNull && col("rnk") =!= 1) ||
+      (col("prnk").isNotNull && (col("rnk") =!= col("prnk") + 1 || col("d2") < col("pd2")))
+    ).count() == 0, "ranks not dense or d2 not sorted")
+    // 3. the production motivation, concrete: POST-filtering the
+    // unfiltered in-cell top-3 (take top-3 ignoring the predicate,
+    // then filter) returns strictly fewer matching rows than the
+    // pre-filtered operator — on this fixture the unfiltered top-3 is
+    // almost never all-matching, so a post-filter serve under-returns
+    val unfiltered = run("sim_ivf").select(col("q_id"), col("c_id"))
+    val post = unfiltered
+      .join(spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("c_id"), col("label").as("c_label")), Seq("c_id"))
+      .join(lab, Seq("q_id"))
+      .filter(col("c_label") === (col("q_label") + 1) % 10)
+    assert(post.count() < out.count(),
+      s"post-filter (${post.count()}) should under-return vs pre-filter (${out.count()})")
+  }
+
   test("knn_graph_scaled: corpus-sized cells, per-node top-3, per-cell size tracks the target") {
     val out = run("knn_graph_scaled").cache()
     // per-node edge structure identical to knn_graph's contract
