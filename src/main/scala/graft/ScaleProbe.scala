@@ -735,7 +735,22 @@ object ScaleProbe {
           .filter(f => f.isDirectory && f.getName.startsWith("cell="))
         val filesPerCell = cellDirs.map(
           _.listFiles().count(_.getName.endsWith(".parquet")))
-        println(f"""{"shape":"ivfpq_stream","factor":$factor,"vectors":$n,"code_rows":$rows,"secs":$secs%.1f,"rows_per_sec":${(n / secs).toLong},"cells":${cellDirs.length},"files_per_cell_max":${filesPerCell.max}}""")
+        // serve cost on the raw streamed layout vs the compacted one
+        // (one file per cell): same rows, fewer open/footer costs
+        val quant = graft.ops.Vectors.stagedIvfPqResIndex(spark, dir) // stamped: no rebuild
+        def warmServe(lists: String): Double = {
+          graft.ops.Vectors.resIndexServe(spark, dir, lists, quant).count()
+          val t0 = System.nanoTime()
+          graft.ops.Vectors.resIndexServe(spark, dir, lists, quant).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val sStream = warmServe(idx)
+        val comp = graft.ops.Vectors.compactStreamedLists(spark, idx)
+        val sComp = warmServe(s"$comp/lists")
+        val cFiles = new java.io.File(s"$comp/lists").listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+          .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+        println(f"""{"shape":"ivfpq_stream","factor":$factor,"vectors":$n,"code_rows":$rows,"secs":$secs%.1f,"rows_per_sec":${(n / secs).toLong},"cells":${cellDirs.length},"files_per_cell_max":${filesPerCell.max},"serve_streamed_s":$sStream%.2f,"serve_compacted_s":$sComp%.2f,"compacted_files":$cFiles}""")
         spark.catalog.clearCache()
       }
     }

@@ -1139,6 +1139,35 @@ object Vectors {
     idx
   }
 
+  /** Compact a stream-maintained index's lists to ONE file per cell —
+    * the consolidation answer SCALE.md's ivfstream table points at:
+    * file count in a streamed index grows with commit history
+    * (commits × writing tasks per cell), not data, so a long-running
+    * ingest accumulates small files that tax every serve-time scan.
+    * Reads the sink's exactly-once view (the `_spark_metadata` log —
+    * uncommitted files are invisible, so compaction can run while the
+    * stream is live), rewrites `repartition(cells, cell)` +
+    * `partitionBy(cell)` (each cell lands wholly in one task → one
+    * file), and publishes through the stamped atomic-move machinery
+    * keyed by the LAST COMMITTED BATCH ID — re-compaction is a no-op
+    * until new commits land, and readers switch directories atomically
+    * (the BatchLog generation-consolidation story, applied to the
+    * vector index). Returns the artifact dir; lists under `/lists`.
+    */
+  private[graft] def compactStreamedLists(s: SparkSession, streamIdx: String): String = {
+    val meta = new java.io.File(s"$streamIdx/_spark_metadata")
+    val lastBatch = Option(meta.listFiles()).toSeq.flatten
+      .map(_.getName.takeWhile(_.isDigit)).filter(_.nonEmpty).map(_.toLong)
+      .reduceOption(_ max _).getOrElse(-1L)
+    val key = streamIdx.replaceAll("[^A-Za-z0-9.]", "_")
+    graft.ops.stagedArtifact(s, s"ivfpq_compact_$key", s"batch:$lastBatch") { stage =>
+      val lists = s.read.parquet(streamIdx)
+      val nc = lists.select(col("cell")).distinct().count().toInt
+      lists.repartition(nc, col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
+    }
+  }
+
   /** sim_mmr's greedy chain over any micro-unit (vec_id, qe) frame —
     * exact top-8 shortlist per query (vec_id < `qBound`), then three
     * unrolled λ=1/2 MMR rounds, every comparison pure BIGINT

@@ -534,6 +534,28 @@ class VectorOpsSpec extends SparkSpec {
       .select(col("c_id"), col("cell").cast("int").as("cell"), col("m"), col("code"))
     assert(tl.exceptAll(bl).count() == 0 && bl.exceptAll(tl).count() == 0,
       "two-micro-batch replay did not converge to the batch lists")
+    // 4. compaction: one file per cell, rows byte-identical, serve
+    // unchanged, and re-compaction a no-op until new commits land
+    val comp = graft.ops.Vectors.compactStreamedLists(spark, twoBatch)
+    val cl = spark.read.parquet(s"$comp/lists")
+      .select(col("c_id"), col("cell").cast("int").as("cell"), col("m"), col("code"))
+    assert(cl.exceptAll(tl).count() == 0 && tl.exceptAll(cl).count() == 0,
+      "compaction changed the list rows")
+    val cellDirs = new java.io.File(s"$comp/lists").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+      "compacted index should hold exactly one file per cell")
+    val servedCompact = graft.ops.Vectors.resIndexServe(spark, sfDir,
+      s"$comp/lists", batchIdx)
+    assert(servedCompact.exceptAll(inMemory).count() == 0 &&
+      inMemory.exceptAll(servedCompact).count() == 0,
+      "serve from the compacted lists diverged")
+    val marker = java.nio.file.Paths.get(s"$comp/_built")
+    val t0 = java.nio.file.Files.getLastModifiedTime(marker)
+    assert(graft.ops.Vectors.compactStreamedLists(spark, twoBatch) == comp)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == t0,
+      "re-compaction rebuilt despite no new commits")
   }
 
   test("sim_range_search: self-scaling radius — NN always in, every hit within 105% of it") {
