@@ -728,7 +728,7 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         val idx = graft.ops.Vectors.streamIvfPqIngest(spark, dir,
           srcDir = Some(s"$dir/embeddings.parquet"),
-          maxFilesPerTrigger = Some(cpus.toInt / 4))
+          maxFilesPerTrigger = Some(math.max(1, cpus.toInt / 4)))
         val secs = (System.nanoTime() - t0) / 1e9
         val rows = spark.read.parquet(idx).count()
         val cellDirs = new java.io.File(idx).listFiles()

@@ -106,10 +106,13 @@ object Vectors {
   /** Squared euclidean distance between two micro-unit-quantized
     * vectors as a sequential left-to-right double fold — integer-valued
     * and < 2⁵³, so it is EXACT, and the identical fold to the oracle's
-    * `list_sum(list_transform(...))`. Shared by dedup_semantic and
-    * embed_outliers so the two keys cannot drift.
+    * `list_sum(list_transform(...))`. THE one squared-L2 fold: shared
+    * by dedup_semantic/embed_outliers and (via the local `sqd`
+    * bigint-cast aliases) sim_range_search, sim_mmr,
+    * mine_hard_negatives and sim_ivf_filtered, so the exact-fold
+    * invariant lives once.
     */
-  private def sqDist(a: Column, b: Column): Column =
+  private[graft] def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0d), (acc, v) => acc + v)
 
@@ -1162,7 +1165,10 @@ object Vectors {
     val key = streamIdx.replaceAll("[^A-Za-z0-9.]", "_")
     graft.ops.stagedArtifact(s, s"ivfpq_compact_$key", s"batch:$lastBatch") { stage =>
       val lists = s.read.parquet(streamIdx)
-      val nc = lists.select(col("cell")).distinct().count().toInt
+      // max(1, …): an index whose stream has committed nothing yet has
+      // zero cells — still publish a (empty) compacted artifact rather
+      // than crash, since the doc promises live-stream safety
+      val nc = math.max(1, lists.select(col("cell")).distinct().count().toInt)
       lists.repartition(nc, col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
     }
@@ -1176,9 +1182,7 @@ object Vectors {
     * the operator's real code and watch diversity beat plain NN order.
     */
   private[graft] def mmrPicks(e0: DataFrame, qBound: Long = 20L): DataFrame = {
-    def sqd(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0d), (acc, v) => acc + v).cast("bigint")
+    def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
     val q = e0.filter(col("vec_id") < qBound)
       .select(col("vec_id").as("q_id"), col("qe").as("qq"))
     val wCand = org.apache.spark.sql.expressions.Window
@@ -1353,9 +1357,7 @@ object Vectors {
         |SELECT p.q_id, p.c_id, p.d2 FROM p JOIN r ON r.q_id = p.q_id
         |WHERE p.d2 <= r.r2 ORDER BY p.q_id, p.d2, p.c_id""".stripMargin) { (s, d) =>
       val e0 = microVecs(s, d)
-      def sqd(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0d), (acc, v) => acc + v).cast("bigint")
+      def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
       val q = e0.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("qe").as("qq"))
       val dist = maybeCache(e0.select(col("vec_id").as("c_id"), col("qe").as("ce"))
@@ -2266,9 +2268,7 @@ object Vectors {
       val e0 = emb(s, d).select(col("vec_id"), col("label"),
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
-      def sqd(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0d), (acc, v) => acc + v).cast("bigint")
+      def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
       val anchors = e0.filter(col("vec_id") < 20)
         .select(col("vec_id").as("a_id"), col("label").as("a_label"),
           col("qe").as("aq"))
@@ -2334,9 +2334,7 @@ object Vectors {
       val e0 = emb(s, d).select(col("vec_id"), col("label"),
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
-      def sqd(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0d), (acc, v) => acc + v).cast("bigint")
+      def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
       val ranked = maybeCache(coarseRanked(e0, ivfCent(e0)))
       val cand = e0.join(ranked.filter(col("rn") === 1)
           .select(col("vec_id"), col("cid").as("cell")), Seq("vec_id"))

@@ -177,13 +177,21 @@ package object ops {
     * — for pid-scoped staging directories that would otherwise
     * accumulate one copy per run.
     */
+  private val purgeRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def purgeOnExit(path: String): String = {
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
+    // one hook per path: repeated calls from per-run operators (the
+    // streaming index builds register their pid-scoped root on every
+    // invocation) must not stack duplicate shutdown hooks
+    if (purgeRegistered.add(path)) {
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(path))
       }
-      rm(new java.io.File(path))
     }
     path
   }

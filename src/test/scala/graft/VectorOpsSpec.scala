@@ -516,7 +516,8 @@ class VectorOpsSpec extends SparkSpec {
     // replayed one file per micro-batch through ONE checkpoint — the
     // second batch appends to the first's cell directories and the
     // final index is complete (nothing rebuilds, nothing is lost)
-    val tmp = java.nio.file.Files.createTempDirectory("ivfpq_two").toString
+    val tmp = graft.ops.purgeOnExit(
+      java.nio.file.Files.createTempDirectory("ivfpq_two").toString)
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // the file source lists FILES, not subdirs: stage each half's part
     // file flat under src/ (the stageEmb move)
