@@ -1043,7 +1043,8 @@ object Vectors {
     */
   private[graft] def resIndexServe(s: SparkSession, d: String,
       listsPath: String, quantDir: String,
-      qBound: Long = 20L, nprobe: Int = 2): DataFrame = {
+      qBound: Long = 20L, nprobe: Int = 2,
+      tombstones: Option[DataFrame] = None): DataFrame = {
     val e0q = microVecs(s, d).filter(col("vec_id") < qBound)
     val cent = s.read.parquet(s"$quantDir/centroids")
     val probes = maybeCache(coarseRanked(e0q, cent, nprobe)
@@ -1051,9 +1052,15 @@ object Vectors {
     // the cell plan: AT MOST ncells integers collected, never corpus data
     val cells = probes.select(col("pcell").cast("int")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val lists = s.read.parquet(listsPath)
+    val lists0 = s.read.parquet(listsPath)
       .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
       .select(col("c_id"), col("m"), col("code"), col("cell").cast("bigint").as("cell"))
+    // logical deletes: the tombstone anti-join sits BELOW the ADC
+    // aggregate, so a deleted vector can never reach a shortlist (a
+    // post-top-k filter would silently under-return instead) — the
+    // tombstone side is delete-set-sized and broadcast
+    val lists = tombstones.fold(lists0)(t =>
+      lists0.join(broadcast(t.select(col("c_id"))), Seq("c_id"), "left_anti"))
     val cb = s.read.parquet(s"$quantDir/codebook")
     ivfPqTop3(ivfPqCellAdist(lists, residualQueryTables(e0q, cent, probes, cb)))
   }
@@ -1157,14 +1164,29 @@ object Vectors {
     * (the BatchLog generation-consolidation story, applied to the
     * vector index). Returns the artifact dir; lists under `/lists`.
     */
-  private[graft] def compactStreamedLists(s: SparkSession, streamIdx: String): String = {
+  private[graft] def compactStreamedLists(s: SparkSession, streamIdx: String,
+      tombstones: Option[DataFrame] = None): String = {
     val meta = new java.io.File(s"$streamIdx/_spark_metadata")
     val lastBatch = Option(meta.listFiles()).toSeq.flatten
       .map(_.getName.takeWhile(_.isDigit)).filter(_.nonEmpty).map(_.toLong)
       .reduceOption(_ max _).getOrElse(-1L)
+    // physical deletion happens HERE: tombstoned rows are dropped from
+    // the rewrite, reclaiming storage and serve-scan cost. The artifact
+    // stamp is content-addressed over the delete set (the BatchLog
+    // move), so compacting with a GROWN delete set rebuilds while a
+    // repeat call with the same set no-ops. Delete sets are tiny
+    // relative to the corpus (revocations, not data), so the digest
+    // collect is metadata-sized.
+    val tsStamp = tombstones.fold("") { t =>
+      ":" + t.agg(md5(concat_ws(",",
+        sort_array(collect_list(col("c_id").cast("string"))))))
+        .collect()(0).getString(0)
+    }
     val key = streamIdx.replaceAll("[^A-Za-z0-9.]", "_")
-    graft.ops.stagedArtifact(s, s"ivfpq_compact_$key", s"batch:$lastBatch") { stage =>
-      val lists = s.read.parquet(streamIdx)
+    graft.ops.stagedArtifact(s, s"ivfpq_compact_$key", s"batch:$lastBatch$tsStamp") { stage =>
+      val base = s.read.parquet(streamIdx)
+      val lists = tombstones.fold(base)(t =>
+        base.join(broadcast(t.select(col("c_id"))), Seq("c_id"), "left_anti"))
       // max(1, …): an index whose stream has committed nothing yet has
       // zero cells — still publish a (empty) compacted artifact rather
       // than crash, since the doc promises live-stream safety
@@ -1238,11 +1260,14 @@ object Vectors {
       .orderBy(col("q_id"), col("pick"))
   }
 
-  /** The by_residual=true oracle — shared verbatim by `sim_ivf_pq_residual`
-    * and `sim_ivf_pq_residual_indexed` (the persisted serve must be
-    * hash-equal to the in-memory composition).
+  /** The by_residual=true oracle — shared verbatim by
+    * `sim_ivf_pq_residual`, `sim_ivf_pq_residual_indexed` and
+    * `stream_ivfpq_index` (persisted and stream-maintained serves must
+    * be hash-equal to the in-memory composition). `extraAdistPred`
+    * injects an additional candidate predicate into the adist CTE —
+    * `sim_ivf_pq_deletes` uses it to mirror the tombstone anti-join.
     */
-  private def ivfPqResidualOracle: String = {
+  private def ivfPqResidualOracle(extraAdistPred: String = ""): String = {
       val seeds = pqResSeedIds.zipWithIndex
         .map { case (sid, c) => s"($c, $sid)" }.mkString(", ")
       val cids = ivfCentroidIds.mkString("(", ", ", ")")
@@ -1290,7 +1315,7 @@ object Vectors {
          |adist AS (SELECT qd.q_id, enc.vec_id AS c_id, sum(qd.d2)::BIGINT AS ad
          |          FROM enc JOIN qd ON qd.pcell = enc.cell
          |                          AND qd.m = enc.m AND qd.c = enc.code
-         |          WHERE enc.vec_id <> qd.q_id
+         |          WHERE enc.vec_id <> qd.q_id$extraAdistPred
          |          GROUP BY 1, 2)
          |SELECT q_id, c_id, rnk, ad AS approx_d2 FROM
          |  (SELECT q_id, c_id, ad,
@@ -2131,7 +2156,7 @@ object Vectors {
     // broadcast-sized (20·2·8·4 = 1,280 rows) — and the codebook
     // seeds are non-centroid vectors (a centroid's residual is the
     // zero vector, a degenerate codebook).
-    sql("sim_ivf_pq_residual", ivfPqResidualOracle) { (s, d) =>
+    sql("sim_ivf_pq_residual", ivfPqResidualOracle()) { (s, d) =>
       ivfPqTop3(ivfPqResidualAdist(s, d))
     },
 
@@ -2143,7 +2168,7 @@ object Vectors {
     // PartitionFilters on the lists scan, the stored residual
     // codebook builds the per-cell query tables, and the result is
     // hash-equal to the in-memory sim_ivf_pq_residual (same oracle).
-    sql("sim_ivf_pq_residual_indexed", ivfPqResidualOracle) { (s, d) =>
+    sql("sim_ivf_pq_residual_indexed", ivfPqResidualOracle()) { (s, d) =>
       ivfPqResIndexedServe(s, d)
     },
 
@@ -2160,9 +2185,32 @@ object Vectors {
     // reads), and the result is hash-equal to sim_ivf_pq_residual --
     // in-memory, batch-persisted and stream-maintained are one
     // contract with three lineages.
-    sql("stream_ivfpq_index", ivfPqResidualOracle) { (s, d) =>
+    sql("stream_ivfpq_index", ivfPqResidualOracle()) { (s, d) =>
       val lists = streamIvfPqIngest(s, d)
       resIndexServe(s, d, lists, stagedIvfPqResIndex(s, d))
+    },
+
+    // ---- deletion from the served index (tombstones) --------------------
+    // The data-governance dial a 100 TB training pipeline cannot skip:
+    // when a document's consent is revoked, every derived artifact —
+    // including the ANN index — must stop surfacing it. Deletes land
+    // as a TOMBSTONE set (here: vec_id % 17 = 3, ~6% — including
+    // vec_id 3, which is also a coarse centroid: the quantizer
+    // survives its own training vector's deletion, data and quantizer
+    // metadata being separate lifecycles, exactly as in FAISS
+    // remove_ids). The anti-join sits BELOW the ADC aggregate, so a
+    // deleted vector can never reach a shortlist — post-filtering the
+    // top-k would silently under-return instead. Serving cost is
+    // O(|deletes|) extra (broadcast anti-join); the physical reclaim
+    // happens at compaction (compactStreamedLists with the tombstone
+    // set, content-stamped so a grown delete set rebuilds and a
+    // repeat no-ops) — spec-asserted equal to this logical serve.
+    sql("sim_ivf_pq_deletes", ivfPqResidualOracle(
+        extraAdistPred = " AND enc.vec_id % 17 <> 3")) { (s, d) =>
+      val ts = microVecs(s, d).filter(col("vec_id") % 17 === 3)
+        .select(col("vec_id").as("c_id"))
+      val idx = stagedIvfPqResIndex(s, d)
+      resIndexServe(s, d, s"$idx/lists", idx, tombstones = Some(ts))
     },
 
     // ---- IVF × PQ with exact re-ranking (the full FAISS serve path) ----

@@ -559,6 +559,36 @@ class VectorOpsSpec extends SparkSpec {
       "re-compaction rebuilt despite no new commits")
   }
 
+  test("sim_ivf_pq_deletes: tombstoned ids never surface; compaction deletes them physically") {
+    val out = run("sim_ivf_pq_deletes").cache()
+    // 1. no tombstoned id in any shortlist; every query still gets 3
+    assert(out.filter(col("c_id") % 17 === 3).count() == 0,
+      "a deleted vector surfaced in the results")
+    assert(out.groupBy("q_id").count().filter(col("count") =!= 3).count() == 0)
+    // 2. vs the undeleted serve: queries whose undeleted top-3 held a
+    // tombstoned id got a REPLACEMENT (the anti-join is below the
+    // top-k — post-filtering would have returned < 3 for them)
+    val undeleted = run("sim_ivf_pq_residual_indexed")
+    assert(undeleted.filter(col("c_id") % 17 === 3).count() > 0,
+      "fixture regression: no tombstoned id in any undeleted top-3 — " +
+        "the key would not be exercising replacement")
+    // 3. physical deletion at compaction: compact the STREAMED index
+    // with the tombstone set, serve WITHOUT any anti-join, get the
+    // same answer; the compacted lists hold no tombstoned rows
+    val ts = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") % 17 === 3).select(col("vec_id").as("c_id"))
+    val streamed = graft.ops.Vectors.streamIvfPqIngest(spark, sfDir)
+    val comp = graft.ops.Vectors.compactStreamedLists(spark, streamed, Some(ts))
+    assert(spark.read.parquet(s"$comp/lists")
+      .filter(col("c_id") % 17 === 3).count() == 0,
+      "compaction left tombstoned rows in the lists")
+    val servedPhysical = graft.ops.Vectors.resIndexServe(spark, sfDir,
+      s"$comp/lists", graft.ops.Vectors.stagedIvfPqResIndex(spark, sfDir))
+    assert(servedPhysical.exceptAll(out).count() == 0 &&
+      out.exceptAll(servedPhysical).count() == 0,
+      "physical-delete serve diverged from the logical tombstone serve")
+  }
+
   test("sim_range_search: self-scaling radius — NN always in, every hit within 105% of it") {
     val out = run("sim_range_search").cache()
     // every query emits at least its exact nearest neighbor
