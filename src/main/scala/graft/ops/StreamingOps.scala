@@ -121,13 +121,19 @@ object StreamingOps {
     // default multipleWatermarkPolicy=min the global watermark is
     // least(max signup ts, max purchase ts) − 1h — NOT max(ts) over
     // all events, whose global max can be a view/click that advances
-    // neither leg. Younger signups are PENDING, not absent — the
-    // hash-match pins the emission frontier along with the join
-    // semantics
+    // neither leg. An EMPTY leg coalesces to the epoch: its stream
+    // watermark never advances past 1970, the min-policy global
+    // watermark stays there, and NOTHING emits — the oracle mirrors
+    // that exactly (DuckDB least() would otherwise skip the NULL max
+    // and emit every expired signup, diverging from the stream).
+    // Younger signups are PENDING, not absent — the hash-match pins
+    // the emission frontier along with the join semantics
     sql("stream_funnel_dropoff",
       """WITH wm AS (SELECT least(
-        |              (SELECT max(ts) FROM events WHERE event_type = 'signup'),
-        |              (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |              coalesce((SELECT max(ts) FROM events WHERE event_type = 'signup'),
+        |                       TIMESTAMP '1970-01-01'),
+        |              coalesce((SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+        |                       TIMESTAMP '1970-01-01'))
         |            - INTERVAL 1 HOUR AS w)
         |SELECT s.event_id AS signup_event, s.user_id AS user_id
         |FROM events s, wm

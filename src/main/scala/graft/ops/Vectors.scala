@@ -303,7 +303,15 @@ object Vectors {
     * from.
     */
   private[graft] def microVecs(s: SparkSession, d: String): DataFrame =
-    emb(s, d).select(col("vec_id"),
+    microVecsL(s, d).drop("label")
+
+  /** [[microVecs]] with the label column riding along — the SAME
+    * quantization expression (the invariant lives here once), for the
+    * keys whose predicate needs the attribute (mine_hard_negatives,
+    * sim_ivf_filtered).
+    */
+  private[graft] def microVecsL(s: SparkSession, d: String): DataFrame =
+    emb(s, d).select(col("vec_id"), col("label"),
       transform(col("embedding"),
         x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
 
@@ -320,9 +328,7 @@ object Vectors {
       .select(col("c"), col("m"), slice(col("qe"), col("m") * 8 + 1, lit(8)).as("ce"))
     val sub = e0.select(col("vec_id"), ms, col("qe"))
       .select(col("vec_id"), col("m"), slice(col("qe"), col("m") * 8 + 1, lit(8)).as("sv"))
-    def sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0d), (acc, v) => acc + v)
+    def sq(a: Column, b: Column): Column = sqDist(a, b)
     // one distance computation feeds BOTH the encoder and the query
     // tables — at scale `dist` restricted to vec_id < 20 is the
     // broadcast-sized query side, while the full stream is the
@@ -609,10 +615,6 @@ object Vectors {
        |  WHERE rnk <= 3)""".stripMargin
   }
 
-  /** Shared DuckDB oracle for `sim_ivf_pq` AND `sim_ivf_pq_indexed` —
-    * the persisted-index serve must be hash-equal to the in-memory
-    * composition, so both keys pin against one SQL.
-    */
   /** The CTE chain shared by `sim_ivf_pq`'s and `sim_ivf_pq_rerank`'s
     * oracles — everything through the probe-filtered ADC aggregate
     * `adist` (and the exact-vector frame `e` the re-rank tail joins
@@ -659,6 +661,10 @@ object Vectors {
        |          GROUP BY 1, 2)""".stripMargin
   }
 
+  /** Shared DuckDB oracle for `sim_ivf_pq` AND `sim_ivf_pq_indexed` —
+    * the persisted-index serve must be hash-equal to the in-memory
+    * composition, so both keys pin against one SQL.
+    */
   private def ivfPqOracle: String =
     s"""WITH $ivfPqAdistCtes
        |SELECT q_id, c_id, rnk, ad AS approx_d2 FROM
@@ -791,10 +797,6 @@ object Vectors {
     ivfPqCellAdist(enc, residualQueryTables(e0, cent, probes, cb))
   }
 
-  private def resSq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0d), (acc, v) => acc + v)
-
   /** Residual PQ encode over own-cell assignments (FAISS
     * by_residual=true build): integer residuals from each vector's
     * cell centroid, the 4-seed sub-codebook learned FROM residuals
@@ -826,7 +828,7 @@ object Vectors {
       .partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("c"))
     val enc = sub.join(broadcast(cb), Seq("m"))
       .select(col("vec_id"), col("cell"), col("m"), col("c"),
-        resSq(col("sv"), col("cv")).as("d2"))
+        sqDist(col("sv"), col("cv")).as("d2"))
       .withColumn("rn", row_number().over(wEnc))
       .filter(col("rn") === 1)
       .select(col("vec_id").as("c_id"), col("cell"), col("m"), col("c").as("code"))
@@ -853,7 +855,7 @@ object Vectors {
         slice(col("res"), col("m") * 8 + 1, lit(8)).as("sv"))
       .join(broadcast(cb.withColumnRenamed("m", "cbm")), col("qm") === col("cbm"))
       .select(col("q_id"), col("pcell"), col("qm"), col("c"),
-        resSq(col("sv"), col("cv")).as("d2"))
+        sqDist(col("sv"), col("cv")).as("d2"))
   }
 
   /** The per-cell ADC aggregate for residual serving: `qd` already
@@ -878,9 +880,7 @@ object Vectors {
     * fetch — the floats stay cold.
     */
   private[graft] def exactRerank(e0: DataFrame, adist: DataFrame): DataFrame = {
-    def sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0d), (acc, v) => acc + v)
+    def sq(a: Column, b: Column): Column = sqDist(a, b)
     val wSl = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("ad"), col("c_id"))
     val sl = adist.withColumn("srn", row_number().over(wSl))
@@ -974,9 +974,7 @@ object Vectors {
     val sub = e0q.select(col("vec_id"), ms, col("qe"))
       .select(col("vec_id"), col("m"),
         slice(col("qe"), col("m") * 8 + 1, lit(8)).as("sv"))
-    def sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0d), (acc, v) => acc + v)
+    def sq(a: Column, b: Column): Column = sqDist(a, b)
     val qd = sub.join(broadcast(s.read.parquet(s"$idx/codebook")), Seq("m"))
       .select(col("vec_id").as("q_id"), col("m").as("qm"), col("c"),
         sq(col("sv"), col("ce")).as("d2"))
@@ -1183,16 +1181,26 @@ object Vectors {
         .collect()(0).getString(0)
     }
     val key = streamIdx.replaceAll("[^A-Za-z0-9.]", "_")
+    // live-stream safety for the degenerate window: an index whose
+    // stream has committed NO data yet (no cell= dirs on disk) cannot
+    // even be schema-inferred — publish an empty artifact instead of
+    // crashing; the next compaction (new batch stamp) picks up the data
+    val hasData = Option(new java.io.File(streamIdx).listFiles()).toSeq.flatten
+      .exists(f => f.isDirectory && f.getName.startsWith("cell="))
     graft.ops.stagedArtifact(s, s"ivfpq_compact_$key", s"batch:$lastBatch$tsStamp") { stage =>
-      val base = s.read.parquet(streamIdx)
-      val lists = tombstones.fold(base)(t =>
-        base.join(broadcast(t.select(col("c_id"))), Seq("c_id"), "left_anti"))
-      // max(1, …): an index whose stream has committed nothing yet has
-      // zero cells — still publish a (empty) compacted artifact rather
-      // than crash, since the doc promises live-stream safety
-      val nc = math.max(1, lists.select(col("cell")).distinct().count().toInt)
-      lists.repartition(nc, col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
+      if (!hasData) {
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$stage/lists"))
+      } else {
+        val base = s.read.parquet(streamIdx)
+        val lists = tombstones.fold(base)(t =>
+          base.join(broadcast(t.select(col("c_id"))), Seq("c_id"), "left_anti"))
+        // max(1, …): commits whose every row was tombstoned leave zero
+        // cells in the rewrite input — keep repartition legal
+        val nc = math.max(1, lists.select(col("cell")).distinct().count().toInt)
+        lists.repartition(nc, col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
+      }
     }
   }
 
@@ -2313,9 +2321,7 @@ object Vectors {
         |          row_number() OVER (PARTITION BY a_id ORDER BY d2, neg_id) AS rnk
         |   FROM p) t
         |WHERE rnk <= 3 ORDER BY a_id, rnk""".stripMargin) { (s, d) =>
-      val e0 = emb(s, d).select(col("vec_id"), col("label"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
+      val e0 = microVecsL(s, d)
       def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
       val anchors = e0.filter(col("vec_id") < 20)
         .select(col("vec_id").as("a_id"), col("label").as("a_label"),
@@ -2379,9 +2385,7 @@ object Vectors {
          |   FROM p) t
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
     }) { (s, d) =>
-      val e0 = emb(s, d).select(col("vec_id"), col("label"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
+      val e0 = microVecsL(s, d)
       def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
       val ranked = maybeCache(coarseRanked(e0, ivfCent(e0)))
       val cand = e0.join(ranked.filter(col("rn") === 1)
