@@ -356,7 +356,8 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     // modes: all (default) | events | dedup | indexed | ann | state |
     // state-rocks | cc | ccdelta | ccchain | batchlog | bpe | decontam |
-    // span | pq | pqres | ivfidx | ivfstream | knn | phash | media | buckets |
+    // span | pq | pqres | ivfidx | ivfstream | ivffilter | knn | phash |
+    // media | buckets |
     // triangles | pagerank — first non-numeric arg selects; numeric
     // args keep their meaning
     val modes = args.filter(a => !a.forall(_.isDigit) && a.nonEmpty).toSet
@@ -752,6 +753,37 @@ object ScaleProbe {
           .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
         println(f"""{"shape":"ivfpq_stream","factor":$factor,"vectors":$n,"code_rows":$rows,"secs":$secs%.1f,"rows_per_sec":${(n / secs).toLong},"cells":${cellDirs.length},"files_per_cell_max":${filesPerCell.max},"serve_streamed_s":$sStream%.2f,"serve_compacted_s":$sComp%.2f,"compacted_files":$cFiles}""")
         spark.catalog.clearCache()
+      }
+    }
+
+    if (on("ivffilter")) {
+      // Filtered-ANN serving dial: a filter of selectivity s thins
+      // each probed cell to s·|cell|, so the fraction of queries that
+      // still get their full k grows with nprobe and shrinks with
+      // 1/s. The probe runs the OPERATOR'S chain (filteredTop3) on
+      // the 64×-scaled corpus with synthesized labels
+      // label = vec_id mod M (selectivity 1/M) and reports, per
+      // (M, nprobe), how many of the 20 queries got all 3 matches and
+      // the mean returned count — the table that tells a serving
+      // deployment how to set nprobe for a given filter.
+      val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      val factor = math.min(64, maxFactor)
+      val e0 = scaledEmb(embBase, factor).repartition(cpus.toInt)
+        .select(col("vec_id"), pmod(col("vec_id"), lit(10000)).as("label"),
+          expr("transform(embedding, x -> floor(cast(x AS DOUBLE) * 1000000d + 0.5d))").as("qe"))
+        .cache()
+      val n = e0.count()
+      for (m <- Seq(10, 1000, 10000); nprobe <- Seq(1, 2, 4, 8)) {
+        val lab = e0.select(col("vec_id"),
+          pmod(col("vec_id"), lit(m)).cast("int").as("label"), col("qe"))
+        val out = graft.ops.Vectors.filteredTop3(lab, nprobe, labelMod = m)
+          .groupBy("q_id").count()
+        val perQ = out.collect().map(_.getLong(1))
+        val fullK = perQ.count(_ == 3L)
+        val mean = if (perQ.isEmpty) 0.0 else perQ.sum.toDouble / 20
+        println(f"""{"shape":"ivf_filtered","rows":$n,"selectivity":"1/$m","nprobe":$nprobe,"queries_full_k":$fullK,"mean_returned":$mean%.2f}""")
+        spark.catalog.clearCache()
+        e0.cache(); e0.count()
       }
     }
 

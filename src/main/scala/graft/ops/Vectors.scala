@@ -1204,6 +1204,42 @@ object Vectors {
     }
   }
 
+  /** sim_ivf_filtered's chain over any LABELED micro-unit frame
+    * (vec_id, label, qe): probe nprobe cells, join candidates on
+    * (cell, wanted-label = (query label + 1) mod `labelMod`) with the
+    * predicate inside the join, per-query top-3 by exact d2. `nprobe`
+    * and `labelMod` (filter selectivity ≈ 1/labelMod) are the dials
+    * ScaleProbe's `ivffilter` leg turns: a filter of selectivity s
+    * thins each probed cell to s·|cell|, so keeping k matches needs
+    * nprobe ∝ 1/s — measured in SCALE.md.
+    */
+  private[graft] def filteredTop3(e0: DataFrame, nprobe: Int = 2,
+      labelMod: Int = 10, qBound: Long = 20L): DataFrame = {
+    def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
+    val ranked = maybeCache(coarseRanked(e0, ivfCent(e0), nprobe))
+    val cand = e0.join(ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell")), Seq("vec_id"))
+      .select(col("vec_id").as("c_id"), col("label").as("c_label"),
+        col("qe").as("ce2"), col("cell"))
+    val probes = e0.filter(col("vec_id") < qBound)
+      .join(ranked.filter(col("vec_id") < qBound)
+        .select(col("vec_id"), col("cid").as("pcell")), Seq("vec_id"))
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("qe").as("qq"), col("pcell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+    cand.join(broadcast(probes),
+        col("cell") === col("pcell")
+          && col("c_label") === (col("q_label") + 1) % labelMod
+          && col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"), col("c_label"),
+        sqd(col("qq"), col("ce2")).as("d2"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("c_id"), col("c_label"), col("rnk"), col("d2"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** sim_mmr's greedy chain over any micro-unit (vec_id, qe) frame —
     * exact top-8 shortlist per query (vec_id < `qBound`), then three
     * unrolled λ=1/2 MMR rounds, every comparison pure BIGINT
@@ -2385,30 +2421,7 @@ object Vectors {
          |   FROM p) t
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
     }) { (s, d) =>
-      val e0 = microVecsL(s, d)
-      def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
-      val ranked = maybeCache(coarseRanked(e0, ivfCent(e0)))
-      val cand = e0.join(ranked.filter(col("rn") === 1)
-          .select(col("vec_id"), col("cid").as("cell")), Seq("vec_id"))
-        .select(col("vec_id").as("c_id"), col("label").as("c_label"),
-          col("qe").as("ce2"), col("cell"))
-      val probes = e0.filter(col("vec_id") < 20)
-        .join(ranked.filter(col("vec_id") < 20)
-          .select(col("vec_id"), col("cid").as("pcell")), Seq("vec_id"))
-        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
-          col("qe").as("qq"), col("pcell"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
-      cand.join(broadcast(probes),
-          col("cell") === col("pcell")
-            && col("c_label") === (col("q_label") + 1) % 10
-            && col("c_id") =!= col("q_id"))
-        .select(col("q_id"), col("c_id"), col("c_label"),
-          sqd(col("qq"), col("ce2")).as("d2"))
-        .withColumn("rnk", row_number().over(w).cast("bigint"))
-        .filter(col("rnk") <= 3)
-        .select(col("q_id"), col("c_id"), col("c_label"), col("rnk"), col("d2"))
-        .orderBy(col("q_id"), col("rnk"))
+      filteredTop3(microVecsL(s, d))
     },
 
     // ---- semantic decontamination (embedding-space eval leakage) -------
