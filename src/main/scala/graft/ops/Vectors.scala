@@ -1042,6 +1042,16 @@ object Vectors {
   private[graft] def resIndexServe(s: SparkSession, d: String,
       listsPath: String, quantDir: String,
       qBound: Long = 20L, nprobe: Int = 2,
+      tombstones: Option[DataFrame] = None): DataFrame =
+    ivfPqTop3(resIndexAdist(s, d, listsPath, quantDir, qBound, nprobe, tombstones))
+
+  /** [[resIndexServe]] up to the ADC aggregate — exposed so
+    * `sim_ivf_pq_serve` can re-rank the probed+tombstoned shortlist
+    * exactly instead of taking the ADC top-3.
+    */
+  private[graft] def resIndexAdist(s: SparkSession, d: String,
+      listsPath: String, quantDir: String,
+      qBound: Long = 20L, nprobe: Int = 2,
       tombstones: Option[DataFrame] = None): DataFrame = {
     val e0q = microVecs(s, d).filter(col("vec_id") < qBound)
     val cent = s.read.parquet(s"$quantDir/centroids")
@@ -1060,7 +1070,7 @@ object Vectors {
     val lists = tombstones.fold(lists0)(t =>
       lists0.join(broadcast(t.select(col("c_id"))), Seq("c_id"), "left_anti"))
     val cb = s.read.parquet(s"$quantDir/codebook")
-    ivfPqTop3(ivfPqCellAdist(lists, residualQueryTables(e0q, cent, probes, cb)))
+    ivfPqCellAdist(lists, residualQueryTables(e0q, cent, probes, cb))
   }
 
   /** Streaming maintenance of the persisted residual IVF×PQ index —
@@ -1309,9 +1319,12 @@ object Vectors {
     * `stream_ivfpq_index` (persisted and stream-maintained serves must
     * be hash-equal to the in-memory composition). `extraAdistPred`
     * injects an additional candidate predicate into the adist CTE —
-    * `sim_ivf_pq_deletes` uses it to mirror the tombstone anti-join.
+    * `sim_ivf_pq_deletes` uses it to mirror the tombstone anti-join —
+    * and `rerank = true` swaps the ADC top-3 tail for the top-32 →
+    * exact-L2 → top-3 refine stage (`sim_ivf_pq_serve`).
     */
-  private def ivfPqResidualOracle(extraAdistPred: String = ""): String = {
+  private def ivfPqResidualOracle(extraAdistPred: String = "",
+      rerank: Boolean = false): String = {
       val seeds = pqResSeedIds.zipWithIndex
         .map { case (sid, c) => s"($c, $sid)" }.mkString(", ")
       val cids = ivfCentroidIds.mkString("(", ", ", ")")
@@ -1361,12 +1374,32 @@ object Vectors {
          |                          AND qd.m = enc.m AND qd.c = enc.code
          |          WHERE enc.vec_id <> qd.q_id$extraAdistPred
          |          GROUP BY 1, 2)
-         |SELECT q_id, c_id, rnk, ad AS approx_d2 FROM
-         |  (SELECT q_id, c_id, ad,
-         |          row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS rnk
-         |   FROM adist) t
-         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+         |${residualTail(rerank)}""".stripMargin
   }
+
+  private def residualTail(rerank: Boolean): String =
+    if (!rerank)
+      """SELECT q_id, c_id, rnk, ad AS approx_d2 FROM
+        |  (SELECT q_id, c_id, ad,
+        |          row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS rnk
+        |   FROM adist) t
+        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+    else
+      """, sl AS (SELECT q_id, c_id FROM
+        |         (SELECT q_id, c_id,
+        |                 row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS srn
+        |          FROM adist) t
+        |       WHERE srn <= 32),
+        |ex AS (SELECT sl.q_id, sl.c_id,
+        |              CAST(list_sum(list_transform(range(1, 65),
+        |                j -> (q.qe[j] - c.qe[j]) * (q.qe[j] - c.qe[j]))) AS BIGINT) AS exact_d2
+        |       FROM sl JOIN e q ON q.vec_id = sl.q_id
+        |               JOIN e c ON c.vec_id = sl.c_id)
+        |SELECT q_id, c_id, rnk, exact_d2 FROM
+        |  (SELECT q_id, c_id, exact_d2,
+        |          row_number() OVER (PARTITION BY q_id ORDER BY exact_d2, c_id) AS rnk
+        |   FROM ex) t
+        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -2255,6 +2288,27 @@ object Vectors {
         .select(col("vec_id").as("c_id"))
       val idx = stagedIvfPqResIndex(s, d)
       resIndexServe(s, d, s"$idx/lists", idx, tombstones = Some(ts))
+    },
+
+    // ---- the one-call production serve (capstone composition) ----------
+    // Every dial this round built, composed the way a serving
+    // deployment actually calls them — ONE query: persisted residual
+    // index → nprobe cell plan (literal PartitionFilters) → tombstone
+    // anti-join (deletes invisible before any distance accumulates) →
+    // ADC scan of the probed lists → top-32 shortlist → exact
+    // integer-L2 re-rank → top-3. Each tier's cost is bounded by the
+    // previous one (probed cells cap the code scan, 32·|Q| caps the
+    // float fetch), every stage is the SAME factored code path its
+    // standalone key pins (resIndexAdist + exactRerank), and the
+    // oracle is the residual chain with the delete predicate and the
+    // refine tail — so the composition cannot drift from the parts.
+    sql("sim_ivf_pq_serve", ivfPqResidualOracle(
+        extraAdistPred = " AND enc.vec_id % 17 <> 3", rerank = true)) { (s, d) =>
+      val ts = microVecs(s, d).filter(col("vec_id") % 17 === 3)
+        .select(col("vec_id").as("c_id"))
+      val idx = stagedIvfPqResIndex(s, d)
+      val adist = resIndexAdist(s, d, s"$idx/lists", idx, tombstones = Some(ts))
+      exactRerank(microVecs(s, d), adist)
     },
 
     // ---- IVF × PQ with exact re-ranking (the full FAISS serve path) ----

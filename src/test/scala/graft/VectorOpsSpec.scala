@@ -589,6 +589,31 @@ class VectorOpsSpec extends SparkSpec {
       "physical-delete serve diverged from the logical tombstone serve")
   }
 
+  test("sim_ivf_pq_serve: one-call serve — tombstone-free, exact order, tier containment") {
+    val out = run("sim_ivf_pq_serve").cache()
+    assert(out.filter(col("c_id") % 17 === 3).count() == 0,
+      "a deleted vector surfaced in the composed serve")
+    assert(out.groupBy("q_id").count().filter(col("count") =!= 3).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rnk"))
+    assert(out.withColumn("pd", lag(col("exact_d2"), 1).over(w))
+      .filter(col("pd").isNotNull && col("pd") > col("exact_d2")).count() == 0,
+      "exact distances not sorted by rank")
+    // tier containment: every served hit must come from the
+    // tombstoned ADC top-32 shortlist (the composition's contract)
+    val ts = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") % 17 === 3).select(col("vec_id").as("c_id"))
+    val idx = graft.ops.Vectors.stagedIvfPqResIndex(spark, sfDir)
+    val wSl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("ad"), col("c_id"))
+    val sl = graft.ops.Vectors.resIndexAdist(spark, sfDir,
+        s"$idx/lists", idx, tombstones = Some(ts))
+      .withColumn("srn", row_number().over(wSl)).filter(col("srn") <= 32)
+      .select("q_id", "c_id")
+    assert(out.select("q_id", "c_id").exceptAll(sl).count() == 0,
+      "a served hit is not in the probed+tombstoned shortlist")
+  }
+
   test("sim_range_search: self-scaling radius — NN always in, every hit within 105% of it") {
     val out = run("sim_range_search").cache()
     // every query emits at least its exact nearest neighbor
