@@ -199,7 +199,10 @@ object ScaleProbe {
         explode(sequence(lit(0), lit(factor - 1))).as("r"))
       .select((col("vec_id") * factor + col("r")).as("vec_id"),
         expr("""transform(sequence(0, 63),
-               |  i -> embedding[int((i + r) % 64)])""".stripMargin).as("embedding"))
+               |  i -> embedding[int((i + r) % 64)])""".stripMargin).as("embedding"),
+        // fixture-shaped label so microVecsL-based chains (the staged
+        // index builds) run over probe corpora too
+        (col("vec_id") % 10).cast("int").as("label"))
 
   private def dotp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     graft.functions.DotProduct.dotp(a, b)
@@ -699,10 +702,15 @@ object ScaleProbe {
           val (lists1, _, _) =
             graft.ops.Vectors.ivfPqIndexedParts(spark, dir, 1L, nprobe)
           val read1 = lists1.select(input_file_name()).distinct().count()
+          // the scaled-quantizer claim: per-query SCANNED CODES stay
+          // FLAT across the octaves (≈ nprobe·perCell·8 subspace
+          // rows), because cells grows ∝ n — the fixed-8-seed
+          // quantizer scanned nprobe·n/8 here instead
+          val codes1 = lists1.count()
           val t0 = System.nanoTime()
           val out = graft.ops.Vectors.ivfPqIndexedServe(spark, dir, 20L, nprobe).count()
           val secs = (System.nanoTime() - t0) / 1e9
-          println(f"""{"shape":"ivfpq_indexed","factor":$factor,"rows":$n,"nprobe":$nprobe,"files_read_q1":$read1,"files_total":$total,"out_rows":$out,"secs":$secs%.2f}""")
+          println(f"""{"shape":"ivfpq_indexed","factor":$factor,"rows":$n,"nprobe":$nprobe,"files_read_q1":$read1,"codes_read_q1":$codes1,"files_total":$total,"out_rows":$out,"secs":$secs%.2f}""")
           spark.catalog.clearCache()
         }
       }

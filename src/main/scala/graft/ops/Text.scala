@@ -243,12 +243,21 @@ object Text {
     * `<dir>/<part>`, built in the same staged publish so the index can
     * never hold halves from different corpus versions.
     */
+  /** Build-format token of [[stagedHsIndex]] artifacts — bump when the
+    * shingle/MinHash/band recipe or any extra's schema changes.
+    */
+  private[graft] val hsIndexFormat: String = "hs1"
+
   private[graft] def stagedHsIndex(s: SparkSession, d: String, name: String,
       extra: Map[String, (DataFrame, DataFrame, DataFrame) => DataFrame] = Map.empty)(
       corpus: => DataFrame): String = {
     val src = s"$d/documents.parquet"
     val key = src.replaceAll("[^A-Za-z0-9.]", "_")
-    graft.ops.stagedArtifact(s, s"${name}_$key", graft.ops.sourceStamp(src)) { stage =>
+    // hsIndexFormat: build-version token in the stamp — a recipe change
+    // (shingling, permutation count, band layout, extras schema) must
+    // rebuild rather than serve a stale index (see stagedArtifact doc)
+    graft.ops.stagedArtifact(s, s"${name}_$key",
+        s"${graft.ops.sourceStamp(src)}:$hsIndexFormat") { stage =>
       val c = corpus
       val oldHs = shingleHashes(c)
       oldHs.write.mode("overwrite").parquet(s"$stage/hs")

@@ -42,9 +42,32 @@ object Vectors {
   private val planes: Seq[Seq[Long]] =
     Seq.tabulate(nPlanes, dim)((p, j) => md5h32(s"plane:$p:$j") % 1001 - 500)
 
-  /** Deterministic coarse-quantizer picks for the IVF index. */
+  /** Deterministic coarse-quantizer picks for the FIXED-8-seed IVF
+    * dial keys (sim_ivf, sim_ivf_refined, sim_ivf_probe2,
+    * sim_ivf_refined_probe2, knn_graph, dedup_semantic,
+    * embed_outliers) — the pedagogical progression those keys
+    * document. The PRODUCTION IVF×PQ family (sim_ivf_pq*,
+    * sim_ivf_filtered, stream_ivfpq_index) uses the corpus-scaled,
+    * Lloyd-refined quantizer [[scaledLloydCent]] instead.
+    */
   private[graft] val ivfCentroidIds: Seq[Long] =
     Seq(3L, 17L, 42L, 99L, 123L, 200L, 321L, 444L)
+
+  /** Per-cell size target of the corpus-scaled coarse quantizer:
+    * cells = max(8, ⌈n/ivfPerCell⌉), so per-cell candidate work stays
+    * FLAT as the corpus grows (the knn_graph_scaled dial, now under
+    * the whole persisted IVF×PQ family).
+    */
+  private[graft] val ivfPerCell: Long = 125L
+
+  /** Format/build-version token folded into every staged vector-index
+    * stamp: [[graft.ops.stagedArtifact]] freshness is otherwise keyed
+    * only on the SOURCE parquet, so a code change to the build recipe
+    * (quantizer geometry, codebook seeds, schema) would silently serve
+    * a stale index built by an earlier version. Bump on any change to
+    * the encode logic or layout.
+    */
+  private[graft] val ivfIndexFormat: String = "f3-scaled-lloyd-1fpc"
 
   /** Deterministic per-subspace codebook picks for product
     * quantization (sim_pq_adc): 4 codes per 8-dim subspace.
@@ -52,10 +75,13 @@ object Vectors {
   private val pqSeedIds: Seq[Long] = Seq(3L, 17L, 42L, 99L)
 
   /** Codebook picks for RESIDUAL product quantization
-    * (sim_ivf_pq_residual): residuals are taken from these vectors'
-    * own cell centroids, so they must NOT be centroid ids themselves
-    * (a centroid's residual is the zero vector — a degenerate
-    * codebook).
+    * (sim_ivf_pq_residual): the codebook is learned from these
+    * vectors' residuals against their own cell centroids. (Under the
+    * old fixed-seed quantizer these had to avoid the centroid ids —
+    * a centroid's residual was the zero vector; [[scaledLloydCent]]'s
+    * centroids are lattice-rounded means, so no corpus vector
+    * coincides with one generically — but distinct non-seed picks
+    * remain the safe choice.)
     */
   private[graft] val pqResSeedIds: Seq[Long] = Seq(7L, 21L, 55L, 77L)
 
@@ -291,12 +317,6 @@ object Vectors {
     (e0, adist)
   }
 
-  /** The PQ building blocks behind [[pqAdcChain]] — (e0 = micro-unit
-    * vectors, enc = (c_id, m, code) corpus codes, qd = broadcastable
-    * (q_id, qm, c, d2) query distance tables) — exposed separately so
-    * sim_ivf_pq can interpose the inverted-list cell filter between
-    * the codes and the ADC aggregate without re-deriving either side.
-    */
   /** Micro-unit integer projection of the embeddings table —
     * (vec_id, qe) with qe = floor(x·1e6 + 0.5) per component: the ONE
     * exact frame every PQ/IVF chain (and spec recompute) quantizes
@@ -315,6 +335,13 @@ object Vectors {
       transform(col("embedding"),
         x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
 
+  /** The PQ building blocks behind [[pqAdcChain]] — (e0 = micro-unit
+    * vectors via [[microVecs]], enc = (c_id, m, code) corpus codes,
+    * qd = broadcastable (q_id, qm, c, d2) query distance tables) —
+    * exposed separately so sim_ivf_pq can interpose the inverted-list
+    * cell filter between the codes and the ADC aggregate without
+    * re-deriving either side.
+    */
   private[graft] def pqParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val e0 = microVecs(s, d)
     // codebook index c = position of the seed id in pqSeedIds
@@ -444,9 +471,19 @@ object Vectors {
     // makes vec_id % 0 a runtime error (DuckDB NULLs it); clamp to 1
     // so both engines degrade to the same dense seeding
     val stride = math.max(1L, n / cells)
-    e.filter(col("vec_id") % stride === 0 &&
+    val cent = e.filter(col("vec_id") % stride === 0 &&
         col("vec_id") < lit(stride * cells))
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // the stride rule assumes dense 0-based vec_ids; a sparse or
+    // offset id space silently under-seeds (possibly to zero — an
+    // empty graph) and the oracle mirrors the formula, so a
+    // hash-match would hide the degradation — fail loudly instead
+    val expected = math.min(cells, (n + stride - 1) / stride)
+    val got = cent.count()
+    require(got == expected,
+      s"scaledKnnCentroids: picked $got seeds, expected $expected — " +
+        "vec_id space is not dense 0-based; re-key ids before indexing")
+    cent
   }
 
   /** The edge chain body shared by [[knnEdges]] (fixed 8 seeds) and
@@ -623,7 +660,6 @@ object Vectors {
   private def ivfPqAdistCtes: String = {
     val seeds = pqSeedIds.zipWithIndex
       .map { case (sid, c) => s"($c, $sid)" }.mkString(", ")
-    val cids = ivfCentroidIds.mkString("(", ", ", ")")
     s"""e AS (SELECT vec_id,
        |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
        |           FROM embeddings),
@@ -642,7 +678,7 @@ object Vectors {
        |           FROM dist) t
        |        WHERE rn = 1),
        |qd AS (SELECT vec_id AS q_id, m, c, d2 FROM dist WHERE vec_id < 20),
-       |cent AS (SELECT vec_id AS cid, qe AS ce FROM e WHERE vec_id IN $cids),
+       |$scaledLloydCentCtes,
        |dd AS (SELECT e.vec_id, c.cid,
        |              row_number() OVER (PARTITION BY e.vec_id
        |                ORDER BY ${D.dot("e.qe", "e.qe")}
@@ -721,13 +757,92 @@ object Vectors {
       .agg(sum(col("d2")).cast("bigint").as("ad"))
   }
 
-  /** The 8-row coarse-centroid frame (cid, ce) picked from a
-    * micro-unit vector frame — shared by every IVF×PQ chain so the
-    * centroid set is ONE definition.
+  /** The corpus-scaled, Lloyd-refined coarse quantizer of the IVF×PQ
+    * family — (cid, ce) with ce integer micro-units — shared by every
+    * chain (flat, residual, persisted builds, filtered) so the
+    * centroid set is ONE definition. Geometry: cells =
+    * max(8, ⌈n/[[ivfPerCell]]⌉), seeds picked by the deterministic
+    * stride rule (every ⌊n/cells⌋-th vec_id — knn_graph_scaled's
+    * reproducible stand-in for sampled seeding), then ONE exact Lloyd
+    * step: assign every vector to its nearest seed (exact integer
+    * micro-unit L2, argmin tie-broken by cid), take the per-cell
+    * component mean, and ROUND IT BACK TO THE INTEGER LATTICE
+    * (floor(mean + 0.5)). The rounding is what keeps every downstream
+    * guarantee intact: residuals stay integers, ADC sums stay
+    * exact-in-doubles (< 2⁵³), and the BIGINT casts at the aggregate
+    * frontier cannot diverge between engines (Spark truncates,
+    * DuckDB rounds — only integer-valued sums make them agree).
+    * Parity: sums of integer-valued components are EXACT doubles
+    * regardless of aggregation order, count is exact, so mean is one
+    * identical IEEE divide in both engines — the sim_ivf_refined
+    * no-rounding-frontier argument, plus the lattice rounding.
+    * At 100 TB: seeds are a metadata-cheap stride scan, the E-step is
+    * a broadcast expand collapsed by a partially-aggregated
+    * min(struct), the M-step one map-side-combinable aggregate over
+    * cells×64 doubles — and per-query serve work is nprobe·perCell
+    * codes FLAT in n (ScaleProbe's ivfidx octave), where the old
+    * fixed-8-seed quantizer scanned nprobe·n/8.
     */
-  private def ivfCent(e0: DataFrame): DataFrame =
-    e0.filter(col("vec_id").isin(ivfCentroidIds: _*))
-      .select(col("vec_id").as("cid"), col("qe").as("ce"))
+  private[graft] def scaledLloydCent(e0: DataFrame,
+      perCell: Long = ivfPerCell): DataFrame = {
+    // one metadata-cheap count to size the index — the same scalar a
+    // production build reads from table stats before seeding k-means
+    val n = e0.count()
+    val cells = math.max(8L, (n + perCell - 1) / perCell)
+    val stride = math.max(1L, n / cells)
+    val seeds = e0.filter(col("vec_id") % stride === 0 &&
+        col("vec_id") < lit(stride * cells))
+      .select(col("vec_id").as("scid"), col("qe").as("se"))
+    // the stride rule assumes dense 0-based vec_ids; on a sparse or
+    // offset id space it would silently select too few seeds (the
+    // oracle mirrors the formula, so a hash-match would hide the
+    // degraded index) — fail loudly instead
+    val expected = math.min(cells, (n + stride - 1) / stride)
+    val got = seeds.count()
+    require(got == expected,
+      s"scaledLloydCent: picked $got seeds, expected $expected — " +
+        "vec_id space is not dense 0-based; re-key ids before indexing")
+    def d2(a: Column, b: Column): Column =
+      dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
+    val asg = e0.join(broadcast(seeds))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(d2(col("qe"), col("se")).as("d2"), col("scid"))).as("best"),
+        first(col("qe")).as("qe"))
+      .select(col("vec_id"), col("qe"), col("best.scid").as("scell"))
+    asg.groupBy(col("scell"))
+      .agg(graft.functions.VectorMean.centroid(
+        col("qe").cast("array<float>")).as("mv"))
+      .select(col("scell").as("cid"),
+        transform(col("mv"), x => floor(x + lit(0.5d))).as("ce"))
+  }
+
+  /** DuckDB twin of [[scaledLloydCent]] as a CTE suffix — requires a
+    * CTE `e(vec_id, qe)` already in scope and ends with
+    * `cent(cid, ce)`. The integer formula (cells, stride, seeds), the
+    * seed assignment, and the lattice-rounded mean mirror the Spark
+    * chain op for op.
+    */
+  private def scaledLloydCentCtes: String = {
+    val pc = ivfPerCell
+    s"""nn AS (SELECT count(*) AS n FROM e),
+       |par AS (SELECT greatest(8, (n + ${pc - 1}) // $pc) AS cells,
+       |               greatest(1, n // greatest(8, (n + ${pc - 1}) // $pc)) AS stride
+       |        FROM nn),
+       |sdd AS (SELECT vec_id AS scid, qe AS se FROM e, par
+       |        WHERE vec_id % stride = 0 AND vec_id < stride * cells),
+       |sa AS (SELECT vec_id, qe, scid AS scell FROM (
+       |         SELECT e.vec_id, e.qe, s.scid,
+       |                row_number() OVER (PARTITION BY e.vec_id
+       |                  ORDER BY ${D.dot("e.qe", "e.qe")}
+       |                           - 2 * ${D.dot("e.qe", "s.se")}
+       |                           + ${D.dot("s.se", "s.se")}, s.scid) AS rn
+       |         FROM e, sdd s) t
+       |       WHERE rn = 1),
+       |cm AS (SELECT scell, i, floor(sum(qe[i]) / count(*) + 0.5) AS mv
+       |       FROM sa, range(1, ${dim + 1}) t(i) GROUP BY scell, i),
+       |cent AS (SELECT scell AS cid, list(mv ORDER BY i) AS ce FROM cm
+       |         GROUP BY scell)""".stripMargin
+  }
 
   /** Shared coarse-quantizer routing: every vector's micro-unit L2 to
     * the broadcast centroid frame, ranked by (d2c, cid), kept to
@@ -765,7 +880,7 @@ object Vectors {
     */
   private[graft] def ivfPqFlatParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val (e0, enc, qd) = pqParts(s, d)
-    val ranked = maybeCache(coarseRanked(e0, ivfCent(e0)))
+    val ranked = maybeCache(coarseRanked(e0, scaledLloydCent(e0)))
     // inverted lists: each code row learns its cell once (the
     // build-time co-partitioning); the probe filter + ADC lookup is
     // then ONE broadcast join of the query-sized (tables × probes)
@@ -787,7 +902,7 @@ object Vectors {
     */
   private[graft] def ivfPqResidualAdist(s: SparkSession, d: String): DataFrame = {
     val e0 = microVecs(s, d)
-    val cent = ivfCent(e0)
+    val cent = maybeCache(scaledLloydCent(e0))
     val ranked = maybeCache(coarseRanked(e0, cent))
     val asg = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
@@ -918,20 +1033,28 @@ object Vectors {
     * `lists/cell=N/` — (c_id, m, code) PQ codes parquet-PARTITIONED by
     * coarse cell, so a query's nprobe cells are literal partition
     * directories and a serve scan reads nothing else; `centroids/` —
-    * the 8 coarse (cid, ce) rows; `codebook/` — the 8×4 (c, m, ce)
-    * sub-quantizer rows. Built once per source stamp and atomically
-    * published via [[graft.ops.stagedArtifact]] — the same
+    * the cells coarse (cid, ce) rows from [[scaledLloydCent]] (cells =
+    * max(8, ⌈n/125⌉), so per-query scanned codes stay FLAT as the
+    * corpus grows); `codebook/` — the 8×4 (c, m, ce) sub-quantizer
+    * rows. Built once per (source stamp, [[ivfIndexFormat]]) and
+    * atomically published via [[graft.ops.stagedArtifact]] — the same
     * freshness/race contract as Text.stagedHsIndex.
     */
   private[graft] def stagedIvfPqIndex(s: SparkSession, d: String): String = {
     val src = s"$d/embeddings.parquet"
     val key = src.replaceAll("[^A-Za-z0-9.]", "_")
-    graft.ops.stagedArtifact(s, s"ivfpq_index_$key", graft.ops.sourceStamp(src)) { stage =>
+    graft.ops.stagedArtifact(s, s"ivfpq_index_$key",
+        s"${graft.ops.sourceStamp(src)}:$ivfIndexFormat") { stage =>
       val (e0, enc, _) = pqParts(s, d)
-      val cent = ivfCent(e0)
+      val cent = maybeCache(scaledLloydCent(e0))
       val asg = coarseRanked(e0, cent, nprobe = 1)
         .select(col("vec_id").as("c_id"), col("cid").cast("int").as("cell"))
-      enc.join(asg, Seq("c_id"))
+      // cell-keyed repartition before the write: each cell lives in
+      // exactly one task, so partitionBy emits ONE file per cell and
+      // a serve reads exactly nprobe files regardless of build
+      // parallelism (without it every write task touches every cell —
+      // files/cell ∝ tasks, measured 10× in the ivfidx octave)
+      enc.join(asg, Seq("c_id")).repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
       cent.write.mode("overwrite").parquet(s"$stage/centroids")
       val cCol = pqSeedIds.zipWithIndex.foldLeft(lit(-1)) {
@@ -1004,13 +1127,16 @@ object Vectors {
   private[graft] def stagedIvfPqResIndex(s: SparkSession, d: String): String = {
     val src = s"$d/embeddings.parquet"
     val key = src.replaceAll("[^A-Za-z0-9.]", "_")
-    graft.ops.stagedArtifact(s, s"ivfpqres_index_$key", graft.ops.sourceStamp(src)) { stage =>
+    graft.ops.stagedArtifact(s, s"ivfpqres_index_$key",
+        s"${graft.ops.sourceStamp(src)}:$ivfIndexFormat") { stage =>
       val e0 = microVecs(s, d)
-      val cent = ivfCent(e0)
+      val cent = maybeCache(scaledLloydCent(e0))
       val asg = coarseRanked(e0, cent, nprobe = 1)
         .select(col("vec_id"), col("cid").as("cell"))
       val (cb, enc) = residualEncode(e0, cent, asg)
+      // one file per cell — see the flat-index builder's note
       enc.withColumn("cell", col("cell").cast("int"))
+        .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
       cent.write.mode("overwrite").parquet(s"$stage/centroids")
       cb.write.mode("overwrite").parquet(s"$stage/codebook")
@@ -1019,7 +1145,7 @@ object Vectors {
 
   /** Serve a query batch from the persisted RESIDUAL index — the
     * body of `sim_ivf_pq_residual_indexed`: plan nprobe cells from
-    * the stored 8-row centroid scan, read ONLY those cells' list
+    * the stored cells-row centroid scan, read ONLY those cells' list
     * partitions (the literal IN list becomes PartitionFilters,
     * spec-asserted), build per-cell residual distance tables from the
     * STORED codebook, per-cell ADC aggregate, top-3.
@@ -1075,7 +1201,7 @@ object Vectors {
 
   /** Streaming maintenance of the persisted residual IVF×PQ index —
     * the FAISS `add()` path as a Structured Streaming job. The
-    * quantizers (8 coarse centroids + the 32-row residual codebook)
+    * quantizers (cells coarse centroids + the 32-row residual codebook)
     * are trained ONCE by the batch build and FROZEN — the production
     * reality for IVF indexes: re-training the quantizers re-keys every
     * stored code, so arriving vectors are encoded with the shipped
@@ -1098,26 +1224,36 @@ object Vectors {
       maxFilesPerTrigger: Option[Int] = None): String = {
     import org.apache.spark.sql.types._
     val quantDir = stagedIvfPqResIndex(s, d)
-    // metadata-sized by construction: 8 × 64 longs + 32 × 8 longs
-    val cents: Seq[(Long, Seq[Long])] = s.read.parquet(s"$quantDir/centroids")
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
-    val cbk: Map[Int, Seq[(Int, Seq[Long])]] = s.read.parquet(s"$quantDir/codebook")
-      .collect().map(r => (r.getInt(1), (r.getInt(0), r.getSeq[Long](2))))
+    // metadata-sized by construction: cells × 64 doubles + 32 × 8
+    // doubles — the quantizer a FAISS worker holds in RAM, compiled
+    // into the plan as ONE flat literal array (HOF argmin, not a
+    // per-cell expression chain, so plan depth stays O(1) as cells
+    // grows with the corpus; past ~10⁴ cells ship it as a broadcast
+    // variable instead of a literal)
+    val cents: Seq[(Long, Seq[Double])] = s.read.parquet(s"$quantDir/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    val cbk: Map[Int, Seq[(Int, Seq[Double])]] = s.read.parquet(s"$quantDir/codebook")
+      .collect().map(r => (r.getInt(1), (r.getInt(0), r.getSeq[Double](2))))
       .toSeq.groupBy(_._1).map { case (m, xs) => m -> xs.map(_._2).sortBy(_._1) }
-    def sqLit(v: Column, arr: Seq[Long]): Column =
+    def sqLit(v: Column, arr: Seq[Double]): Column =
       aggregate(zip_with(v, array(arr.map(lit): _*), (x, y) => (x - y) * (x - y)),
         lit(0d), (acc, x) => acc + x)
-    // own-cell assignment: argmin(d2, cid) over the 8 literal centroids
-    val cellCol = cents.map { case (cid, ce) =>
-      struct(sqLit(col("qe"), ce).as("d"), lit(cid).as("cid")) }
-      .reduceLeft(least(_, _)).getField("cid")
-    // residual from the assigned centroid (literal per-cell subtraction)
-    val resCol = cents.foldLeft(lit(null).cast("array<bigint>")) {
-      case (acc, (cid, ce)) =>
-        when(col("cell") === cid,
-          zip_with(col("qe"), array(ce.map(lit): _*), (x, y) => x - y))
-          .otherwise(acc)
-    }
+    def sqdC(v: Column, w: Column): Column =
+      aggregate(zip_with(v, w, (x, y) => (x - y) * (x - y)),
+        lit(0d), (acc, x) => acc + x)
+    val centArr = array(cents.map { case (cid, ce) =>
+      struct(lit(cid).as("cid"), array(ce.map(lit): _*).as("ce")) }: _*)
+    // own-cell assignment: argmin(d2, cid) — array_min over structs
+    // compares (d, cid) lexicographically, the same ordering every
+    // batch chain uses
+    val cellCol = array_min(transform(centArr, c =>
+      struct(sqdC(col("qe"), c.getField("ce")).as("d"),
+        c.getField("cid").as("cid")))).getField("cid")
+    // residual from the assigned centroid
+    val resCol = zip_with(col("qe"),
+      element_at(filter(centArr, c => c.getField("cid") === col("cell")), 1)
+        .getField("ce"),
+      (x, y) => x - y)
     // per-subspace code: argmin(d2, c) over that subspace's 4 codes
     val codesCol = array((0 until 8).map { m =>
       cbk(m).map { case (c, cv) =>
@@ -1192,12 +1328,21 @@ object Vectors {
     }
     val key = streamIdx.replaceAll("[^A-Za-z0-9.]", "_")
     // live-stream safety for the degenerate window: an index whose
-    // stream has committed NO data yet (no cell= dirs on disk) cannot
-    // even be schema-inferred — publish an empty artifact instead of
-    // crashing; the next compaction (new batch stamp) picks up the data
-    val hasData = Option(new java.io.File(streamIdx).listFiles()).toSeq.flatten
-      .exists(f => f.isDirectory && f.getName.startsWith("cell="))
-    graft.ops.stagedArtifact(s, s"ivfpq_compact_$key", s"batch:$lastBatch$tsStamp") { stage =>
+    // stream has committed NO data yet cannot even be schema-inferred —
+    // publish an empty artifact instead of crashing; the next
+    // compaction (new batch stamp) picks up the data. The check reads
+    // the SAME committed view the rewrite reads (_spark_metadata): a
+    // live stream may already have WRITTEN cell= files for a batch it
+    // has not committed, so a raw directory listing would say "data"
+    // while the committed view is empty — exactly the crash this
+    // guard exists to prevent
+    val hasData = lastBatch >= 0 &&
+      Option(meta.listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.takeWhile(_.isDigit).nonEmpty)
+        .exists(f => java.nio.file.Files.readAllLines(f.toPath)
+          .stream().anyMatch(_.contains("\"path\"")))
+    graft.ops.stagedArtifact(s, s"ivfpq_compact_$key",
+        s"batch:$lastBatch$tsStamp:$ivfIndexFormat") { stage =>
       if (!hasData) {
         java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(s"$stage/lists"))
@@ -1226,7 +1371,7 @@ object Vectors {
   private[graft] def filteredTop3(e0: DataFrame, nprobe: Int = 2,
       labelMod: Int = 10, qBound: Long = 20L): DataFrame = {
     def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
-    val ranked = maybeCache(coarseRanked(e0, ivfCent(e0), nprobe))
+    val ranked = maybeCache(coarseRanked(e0, scaledLloydCent(e0), nprobe))
     val cand = e0.join(ranked.filter(col("rn") === 1)
         .select(col("vec_id"), col("cid").as("cell")), Seq("vec_id"))
       .select(col("vec_id").as("c_id"), col("label").as("c_label"),
@@ -1327,11 +1472,10 @@ object Vectors {
       rerank: Boolean = false): String = {
       val seeds = pqResSeedIds.zipWithIndex
         .map { case (sid, c) => s"($c, $sid)" }.mkString(", ")
-      val cids = ivfCentroidIds.mkString("(", ", ", ")")
       s"""WITH e AS (SELECT vec_id,
          |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
          |           FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, qe AS ce FROM e WHERE vec_id IN $cids),
+         |$scaledLloydCentCtes,
          |dd AS (SELECT e.vec_id, c.cid,
          |              row_number() OVER (PARTITION BY e.vec_id
          |                ORDER BY ${D.dot("e.qe", "e.qe")}
@@ -2183,8 +2327,12 @@ object Vectors {
     // vector to an inverted list (cell), vectors are stored only as
     // 8×2-bit PQ codes, and a query ADC-scans JUST its nprobe=2
     // nearest cells' codes — never the whole code table, never a
-    // float. Build: cell assignment is the 8-row broadcast expand +
-    // bounded window; codes join their cell once (index-build
+    // float. The quantizer is the corpus-scaled Lloyd-refined one
+    // (scaledLloydCent: cells = max(8, ⌈n/125⌉)), so per-query
+    // scanned codes are ~nprobe·125 FLAT in n — the fixed-8-seed
+    // dial keys scan nprobe·n/8. Build: cell assignment is the
+    // cells-row broadcast expand + bounded window; codes join their
+    // cell once (index-build
     // co-partitioning — at scale the inverted lists are WRITTEN
     // cell-partitioned, so the scan reads only probed partitions).
     // Search: the query side (distance tables × 2 probe cells) stays
@@ -2202,7 +2350,7 @@ object Vectors {
     // inverted lists land on parquet PARTITIONED BY cell
     // ([[stagedIvfPqIndex]]), the coarse centroids and sub-codebooks
     // sit alongside, and a query plans its nprobe cells FIRST (a
-    // centroid scan that is metadata-sized — 8 rows), then reads ONLY
+    // centroid scan that is metadata-sized — cells rows), then reads ONLY
     // those cells' directories: the scan's PartitionFilters carries
     // the literal cell list, so files-read scales with nprobe/cells,
     // not corpus size (VectorOpsSpec asserts the filter; SCALE.md
@@ -2447,11 +2595,10 @@ object Vectors {
     // probed cell to s·|cell|, so serving raises nprobe to keep k
     // matches (we use the established nprobe=2).
     sql("sim_ivf_filtered", {
-      val cids = ivfCentroidIds.mkString("(", ", ", ")")
       s"""WITH e AS (SELECT vec_id, label,
          |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
          |           FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, qe AS ce FROM e WHERE vec_id IN $cids),
+         |$scaledLloydCentCtes,
          |dd AS (SELECT e.vec_id, c.cid,
          |              row_number() OVER (PARTITION BY e.vec_id
          |                ORDER BY ${D.dot("e.qe", "e.qe")}

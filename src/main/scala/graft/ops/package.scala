@@ -138,7 +138,12 @@ package object ops {
     * the winner's copy and discards its own — a lost race costs a
     * duplicate build, never a torn index. Returns the published
     * directory. The freshness `stamp` is typically [[sourceStamp]] of
-    * the parquet source the artifact derives from.
+    * the parquet source the artifact derives from, PLUS a
+    * build-format token when the build recipe can evolve (see
+    * `Vectors.ivfIndexFormat`): source freshness alone would serve an
+    * index built by an older code version — silently wrong for every
+    * caller outside the oracle harness — after any change to the
+    * encode logic, seeds, or layout.
     */
   def stagedArtifact(spark: SparkSession, name: String, stamp: String)(
       build: String => Unit): String = {

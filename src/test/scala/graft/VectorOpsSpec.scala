@@ -409,9 +409,10 @@ class VectorOpsSpec extends SparkSpec {
     val plan = fromIndex.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [cell"),
       s"expected a cell partition filter in:\n${plan.take(3000)}")
-    // a single query probes nprobe=2 of the 8 cells: the files it
+    // a single query probes nprobe=2 of the cells: the files it
     // reads must come from exactly its 2 probed directories, while
-    // the index holds files under all 8 — files-read ∝ nprobe/cells
+    // the index holds files under every non-empty cell — files-read
+    // ∝ nprobe/cells
     val idx = graft.ops.Vectors.stagedIvfPqIndex(spark, sfDir)
     val one = graft.ops.Vectors.ivfPqIndexedServe(spark, sfDir, qBound = 1L)
     assert(one.count() > 0)
@@ -420,9 +421,59 @@ class VectorOpsSpec extends SparkSpec {
       .findFirstMatchIn(onePlan).map(_.group(1).split(",").length)
     assert(cellsInFilter.contains(2),
       s"single-query serve should probe exactly 2 cells; plan:\n${onePlan.take(3000)}")
+    // disk partitions = cells the refined assignment actually uses:
+    // the quantizer trains max(8, ceil(n/125)) centroids and every
+    // cell that wins at least one vector is a directory
+    val e0 = graft.ops.Vectors.microVecs(spark, sfDir)
+    val cent = graft.ops.Vectors.scaledLloydCent(e0)
+    val n = e0.count()
+    val expectedCells = math.max(8L, (n + 124) / 125)
+    assert(cent.count() == expectedCells,
+      s"quantizer should train $expectedCells centroids")
+    val usedCells = graft.ops.Vectors.coarseRanked(e0, cent, nprobe = 1)
+      .filter(col("rn") === 1).select("cid").distinct().count()
     val totalCells = new java.io.File(s"$idx/lists").listFiles()
       .count(_.getName.startsWith("cell="))
-    assert(totalCells == 8, s"index should hold 8 cell directories, found $totalCells")
+    assert(totalCells == usedCells,
+      s"index holds $totalCells cell directories, assignment uses $usedCells")
+  }
+
+  test("IVF×PQ geometry scales with the corpus: 4× the vectors → 16 cells on disk, serve still exact") {
+    // the corpus-scaled quantizer is the point of the persisted index:
+    // at 4× this fixture (2,000 vectors) cells = max(8, ceil(n/125)) =
+    // 16, the index must hold 16 cell directories, and the persisted
+    // serve must STILL hash-equal the in-memory composition at that
+    // non-default geometry (the oracle mirrors the same formula)
+    val tmp = graft.ops.purgeOnExit(
+      java.nio.file.Files.createTempDirectory("ivfgeom").toString)
+    val e = Tables.embeddings(spark, sfDir)
+    // 4 rotated copies with dense re-keyed ids (the ScaleProbe octave
+    // recipe): vec_id*4+r stays dense 0-based, embeddings distinct
+    e.select(col("vec_id"), col("embedding"),
+        explode(expr("sequence(0, 3)")).as("r"))
+      .select((col("vec_id") * 4 + col("r")).as("vec_id"),
+        expr("transform(sequence(0, 63), i -> embedding[int((i + r) % 64)])")
+          .as("embedding"),
+        col("r").cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val n = spark.read.parquet(s"$tmp/embeddings.parquet").count()
+    assert(n == 2000)
+    val idx = graft.ops.Vectors.stagedIvfPqResIndex(spark, tmp)
+    val dirs = new java.io.File(s"$idx/lists").listFiles()
+      .count(_.getName.startsWith("cell="))
+    val used = graft.ops.Vectors.coarseRanked(
+        graft.ops.Vectors.microVecs(spark, tmp),
+        spark.read.parquet(s"$idx/centroids"), nprobe = 1)
+      .filter(col("rn") === 1).select("cid").distinct().count()
+    assert(spark.read.parquet(s"$idx/centroids").count() == 16,
+      "4× corpus should train 16 coarse centroids")
+    assert(dirs == used && dirs > 8,
+      s"expected >8 non-empty cell directories at the 16-cell geometry, found $dirs (assignment uses $used)")
+    val fromIndex = SparkEntry.queries("sim_ivf_pq_residual_indexed")(spark, tmp)
+    val inMemory = SparkEntry.queries("sim_ivf_pq_residual")(spark, tmp)
+    assert(fromIndex.exceptAll(inMemory).count() == 0 &&
+      inMemory.exceptAll(fromIndex).count() == 0,
+      "persisted serve diverged from the in-memory chain at the scaled geometry")
   }
 
   test("sim_ivf_pq_residual: identical candidate scan to sim_ivf_pq, well-formed top-3") {
@@ -480,7 +531,7 @@ class VectorOpsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [cell"),
       s"expected a cell partition filter in:\n${plan.take(3000)}")
     // single query → exactly its nprobe=2 cells in the IN list, out
-    // of the 8 directories the index holds on disk
+    // of the non-empty-cell directories the index holds on disk
     val idx = graft.ops.Vectors.stagedIvfPqResIndex(spark, sfDir)
     val one = graft.ops.Vectors.ivfPqResIndexedServe(spark, sfDir, qBound = 1L)
     assert(one.count() > 0)
@@ -489,9 +540,14 @@ class VectorOpsSpec extends SparkSpec {
       .findFirstMatchIn(onePlan).map(_.group(1).split(",").length)
     assert(cellsInFilter.contains(2),
       s"single-query residual serve should probe exactly 2 cells; plan:\n${onePlan.take(3000)}")
+    val e0 = graft.ops.Vectors.microVecs(spark, sfDir)
+    val usedCells = graft.ops.Vectors.coarseRanked(e0,
+        spark.read.parquet(s"$idx/centroids"), nprobe = 1)
+      .filter(col("rn") === 1).select("cid").distinct().count()
     val totalCells = new java.io.File(s"$idx/lists").listFiles()
       .count(_.getName.startsWith("cell="))
-    assert(totalCells == 8, s"residual index should hold 8 cell directories, found $totalCells")
+    assert(totalCells == usedCells,
+      s"residual index holds $totalCells cell directories, assignment uses $usedCells")
   }
 
   test("stream_ivfpq_index: streamed appends equal the batch lists; 2-batch replay composes") {
