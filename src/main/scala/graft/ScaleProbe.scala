@@ -359,7 +359,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     // modes: all (default) | events | dedup | indexed | ann | state |
     // state-rocks | cc | ccdelta | ccchain | batchlog | bpe | decontam |
-    // span | pq | pqres | ivfidx | ivfstream | ivffilter | knn | phash |
+    // span | pq | pqres | ivfidx | ivfstream | ivffilter | rcte | knn | phash |
     // media | buckets |
     // triangles | pagerank — first non-numeric arg selects; numeric
     // args keep their meaning
@@ -592,8 +592,13 @@ object ScaleProbe {
       // embeddings fixture is isotropic (~0.5% between-label
       // variance, measured), so there flat ≈ residual within noise
       // (SCALE.md table). This probe plants both regimes over a
-      // corpus whose 8 coarse-centroid ids ARE cluster centers and
-      // every other row is center + residual:
+      // corpus of 8 planted clusters (rows at the historical seed ids
+      // sit exactly ON their cluster center; since round 15 the
+      // operators train their own scaled-Lloyd quantizer over the
+      // corpus, whose cells sub-divide the planted clusters — the
+      // within-CELL residual keeps the planted per-subspace offset
+      // structure up to a constant shift, which a codebook covers
+      // exactly) and every other row is center + residual:
       //   iso        — residual = i.i.d. noise. Even with strong
       //                coarse clusters, 4 codes cannot rank ~2k
       //                near-equidistant cell members: flat ≈
@@ -637,7 +642,9 @@ object ScaleProbe {
                  |  + (case when noisy then
                  |       $os * ((xxhash64(concat('f:', ($oSql), ':', j)) % 1000001) / 1000000.0)
                  |     + $js * ((xxhash64(concat('n:', vec_id, ':', j)) % 1000001) / 1000000.0)
-                 |     else 0.0 end) as float))""".stripMargin).as("embedding"))
+                 |     else 0.0 end) as float))""".stripMargin).as("embedding"),
+            // fixture-shaped label (microVecsL-based chains read it)
+            pmod(col("vec_id"), lit(10)).cast("int").as("label"))
           .repartition(cpus.toInt)
           .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
         val t0 = System.nanoTime()
@@ -991,6 +998,41 @@ object ScaleProbe {
         println(f"""{"shape":"triangles_hub","factor":$factor,"nodes":$n,"wedges_degree":$wDeg,"wedges_id":$wId,"tri_rows":${out.getLong(1)},"secs":$secs%.2f}""")
         pairs.unpersist()
         spark.catalog.clearCache()
+      }
+    }
+
+    if (on("rcte")) {
+      // WITH RECURSIVE iteration-depth octave: Spark's UnionLoop plans
+      // ONE frontier⋈edges join per iteration, so cost tracks the
+      // frontier PATH count — 3 seeds × out-degree-3 fan-out, bounded
+      // by the hop cap (the cycle guard) and by saturation when the
+      // reachable set closes. The probe drives the OPERATOR's edge
+      // view (registered by the oracled key) at growing caps and
+      // reports path rows, distinct nodes, and wall seconds — the
+      // "how deep can the engine loop" table a Datalog-style consumer
+      // reads before picking a cap. Caps stop at 10: Spark 4.1 rejects
+      // UNION (distinct) inside a recursive CTE
+      // (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — probed), so path
+      // enumeration is exactly 3·3^h rows and a deeper traversal on a
+      // cyclic graph belongs to the unrolled per-round-dedup pattern
+      // (graph_pagerank's shape), not the engine loop.
+      SparkEntry.queries("graph_reach_recursive")(spark, sfDir).count()
+      for (cap <- Seq(2, 4, 8, 10)) {
+        def rec(select: String) = spark.sql(
+          s"""WITH RECURSIVE reach(node, hops) AS (
+             |  SELECT * FROM VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+             |                       (CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+             |                       (CAST(2 AS BIGINT), CAST(0 AS BIGINT)) AS v(node, hops)
+             |  UNION ALL
+             |  SELECT e.b_id, r.hops + 1
+             |  FROM reach r JOIN graft_rcte_edges e ON e.a_id = r.node
+             |  WHERE r.hops < $cap)
+             |$select""".stripMargin)
+        val t0 = System.nanoTime()
+        val nodes = rec("SELECT node, min(hops) AS hops FROM reach GROUP BY node").count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val paths = rec("SELECT * FROM reach").count()
+        println(f"""{"shape":"rcte","hop_cap":$cap,"path_rows":$paths,"nodes_reached":$nodes,"secs":$secs%.2f}""")
       }
     }
 

@@ -56,6 +56,7 @@ private[graft] object SqlVerbs {
       case "UPDATE" => update(engine, t).map(_ => engine.statusOk)
       case "DELETE" => delete(engine, t).map(_ => engine.statusOk)
       case "INSERT" => insert(engine, t).map(_ => engine.statusOk)
+      case "MERGE"  => merge(engine, t).map(_ => engine.statusOk)
       case "ALTER"  => alter(engine, t).map(_ => engine.statusOk)
       case "COPY"   => copy(engine, t)
       case _        => None
@@ -451,6 +452,281 @@ private[graft] object SqlVerbs {
       }
     }
     Some(())
+  }
+
+  // ---- MERGE INTO t USING src ON cond WHEN [NOT] MATCHED … --------------
+
+  /** Index of the `(`-matching `)` in `s` starting at `open`, quote-
+    * aware (both literal styles + backslash escapes), or -1.
+    */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0; var quote: Char = 0; var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\' && i + 1 < s.length) i += 1
+        else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private sealed trait MergeAct
+  private case class MergeUpd(pred: Option[String], assigns: Seq[(String, String)]) extends MergeAct
+  private case class MergeDel(pred: Option[String]) extends MergeAct
+  private case class MergeIns(pred: Option[String], cols: Option[Seq[String]],
+      vals: Seq[String]) extends MergeAct
+
+  /** `MERGE INTO` — the general WHEN MATCHED / WHEN NOT MATCHED form
+    * the `ON CONFLICT` upsert cannot express (conditional updates,
+    * matched DELETE, a source relation with its own column names).
+    * Rewritten functionally like every other verb: one catalog swap
+    * under the mutator lock whose DataFrame encodes the statement's
+    * semantics.
+    *
+    * ANSI semantics preserved deliberately:
+    *  - clauses apply FIRST-MATCH-WINS in statement order, per row;
+    *  - a source that matches one target row more than once errors
+    *    (the standard's cardinality violation; DuckDB: "can not
+    *    update the same row twice") instead of non-deterministic
+    *    last-writer-wins;
+    *  - UPDATE SET expressions see the PRE-merge target row
+    *    (unqualified / target-alias) and the source row
+    *    (source-alias-qualified) simultaneously;
+    *  - WHEN NOT MATCHED INSERT aligns an explicit column list (or
+    *    the full target schema, positionally) and casts to declared
+    *    types; unlisted columns become NULL.
+    *
+    * Claimed subset: catalog-table target, aliased source (subquery
+    * or table), and an ON condition that is a top-level conjunction
+    * of `target.col = source.col` equalities — the match-key form
+    * every production MERGE uses, and the one a functional rewrite
+    * can verify the cardinality rule against. A non-equi ON errors
+    * loudly (a silent fall-through to spark.sql would produce a
+    * confusing parser error for a statement this layer DID
+    * recognize as MERGE).
+    *
+    * At 100 TB the shape is one shuffled equi-join on the merge key
+    * plus one anti-join — exactly the MERGE plan Delta/Iceberg
+    * execute — with the first-match-wins projection a per-row
+    * CASE chain, never a second pass.
+    */
+  private def merge(e: Engine, sqlText: String): Option[Unit] = {
+    val MergeHead = "(?is)^MERGE\\s+INTO\\s+([A-Za-z_][A-Za-z0-9_]*)(\\s.*)$".r
+    sqlText.trim match {
+      case MergeHead(table, rest0) if e.catalog.contains(table) =>
+        var rest = rest0
+        val usingPos = findKeyword(rest, "USING")
+        if (usingPos < 0) fail(sqlText, "USING clause")
+        val tAlias = rest.substring(0, usingPos).trim
+          .replaceAll("(?i)^AS\\s+", "").trim
+        if (tAlias.nonEmpty && !tAlias.matches("[A-Za-z_][A-Za-z0-9_]*"))
+          fail(sqlText, "target alias")
+        rest = rest.substring(usingPos + 5).trim
+        val (srcSql, afterSrc) =
+          if (rest.startsWith("(")) {
+            val close = matchParen(rest, 0)
+            if (close < 0) fail(sqlText, "USING subquery")
+            (rest.substring(1, close), rest.substring(close + 1))
+          } else {
+            val id = rest.takeWhile(isIdentChar)
+            if (id.isEmpty) fail(sqlText, "USING source")
+            (s"SELECT * FROM $id", rest.substring(id.length))
+          }
+        var tail = afterSrc.trim.replaceAll("(?i)^AS\\s+", "")
+        val sAlias = tail.takeWhile(isIdentChar)
+        if (sAlias.isEmpty || sAlias.equalsIgnoreCase("ON"))
+          fail(sqlText, "source alias (required)")
+        tail = tail.substring(sAlias.length).trim
+        if (!(tail.length > 2 && tail.regionMatches(true, 0, "ON", 0, 2) &&
+          !isIdentChar(tail.charAt(2)))) fail(sqlText, "ON clause")
+        tail = tail.substring(2).trim
+        val firstWhen = findKeyword(tail, "WHEN")
+        if (firstWhen < 0) fail(sqlText, "WHEN clause")
+        val cond = tail.substring(0, firstWhen).trim
+        // split the WHEN clauses on top-level WHEN keywords
+        val whenStarts = Iterator.iterate(firstWhen)(i =>
+          findKeyword(tail, "WHEN", i + 4)).takeWhile(_ >= 0).toSeq
+        val clauses = whenStarts.zipAll(whenStarts.drop(1), 0, tail.length)
+          .map { case (a, b) => tail.substring(a, b).trim }
+        val acts: Seq[MergeAct] = clauses.map(parseMergeClause(sqlText, _))
+        // ON: top-level conjunction of equalities
+        val conjuncts = {
+          val parts = Seq.newBuilder[String]
+          var start = 0
+          var i = findKeyword(cond, "AND")
+          while (i >= 0) {
+            parts += cond.substring(start, i); start = i + 3
+            i = findKeyword(cond, "AND", start)
+          }
+          parts += cond.substring(start)
+          parts.result().map(_.trim).filter(_.nonEmpty)
+        }
+        val src = e.spark.sql(srcSql)
+        val sCols = src.columns.toSeq
+        e.catalog.replaceWith(table) { df =>
+          val fields = df.schema.fields.toSeq
+          def tField(n: String) = fields.find(_.name.equalsIgnoreCase(n))
+            .getOrElse(unknownColumn(table, n, fields.map(_.name)))
+          def sCol(n: String) = sCols.find(_.equalsIgnoreCase(n))
+            .getOrElse(throw new IllegalArgumentException(
+              s"MERGE source has no column '$n': $sqlText"))
+          def qual(x: String): (Option[String], String) = {
+            val p = x.trim.split("\\.", 2)
+            if (p.length == 2) (Some(p(0).trim), p(1).trim) else (None, x.trim)
+          }
+          val keys: Seq[(String, String)] = conjuncts.map { cj =>
+            val tl = topLevel(cj)
+            val eq = (0 until cj.length)
+              .find(i => tl(i) && cj.charAt(i) == '=')
+              .getOrElse(fail(sqlText, "equi-join ON condition"))
+            val sides = Seq(cj.substring(0, eq), cj.substring(eq + 1)).map(qual)
+            def isTgt(s0: (Option[String], String)) = s0._1 match {
+              case Some(a) => a.equalsIgnoreCase(tAlias) || a.equalsIgnoreCase(table)
+              case None    => fields.exists(_.name.equalsIgnoreCase(s0._2))
+            }
+            def isSrc(s0: (Option[String], String)) = s0._1 match {
+              case Some(a) => a.equalsIgnoreCase(sAlias)
+              case None    => sCols.exists(_.equalsIgnoreCase(s0._2))
+            }
+            (sides(0), sides(1)) match {
+              case (a, b) if isTgt(a) && isSrc(b) => (tField(a._2).name, sCol(b._2))
+              case (a, b) if isSrc(a) && isTgt(b) => (tField(b._2).name, sCol(a._2))
+              case _ => fail(sqlText, "target.col = source.col ON conjunct")
+            }
+          }
+          // cardinality rule BEFORE any rewrite
+          if (src.groupBy(keys.map(k => col(k._2)): _*).count()
+              .filter(col("count") > 1).limit(1).count() > 0)
+            throw new IllegalArgumentException(
+              s"MERGE source matches a target row more than once " +
+                s"(DuckDB: can not update the same row twice): $sqlText")
+          val srcR = src
+            .select(sCols.map(c0 => col(c0).as(s"__src_$c0")).toIndexedSeq: _*)
+            .withColumn("__graft_matched", lit(true))
+          // expression rewrite: source-alias and target-alias
+          // qualifications → resolvable names (quote-aware)
+          def rw(text: String): String = {
+            val a = sCols.foldLeft(text)((t0, c0) =>
+              replaceIdent(t0, s"$sAlias.$c0", s"__src_$c0"))
+            val b = fields.foldLeft(a)((t0, f) =>
+              replaceIdent(t0, s"$table.${f.name}", f.name))
+            if (tAlias.isEmpty) b
+            else fields.foldLeft(b)((t0, f) =>
+              replaceIdent(t0, s"$tAlias.${f.name}", f.name))
+          }
+          val joinCond = keys.map { case (t, s0) => col(t) === col(s"__src_$s0") }
+            .reduce(_ && _)
+          val matchedC = coalesce(col("__graft_matched"), lit(false))
+          val joined = df.join(srcR, joinCond, "left")
+          // matched clauses: effective condition = matched AND pred AND
+          // no earlier matched clause fired (first-match-wins)
+          var priorM: Column = lit(false)
+          val matchedActs = acts.collect {
+            case u: MergeUpd => u.asInstanceOf[MergeAct]
+            case d0: MergeDel => d0.asInstanceOf[MergeAct]
+          }.map { act =>
+            val pred = (act match {
+              case MergeUpd(p, _) => p
+              case MergeDel(p)    => p
+              case _              => None
+            }).map(t => coalesce(expr(rw(t)), lit(false))).getOrElse(lit(true))
+            val eff = matchedC && pred && !priorM
+            priorM = priorM || (matchedC && pred)
+            (act, eff)
+          }
+          val delCond = matchedActs.collect { case (_: MergeDel, eff) => eff }
+            .reduceOption(_ || _).getOrElse(lit(false))
+          val kept = joined.filter(!delCond)
+          val proj = fields.map { f =>
+            val assignedChain = matchedActs.collect {
+              case (MergeUpd(_, assigns), eff)
+                  if assigns.exists(_._1 == f.name.toLowerCase) =>
+                (eff, assigns.find(_._1 == f.name.toLowerCase).get._2)
+            }
+            assignedChain.foldRight(col(f.name): Column) { case ((eff, text), acc) =>
+              when(eff, expr(rw(text)).cast(f.dataType)).otherwise(acc)
+            }.as(f.name)
+          }
+          val updated = kept.select(proj.toIndexedSeq: _*)
+          // NOT MATCHED inserts: source rows with no target match,
+          // first-match-wins across the insert clauses
+          val srcUn = srcR.join(
+            df.select(keys.map(k => col(k._1)).toIndexedSeq: _*).dropDuplicates(),
+            joinCond, "left_anti")
+          var priorI: Column = lit(false)
+          val inserted = acts.collect { case i0: MergeIns => i0 }.map { ins =>
+            val pred = ins.pred.map(t => coalesce(expr(rw(t)), lit(false)))
+              .getOrElse(lit(true))
+            val eff = pred && !priorI
+            priorI = priorI || pred
+            val order = ins.cols.getOrElse(fields.map(_.name))
+            order.find(c0 => !fields.exists(_.name.equalsIgnoreCase(c0)))
+              .foreach(unknownColumn(table, _, fields.map(_.name)))
+            require(ins.vals.length == order.length,
+              s"INSERT expects ${order.length} values, got ${ins.vals.length}: $sqlText")
+            val byName = order.map(_.toLowerCase).zip(ins.vals).toMap
+            srcUn.filter(eff).select(fields.map { f =>
+              byName.get(f.name.toLowerCase)
+                .map(v => expr(rw(v)).cast(f.dataType).as(f.name))
+                .getOrElse(lit(null).cast(f.dataType).as(f.name))
+            }.toIndexedSeq: _*)
+          }
+          inserted.foldLeft(updated)(_ unionByName _)
+        }
+        Some(())
+      case _ => None // absent/unmanaged target → spark.sql (parse error)
+    }
+  }
+
+  /** One `WHEN …` clause → its action. */
+  private def parseMergeClause(sqlText: String, clause: String): MergeAct = {
+    val WhenRe = "(?is)^WHEN\\s+(NOT\\s+)?MATCHED(\\s.*)$".r
+    clause match {
+      case WhenRe(notM, rest0) =>
+        var rest = rest0.trim
+        val thenPos = findKeyword(rest, "THEN")
+        if (thenPos < 0) fail(sqlText, "THEN in WHEN clause")
+        val predPart = rest.substring(0, thenPos).trim
+        val pred: Option[String] =
+          if (predPart.isEmpty) None
+          else if (predPart.toUpperCase.startsWith("AND"))
+            Some(predPart.substring(3).trim)
+          else fail(sqlText, "WHEN clause predicate")
+        rest = rest.substring(thenPos + 4).trim
+        val isNot = notM != null && notM.trim.nonEmpty
+        val up = rest.toUpperCase
+        if (!isNot && up.startsWith("UPDATE")) {
+          val setPos = findKeyword(rest, "SET")
+          if (setPos < 0) fail(sqlText, "UPDATE SET")
+          MergeUpd(pred, parseAssignments(rest.substring(setPos + 3), sqlText))
+        } else if (!isNot && up.startsWith("DELETE")) MergeDel(pred)
+        else if (isNot && up.startsWith("INSERT")) {
+          var r = rest.substring(6).trim
+          val cols: Option[Seq[String]] =
+            if (r.startsWith("(")) {
+              val close = matchParen(r, 0)
+              if (close < 0) fail(sqlText, "INSERT column list")
+              val names = r.substring(1, close).split(',').map(_.trim).toSeq
+              r = r.substring(close + 1).trim
+              Some(names)
+            } else None
+          if (!r.toUpperCase.startsWith("VALUES")) fail(sqlText, "INSERT VALUES")
+          r = r.substring(6).trim
+          if (!r.startsWith("(")) fail(sqlText, "VALUES list")
+          val close = matchParen(r, 0)
+          if (close < 0 || r.substring(close + 1).trim.nonEmpty)
+            fail(sqlText, "VALUES list")
+          MergeIns(pred, cols, splitTopLevel(r.substring(1, close), ',').map(_.trim))
+        } else fail(sqlText, "WHEN clause action")
+      case _ => fail(sqlText, "WHEN clause")
+    }
   }
 
   // ---- ALTER TABLE t ADD|DROP|RENAME COLUMN … / RENAME TO … -------------

@@ -330,6 +330,51 @@ object EngineOps {
       e.query("SELECT * FROM vup ORDER BY n_nationkey")
     },
 
+    // MERGE INTO routed through Engine.query (SqlVerbs.merge) — the
+    // general WHEN MATCHED / NOT MATCHED verb the ON CONFLICT upsert
+    // cannot express: conditional matched DELETE, matched UPDATE
+    // reading both rows, NOT MATCHED INSERT from an aliased source
+    // relation, first-match-wins clause order. The container's DuckDB
+    // (1.0.0) predates MERGE (added in 1.4), so the oracle executes
+    // the SEMANTICALLY EQUIVALENT verb sequence DuckDB can run —
+    // DELETE the matched-and-rk=0 rows, UPDATE…FROM the remaining
+    // matches, INSERT the non-matches against a PRE-merge key
+    // snapshot (so a deleted match is consumed, not re-inserted,
+    // exactly the standard's per-row clause consumption) — rather
+    // than the identical statement, as verb_upsert's oracle does.
+    sql("verb_merge",
+      """CREATE OR REPLACE TEMP TABLE graft_vm AS
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation;
+        |CREATE OR REPLACE TEMP TABLE graft_vms AS
+        |  SELECT n_nationkey + 20 AS k, 'new_' || n_name AS nm, n_regionkey AS rk
+        |  FROM nation WHERE n_regionkey < 2;
+        |CREATE OR REPLACE TEMP TABLE graft_vm0 AS
+        |  SELECT n_nationkey FROM graft_vm;
+        |DELETE FROM graft_vm WHERE EXISTS (
+        |  SELECT 1 FROM graft_vms s
+        |  WHERE graft_vm.n_nationkey = s.k AND s.rk = 0);
+        |UPDATE graft_vm
+        |  SET n_name = graft_vm.n_name || '+' || s.nm, n_regionkey = s.rk + 100
+        |  FROM graft_vms s WHERE graft_vm.n_nationkey = s.k;
+        |INSERT INTO graft_vm
+        |  SELECT s.k, s.nm, s.rk FROM graft_vms s
+        |  WHERE NOT EXISTS (SELECT 1 FROM graft_vm0 t WHERE t.n_nationkey = s.k);
+        |SELECT * FROM graft_vm ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val e = freshEngine(s)
+      e.put("nation", Tables.nation(e.spark, d))
+      e.put("vm", Tables.nation(e.spark, d)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+      e.query("MERGE INTO vm USING (SELECT n_nationkey + 20 AS k, " +
+        "'new_' || n_name AS nm, n_regionkey AS rk FROM nation WHERE n_regionkey < 2) AS s " +
+        "ON vm.n_nationkey = s.k " +
+        "WHEN MATCHED AND s.rk = 0 THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET n_name = n_name || '+' || s.nm, " +
+        "n_regionkey = s.rk + 100 " +
+        "WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey) " +
+        "VALUES (s.k, s.nm, s.rk)")
+      e.query("SELECT * FROM vm ORDER BY n_nationkey")
+    },
+
     // COPY verb — the reference's parquet-export path (`COPY
     // flights_temp TO '<f>' (FORMAT PARQUET)`, demo.py:233), routed
     // through Engine.query like every other verb. DuckDB syntax that

@@ -67,7 +67,7 @@ object Vectors {
     * a stale index built by an earlier version. Bump on any change to
     * the encode logic or layout.
     */
-  private[graft] val ivfIndexFormat: String = "f3-scaled-lloyd-1fpc"
+  private[graft] val ivfIndexFormat: String = "f4-trained-pq"
 
   /** Deterministic per-subspace codebook picks for product
     * quantization (sim_pq_adc): 4 codes per 8-dim subspace.
@@ -342,17 +342,81 @@ object Vectors {
     * cell filter between the codes and the ADC aggregate without
     * re-deriving either side.
     */
-  private[graft] def pqParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
-    val e0 = microVecs(s, d)
-    // codebook index c = position of the seed id in pqSeedIds
-    val cCol = pqSeedIds.zipWithIndex.foldLeft(lit(-1)) {
+  /** TRAINED per-subspace PQ codebook (round 15, replacing the fixed
+    * seed-vector codebook): for each of the 8 subspaces, the 4 seed
+    * slices are the k-means INIT, then ONE exact Lloyd step over a
+    * deterministic 20% corpus sample (vec_id % 5 = 0, plus the seeds
+    * so no code can go empty) — assign each sample subvector to its
+    * nearest seed code (exact integer d2, argmin tie-broken by c),
+    * take the per-(m, c) component mean, and round it back to the
+    * integer lattice (floor(mean + 0.5)), the [[scaledLloydCent]]
+    * determinism argument applied per subspace. `vecs` is any
+    * (vec_id, <vecCol>) frame of integer-valued 64-dim vectors —
+    * micro-unit embeddings for the flat codebook, residuals for the
+    * residual one (FAISS trains sub-quantizers on exactly these two).
+    * At 100 TB: the sample is a pushed-down filter scan, the E-step a
+    * broadcast-32-row expand collapsed by a partial min(struct), the
+    * M-step one map-side-combinable aggregate over 32×8 doubles.
+    */
+  private def trainedCodebook(vecs: DataFrame, vecCol: String,
+      seedIds: Seq[Long], outCol: String): DataFrame = {
+    val cCol = seedIds.zipWithIndex.foldLeft(lit(-1)) {
       case (acc, (sid, c)) => when(col("vec_id") === sid, lit(c)).otherwise(acc)
     }
     val ms = explode(sequence(lit(0), lit(7))).as("m")
-    val cb = e0.filter(col("vec_id").isin(pqSeedIds: _*))
-      .select(cCol.as("c"), col("qe"))
-      .select(col("c"), ms, col("qe"))
-      .select(col("c"), col("m"), slice(col("qe"), col("m") * 8 + 1, lit(8)).as("ce"))
+    val cb0 = vecs.filter(col("vec_id").isin(seedIds: _*))
+      .select(cCol.as("c"), col(vecCol))
+      .select(col("c"), ms, col(vecCol))
+      .select(col("c"), col("m"),
+        slice(col(vecCol), col("m") * 8 + 1, lit(8)).as("ce0"))
+    val samp = vecs
+      .filter(col("vec_id") % 5 === 0 || col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id"), ms, col(vecCol))
+      .select(col("vec_id"), col("m"),
+        slice(col(vecCol), col("m") * 8 + 1, lit(8)).as("sv"))
+    val tasg = samp.join(broadcast(cb0), Seq("m"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(sqDist(col("sv"), col("ce0")).as("d2"), col("c"))).as("best"),
+        first(col("sv")).as("sv"))
+      .select(col("m"), col("best.c").as("c"), col("sv"))
+    tasg.groupBy(col("c"), col("m"))
+      .agg(graft.functions.VectorMean.centroid(
+        col("sv").cast("array<float>")).as("mv"))
+      .select(col("c"), col("m"),
+        transform(col("mv"), x => floor(x + lit(0.5d))).as(outCol))
+  }
+
+  /** DuckDB twin of [[trainedCodebook]] as a CTE suffix — requires a
+    * CTE `src`(vec_id, `v`) in scope, emits `cb`(c, m, `out`).
+    */
+  private def trainedCbCtes(seedIds: Seq[Long], src: String, v: String,
+      out: String): String = {
+    val seeds = seedIds.zipWithIndex
+      .map { case (sid, c) => s"($c, $sid)" }.mkString(", ")
+    val inList = seedIds.mkString("(", ", ", ")")
+    s"""seeds(c, sid) AS (VALUES $seeds),
+       |cb0 AS (SELECT s.c, m.m, r.$v[m.m * 8 + 1 : m.m * 8 + 8] AS ce0
+       |        FROM seeds s JOIN $src r ON r.vec_id = s.sid, range(0, 8) m(m)),
+       |tsub AS (SELECT vec_id, m.m, $v[m.m * 8 + 1 : m.m * 8 + 8] AS sv
+       |         FROM $src, range(0, 8) m(m)
+       |         WHERE vec_id % 5 = 0 OR vec_id IN $inList),
+       |tasg AS (SELECT m, c, sv FROM (
+       |           SELECT t.vec_id, t.m, c0.c, t.sv,
+       |                  row_number() OVER (PARTITION BY t.vec_id, t.m
+       |                    ORDER BY list_sum(list_transform(range(1, 9),
+       |                      j -> (t.sv[j] - c0.ce0[j]) * (t.sv[j] - c0.ce0[j]))),
+       |                      c0.c) AS rn
+       |           FROM tsub t JOIN cb0 c0 ON c0.m = t.m) x
+       |         WHERE rn = 1),
+       |cbm AS (SELECT c, m, i, floor(sum(sv[i]) / count(*) + 0.5) AS mv
+       |        FROM tasg, range(1, 9) t(i) GROUP BY c, m, i),
+       |cb AS (SELECT c, m, list(mv ORDER BY i) AS $out FROM cbm GROUP BY c, m)""".stripMargin
+  }
+
+  private[graft] def pqParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val e0 = microVecs(s, d)
+    val ms = explode(sequence(lit(0), lit(7))).as("m")
+    val cb = trainedCodebook(e0, "qe", pqSeedIds, "ce")
     val sub = e0.select(col("vec_id"), ms, col("qe"))
       .select(col("vec_id"), col("m"), slice(col("qe"), col("m") * 8 + 1, lit(8)).as("sv"))
     def sq(a: Column, b: Column): Column = sqDist(a, b)
@@ -658,14 +722,10 @@ object Vectors {
     * back to).
     */
   private def ivfPqAdistCtes: String = {
-    val seeds = pqSeedIds.zipWithIndex
-      .map { case (sid, c) => s"($c, $sid)" }.mkString(", ")
     s"""e AS (SELECT vec_id,
        |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
        |           FROM embeddings),
-       |seeds(c, sid) AS (VALUES $seeds),
-       |cb AS (SELECT s.c, m.m, e.qe[m.m * 8 + 1 : m.m * 8 + 8] AS ce
-       |       FROM seeds s JOIN e ON e.vec_id = s.sid, range(0, 8) m(m)),
+       |${trainedCbCtes(pqSeedIds, "e", "qe", "ce")},
        |sub AS (SELECT vec_id, m.m, qe[m.m * 8 + 1 : m.m * 8 + 8] AS sv
        |        FROM e, range(0, 8) m(m)),
        |dist AS (SELECT vec_id, sub.m, cb.c,
@@ -914,9 +974,10 @@ object Vectors {
 
   /** Residual PQ encode over own-cell assignments (FAISS
     * by_residual=true build): integer residuals from each vector's
-    * cell centroid, the 4-seed sub-codebook learned FROM residuals
-    * (pqResSeedIds — non-centroid rows, a centroid's residual being
-    * the zero vector), one bounded argmin per (vector, subspace).
+    * cell centroid, the sub-codebook TRAINED on residual samples via
+    * [[trainedCodebook]] (seeded from the pqResSeedIds residuals —
+    * FAISS by_residual=true trains its sub-quantizer on exactly
+    * these), one bounded argmin per (vector, subspace).
     * Returns (cb = 32-row (c, m, cv) codebook, enc = (c_id, cell, m,
     * code) residual code stream). Shared by the in-memory chain and
     * the persisted-index build so the two cannot drift.
@@ -928,14 +989,11 @@ object Vectors {
       .join(broadcast(cent), col("cell") === col("cid"))
       .select(col("vec_id"), col("cell"),
         zip_with(col("qe"), col("ce"), (x, y) => x - y).as("res")))
-    val cCol = pqResSeedIds.zipWithIndex.foldLeft(lit(-1)) {
-      case (acc, (sid, c)) => when(col("vec_id") === sid, lit(c)).otherwise(acc)
-    }
     val ms = explode(sequence(lit(0), lit(7))).as("m")
-    val cb = resv.filter(col("vec_id").isin(pqResSeedIds: _*))
-      .select(cCol.as("c"), ms, col("res"))
-      .select(col("c"), col("m"),
-        slice(col("res"), col("m") * 8 + 1, lit(8)).as("cv"))
+    // trained on RESIDUALS (FAISS by_residual=true trains the
+    // sub-quantizer on residual samples) — same one-Lloyd-step recipe
+    // as the flat codebook, seeded from the pqResSeedIds residuals
+    val cb = trainedCodebook(resv, "res", pqResSeedIds, "cv")
     val sub = resv.select(col("vec_id"), col("cell"), ms, col("res"))
       .select(col("vec_id"), col("cell"), col("m"),
         slice(col("res"), col("m") * 8 + 1, lit(8)).as("sv"))
@@ -1057,13 +1115,10 @@ object Vectors {
       enc.join(asg, Seq("c_id")).repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
       cent.write.mode("overwrite").parquet(s"$stage/centroids")
-      val cCol = pqSeedIds.zipWithIndex.foldLeft(lit(-1)) {
-        case (acc, (sid, c)) => when(col("vec_id") === sid, lit(c)).otherwise(acc)
-      }
-      val ms = explode(sequence(lit(0), lit(7))).as("m")
-      e0.filter(col("vec_id").isin(pqSeedIds: _*))
-        .select(cCol.as("c"), ms, col("qe"))
-        .select(col("c"), col("m"), slice(col("qe"), col("m") * 8 + 1, lit(8)).as("ce"))
+      // the SAME trained codebook pqParts encoded with — one
+      // definition, so the stored artifact can never drift from the
+      // codes it indexes
+      trainedCodebook(e0, "qe", pqSeedIds, "ce")
         .write.mode("overwrite").parquet(s"$stage/codebook")
     }
   }
@@ -1470,8 +1525,6 @@ object Vectors {
     */
   private def ivfPqResidualOracle(extraAdistPred: String = "",
       rerank: Boolean = false): String = {
-      val seeds = pqResSeedIds.zipWithIndex
-        .map { case (sid, c) => s"($c, $sid)" }.mkString(", ")
       s"""WITH e AS (SELECT vec_id,
          |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
          |           FROM embeddings),
@@ -1487,9 +1540,7 @@ object Vectors {
          |                list_transform(range(1, 65), j -> e.qe[j] - c.ce[j]) AS res
          |         FROM e JOIN asg a ON a.vec_id = e.vec_id
          |                JOIN cent c ON c.cid = a.cell),
-         |seeds(c, sid) AS (VALUES $seeds),
-         |cb AS (SELECT s.c, m.m, r.res[m.m * 8 + 1 : m.m * 8 + 8] AS cv
-         |       FROM seeds s JOIN resv r ON r.vec_id = s.sid, range(0, 8) m(m)),
+         |${trainedCbCtes(pqResSeedIds, "resv", "res", "cv")},
          |sub AS (SELECT vec_id, cell, m.m, res[m.m * 8 + 1 : m.m * 8 + 8] AS sv
          |        FROM resv, range(0, 8) m(m)),
          |dist AS (SELECT vec_id, cell, sub.m, cb.c,
@@ -2222,14 +2273,10 @@ object Vectors {
     // subspace distance is an integer and the ADC sum (≤ ~2.6e14)
     // hash-matches exactly — no rounding frontier anywhere.
     sql("sim_pq_adc", {
-      val seeds = pqSeedIds.zipWithIndex
-        .map { case (sid, c) => s"($c, $sid)" }.mkString(", ")
       s"""WITH e AS (SELECT vec_id,
          |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
          |           FROM embeddings),
-         |seeds(c, sid) AS (VALUES $seeds),
-         |cb AS (SELECT s.c, m.m, e.qe[m.m * 8 + 1 : m.m * 8 + 8] AS ce
-         |       FROM seeds s JOIN e ON e.vec_id = s.sid, range(0, 8) m(m)),
+         |${trainedCbCtes(pqSeedIds, "e", "qe", "ce")},
          |sub AS (SELECT vec_id, m.m, qe[m.m * 8 + 1 : m.m * 8 + 8] AS sv
          |        FROM e, range(0, 8) m(m)),
          |dist AS (SELECT vec_id, sub.m, cb.c,
@@ -2276,14 +2323,10 @@ object Vectors {
     // no rounding frontier; recall vs the ADC-only top-3 is measured
     // in SCALE.md.
     sql("sim_pq_rerank", {
-      val seeds = pqSeedIds.zipWithIndex
-        .map { case (sid, c) => s"($c, $sid)" }.mkString(", ")
       s"""WITH e AS (SELECT vec_id,
          |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
          |           FROM embeddings),
-         |seeds(c, sid) AS (VALUES $seeds),
-         |cb AS (SELECT s.c, m.m, e.qe[m.m * 8 + 1 : m.m * 8 + 8] AS ce
-         |       FROM seeds s JOIN e ON e.vec_id = s.sid, range(0, 8) m(m)),
+         |${trainedCbCtes(pqSeedIds, "e", "qe", "ce")},
          |sub AS (SELECT vec_id, m.m, qe[m.m * 8 + 1 : m.m * 8 + 8] AS sv
          |        FROM e, range(0, 8) m(m)),
          |dist AS (SELECT vec_id, sub.m, cb.c,
@@ -2881,6 +2924,50 @@ object Vectors {
           pr6(col("cos")).as("cosine"),
           col("r_a").isNotNull.as("mutual"))
         .orderBy(col("a_id"), col("rnk"))
+    },
+
+    // ---- recursive CTE: multi-hop reachability over the knn graph ------
+    // The last big routed-SQL-verb gap (the reference's router accepts
+    // any WITH statement and DuckDB executes recursion natively;
+    // Spark 4 executes WITH RECURSIVE as a genuine UnionLoop physical
+    // operator — NOT the unrolled-iteration pattern PageRank/BPE/MMR
+    // use, so this key pins the engine's actual recursive execution
+    // path): transitive reachability from 3 seed vectors over the
+    // oracled knn edge list (the same `t` chain knn_graph pins),
+    // bounded to 4 hops, emitting each reached node at its MINIMUM
+    // hop count. UNION ALL recursion explores all paths (out-degree 3,
+    // ≤ 3+9+27+81 rows per seed — bounded by the hop cap, the standard
+    // cycle guard when the engine's rCTE has no UNION-distinct); the
+    // final aggregate collapses path multiplicity deterministically.
+    // Scale shape: each iteration is ONE frontier⋈edges hash join +
+    // the loop union — frontier-sized, never corpus-sized; the edge
+    // list partitions by a_id so every iteration reuses the same
+    // co-partitioning (at 100 TB this is semi-naive BFS, the
+    // Datalog/GraphX pattern, with the engine owning the loop).
+    sql("graph_reach_recursive", {
+      s"""WITH RECURSIVE $knnEdgeCtes,
+         |reach(node, hops) AS (
+         |  SELECT * FROM (VALUES (0::BIGINT, 0::BIGINT), (1, 0), (2, 0)) v(node, hops)
+         |  UNION ALL
+         |  SELECT t.b_id, r.hops + 1
+         |  FROM reach r JOIN t ON t.a_id = r.node
+         |  WHERE r.hops < 4)
+         |SELECT node, CAST(min(hops) AS BIGINT) AS hops
+         |FROM reach GROUP BY node ORDER BY node""".stripMargin
+    }) { (s, d) =>
+      knnEdges(s, d).select(col("a_id"), col("b_id"))
+        .createOrReplaceTempView("graft_rcte_edges")
+      s.sql(
+        """WITH RECURSIVE reach(node, hops) AS (
+          |  SELECT * FROM VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+          |                       (CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+          |                       (CAST(2 AS BIGINT), CAST(0 AS BIGINT)) AS v(node, hops)
+          |  UNION ALL
+          |  SELECT e.b_id, r.hops + 1
+          |  FROM reach r JOIN graft_rcte_edges e ON e.a_id = r.node
+          |  WHERE r.hops < 4)
+          |SELECT node, CAST(min(hops) AS BIGINT) AS hops
+          |FROM reach GROUP BY node ORDER BY node""".stripMargin)
     },
 
     // ---- PageRank over the k-NN graph ----------------------------------

@@ -586,6 +586,44 @@ class EngineSpec extends SparkSpec {
     assert(ex2.getMessage.contains("nope"))
   }
 
+  test("merge: first-match-wins clause order, delete consumes its match, insert NULL-fills unlisted columns") {
+    val e = fresh()
+    e.put("m", e.spark.sql(
+      "SELECT * FROM VALUES (1L, 'a', 10L), (2L, 'b', 20L), (3L, 'c', 30L) AS t(k, name, v)"))
+    // k=1 matches with flag=0 → DELETE (and must NOT also update);
+    // k=2 matches with flag=1 → first UPDATE wins over the later
+    // catch-all UPDATE; k=9 is new → INSERT with v unlisted → NULL
+    e.query("MERGE INTO m USING (SELECT * FROM VALUES (1L, 'X', 0L), (2L, 'Y', 1L), " +
+      "(9L, 'Z', 5L) AS x(sk, sn, flag)) AS s " +
+      "ON m.k = s.sk " +
+      "WHEN MATCHED AND s.flag = 0 THEN DELETE " +
+      "WHEN MATCHED AND s.flag = 1 THEN UPDATE SET name = name || '-' || s.sn " +
+      "WHEN MATCHED THEN UPDATE SET name = 'never' " +
+      "WHEN NOT MATCHED THEN INSERT (k, name) VALUES (s.sk, s.sn)")
+    val rows = e.get("m").orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(rows == Seq((2L, "b-Y", 20L), (3L, "c", 30L), (9L, "Z", -1L)),
+      s"unexpected merge result: $rows")
+    // cardinality rule: two source rows hitting one target row error
+    val ex = intercept[IllegalArgumentException] {
+      e.query("MERGE INTO m USING (SELECT * FROM VALUES (2L, 'p'), (2L, 'q') AS x(sk, sn)) AS s " +
+        "ON m.k = s.sk WHEN MATCHED THEN UPDATE SET name = s.sn")
+    }
+    assert(ex.getMessage.contains("more than once"))
+    // non-equi ON is claimed-but-unsupported: loud error, not a
+    // confusing spark.sql parse failure
+    val ex2 = intercept[IllegalArgumentException] {
+      e.query("MERGE INTO m USING (SELECT 1L AS sk, 'p' AS sn) AS s " +
+        "ON m.k < s.sk WHEN MATCHED THEN UPDATE SET name = s.sn")
+    }
+    assert(ex2.getMessage.contains("equi-join"))
+    // an unmanaged target is NOT claimed — falls through to spark.sql
+    intercept[Exception] {
+      e.query("MERGE INTO not_a_table USING (SELECT 1 AS a) AS s ON not_a_table.x = s.a " +
+        "WHEN MATCHED THEN DELETE")
+    }
+  }
+
   test("TcpGate arrow mode: schema + rows round-trip byte-exactly via Arrow IPC") {
     import graft.engine.GateClient
     import org.apache.spark.sql.GraftBridge

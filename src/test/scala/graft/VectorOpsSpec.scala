@@ -398,6 +398,32 @@ class VectorOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum % 3 == 0, "membership mass not divisible by 3")
   }
 
+  test("graph_reach_recursive: genuine UnionLoop execution with exact BFS min-hop levels") {
+    val out = run("graph_reach_recursive").cache()
+    // 1. the plan must be the engine's recursive operator, not an
+    // unrolled union (that would silently cap the recursion depth)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("UnionLoop"),
+      s"expected UnionLoop in the plan:\n${plan.take(2000)}")
+    // 2. seeds sit at hop 0
+    assert(out.filter(col("hops") === 0).select("node").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L))
+    // 3. BFS frontier property, both directions: every level-h node
+    // (h > 0) has an in-edge from a level-(h-1) node, and NO in-edge
+    // from anything earlier than h-1 (minimality)
+    val edges = spark.table("graft_rcte_edges")
+    val pred = out.select(col("node").as("p_node"), col("hops").as("p_hops"))
+    val best = out.filter(col("hops") > 0)
+      .join(edges, col("b_id") === col("node"))
+      .join(pred, col("a_id") === col("p_node"))
+      .groupBy(col("node"), col("hops"))
+      .agg(min(col("p_hops")).as("best_pred"))
+    assert(best.filter(col("best_pred") =!= col("hops") - 1).count() == 0,
+      "a node's hop level is not min-over-predecessors + 1")
+    // 4. the cap holds
+    assert(out.filter(col("hops") > 4).count() == 0)
+  }
+
   test("sim_ivf_pq_indexed: equals sim_ivf_pq, and the serve scan partition-prunes on cell") {
     val fromIndex = run("sim_ivf_pq_indexed")
     val inMemory = run("sim_ivf_pq")
