@@ -194,6 +194,46 @@ object ScaleProbe {
     * by r positions — distinct vectors, same uniform-random character
     * (the adversarial case for LSH), norms preserved.
     */
+  /** The planted-cluster embedding corpus shared by the `pqres` and
+    * `beam` probe legs (ONE recipe so the two legs cannot drift): 8
+    * clusters keyed on xxhash64(id) % 8, rows at the historical seed
+    * ids sitting exactly ON their center; every other row is center +
+    * per-subspace offset (`os` scale, the 4^8 product structure a PQ
+    * residual codebook covers exactly — planted to the codebook index
+    * on the residual-seed rows) + i.i.d. jitter (`js` scale). Label
+    * column fixture-shaped for microVecsL-based chains.
+    */
+  private def plantedClusterCorpus(spark: SparkSession, dir: String,
+      n: Long, os: Double, js: Double): Unit = {
+    val cids = graft.ops.Vectors.ivfCentroidIds
+    val rseeds = graft.ops.Vectors.pqResSeedIds
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val kCol = cids.zipWithIndex.foldLeft(
+        pmod(xxhash64(col("id")), lit(8)).cast("int")) {
+      case (acc, (cid, k)) => when(col("id") === cid, lit(k)).otherwise(acc)
+    }
+    val cs = 0.8
+    // per-subspace offset index: planted to the codebook index on
+    // the residual-seed rows, pseudo-random everywhere else
+    val oSql = rseeds.zipWithIndex
+      .map { case (sid, c) => s"when vec_id = $sid then $c" }
+      .mkString("case ", " ", " else pmod(xxhash64(concat('o:', vec_id, ':', j div 8)), 4) end")
+    spark.range(n)
+      .select(col("id").as("vec_id"), kCol.as("k"),
+        (!col("id").isin(cids: _*)).as("noisy"))
+      .select(col("vec_id"),
+        expr(s"""transform(sequence(0, 63), j -> cast(
+             |  $cs * ((xxhash64(concat('c:', k, ':', j)) % 1000001) / 1000000.0)
+             |  + (case when noisy then
+             |       $os * ((xxhash64(concat('f:', ($oSql), ':', j)) % 1000001) / 1000000.0)
+             |     + $js * ((xxhash64(concat('n:', vec_id, ':', j)) % 1000001) / 1000000.0)
+             |     else 0.0 end) as float))""".stripMargin).as("embedding"),
+        // fixture-shaped label (microVecsL-based chains read it)
+        pmod(col("vec_id"), lit(10)).cast("int").as("label"))
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
   private def scaledEmb(e: DataFrame, factor: Int): DataFrame =
     e.select(col("vec_id"), col("embedding"),
         explode(sequence(lit(0), lit(factor - 1))).as("r"))
@@ -359,7 +399,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     // modes: all (default) | events | dedup | indexed | ann | state |
     // state-rocks | cc | ccdelta | ccchain | batchlog | bpe | decontam |
-    // span | pq | pqres | ivfidx | ivfstream | ivffilter | rcte | knn | phash |
+    // span | pq | pqres | beam | ivfidx | ivfstream | ivffilter | rcte | knn | phash |
     // media | buckets |
     // triangles | pagerank — first non-numeric arg selects; numeric
     // args keep their meaning
@@ -618,35 +658,10 @@ object ScaleProbe {
       // over the written corpus; candidate counts are asserted equal
       // (identical coarse assignment ⇒ identical scan — the recall
       // difference is pure ranking).
-      val cids = graft.ops.Vectors.ivfCentroidIds
-      val rseeds = graft.ops.Vectors.pqResSeedIds
       val n = 16000L
       for ((regime, os, js) <- Seq(("iso", 0.0, 0.60), ("structured", 0.40, 0.05))) {
         val dir = s"$tmpRoot/pqres_$regime"
-        val kCol = cids.zipWithIndex.foldLeft(
-            pmod(xxhash64(col("id")), lit(8)).cast("int")) {
-          case (acc, (cid, k)) => when(col("id") === cid, lit(k)).otherwise(acc)
-        }
-        val cs = 0.8
-        // per-subspace offset index: planted to the codebook index on
-        // the residual-seed rows, pseudo-random everywhere else
-        val oSql = rseeds.zipWithIndex
-          .map { case (sid, c) => s"when vec_id = $sid then $c" }
-          .mkString("case ", " ", " else pmod(xxhash64(concat('o:', vec_id, ':', j div 8)), 4) end")
-        spark.range(n)
-          .select(col("id").as("vec_id"), kCol.as("k"),
-            (!col("id").isin(cids: _*)).as("noisy"))
-          .select(col("vec_id"),
-            expr(s"""transform(sequence(0, 63), j -> cast(
-                 |  $cs * ((xxhash64(concat('c:', k, ':', j)) % 1000001) / 1000000.0)
-                 |  + (case when noisy then
-                 |       $os * ((xxhash64(concat('f:', ($oSql), ':', j)) % 1000001) / 1000000.0)
-                 |     + $js * ((xxhash64(concat('n:', vec_id, ':', j)) % 1000001) / 1000000.0)
-                 |     else 0.0 end) as float))""".stripMargin).as("embedding"),
-            // fixture-shaped label (microVecsL-based chains read it)
-            pmod(col("vec_id"), lit(10)).cast("int").as("label"))
-          .repartition(cpus.toInt)
-          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        plantedClusterCorpus(spark, dir, n, os, js)
         val t0 = System.nanoTime()
         def top3AndCount(ad: org.apache.spark.sql.DataFrame): (Set[(Long, Long)], Long) = {
           val c = ad.cache()
@@ -681,6 +696,54 @@ object ScaleProbe {
         val rr = resTop.count(gt.contains) / gt.size.toDouble
         println(f"""{"shape":"pqres","regime":"$regime","rows":$n,"cand_flat":$nFlat,"cand_res":$nRes,"recall_flat":$rf%.3f,"recall_res":$rr%.3f,"secs":$secs%.1f}""")
         spark.catalog.clearCache()
+      }
+    }
+
+    if (on("beam")) {
+      // Graph-ANN (sim_graph_beam) vs the IVF dial at matched
+      // candidate budgets, on BOTH corpus regimes: the isotropic
+      // fixture (ANN-adversarial — a knn graph over uniform-random
+      // vectors has no navigable small-world structure, so greedy
+      // beam gets stuck near its entries) and the planted clustered
+      // corpus (where proximity graphs actually navigate). Each dial
+      // runs the OPERATOR's own beamParts chain; candidates counted
+      // from the operator's per-round frames; recall@3 vs exact
+      // micro-unit L2 brute force over the 20 queries.
+      for (regime <- Seq("fixture", "structured")) {
+        val dir = if (regime == "fixture") sfDir else {
+          val d0 = s"$tmpRoot/beam_structured"
+          plantedClusterCorpus(spark, d0, 16000L, 0.40, 0.05)
+          d0
+        }
+        // exact L2 ground truth through the same micro-unit frame
+        val e0 = graft.ops.Vectors.microVecs(spark, dir)
+        val q = e0.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("qe").as("qq"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+        val gt = e0.select(col("vec_id").as("c_id"), col("qe"))
+          .join(broadcast(q), col("c_id") =!= col("q_id"))
+          .select(col("q_id"), col("c_id"),
+            aggregate(zip_with(col("qq"), col("qe"), (x, y) => (x - y) * (x - y)),
+              lit(0d), (acc, v) => acc + v).cast("bigint").as("d2"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select("q_id", "c_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        for ((bw, rounds, deg) <- Seq((8, 3, 3), (16, 3, 3), (32, 5, 3),
+            (16, 5, 8), (32, 5, 8))) {
+          val t0 = System.nanoTime()
+          val (cands, beamDf) =
+            graft.ops.Vectors.beamParts(spark, dir, 20L, bw, rounds, deg)
+          val nCand = cands.map(_.count()).sum
+          val top3 = beamDf
+            .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+            .select("q_id", "c_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val secs = (System.nanoTime() - t0) / 1e9
+          val rec = top3.count(gt.contains) / gt.size.toDouble
+          println(f"""{"shape":"beam","regime":"$regime","beam":$bw,"rounds":$rounds,"degree":$deg,"candidates":$nCand,"recall":$rec%.3f,"secs":$secs%.1f}""")
+          spark.catalog.clearCache()
+        }
       }
     }
 

@@ -517,9 +517,9 @@ object Vectors {
     * explicitly).
     */
   private[graft] def knnEdgesScaled(s: SparkSession, d: String,
-      perCell: Long = 125L): DataFrame = {
+      perCell: Long = 125L, degree: Int = 3): DataFrame = {
     val e = emb(s, d)
-    knnEdgesOver(e, scaledKnnCentroids(e, perCell))
+    knnEdgesOver(e, scaledKnnCentroids(e, perCell), degree)
   }
 
   /** The corpus-sized centroid rule of [[knnEdgesScaled]] — exposed so
@@ -555,7 +555,8 @@ object Vectors {
     * given broadcast centroids, in-cell cosine candidates, per-node
     * top-3.
     */
-  private def knnEdgesOver(e: DataFrame, cent: DataFrame): DataFrame = {
+  private def knnEdgesOver(e: DataFrame, cent: DataFrame,
+      degree: Int = 3): DataFrame = {
     val d2 = dot(col("embedding"), col("embedding")) -
       lit(2) * dot(col("embedding"), col("ce")) + dot(col("ce"), col("ce"))
     val wAsg = org.apache.spark.sql.expressions.Window
@@ -577,8 +578,62 @@ object Vectors {
         .select(col("a_id"), col("b_id"),
           (dot(col("ae"), col("be")) / (col("an") * col("bn"))).as("cos"))
         .withColumn("rnk", row_number().over(wTop).cast("bigint"))
-        .filter(col("rnk") <= 3)
+        .filter(col("rnk") <= degree)
         .select(col("a_id"), col("b_id"), col("rnk"), col("cos")))
+  }
+
+  /** HNSW-style greedy beam search over the corpus-scaled knn graph
+    * (`sim_graph_beam`) — the graph-based ANN serve that complements
+    * the IVF route: start from the quantizer's seed entry points,
+    * keep the best `beamW` candidates by exact micro-unit L2, and for
+    * `rounds` unrolled steps expand the beam's out-edges (the stored
+    * top-3 neighbor lists), re-scoring and re-cutting — the
+    * single-layer core of HNSW's search loop (Malkov & Yashunin 2018
+    * §4, greedy beam over a proximity graph; layers only shrink the
+    * entry set, which here is the cells-sized seed list standing in
+    * for the upper layers). Everything past the entry scoring is
+    * query-sized: candidates per query are bounded by
+    * cells + rounds·beamW·3, every join broadcasts the candidate
+    * side into the corpus vector fetch, and the only corpus-scaled
+    * work is the knn edge build — a stored artifact in production.
+    * Returns (per-round candidate frames, final beam) so ScaleProbe
+    * can count the scored candidates through the operator's own
+    * chain for the equal-budget comparison against the IVF dial.
+    */
+  private[graft] def beamParts(s: SparkSession, d: String, qBound: Long = 20L,
+      beamW: Int = 8, rounds: Int = 3, degree: Int = 3): (Seq[DataFrame], DataFrame) = {
+    val e0 = microVecs(s, d)
+    val edges = maybeCache(
+      knnEdgesScaled(s, d, degree = degree).select(col("a_id"), col("b_id")))
+    val q = e0.filter(col("vec_id") < qBound)
+      .select(col("vec_id").as("q_id"), col("qe").as("qq"))
+    val entries = scaledKnnCentroids(emb(s, d), 125L).select(col("cid").as("c_id"))
+    val cv = e0.select(col("vec_id").as("c_id"), col("qe").as("ce"))
+    def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
+    // candidate (q_id, c_id) frames are query-plan-sized → broadcast
+    // them into the corpus vector fetch; floats never shuffle
+    def score(cand: DataFrame): DataFrame =
+      cv.join(broadcast(cand), Seq("c_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .filter(col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"), sqd(col("qq"), col("ce")).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+    def topB(sc: DataFrame): DataFrame = maybeCache(
+      sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= beamW)
+        .select(col("q_id"), col("c_id"), col("d2")))
+    val ent = q.select(col("q_id")).crossJoin(broadcast(entries))
+    var beamDf = topB(score(ent))
+    val cands = scala.collection.mutable.Buffer[DataFrame](ent)
+    for (_ <- 1 to rounds) {
+      val nbrs = beamDf.join(edges, beamDf("c_id") === edges("a_id"))
+        .select(col("q_id"), col("b_id").as("c_id")).distinct()
+      cands += nbrs
+      val merged = score(nbrs).unionByName(beamDf)
+        .groupBy(col("q_id"), col("c_id")).agg(min(col("d2")).as("d2"))
+      beamDf = topB(merged)
+    }
+    (cands.toSeq, beamDf)
   }
 
   /** Integer-exact damped PageRank over an arbitrary (src, dst) edge
@@ -1412,6 +1467,89 @@ object Vectors {
           .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
       }
     }
+  }
+
+  /** DuckDB twin of the filtered-IVF chain (shared by
+    * `sim_ivf_filtered` and the adaptive key's dense branch) — CTEs
+    * through `p` (q_id, c_id, c_label, d2); `labelExpr` is the label
+    * column expression over embeddings (fixture column or synthetic
+    * vec_id-derived), `labelMod` the wanted-label modulus.
+    */
+  private def filteredIvfCtes(labelExpr: String, labelMod: Int): String =
+    s"""e AS (SELECT vec_id, $labelExpr AS label,
+       |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
+       |           FROM embeddings),
+       |$scaledLloydCentCtes,
+       |dd AS (SELECT e.vec_id, c.cid,
+       |              row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY ${D.dot("e.qe", "e.qe")}
+       |                         - 2 * ${D.dot("e.qe", "c.ce")}
+       |                         + ${D.dot("c.ce", "c.ce")}, c.cid) AS rn
+       |       FROM e, cent c),
+       |cand AS (SELECT e.vec_id AS c_id, e.label AS c_label, e.qe AS ce2, dd.cid AS cell
+       |         FROM e JOIN dd ON dd.vec_id = e.vec_id AND dd.rn = 1),
+       |probes AS (SELECT e.vec_id AS q_id, e.label AS q_label, e.qe AS qq, dd.cid AS pcell
+       |           FROM e JOIN dd ON dd.vec_id = e.vec_id AND dd.rn <= 2
+       |           WHERE e.vec_id < 20),
+       |p AS (SELECT q.q_id, c.c_id, c.c_label,
+       |             CAST(list_sum(list_transform(range(1, 65),
+       |               j -> (q.qq[j] - c.ce2[j]) * (q.qq[j] - c.ce2[j]))) AS BIGINT) AS d2
+       |      FROM probes q JOIN cand c
+       |        ON c.cell = q.pcell AND c.c_label = (q.q_label + 1) % $labelMod
+       |           AND c.c_id <> q.q_id)""".stripMargin
+
+  /** Pre-filtered EXACT search — the sparse side of the ACORN switch:
+    * the corpus scan keeps only the query batch's wanted labels (a
+    * pushable predicate; ≤ |Q| distinct values collected — metadata-
+    * sized), then exact integer top-3 over the surviving sliver with
+    * the per-query predicate in the join. Same output schema as
+    * [[filteredTop3]].
+    */
+  private[graft] def exactFilteredTop3(e0: DataFrame, labelMod: Int,
+      qBound: Long = 20L): DataFrame = {
+    def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
+    val q = e0.filter(col("vec_id") < qBound)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("qe").as("qq"))
+    // the batch's wanted-label set: ≤ |Q| ints, the predicate a
+    // production scan pushes to the files
+    val wanted = q.select(pmod(col("q_label") + 1, lit(labelMod)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val cand = e0.filter(col("label").isin(wanted.map(Integer.valueOf): _*))
+      .select(col("vec_id").as("c_id"), col("label").as("c_label"),
+        col("qe").as("ce2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+    cand.join(broadcast(q),
+        col("c_label") === pmod(col("q_label") + 1, lit(labelMod))
+          && col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"), col("c_label"),
+        sqd(col("qq"), col("ce2")).as("d2"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("c_id"), col("c_label"), col("rnk"), col("d2"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** The ACORN-style selectivity switch over a labeled micro-unit
+    * frame: from the label histogram (one metadata-sized aggregate),
+    * route the batch to PRE-FILTERED EXACT search when even the most
+    * common label cannot be expected to fill k from the probed cells
+    * — maxLabelCnt · nprobe · perCell < k · n, all integers, so the
+    * decision is deterministic and both engines' twins agree — else
+    * to the IVF route. A genuine plan flip (driver-side branch), not
+    * a filtered union of both subtrees: the spec asserts the sparse
+    * plan carries no probe join and the dense plan does.
+    */
+  private[graft] def filteredAdaptive(e0L: DataFrame, labelMod: Int,
+      nprobe: Int = 2, perCell: Long = ivfPerCell, k: Int = 3,
+      qBound: Long = 20L): DataFrame = {
+    val n = e0L.count()
+    val maxCnt = e0L.groupBy(col("label")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    if (maxCnt * nprobe * perCell < k.toLong * n)
+      exactFilteredTop3(e0L, labelMod, qBound)
+    else filteredTop3(e0L, nprobe, labelMod, qBound)
   }
 
   /** sim_ivf_filtered's chain over any LABELED micro-unit frame
@@ -2638,27 +2776,7 @@ object Vectors {
     // probed cell to s·|cell|, so serving raises nprobe to keep k
     // matches (we use the established nprobe=2).
     sql("sim_ivf_filtered", {
-      s"""WITH e AS (SELECT vec_id, label,
-         |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
-         |           FROM embeddings),
-         |$scaledLloydCentCtes,
-         |dd AS (SELECT e.vec_id, c.cid,
-         |              row_number() OVER (PARTITION BY e.vec_id
-         |                ORDER BY ${D.dot("e.qe", "e.qe")}
-         |                         - 2 * ${D.dot("e.qe", "c.ce")}
-         |                         + ${D.dot("c.ce", "c.ce")}, c.cid) AS rn
-         |       FROM e, cent c),
-         |cand AS (SELECT e.vec_id AS c_id, e.label AS c_label, e.qe AS ce2, dd.cid AS cell
-         |         FROM e JOIN dd ON dd.vec_id = e.vec_id AND dd.rn = 1),
-         |probes AS (SELECT e.vec_id AS q_id, e.label AS q_label, e.qe AS qq, dd.cid AS pcell
-         |           FROM e JOIN dd ON dd.vec_id = e.vec_id AND dd.rn <= 2
-         |           WHERE e.vec_id < 20),
-         |p AS (SELECT q.q_id, c.c_id, c.c_label,
-         |             CAST(list_sum(list_transform(range(1, 65),
-         |               j -> (q.qq[j] - c.ce2[j]) * (q.qq[j] - c.ce2[j]))) AS BIGINT) AS d2
-         |      FROM probes q JOIN cand c
-         |        ON c.cell = q.pcell AND c.c_label = (q.q_label + 1) % 10
-         |           AND c.c_id <> q.q_id)
+      s"""WITH ${filteredIvfCtes("label", 10)}
          |SELECT q_id, c_id, c_label, rnk, d2 FROM
          |  (SELECT q_id, c_id, c_label, d2,
          |          row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rnk
@@ -2666,6 +2784,62 @@ object Vectors {
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
     }) { (s, d) =>
       filteredTop3(microVecsL(s, d))
+    },
+
+    // ---- selectivity-adaptive filtered ANN (the ACORN-style switch) ----
+    // Round 14's ivffilter probe measured the serving rule (a filter
+    // of selectivity s thins each probed cell to s·|cell|, so keeping
+    // k matches needs nprobe ∝ 1/s); this key puts the resulting
+    // ROUTE DECISION in the operator (ACORN, Patel et al. 2024: below
+    // a selectivity threshold, predicate-first exact search beats
+    // predicate-inside-traversal). The dial: from the label histogram
+    // (one metadata-sized aggregate), if even the most COMMON label
+    // cannot be expected to fill k from the probed cells
+    // (maxLabelCnt · nprobe · perCell < k · n, pure integers), the
+    // whole query batch routes to PRE-FILTERED EXACT search — the
+    // corpus scan keeps only the ≤ |Q| wanted labels (a pushable
+    // predicate; the surviving fraction is ~|Q|/M of the corpus) and
+    // brute-forces exact top-k over that sliver. Otherwise the
+    // IVF route (filteredTop3) serves as usual. The decision is a
+    // genuine PLAN flip (spec-asserted: the sparse plan has no probe
+    // join), and the key runs BOTH regimes — fixture-dense labels
+    // (mod 10 → IVF route) and synthetic-sparse (mod 200 → exact
+    // route) — so the hash match proves the switch picked the path
+    // whose oracle twin it equals in each regime.
+    sql("sim_ivf_filtered_adaptive", {
+      s"""WITH ${filteredIvfCtes("CAST(vec_id % 10 AS INT)", 10)},
+         |e2 AS (SELECT vec_id, CAST(vec_id % 200 AS INT) AS label,
+         |         list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
+         |       FROM embeddings),
+         |q2 AS (SELECT vec_id AS q_id, label AS q_label, qe AS qq FROM e2
+         |       WHERE vec_id < 20),
+         |p2 AS (SELECT q.q_id, c.vec_id AS c_id, c.label AS c_label,
+         |              CAST(list_sum(list_transform(range(1, 65),
+         |                j -> (q.qq[j] - c.qe[j]) * (q.qq[j] - c.qe[j]))) AS BIGINT) AS d2
+         |       FROM q2 q JOIN e2 c
+         |         ON c.label = (q.q_label + 1) % 200 AND c.vec_id <> q.q_id)
+         |SELECT * FROM (
+         |  SELECT 'dense' AS regime, q_id, c_id, c_label, rnk, d2 FROM
+         |    (SELECT q_id, c_id, c_label, d2,
+         |            row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rnk
+         |     FROM p) t1
+         |  WHERE rnk <= 3
+         |  UNION ALL
+         |  SELECT 'sparse' AS regime, q_id, c_id, c_label, rnk, d2 FROM
+         |    (SELECT q_id, c_id, c_label, d2,
+         |            row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rnk
+         |     FROM p2) t2
+         |  WHERE rnk <= 3) u
+         |ORDER BY regime, q_id, rnk""".stripMargin
+    }) { (s, d) =>
+      val e0 = microVecs(s, d)
+      def lab(m: Int) = e0.select(col("vec_id"),
+        pmod(col("vec_id"), lit(m)).cast("int").as("label"), col("qe"))
+      filteredAdaptive(lab(10), 10).withColumn("regime", lit("dense"))
+        .unionByName(filteredAdaptive(lab(200), 200).withColumn("regime", lit("sparse")))
+        .select(col("regime"), col("q_id"), col("c_id"), col("c_label"),
+          col("rnk"), col("d2"))
+        .orderBy(col("regime"), col("q_id"), col("rnk"))
     },
 
     // ---- semantic decontamination (embedding-space eval leakage) -------
@@ -2924,6 +3098,70 @@ object Vectors {
           pr6(col("cos")).as("cosine"),
           col("r_a").isNotNull.as("mutual"))
         .orderBy(col("a_id"), col("rnk"))
+    },
+
+    // ---- HNSW-style beam search over the knn graph ---------------------
+    // The graph-based ANN serve (Malkov & Yashunin 2018, single-layer
+    // greedy beam): entry points = the scaled quantizer's seed list
+    // (the upper-layer stand-in), beam = best 8 by exact micro-unit
+    // L2, 3 unrolled expansion rounds over the stored top-3 neighbor
+    // lists (the oracled knn_graph_scaled edge chain), then top-3.
+    // All arithmetic integer-exact, all ties (d2, c_id) — the oracle
+    // unrolls the identical rounds. Candidate budget per query is
+    // cells + 3·8·3 ≈ 88 at sf0.1 vs the IVF probe2 dial's ~500
+    // (2 of 8 refined cells) — the honest comparison (recall AND
+    // candidates) is measured in SCALE.md. Scale shape: after the
+    // entry scoring every frame is query-sized and broadcast; the
+    // edge list is the persisted artifact production would mmap.
+    sql("sim_graph_beam", {
+      val roundCtes = (1 to 3).map { r =>
+        s"""n$r AS (SELECT DISTINCT b${r - 1}.q_id, t.b_id AS c_id
+           |        FROM b${r - 1} JOIN t ON t.a_id = b${r - 1}.c_id),
+           |s$r AS (SELECT q_id, c_id, min(d2) AS d2 FROM (
+           |          SELECT q_id, c_id, d2 FROM b${r - 1}
+           |          UNION ALL
+           |          SELECT n$r.q_id, n$r.c_id,
+           |                 CAST(list_sum(list_transform(range(1, 65),
+           |                   j -> (q.qq[j] - c.qe[j]) * (q.qq[j] - c.qe[j]))) AS BIGINT) AS d2
+           |          FROM n$r JOIN e c ON c.vec_id = n$r.c_id
+           |                 JOIN q ON q.q_id = n$r.q_id
+           |          WHERE n$r.c_id <> n$r.q_id) u$r
+           |        GROUP BY q_id, c_id),
+           |b$r AS (SELECT q_id, c_id, d2 FROM (
+           |          SELECT q_id, c_id, d2,
+           |                 row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
+           |          FROM s$r) x$r WHERE rn <= 8)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $knnEdgeCtesScaled,
+         |e AS (SELECT vec_id,
+         |        list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
+         |      FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, qe AS qq FROM e WHERE vec_id < 20),
+         |ent AS (SELECT q.q_id, c.cid AS c_id FROM q, cent c),
+         |s0 AS (SELECT ent.q_id, ent.c_id,
+         |              CAST(list_sum(list_transform(range(1, 65),
+         |                j -> (q.qq[j] - c.qe[j]) * (q.qq[j] - c.qe[j]))) AS BIGINT) AS d2
+         |       FROM ent JOIN e c ON c.vec_id = ent.c_id
+         |              JOIN q ON q.q_id = ent.q_id
+         |       WHERE ent.c_id <> ent.q_id),
+         |b0 AS (SELECT q_id, c_id, d2 FROM (
+         |         SELECT q_id, c_id, d2,
+         |                row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
+         |         FROM s0) x0 WHERE rn <= 8),
+         |$roundCtes
+         |SELECT q_id, c_id, rnk, d2 FROM (
+         |  SELECT q_id, c_id, d2,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rnk
+         |  FROM b3) f
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+    }) { (s, d) =>
+      val (_, beamDf) = beamParts(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+      beamDf.withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("c_id"), col("rnk"), col("d2"))
+        .orderBy(col("q_id"), col("rnk"))
     },
 
     // ---- recursive CTE: multi-hop reachability over the knn graph ------

@@ -398,6 +398,83 @@ class VectorOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum % 3 == 0, "membership mass not divisible by 3")
   }
 
+  test("sim_ivf_filtered_adaptive: the selectivity switch genuinely flips the plan, each branch exact for its regime") {
+    import graft.ops.Vectors
+    val e0 = Vectors.microVecs(spark, sfDir)
+    def lab(m: Int) = e0.select(col("vec_id"),
+      pmod(col("vec_id"), lit(m)).cast("int").as("label"), col("qe"))
+    // dense labels (mod 10): the IVF route — probe join in the plan
+    val dense = Vectors.filteredAdaptive(lab(10), 10)
+    val densePlan = dense.queryExecution.executedPlan.toString
+    assert(densePlan.contains("pcell"),
+      s"dense regime should take the IVF probe route:\n${densePlan.take(2000)}")
+    // sparse labels (mod 200, ~2-3 rows/label): the exact route — no
+    // probe join anywhere in the plan
+    val sparse = Vectors.filteredAdaptive(lab(200), 200)
+    val sparsePlan = sparse.queryExecution.executedPlan.toString
+    assert(!sparsePlan.contains("pcell"),
+      s"sparse regime should pre-filter + search exactly:\n${sparsePlan.take(2000)}")
+    // the sparse branch IS exact: equals a direct filtered brute force
+    def sqd(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0d), (acc, v) => acc + v).cast("bigint")
+    val l200 = lab(200)
+    val q = l200.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("qe").as("qq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+    val brute = l200.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+        col("qe").as("ce2"))
+      .join(broadcast(q), col("c_label") === pmod(col("q_label") + 1, lit(200))
+        && col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"), col("c_label"), sqd(col("qq"), col("ce2")).as("d2"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select("q_id", "c_id", "c_label", "rnk", "d2")
+    assert(sparse.exceptAll(brute).count() == 0 && brute.exceptAll(sparse).count() == 0,
+      "sparse branch diverged from the filtered brute force")
+    // and the routes genuinely DISAGREE on sparse labels (the IVF
+    // route under-returns when probes can't cover the filter) — the
+    // switch exists because the cheap path is wrong here
+    val ivfOnSparse = Vectors.filteredTop3(l200, 2, 200)
+    assert(ivfOnSparse.count() < sparse.count(),
+      "fixture regression: IVF route serves sparse labels fully — the switch would be pointless")
+  }
+
+  test("sim_graph_beam: exact scoring, admissible vs brute force, wider beam never worse") {
+    val out = run("sim_graph_beam").cache()
+    val perQ = out.groupBy("q_id").agg(count(lit(1)).as("n"), max(col("rnk")).as("maxr"))
+    assert(perQ.filter(col("n") =!= 3 || col("maxr") =!= 3).count() == 0)
+    // every returned d2 is the TRUE exact integer micro-unit L2
+    val e0 = graft.ops.Vectors.microVecs(spark, sfDir)
+    val truth = out
+      .join(e0.select(col("vec_id").as("q_id"), col("qe").as("qq")), Seq("q_id"))
+      .join(e0.select(col("vec_id").as("c_id"), col("qe").as("cq")), Seq("c_id"))
+      .select(col("q_id"), col("c_id"), col("d2"),
+        aggregate(zip_with(col("qq"), col("cq"), (x, y) => (x - y) * (x - y)),
+          lit(0d), (acc, v) => acc + v).cast("bigint").as("true_d2"))
+    assert(truth.filter(col("d2") =!= col("true_d2")).count() == 0,
+      "beam d2 diverged from the direct recompute")
+    // admissibility: the beam's best can never beat the exact NN
+    val q = e0.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("qe").as("qq"))
+    val nn = e0.select(col("vec_id").as("c_id"), col("qe").as("cq"))
+      .join(broadcast(q), col("c_id") =!= col("q_id"))
+      .select(col("q_id"),
+        aggregate(zip_with(col("qq"), col("cq"), (x, y) => (x - y) * (x - y)),
+          lit(0d), (acc, v) => acc + v).cast("bigint").as("d2x"))
+      .groupBy("q_id").agg(min(col("d2x")).as("nn_d2"))
+    assert(out.filter(col("rnk") === 1).join(nn, Seq("q_id"))
+      .filter(col("d2") < col("nn_d2")).count() == 0,
+      "beam returned a distance below the exact nearest neighbor")
+    // a wider beam is monotone: per-query best d2 at beam 16 ≤ at beam 8
+    val w8 = out.filter(col("rnk") === 1).select(col("q_id"), col("d2").as("d8"))
+    val (_, b16) = graft.ops.Vectors.beamParts(spark, sfDir, beamW = 16)
+    val w16 = b16.groupBy("q_id").agg(min(col("d2")).as("d16"))
+    assert(w8.join(w16, Seq("q_id")).filter(col("d16") > col("d8")).count() == 0,
+      "widening the beam made a query strictly worse")
+  }
+
   test("graph_reach_recursive: genuine UnionLoop execution with exact BFS min-hop levels") {
     val out = run("graph_reach_recursive").cache()
     // 1. the plan must be the engine's recursive operator, not an
