@@ -78,7 +78,7 @@ object Bench {
         .sortBy(_.getName.replaceAll("\\D", "").toInt).lastOption
       f.map { file =>
         val txt = java.nio.file.Files.readString(file.toPath)
-        "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(
+        "\"([A-Za-z0-9_]+)\":\\s*([0-9.Ee+-]+)".r.findAllMatchIn(
             txt.drop(txt.indexOf("\"queries\"")))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }.getOrElse(Map.empty)

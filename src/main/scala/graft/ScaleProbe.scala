@@ -241,8 +241,10 @@ object ScaleProbe {
         expr("""transform(sequence(0, 63),
                |  i -> embedding[int((i + r) % 64)])""".stripMargin).as("embedding"),
         // fixture-shaped label so microVecsL-based chains (the staged
-        // index builds) run over probe corpora too
-        (col("vec_id") % 10).cast("int").as("label"))
+        // index builds) run over probe corpora too — derived from the
+        // FINAL re-keyed id (label = new vec_id % 10, the same rule
+        // plantedClusterCorpus and the synthetic-label oracles use)
+        pmod(col("vec_id") * factor + col("r"), lit(10)).cast("int").as("label"))
 
   private def dotp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     graft.functions.DotProduct.dotp(a, b)

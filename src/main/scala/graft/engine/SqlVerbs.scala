@@ -477,6 +477,35 @@ private[graft] object SqlVerbs {
     -1
   }
 
+  /** All top-level positions of `kw` in `s`. */
+  private def keywordPositions(s: String, kw: String): Seq[Int] = {
+    val b = Seq.newBuilder[Int]
+    var i = findKeyword(s, kw)
+    while (i >= 0) { b += i; i = findKeyword(s, kw, i + kw.length) }
+    b.result()
+  }
+
+  /** First top-level `kw` at/after `from` that is NOT inside a
+    * CASE … END expression — a MERGE clause's WHEN/THEN must not be
+    * confused with a CASE's own WHEN/THEN in a predicate or SET
+    * expression (valid ANSI: `… THEN UPDATE SET v = CASE WHEN … THEN
+    * 1 ELSE 0 END`).
+    */
+  private def findKeywordOutsideCase(s: String, kw: String, from: Int = 0): Int = {
+    val evs = (keywordPositions(s, "CASE").map((_, 0)) ++
+      keywordPositions(s, "END").map((_, 1)) ++
+      keywordPositions(s, kw).map((_, 2))).sortBy(_._1)
+    var depth = 0
+    evs.foreach { case (p, t) =>
+      t match {
+        case 0 => depth += 1
+        case 1 => if (depth > 0) depth -= 1
+        case _ => if (depth == 0 && p >= from) return p
+      }
+    }
+    -1
+  }
+
   private sealed trait MergeAct
   private case class MergeUpd(pred: Option[String], assigns: Seq[(String, String)]) extends MergeAct
   private case class MergeDel(pred: Option[String]) extends MergeAct
@@ -547,12 +576,12 @@ private[graft] object SqlVerbs {
         if (!(tail.length > 2 && tail.regionMatches(true, 0, "ON", 0, 2) &&
           !isIdentChar(tail.charAt(2)))) fail(sqlText, "ON clause")
         tail = tail.substring(2).trim
-        val firstWhen = findKeyword(tail, "WHEN")
+        val firstWhen = findKeywordOutsideCase(tail, "WHEN")
         if (firstWhen < 0) fail(sqlText, "WHEN clause")
         val cond = tail.substring(0, firstWhen).trim
-        // split the WHEN clauses on top-level WHEN keywords
+        // split the WHEN clauses on top-level, non-CASE WHEN keywords
         val whenStarts = Iterator.iterate(firstWhen)(i =>
-          findKeyword(tail, "WHEN", i + 4)).takeWhile(_ >= 0).toSeq
+          findKeywordOutsideCase(tail, "WHEN", i + 4)).takeWhile(_ >= 0).toSeq
         val clauses = whenStarts.zipAll(whenStarts.drop(1), 0, tail.length)
           .map { case (a, b) => tail.substring(a, b).trim }
         val acts: Seq[MergeAct] = clauses.map(parseMergeClause(sqlText, _))
@@ -601,8 +630,17 @@ private[graft] object SqlVerbs {
               case _ => fail(sqlText, "target.col = source.col ON conjunct")
             }
           }
-          // cardinality rule BEFORE any rewrite
-          if (src.groupBy(keys.map(k => col(k._2)): _*).count()
+          // ANSI cardinality rule: a TARGET row touched by two source
+          // rows errors. Checked on exactly that set — source rows
+          // that match at least one target row (the semi join) — so
+          // duplicate NOT-MATCHED keys insert freely and NULL keys
+          // (which an equi-join can never match) pass through, both
+          // per the standard.
+          val tgtKeys = df.select(keys.map { case (t, s0) =>
+            col(t).as(s0) }.toIndexedSeq: _*).dropDuplicates()
+          val matchingSrc = src.select(keys.map(k => col(k._2)).toIndexedSeq: _*)
+            .join(tgtKeys, keys.map(_._2), "left_semi")
+          if (matchingSrc.groupBy(keys.map(k => col(k._2)): _*).count()
               .filter(col("count") > 1).limit(1).count() > 0)
             throw new IllegalArgumentException(
               s"MERGE source matches a target row more than once " +
@@ -621,6 +659,22 @@ private[graft] object SqlVerbs {
             else fields.foldLeft(b)((t0, f) =>
               replaceIdent(t0, s"$tAlias.${f.name}", f.name))
           }
+          // SET targets: allow target-alias/table qualification, and
+          // ERROR on an unknown column — silently dropping an
+          // assignment would be corruption (the UPDATE verb's rule)
+          def normLhs(c0: String): String = {
+            val p = c0.split("\\.", 2)
+            if (p.length == 2 && (p(0).equalsIgnoreCase(table) ||
+                (tAlias.nonEmpty && p(0).equalsIgnoreCase(tAlias)))) p(1) else c0
+          }
+          val normActs: Seq[MergeAct] = acts.map {
+            case MergeUpd(p, as) =>
+              val n2 = as.map { case (c0, t0) => (normLhs(c0), t0) }
+              n2.map(_._1).find(c0 => !fields.exists(_.name.equalsIgnoreCase(c0)))
+                .foreach(unknownColumn(table, _, fields.map(_.name)))
+              MergeUpd(p, n2)
+            case other => other
+          }
           val joinCond = keys.map { case (t, s0) => col(t) === col(s"__src_$s0") }
             .reduce(_ && _)
           val matchedC = coalesce(col("__graft_matched"), lit(false))
@@ -628,7 +682,7 @@ private[graft] object SqlVerbs {
           // matched clauses: effective condition = matched AND pred AND
           // no earlier matched clause fired (first-match-wins)
           var priorM: Column = lit(false)
-          val matchedActs = acts.collect {
+          val matchedActs = normActs.collect {
             case u: MergeUpd => u.asInstanceOf[MergeAct]
             case d0: MergeDel => d0.asInstanceOf[MergeAct]
           }.map { act =>
@@ -691,7 +745,7 @@ private[graft] object SqlVerbs {
     clause match {
       case WhenRe(notM, rest0) =>
         var rest = rest0.trim
-        val thenPos = findKeyword(rest, "THEN")
+        val thenPos = findKeywordOutsideCase(rest, "THEN")
         if (thenPos < 0) fail(sqlText, "THEN in WHEN clause")
         val predPart = rest.substring(0, thenPos).trim
         val pred: Option[String] =

@@ -526,29 +526,37 @@ object Vectors {
     * ScaleProbe's histogram prediction reads the OPERATOR's centroid
     * set, not a probe-side copy that could drift.
     */
-  private[graft] def scaledKnnCentroids(e: DataFrame, perCell: Long): DataFrame = {
-    // one metadata-cheap count to size the index — the same scalar a
-    // production build reads from table stats before seeding k-means
-    val n = e.count()
+  /** THE stride-seed rule (one definition for the knn-graph and the
+    * IVF×PQ quantizer geometries — the two must never fork): cells =
+    * max(8, ⌈n/perCell⌉), stride = max(1, n ÷ cells), seeds = rows at
+    * the stride multiples below stride·cells. One metadata-cheap
+    * count sizes the index (the scalar a production build reads from
+    * table stats before seeding k-means); a second tiny count fails
+    * loudly on non-dense id spaces, where the rule would silently
+    * under-seed (possibly to zero) while the formula-mirroring oracle
+    * hash-matched the degradation. Degenerate corpora (n < cells)
+    * would stride to 0 — ANSI mode makes vec_id % 0 a runtime error
+    * (DuckDB NULLs it); the clamp to 1 degrades both engines to the
+    * same dense seeding.
+    */
+  private def strideSeedRows(df: DataFrame, perCell: Long,
+      caller: String): DataFrame = {
+    val n = df.count()
     val cells = math.max(8L, (n + perCell - 1) / perCell)
-    // degenerate corpora (n < cells) would stride to 0 — ANSI mode
-    // makes vec_id % 0 a runtime error (DuckDB NULLs it); clamp to 1
-    // so both engines degrade to the same dense seeding
     val stride = math.max(1L, n / cells)
-    val cent = e.filter(col("vec_id") % stride === 0 &&
-        col("vec_id") < lit(stride * cells))
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    // the stride rule assumes dense 0-based vec_ids; a sparse or
-    // offset id space silently under-seeds (possibly to zero — an
-    // empty graph) and the oracle mirrors the formula, so a
-    // hash-match would hide the degradation — fail loudly instead
+    val seeds = df.filter(col("vec_id") % stride === 0 &&
+      col("vec_id") < lit(stride * cells))
     val expected = math.min(cells, (n + stride - 1) / stride)
-    val got = cent.count()
+    val got = seeds.count()
     require(got == expected,
-      s"scaledKnnCentroids: picked $got seeds, expected $expected — " +
+      s"$caller: picked $got seeds, expected $expected — " +
         "vec_id space is not dense 0-based; re-key ids before indexing")
-    cent
+    seeds
   }
+
+  private[graft] def scaledKnnCentroids(e: DataFrame, perCell: Long): DataFrame =
+    strideSeedRows(e, perCell, "scaledKnnCentroids")
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
 
   /** The edge chain body shared by [[knnEdges]] (fixed 8 seeds) and
     * [[knnEdgesScaled]] (corpus-scaled cell count): assignment to the
@@ -601,13 +609,20 @@ object Vectors {
     * chain for the equal-budget comparison against the IVF dial.
     */
   private[graft] def beamParts(s: SparkSession, d: String, qBound: Long = 20L,
-      beamW: Int = 8, rounds: Int = 3, degree: Int = 3): (Seq[DataFrame], DataFrame) = {
+      beamW: Int = 8, rounds: Int = 3, degree: Int = 3,
+      perCell: Long = ivfPerCell): (Seq[DataFrame], DataFrame) = {
     val e0 = microVecs(s, d)
+    // ONE centroid derivation: the graph's cell geometry and the beam
+    // entry set come from the same frame (computing them separately
+    // would both double the eager sizing counts and let a non-default
+    // perCell silently fork entries from cells)
+    val e = emb(s, d)
+    val cent = scaledKnnCentroids(e, perCell)
     val edges = maybeCache(
-      knnEdgesScaled(s, d, degree = degree).select(col("a_id"), col("b_id")))
+      knnEdgesOver(e, cent, degree).select(col("a_id"), col("b_id")))
     val q = e0.filter(col("vec_id") < qBound)
       .select(col("vec_id").as("q_id"), col("qe").as("qq"))
-    val entries = scaledKnnCentroids(emb(s, d), 125L).select(col("cid").as("c_id"))
+    val entries = cent.select(col("cid").as("c_id"))
     val cv = e0.select(col("vec_id").as("c_id"), col("qe").as("ce"))
     def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
     // candidate (q_id, c_id) frames are query-plan-sized → broadcast
@@ -900,23 +915,10 @@ object Vectors {
     */
   private[graft] def scaledLloydCent(e0: DataFrame,
       perCell: Long = ivfPerCell): DataFrame = {
-    // one metadata-cheap count to size the index — the same scalar a
-    // production build reads from table stats before seeding k-means
-    val n = e0.count()
-    val cells = math.max(8L, (n + perCell - 1) / perCell)
-    val stride = math.max(1L, n / cells)
-    val seeds = e0.filter(col("vec_id") % stride === 0 &&
-        col("vec_id") < lit(stride * cells))
+    // seeds via THE shared stride rule (strideSeedRows) — the IVF
+    // quantizer geometry and the knn-graph geometry are one formula
+    val seeds = strideSeedRows(e0, perCell, "scaledLloydCent")
       .select(col("vec_id").as("scid"), col("qe").as("se"))
-    // the stride rule assumes dense 0-based vec_ids; on a sparse or
-    // offset id space it would silently select too few seeds (the
-    // oracle mirrors the formula, so a hash-match would hide the
-    // degraded index) — fail loudly instead
-    val expected = math.min(cells, (n + stride - 1) / stride)
-    val got = seeds.count()
-    require(got == expected,
-      s"scaledLloydCent: picked $got seeds, expected $expected — " +
-        "vec_id space is not dense 0-based; re-key ids before indexing")
     def d2(a: Column, b: Column): Column =
       dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
     val asg = e0.join(broadcast(seeds))
@@ -1340,12 +1342,14 @@ object Vectors {
     // per-cell expression chain, so plan depth stays O(1) as cells
     // grows with the corpus; past ~10⁴ cells ship it as a broadcast
     // variable instead of a literal)
-    val cents: Seq[(Long, Seq[Double])] = s.read.parquet(s"$quantDir/centroids")
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
-    val cbk: Map[Int, Seq[(Int, Seq[Double])]] = s.read.parquet(s"$quantDir/codebook")
-      .collect().map(r => (r.getInt(1), (r.getInt(0), r.getSeq[Double](2))))
+    // element type matches the stored schema: floor() is LongType in
+    // Spark, so centroid/codebook components are array<bigint>
+    val cents: Seq[(Long, Seq[Long])] = s.read.parquet(s"$quantDir/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
+    val cbk: Map[Int, Seq[(Int, Seq[Long])]] = s.read.parquet(s"$quantDir/codebook")
+      .collect().map(r => (r.getInt(1), (r.getInt(0), r.getSeq[Long](2))))
       .toSeq.groupBy(_._1).map { case (m, xs) => m -> xs.map(_._2).sortBy(_._1) }
-    def sqLit(v: Column, arr: Seq[Double]): Column =
+    def sqLit(v: Column, arr: Seq[Long]): Column =
       aggregate(zip_with(v, array(arr.map(lit): _*), (x, y) => (x - y) * (x - y)),
         lit(0d), (acc, x) => acc + x)
     def sqdC(v: Column, w: Column): Column =

@@ -624,6 +624,38 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("merge: CASE WHEN in SET, alias-qualified SET target, unknown SET column errors, dup unmatched keys insert") {
+    val e = fresh()
+    e.put("m2", e.spark.sql("SELECT * FROM VALUES (1L, 'a', 10L), (2L, 'b', 20L) AS t(k, name, v)"))
+    // a CASE WHEN … THEN … END inside the SET expression must not be
+    // read as a MERGE clause boundary; the alias-qualified SET target
+    // must resolve to the target column
+    e.query("MERGE INTO m2 AS t USING (SELECT * FROM VALUES (1L, 1L), (2L, 0L) AS x(sk, flag)) AS s " +
+      "ON t.k = s.sk " +
+      "WHEN MATCHED THEN UPDATE SET t.v = CASE WHEN s.flag = 1 THEN v + 100 ELSE v END")
+    val rows = e.get("m2").orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 110L), (2L, 20L)), s"unexpected: $rows")
+    // unknown SET column errors loudly (UPDATE-verb parity) instead
+    // of silently dropping the assignment
+    val ex = intercept[IllegalArgumentException] {
+      e.query("MERGE INTO m2 USING (SELECT 1L AS sk) AS s ON m2.k = s.sk " +
+        "WHEN MATCHED THEN UPDATE SET nope = 1")
+    }
+    assert(ex.getMessage.contains("nope"))
+    // duplicate source keys that match NO target row both insert (the
+    // ANSI cardinality rule only protects target rows touched twice)
+    e.query("MERGE INTO m2 USING (SELECT * FROM VALUES (9L, 'x'), (9L, 'y') AS z(sk, sn)) AS s " +
+      "ON m2.k = s.sk WHEN NOT MATCHED THEN INSERT (k, name) VALUES (s.sk, s.sn)")
+    assert(e.get("m2").filter(col("k") === 9L).count() == 2)
+    // …while a target row matched twice still errors
+    val ex2 = intercept[IllegalArgumentException] {
+      e.query("MERGE INTO m2 USING (SELECT * FROM VALUES (1L, 'p'), (1L, 'q') AS z(sk, sn)) AS s " +
+        "ON m2.k = s.sk WHEN MATCHED THEN UPDATE SET name = s.sn")
+    }
+    assert(ex2.getMessage.contains("more than once"))
+  }
+
   test("TcpGate arrow mode: schema + rows round-trip byte-exactly via Arrow IPC") {
     import graft.engine.GateClient
     import org.apache.spark.sql.GraftBridge
