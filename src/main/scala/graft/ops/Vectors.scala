@@ -413,10 +413,51 @@ object Vectors {
        |cb AS (SELECT c, m, list(mv ORDER BY i) AS $out FROM cbm GROUP BY c, m)""".stripMargin
   }
 
+  /** Staged, stamped TRAINED QUANTIZERS for the whole IVF×PQ family —
+    * the "train once, encode many" production reality (FAISS trains
+    * its coarse quantizer and sub-quantizers once and ships them;
+    * nothing retrains per query). One light artifact per corpus:
+    * `centroids/` (scaledLloydCent — cells rows), `cbflat/` (the
+    * trained flat PQ codebook, 32 rows), `cbres/` (the trained
+    * residual codebook, 32 rows). Every chain — in-memory keys, index
+    * builds, filtered serves — READS these; the Lloyd step and the
+    * codebook training run once per (source stamp, format token),
+    * not once per query. The in-memory-vs-persisted key distinction
+    * stays where it belongs: in the CODES (recomputed vs stored
+    * cell-partitioned lists), not the quantizers.
+    */
+  private[graft] def stagedIvfQuant(s: SparkSession, d: String): String = {
+    val src = s"$d/embeddings.parquet"
+    val key = src.replaceAll("[^A-Za-z0-9.]", "_")
+    graft.ops.stagedArtifact(s, s"ivfquant_$key",
+        s"${graft.ops.sourceStamp(src)}:$ivfIndexFormat") { stage =>
+      val e0 = microVecs(s, d)
+      val cent = maybeCache(scaledLloydCent(e0))
+      cent.coalesce(1).write.mode("overwrite").parquet(s"$stage/centroids")
+      trainedCodebook(e0, "qe", pqSeedIds, "ce").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/cbflat")
+      val asg = coarseRanked(e0, cent, nprobe = 1).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"))
+      val resv = e0.join(asg, Seq("vec_id"))
+        .join(broadcast(cent), col("cell") === col("cid"))
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("qe"), col("ce"), (x, y) => x - y).as("res"))
+      trainedCodebook(resv, "res", pqResSeedIds, "cv").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/cbres")
+    }
+  }
+
+  private def quantCent(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${stagedIvfQuant(s, d)}/centroids")
+  private def quantCbFlat(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${stagedIvfQuant(s, d)}/cbflat")
+  private def quantCbRes(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${stagedIvfQuant(s, d)}/cbres")
+
   private[graft] def pqParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val e0 = microVecs(s, d)
     val ms = explode(sequence(lit(0), lit(7))).as("m")
-    val cb = trainedCodebook(e0, "qe", pqSeedIds, "ce")
+    val cb = quantCbFlat(s, d)
     val sub = e0.select(col("vec_id"), ms, col("qe"))
       .select(col("vec_id"), col("m"), slice(col("qe"), col("m") * 8 + 1, lit(8)).as("sv"))
     def sq(a: Column, b: Column): Column = sqDist(a, b)
@@ -608,21 +649,41 @@ object Vectors {
     * can count the scored candidates through the operator's own
     * chain for the equal-budget comparison against the IVF dial.
     */
+  /** Staged, stamped knn PROXIMITY GRAPH — the persisted artifact a
+    * graph-ANN deployment serves from (HNSW persists exactly this:
+    * per-node neighbor lists plus the entry points). `edges/` =
+    * (a_id, b_id) from the corpus-scaled edge chain at the given
+    * degree; `entries/` = the quantizer seed ids (the upper-layer
+    * stand-in). Built once per (source stamp, degree, perCell,
+    * format); the ONE centroid derivation feeds both the cell
+    * geometry and the entry set, so they cannot fork.
+    */
+  private[graft] def stagedKnnGraph(s: SparkSession, d: String,
+      degree: Int = 3, perCell: Long = ivfPerCell): String = {
+    val src = s"$d/embeddings.parquet"
+    val key = src.replaceAll("[^A-Za-z0-9.]", "_")
+    graft.ops.stagedArtifact(s, s"knngraph_${degree}_${perCell}_$key",
+        s"${graft.ops.sourceStamp(src)}:$ivfIndexFormat") { stage =>
+      val e = emb(s, d)
+      val cent = scaledKnnCentroids(e, perCell)
+      knnEdgesOver(e, cent, degree).select(col("a_id"), col("b_id"))
+        .write.mode("overwrite").parquet(s"$stage/edges")
+      cent.select(col("cid")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/entries")
+    }
+  }
+
   private[graft] def beamParts(s: SparkSession, d: String, qBound: Long = 20L,
       beamW: Int = 8, rounds: Int = 3, degree: Int = 3,
       perCell: Long = ivfPerCell): (Seq[DataFrame], DataFrame) = {
     val e0 = microVecs(s, d)
-    // ONE centroid derivation: the graph's cell geometry and the beam
-    // entry set come from the same frame (computing them separately
-    // would both double the eager sizing counts and let a non-default
-    // perCell silently fork entries from cells)
-    val e = emb(s, d)
-    val cent = scaledKnnCentroids(e, perCell)
-    val edges = maybeCache(
-      knnEdgesOver(e, cent, degree).select(col("a_id"), col("b_id")))
+    // serve from the PERSISTED graph (built once, stamped) — the
+    // serve path never re-derives edges or entries
+    val g = stagedKnnGraph(s, d, degree, perCell)
+    val edges = maybeCache(s.read.parquet(s"$g/edges"))
     val q = e0.filter(col("vec_id") < qBound)
       .select(col("vec_id").as("q_id"), col("qe").as("qq"))
-    val entries = cent.select(col("cid").as("c_id"))
+    val entries = s.read.parquet(s"$g/entries").select(col("cid").as("c_id"))
     val cv = e0.select(col("vec_id").as("c_id"), col("qe").as("ce"))
     def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
     // candidate (q_id, c_id) frames are query-plan-sized → broadcast
@@ -997,7 +1058,7 @@ object Vectors {
     */
   private[graft] def ivfPqFlatParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val (e0, enc, qd) = pqParts(s, d)
-    val ranked = maybeCache(coarseRanked(e0, scaledLloydCent(e0)))
+    val ranked = maybeCache(coarseRanked(e0, quantCent(s, d)))
     // inverted lists: each code row learns its cell once (the
     // build-time co-partitioning); the probe filter + ADC lookup is
     // then ONE broadcast join of the query-sized (tables × probes)
@@ -1019,11 +1080,11 @@ object Vectors {
     */
   private[graft] def ivfPqResidualAdist(s: SparkSession, d: String): DataFrame = {
     val e0 = microVecs(s, d)
-    val cent = maybeCache(scaledLloydCent(e0))
+    val cent = quantCent(s, d)
     val ranked = maybeCache(coarseRanked(e0, cent))
     val asg = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
-    val (cb, enc) = residualEncode(e0, cent, asg)
+    val (cb, enc) = residualEncode(e0, cent, asg, quantCbRes(s, d))
     val probes = ranked.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
     ivfPqCellAdist(enc, residualQueryTables(e0, cent, probes, cb))
@@ -1031,26 +1092,23 @@ object Vectors {
 
   /** Residual PQ encode over own-cell assignments (FAISS
     * by_residual=true build): integer residuals from each vector's
-    * cell centroid, the sub-codebook TRAINED on residual samples via
-    * [[trainedCodebook]] (seeded from the pqResSeedIds residuals —
+    * cell centroid, one bounded argmin per (vector, subspace) against
+    * `cb` — the residual codebook TRAINED ONCE by [[stagedIvfQuant]]
+    * (on residual samples, seeded from the pqResSeedIds residuals —
     * FAISS by_residual=true trains its sub-quantizer on exactly
-    * these), one bounded argmin per (vector, subspace).
-    * Returns (cb = 32-row (c, m, cv) codebook, enc = (c_id, cell, m,
-    * code) residual code stream). Shared by the in-memory chain and
-    * the persisted-index build so the two cannot drift.
+    * these) and passed in, so the encode never retrains.
+    * Returns (cb pass-through, enc = (c_id, cell, m, code) residual
+    * code stream). Shared by the in-memory chain and the
+    * persisted-index build so the two cannot drift.
     */
   private[graft] def residualEncode(e0: DataFrame, cent: DataFrame,
-      asg: DataFrame): (DataFrame, DataFrame) = {
+      asg: DataFrame, cb: DataFrame): (DataFrame, DataFrame) = {
     // integer residuals from the OWN-cell centroid (corpus side)
     val resv = maybeCache(e0.join(asg, Seq("vec_id"))
       .join(broadcast(cent), col("cell") === col("cid"))
       .select(col("vec_id"), col("cell"),
         zip_with(col("qe"), col("ce"), (x, y) => x - y).as("res")))
     val ms = explode(sequence(lit(0), lit(7))).as("m")
-    // trained on RESIDUALS (FAISS by_residual=true trains the
-    // sub-quantizer on residual samples) — same one-Lloyd-step recipe
-    // as the flat codebook, seeded from the pqResSeedIds residuals
-    val cb = trainedCodebook(resv, "res", pqResSeedIds, "cv")
     val sub = resv.select(col("vec_id"), col("cell"), ms, col("res"))
       .select(col("vec_id"), col("cell"), col("m"),
         slice(col("res"), col("m") * 8 + 1, lit(8)).as("sv"))
@@ -1161,7 +1219,7 @@ object Vectors {
     graft.ops.stagedArtifact(s, s"ivfpq_index_$key",
         s"${graft.ops.sourceStamp(src)}:$ivfIndexFormat") { stage =>
       val (e0, enc, _) = pqParts(s, d)
-      val cent = maybeCache(scaledLloydCent(e0))
+      val cent = quantCent(s, d)
       val asg = coarseRanked(e0, cent, nprobe = 1)
         .select(col("vec_id").as("c_id"), col("cid").cast("int").as("cell"))
       // cell-keyed repartition before the write: each cell lives in
@@ -1171,12 +1229,11 @@ object Vectors {
       // files/cell ∝ tasks, measured 10× in the ivfidx octave)
       enc.join(asg, Seq("c_id")).repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
+      // quantizer copies alongside the lists (the self-contained FAISS
+      // index layout the serve paths read) — the SAME staged trained
+      // quantizers every chain uses, so artifact and codes cannot drift
       cent.write.mode("overwrite").parquet(s"$stage/centroids")
-      // the SAME trained codebook pqParts encoded with — one
-      // definition, so the stored artifact can never drift from the
-      // codes it indexes
-      trainedCodebook(e0, "qe", pqSeedIds, "ce")
-        .write.mode("overwrite").parquet(s"$stage/codebook")
+      quantCbFlat(s, d).write.mode("overwrite").parquet(s"$stage/codebook")
     }
   }
 
@@ -1242,10 +1299,10 @@ object Vectors {
     graft.ops.stagedArtifact(s, s"ivfpqres_index_$key",
         s"${graft.ops.sourceStamp(src)}:$ivfIndexFormat") { stage =>
       val e0 = microVecs(s, d)
-      val cent = maybeCache(scaledLloydCent(e0))
+      val cent = quantCent(s, d)
       val asg = coarseRanked(e0, cent, nprobe = 1)
         .select(col("vec_id"), col("cid").as("cell"))
-      val (cb, enc) = residualEncode(e0, cent, asg)
+      val (cb, enc) = residualEncode(e0, cent, asg, quantCbRes(s, d))
       // one file per cell — see the flat-index builder's note
       enc.withColumn("cell", col("cell").cast("int"))
         .repartition(col("cell"))
@@ -1547,13 +1604,13 @@ object Vectors {
     */
   private[graft] def filteredAdaptive(e0L: DataFrame, labelMod: Int,
       nprobe: Int = 2, perCell: Long = ivfPerCell, k: Int = 3,
-      qBound: Long = 20L): DataFrame = {
+      qBound: Long = 20L, cent: Option[DataFrame] = None): DataFrame = {
     val n = e0L.count()
     val maxCnt = e0L.groupBy(col("label")).count()
       .agg(max(col("count"))).collect()(0).getLong(0)
     if (maxCnt * nprobe * perCell < k.toLong * n)
       exactFilteredTop3(e0L, labelMod, qBound)
-    else filteredTop3(e0L, nprobe, labelMod, qBound)
+    else filteredTop3(e0L, nprobe, labelMod, qBound, cent)
   }
 
   /** sim_ivf_filtered's chain over any LABELED micro-unit frame
@@ -1566,9 +1623,13 @@ object Vectors {
     * nprobe ∝ 1/s — measured in SCALE.md.
     */
   private[graft] def filteredTop3(e0: DataFrame, nprobe: Int = 2,
-      labelMod: Int = 10, qBound: Long = 20L): DataFrame = {
+      labelMod: Int = 10, qBound: Long = 20L,
+      cent: Option[DataFrame] = None): DataFrame = {
     def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
-    val ranked = maybeCache(coarseRanked(e0, scaledLloydCent(e0), nprobe))
+    // oracled keys pass the staged trained quantizer; probe callers
+    // over synthetic corpora (no staged artifact) train on the fly
+    val ranked = maybeCache(coarseRanked(e0,
+      cent.getOrElse(scaledLloydCent(e0)), nprobe))
     val cand = e0.join(ranked.filter(col("rn") === 1)
         .select(col("vec_id"), col("cid").as("cell")), Seq("vec_id"))
       .select(col("vec_id").as("c_id"), col("label").as("c_label"),
@@ -2787,7 +2848,7 @@ object Vectors {
          |   FROM p) t
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
     }) { (s, d) =>
-      filteredTop3(microVecsL(s, d))
+      filteredTop3(microVecsL(s, d), cent = Some(quantCent(s, d)))
     },
 
     // ---- selectivity-adaptive filtered ANN (the ACORN-style switch) ----
@@ -2839,8 +2900,10 @@ object Vectors {
       val e0 = microVecs(s, d)
       def lab(m: Int) = e0.select(col("vec_id"),
         pmod(col("vec_id"), lit(m)).cast("int").as("label"), col("qe"))
-      filteredAdaptive(lab(10), 10).withColumn("regime", lit("dense"))
-        .unionByName(filteredAdaptive(lab(200), 200).withColumn("regime", lit("sparse")))
+      filteredAdaptive(lab(10), 10, cent = Some(quantCent(s, d)))
+        .withColumn("regime", lit("dense"))
+        .unionByName(filteredAdaptive(lab(200), 200, cent = Some(quantCent(s, d)))
+          .withColumn("regime", lit("sparse")))
         .select(col("regime"), col("q_id"), col("c_id"), col("c_label"),
           col("rnk"), col("d2"))
         .orderBy(col("regime"), col("q_id"), col("rnk"))
