@@ -1375,62 +1375,49 @@ object Vectors {
     * reality for IVF indexes: re-training the quantizers re-keys every
     * stored code, so arriving vectors are encoded with the shipped
     * quantizers (exactly what FAISS workers hold in RAM). Here that
-    * means two metadata-sized collects at stream start, compiled into
-    * literal column expressions, so each micro-batch plans as
-    * Scan → Project(assign cell, residual-encode) → posexplode →
-    * FileSink — ZERO exchanges, no state store, no join: every
-    * arriving vector appends to its `cell=N/` directory and the index
-    * the serve path reads is current after each commit. Both distance
-    * folds are exact integer arithmetic in doubles (< 2^53), so the
-    * streamed codes are bit-equal to the batch [[residualEncode]] —
-    * the spec asserts list set-equality and the key's oracle is the
-    * same `ivfPqResidualOracle` as the in-memory and batch-indexed
-    * forms. Exactly-once across restarts via the checkpointed file
-    * sink (the stream_embed_index machinery).
+    * means two metadata-sized collects at stream start shipped as
+    * BROADCAST arrays into a stateless typed mapPartitions encode, so
+    * each micro-batch plans as Scan → MapPartitions → FileSink — ZERO
+    * exchanges, no state store, no join, and O(1) plan size at ANY
+    * cell count (a literal-expression encode — the previous shape —
+    * was measured to stop compiling usefully near ~1,000 cells):
+    * every arriving vector appends to its `cell=N/` directory and the
+    * index the serve path reads is current after each commit. The
+    * encode is pure Long arithmetic on exact integers (< 2⁴⁷), so the
+    * streamed codes are bit-equal to the batch [[residualEncode]]'s
+    * exact double folds — the spec asserts list set-equality and the
+    * key's oracle is the same `ivfPqResidualOracle` as the in-memory
+    * and batch-indexed forms. Exactly-once across restarts via the
+    * checkpointed file sink (the stream_embed_index machinery).
     */
   private[graft] def streamIvfPqIngest(s: SparkSession, d: String,
       srcDir: Option[String] = None, fixedPath: Option[String] = None,
       maxFilesPerTrigger: Option[Int] = None): String = {
     import org.apache.spark.sql.types._
     val quantDir = stagedIvfPqResIndex(s, d)
-    // metadata-sized by construction: cells × 64 doubles + 32 × 8
-    // doubles — the quantizer a FAISS worker holds in RAM, compiled
-    // into the plan as ONE flat literal array (HOF argmin, not a
-    // per-cell expression chain, so plan depth stays O(1) as cells
-    // grows with the corpus; past ~10⁴ cells ship it as a broadcast
-    // variable instead of a literal)
-    // element type matches the stored schema: floor() is LongType in
-    // Spark, so centroid/codebook components are array<bigint>
-    val cents: Seq[(Long, Seq[Long])] = s.read.parquet(s"$quantDir/centroids")
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
-    val cbk: Map[Int, Seq[(Int, Seq[Long])]] = s.read.parquet(s"$quantDir/codebook")
-      .collect().map(r => (r.getInt(1), (r.getInt(0), r.getSeq[Long](2))))
-      .toSeq.groupBy(_._1).map { case (m, xs) => m -> xs.map(_._2).sortBy(_._1) }
-    def sqLit(v: Column, arr: Seq[Long]): Column =
-      aggregate(zip_with(v, array(arr.map(lit): _*), (x, y) => (x - y) * (x - y)),
-        lit(0d), (acc, x) => acc + x)
-    def sqdC(v: Column, w: Column): Column =
-      aggregate(zip_with(v, w, (x, y) => (x - y) * (x - y)),
-        lit(0d), (acc, x) => acc + x)
-    val centArr = array(cents.map { case (cid, ce) =>
-      struct(lit(cid).as("cid"), array(ce.map(lit): _*).as("ce")) }: _*)
-    // own-cell assignment: argmin(d2, cid) — array_min over structs
-    // compares (d, cid) lexicographically, the same ordering every
-    // batch chain uses
-    val cellCol = array_min(transform(centArr, c =>
-      struct(sqdC(col("qe"), c.getField("ce")).as("d"),
-        c.getField("cid").as("cid")))).getField("cid")
-    // residual from the assigned centroid
-    val resCol = zip_with(col("qe"),
-      element_at(filter(centArr, c => c.getField("cid") === col("cell")), 1)
-        .getField("ce"),
-      (x, y) => x - y)
-    // per-subspace code: argmin(d2, c) over that subspace's 4 codes
-    val codesCol = array((0 until 8).map { m =>
-      cbk(m).map { case (c, cv) =>
-        struct(sqLit(slice(col("res"), m * 8 + 1, 8), cv).as("d"), lit(c).as("c"))
-      }.reduceLeft(least(_, _)).getField("c")
-    }: _*)
+    // the frozen quantizers ship to executors as BROADCAST arrays —
+    // exactly what a FAISS worker holds in RAM — NOT as literal
+    // expressions: a literal-tree encode is O(cells·dim) PLAN SIZE and
+    // was measured to stop compiling usefully near ~1,000 cells
+    // (ScaleProbe ivfstream factor 64), while the broadcast keeps the
+    // plan O(1) at any cell count. Element type matches the stored
+    // schema (floor() is LongType → array<bigint>), and the encode is
+    // pure Long arithmetic: every distance is an exact integer
+    // (components < 2²⁰, 64-term sums < 2⁴⁷), so comparisons — and the
+    // (d2, id) tie-breaks — are bit-identical to the batch
+    // residualEncode's double folds, which are exact on the same
+    // integers (spec-asserted list equality).
+    val cents: Array[(Long, Array[Long])] = s.read.parquet(s"$quantDir/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val cbk: Array[Array[(Int, Array[Long])]] = {
+      val byM = s.read.parquet(s"$quantDir/codebook")
+        .collect().map(r => (r.getInt(1), (r.getInt(0), r.getSeq[Long](2).toArray)))
+        .groupBy(_._1)
+      Array.tabulate(8)(m => byM(m).map(_._2).sortBy(_._1))
+    }
+    val bcCent = s.sparkContext.broadcast(cents)
+    val bcCbk = s.sparkContext.broadcast(cbk)
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val idx = fixedPath.getOrElse(
@@ -1443,14 +1430,54 @@ object Vectors {
       StructField("label", IntegerType)))
     val reader = ss.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    import ss.implicits._
     val q = reader.parquet(srcDir.getOrElse(stageEmb(s, d)))
       .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
-      .withColumn("cell", cellCol)
-      .withColumn("res", resCol)
-      .select(col("vec_id").as("c_id"), col("cell").cast("int").as("cell"),
-        posexplode(codesCol).as(Seq("m", "code")))
+      .as[(Long, Seq[Long])]
+      // stateless typed projection: per row, one argmin over the
+      // broadcast centroids, one residual, 8 sub-codebook argmins —
+      // emits the 8 (c_id, cell, m, code) rows directly. Still a
+      // zero-exchange micro-batch plan (Scan → MapPartitions →
+      // FileSink); no state store, no join.
+      .mapPartitions { it =>
+        val cs = bcCent.value
+        val books = bcCbk.value
+        it.flatMap { case (id, qeSeq) =>
+          val qe = qeSeq.toArray
+          var bestD = Long.MaxValue; var bestI = -1
+          var i = 0
+          while (i < cs.length) {
+            val ce = cs(i)._2
+            var dd = 0L; var j = 0
+            while (j < 64) { val x = qe(j) - ce(j); dd += x * x; j += 1 }
+            // ties break on the LOWER cid; cs is cid-sorted, so strict
+            // less-than keeps the first (lowest-cid) winner
+            if (dd < bestD) { bestD = dd; bestI = i }
+            i += 1
+          }
+          val cell = cs(bestI)._1
+          val ce = cs(bestI)._2
+          val res = new Array[Long](64)
+          var j = 0
+          while (j < 64) { res(j) = qe(j) - ce(j); j += 1 }
+          (0 until 8).map { m =>
+            val codes = books(m)
+            var bd = Long.MaxValue; var bc = -1
+            var c = 0
+            while (c < codes.length) {
+              val cv = codes(c)._2
+              var dd = 0L; var k = 0
+              while (k < 8) { val x = res(m * 8 + k) - cv(k); dd += x * x; k += 1 }
+              if (dd < bd) { bd = dd; bc = codes(c)._1 } // codes c-sorted: ties keep lowest
+              c += 1
+            }
+            (id, cell.toInt, m, bc)
+          }
+        }
+      }
+      .toDF("c_id", "cell", "m", "code")
       .writeStream
       .format("parquet")
       .option("path", idx)
