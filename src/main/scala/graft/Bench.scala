@@ -50,10 +50,31 @@ object Bench {
         .digest(("bench-order:" + name).getBytes("UTF-8"))
       d.map(b => f"$b%02x").mkString
     }
-    val sweep = SparkEntry.queries.toSeq
+    // BOX-RATE CALIBRATION: a fixed CPU-bound fold (seeded hash over
+    // spark.range — no I/O, no shuffle beyond the final 1-row
+    // aggregate), timed at sweep start / middle / end. The driver box
+    // and the idle-anchor box run the SAME constant work, so
+    // driver-vs-anchor bench ratios are read AFTER dividing out the
+    // calibration shift (BASELINE.md discipline): sustained background
+    // load shows up here as uniformly slower calibration, separating
+    // box rate from code regressions without a judge adjudicating.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      // max, not sum: xxhash64 spans the full Long range and an ANSI
+      // sum overflows — max keeps the identical per-row hash work
+      spark.range(0L, 50000000L, 1L, cpus.toInt)
+        .selectExpr("max(xxhash64(id)) AS h").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // untimed: JIT/codegen warm-up of the range+hash pipeline
+    val calStart = calibrate()
+    val keys = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only(name) }
       .sortBy { case (name, _) => h(name) }
-      .map { case (name, fn) =>
+    var calMid = 0.0
+    val sweep = keys.zipWithIndex
+      .map { case ((name, fn), i) =>
+        if (i == keys.size / 2) calMid = calibrate()
         // min-of-2 (min-of-3 for sub-second keys): a single timing is
         // at the mercy of machine contention — round 3's driver bench
         // showed untouched keys "regressing" 4-7× from background load
@@ -93,10 +114,15 @@ object Bench {
         name -> (if (rOk) math.min(secs, rSecs) else secs)
       }
     }.sortBy(_._1)
+    val calEnd = calibrate()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // calibration sits BEFORE "queries": the anchor-parsing regex
+    // reads everything after the "queries" token, and the cal keys
+    // must not leak into the per-key anchor map
+    val cal = f"""{"start":$calStart%.3f,"mid":$calMid%.3f,"end":$calEnd%.3f}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$cal,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // the driver's captured stdout tail truncates at 2000 chars, which
     // loses the per-key map — persist the full line so every round's

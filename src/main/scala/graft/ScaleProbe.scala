@@ -401,8 +401,8 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     // modes: all (default) | events | dedup | indexed | ann | state |
     // state-rocks | cc | ccdelta | ccchain | batchlog | bpe | decontam |
-    // span | pq | pqres | beam | ivfidx | ivfstream | ivffilter | rcte | knn | phash |
-    // media | buckets |
+    // span | pq | pqres | beam | ivfidx | ivfstream | ivffilter | geom |
+    // rcte | knn | phash | media | buckets |
     // triangles | pagerank — first non-numeric arg selects; numeric
     // args keep their meaning
     val modes = args.filter(a => !a.forall(_.isDigit) && a.nonEmpty).toSet
@@ -799,8 +799,12 @@ object ScaleProbe {
       // once) in 4 micro-batches, and reports rows/s plus the on-disk
       // append layout (files per cell directory grows with COMMITS,
       // not rows — the compaction story BatchLog already measures).
+      // The 256× octave (4,096 cells at the sf0.1 base) is the r16
+      // two-level acceptance gate: per-row encode cost must read FLAT
+      // there, where the r15 flat assigner was O(cells) per row
+      // (84 s at the 64×/1,024-cell octave — total ingest O(n²/125)).
       val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-      for (factor <- Seq(1, 8, 64).filter(_ <= maxFactor)) {
+      for (factor <- Seq(1, 8, 64, 256).filter(_ <= maxFactor)) {
         val dir = s"$tmpRoot/ivfstream_$factor"
         scaledEmb(embBase, factor).repartition(cpus.toInt)
           .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
@@ -831,7 +835,7 @@ object ScaleProbe {
         val cFiles = new java.io.File(s"$comp/lists").listFiles()
           .filter(f => f.isDirectory && f.getName.startsWith("cell="))
           .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
-        println(f"""{"shape":"ivfpq_stream","factor":$factor,"vectors":$n,"code_rows":$rows,"secs":$secs%.1f,"rows_per_sec":${(n / secs).toLong},"cells":${cellDirs.length},"files_per_cell_max":${filesPerCell.max},"serve_streamed_s":$sStream%.2f,"serve_compacted_s":$sComp%.2f,"compacted_files":$cFiles}""")
+        println(f"""{"shape":"ivfpq_stream","factor":$factor,"vectors":$n,"code_rows":$rows,"secs":$secs%.1f,"rows_per_sec":${(n / secs).toLong},"us_per_row":${secs * 1e6 / n}%.1f,"cells":${cellDirs.length},"files_per_cell_max":${filesPerCell.max},"serve_streamed_s":$sStream%.2f,"serve_compacted_s":$sComp%.2f,"compacted_files":$cFiles}""")
         spark.catalog.clearCache()
       }
     }
@@ -865,6 +869,72 @@ object ScaleProbe {
         spark.catalog.clearCache()
         e0.cache(); e0.count()
       }
+    }
+
+    if (on("geom")) {
+      // Quantizer GEOMETRY dial (r16): cells = ⌈n/125⌉ keeps per-query
+      // scanned codes FLAT but grows the centroid artifact linearly
+      // with the corpus (~8M centroids ≈ 4 GB at 10⁹ vectors — heavy
+      // to ship, and the super layer only softens the ROUTING cost,
+      // not the artifact). The FAISS guidance is cells ≈ 4√n…16√n:
+      // artifact and per-cell scan both grow as √n. The probe measures
+      // the recall / scanned-codes / artifact-size triangle for the
+      // three dials on one octave, through the operator's own
+      // two-level chain (scaledLloydCent + coarseRanked), so PLANS.md
+      // can state which geometry production picks at which corpus
+      // size — same exact-d2 top-3 serve on the probed cells for all
+      // three, only the geometry moves.
+      val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      val factor = math.min(64, maxFactor)
+      val dir = s"$tmpRoot/geom_$factor"
+      scaledEmb(embBase, factor).repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val e0 = graft.ops.Vectors.microVecs(spark, dir).cache()
+      val n = e0.count()
+      val q = e0.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("qe").as("qq"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+      def sqd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0d), (acc, v) => acc + v).cast("bigint")
+      val gt = e0.select(col("vec_id").as("c_id"), col("qe").as("ce"))
+        .join(broadcast(q), col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"), sqd(col("qq"), col("ce")).as("d2"))
+        .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+        .select("q_id", "c_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rootN = math.sqrt(n.toDouble)
+      for ((geom, perCell) <- Seq(
+          ("n/125", 125L),
+          ("4sqrt(n)", math.max(1L, (rootN / 4).toLong)),
+          ("16sqrt(n)", math.max(1L, (rootN / 16).toLong)))) {
+        val t0 = System.nanoTime()
+        val cent = graft.ops.Vectors.scaledLloydCent(e0, perCell).cache()
+        val cells = cent.count()
+        val ranked = graft.ops.Vectors.coarseRanked(e0, cent, 2).cache()
+        ranked.count()
+        val asg = ranked.filter(col("rn") === 1)
+          .select(col("vec_id").as("c_id"), col("cid").as("cell"))
+        val probes = ranked.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
+        val cand = asg.join(broadcast(probes),
+          col("cell") === col("pcell") && col("c_id") =!= col("q_id"))
+        val nCand = cand.count()
+        val top3 = cand
+          .join(e0.select(col("vec_id").as("c_id"), col("qe").as("ce")), Seq("c_id"))
+          .join(broadcast(q), Seq("q_id"))
+          .select(col("q_id"), col("c_id"), sqd(col("qq"), col("ce")).as("d2"))
+          .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+          .select("q_id", "c_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val secs = (System.nanoTime() - t0) / 1e9
+        val rec = top3.count(gt.contains) / gt.size.toDouble
+        println(f"""{"shape":"geom","rows":$n,"geometry":"$geom","per_cell_target":$perCell,"cells":$cells,"artifact_rows":$cells,"cand_total":$nCand,"cand_per_q":${nCand / 20},"recall":$rec%.3f,"secs":$secs%.1f}""")
+        ranked.unpersist(); cent.unpersist()
+        spark.catalog.clearCache(); e0.cache(); e0.count()
+      }
+      e0.unpersist()
     }
 
     if (on("knn")) {

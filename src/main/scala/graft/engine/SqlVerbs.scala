@@ -635,16 +635,26 @@ private[graft] object SqlVerbs {
           // that match at least one target row (the semi join) — so
           // duplicate NOT-MATCHED keys insert freely and NULL keys
           // (which an equi-join can never match) pass through, both
-          // per the standard.
-          val tgtKeys = df.select(keys.map { case (t, s0) =>
-            col(t).as(s0) }.toIndexedSeq: _*).dropDuplicates()
-          val matchingSrc = src.select(keys.map(k => col(k._2)).toIndexedSeq: _*)
-            .join(tgtKeys, keys.map(_._2), "left_semi")
-          if (matchingSrc.groupBy(keys.map(k => col(k._2)): _*).count()
-              .filter(col("count") > 1).limit(1).count() > 0)
-            throw new IllegalArgumentException(
-              s"MERGE source matches a target row more than once " +
-                s"(DuckDB: can not update the same row twice): $sqlText")
+          // per the standard. SKIPPED for insert-only statements (no
+          // WHEN MATCHED clause): the violation exists only when a
+          // target row would be updated or deleted more than once —
+          // an insert-only MERGE touches no matched row, and
+          // ANSI/DuckDB raise nothing there (r15 advice).
+          val hasMatchedClause = acts.exists {
+            case _: MergeUpd | _: MergeDel => true
+            case _                         => false
+          }
+          if (hasMatchedClause) {
+            val tgtKeys = df.select(keys.map { case (t, s0) =>
+              col(t).as(s0) }.toIndexedSeq: _*).dropDuplicates()
+            val matchingSrc = src.select(keys.map(k => col(k._2)).toIndexedSeq: _*)
+              .join(tgtKeys, keys.map(_._2), "left_semi")
+            if (matchingSrc.groupBy(keys.map(k => col(k._2)): _*).count()
+                .filter(col("count") > 1).limit(1).count() > 0)
+              throw new IllegalArgumentException(
+                s"MERGE source matches a target row more than once " +
+                  s"(DuckDB: can not update the same row twice): $sqlText")
+          }
           val srcR = src
             .select(sCols.map(c0 => col(c0).as(s"__src_$c0")).toIndexedSeq: _*)
             .withColumn("__graft_matched", lit(true))
@@ -678,7 +688,13 @@ private[graft] object SqlVerbs {
           val joinCond = keys.map { case (t, s0) => col(t) === col(s"__src_$s0") }
             .reduce(_ && _)
           val matchedC = coalesce(col("__graft_matched"), lit(false))
-          val joined = df.join(srcR, joinCond, "left")
+          // insert-only statements NEVER join the source onto the
+          // target: beyond being wasted work, the left join would FAN
+          // OUT a target row matched by several source rows — a state
+          // the (skipped-here) cardinality check otherwise forbids —
+          // and duplicate it in the output. Matched rows are simply
+          // kept as-is.
+          lazy val joined = df.join(srcR, joinCond, "left")
           // matched clauses: effective condition = matched AND pred AND
           // no earlier matched clause fired (first-match-wins)
           var priorM: Column = lit(false)
@@ -708,7 +724,8 @@ private[graft] object SqlVerbs {
               when(eff, expr(rw(text)).cast(f.dataType)).otherwise(acc)
             }.as(f.name)
           }
-          val updated = kept.select(proj.toIndexedSeq: _*)
+          val updated =
+            if (!hasMatchedClause) df else kept.select(proj.toIndexedSeq: _*)
           // NOT MATCHED inserts: source rows with no target match,
           // first-match-wins across the insert clauses
           val srcUn = srcR.join(
@@ -745,6 +762,13 @@ private[graft] object SqlVerbs {
     clause match {
       case WhenRe(notM, rest0) =>
         var rest = rest0.trim
+        // reject the Delta/SQL:2023 BY SOURCE form loudly BEFORE the
+        // generic predicate parse would blame "WHEN clause predicate":
+        // the error must name the unsupported construct
+        if (rest.toUpperCase.startsWith("BY SOURCE"))
+          throw new IllegalArgumentException(
+            "MERGE: WHEN [NOT] MATCHED BY SOURCE is not supported " +
+              s"(matched/not-matched-by-target clauses only): $sqlText")
         val thenPos = findKeywordOutsideCase(rest, "THEN")
         if (thenPos < 0) fail(sqlText, "THEN in WHEN clause")
         val predPart = rest.substring(0, thenPos).trim
@@ -768,6 +792,14 @@ private[graft] object SqlVerbs {
               val close = matchParen(r, 0)
               if (close < 0) fail(sqlText, "INSERT column list")
               val names = r.substring(1, close).split(',').map(_.trim).toSeq
+              // duplicate columns would be silent last-writer-wins via
+              // the byName map — error loudly, matching the duplicate-
+              // assignment guard parseAssignments applies to UPDATE SET
+              val dup = names.groupBy(_.toLowerCase).collectFirst {
+                case (_, vs) if vs.size > 1 => vs.head
+              }
+              dup.foreach(d0 => throw new IllegalArgumentException(
+                s"MERGE INSERT lists column '$d0' more than once: $sqlText"))
               r = r.substring(close + 1).trim
               Some(names)
             } else None

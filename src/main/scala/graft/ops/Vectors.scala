@@ -67,7 +67,7 @@ object Vectors {
     * a stale index built by an earlier version. Bump on any change to
     * the encode logic or layout.
     */
-  private[graft] val ivfIndexFormat: String = "f4-trained-pq"
+  private[graft] val ivfIndexFormat: String = "f5-two-level"
 
   /** Deterministic per-subspace codebook picks for product
     * quantization (sim_pq_adc): 4 codes per 8-dim subspace.
@@ -560,7 +560,7 @@ object Vectors {
   private[graft] def knnEdgesScaled(s: SparkSession, d: String,
       perCell: Long = 125L, degree: Int = 3): DataFrame = {
     val e = emb(s, d)
-    knnEdgesOver(e, scaledKnnCentroids(e, perCell), degree)
+    knnEdgesOver(e, scaledKnnCentroids(e, perCell), degree, twoLevel = true)
   }
 
   /** The corpus-sized centroid rule of [[knnEdgesScaled]] — exposed so
@@ -599,23 +599,50 @@ object Vectors {
     strideSeedRows(e, perCell, "scaledKnnCentroids")
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
 
+  /** micro-unit quantization of a float-vector column — the
+    * elementwise exact transform shared by [[microVecs]] and the
+    * two-level knn assignment (one formula, no fork).
+    */
+  private def microCol(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * lit(1000000d) + lit(0.5d)))
+
   /** The edge chain body shared by [[knnEdges]] (fixed 8 seeds) and
     * [[knnEdgesScaled]] (corpus-scaled cell count): assignment to the
-    * given broadcast centroids, in-cell cosine candidates, per-node
-    * top-3.
+    * given centroids, in-cell cosine candidates, per-node top-k.
+    * `twoLevel = false` is the fixed-8-seed flat rank (8 cells is
+    * O(1) — a hierarchy over it would be noise); `twoLevel = true` is
+    * the corpus-scaled path, which with cells ∝ n must NOT rank every
+    * vector against every centroid: the assignment routes through
+    * [[superLayer]] in MICRO-UNITS (float means aren't
+    * order-independent across engines; lattice integers are — the
+    * scaledLloydCent parity rule), while the in-cell cosine stays on
+    * the raw floats (elementwise per-row arithmetic, parity-safe).
     */
   private def knnEdgesOver(e: DataFrame, cent: DataFrame,
-      degree: Int = 3): DataFrame = {
-    val d2 = dot(col("embedding"), col("embedding")) -
-      lit(2) * dot(col("embedding"), col("ce")) + dot(col("ce"), col("ce"))
-    val wAsg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-    val asg = maybeCache(e.join(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
-        col("cid"), d2.as("d2"))
-      .withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell")))
+      degree: Int = 3, twoLevel: Boolean = false): DataFrame = {
+    val asg = if (!twoLevel) {
+      val d2 = dot(col("embedding"), col("embedding")) -
+        lit(2) * dot(col("embedding"), col("ce")) + dot(col("ce"), col("ce"))
+      val wAsg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+      maybeCache(e.join(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+          col("cid"), d2.as("d2"))
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell")))
+    } else {
+      val (scent, chl) = superLayer(
+        cent.select(col("cid"), microCol(col("ce")).as("ce")))
+      maybeCache(twoLevelRanked(
+          e.select(col("vec_id"), microCol(col("embedding")).as("qe")),
+          "vec_id", "qe", scent, chl)
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"))
+        .join(e.select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm")), Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell")))
+    }
     val a = asg.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
       col("nrm").as("an"), col("cell"))
     val b = asg.select(col("vec_id").as("b_id"), col("embedding").as("be"),
@@ -666,24 +693,35 @@ object Vectors {
         s"${graft.ops.sourceStamp(src)}:$ivfIndexFormat") { stage =>
       val e = emb(s, d)
       val cent = scaledKnnCentroids(e, perCell)
-      knnEdgesOver(e, cent, degree).select(col("a_id"), col("b_id"))
+      knnEdgesOver(e, cent, degree, twoLevel = true)
+        .select(col("a_id"), col("b_id"))
         .write.mode("overwrite").parquet(s"$stage/edges")
-      cent.select(col("cid")).coalesce(1)
-        .write.mode("overwrite").parquet(s"$stage/entries")
+      // the genuine HNSW upper layer (replacing r15's all-cells entry
+      // list): the √cells super-centroids + the (cid → sid) child map
+      // over the MICRO-UNIT seed layer — a beam serve descends
+      // super → child seeds → graph, never scanning all cells
+      val (scent, chl) = superLayer(
+        cent.select(col("cid"), microCol(col("ce")).as("ce")))
+      scent.coalesce(1).write.mode("overwrite").parquet(s"$stage/supers")
+      chl.select(col("cid"), col("sid")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/children")
     }
   }
 
   private[graft] def beamParts(s: SparkSession, d: String, qBound: Long = 20L,
-      beamW: Int = 8, rounds: Int = 3, degree: Int = 3,
+      beamW: Int = 8, rounds: Int = 3, degree: Int = 8,
       perCell: Long = ivfPerCell): (Seq[DataFrame], DataFrame) = {
     val e0 = microVecs(s, d)
     // serve from the PERSISTED graph (built once, stamped) — the
-    // serve path never re-derives edges or entries
+    // serve path never re-derives edges, supers, or the child map.
+    // degree defaults to 8: the measured navigable dial (SCALE.md —
+    // the degree-3 graph beams to 0.117 recall on planted clusters
+    // where degree-8 reaches 0.717 at sub-cell-scan budget; degree is
+    // HNSW's M lever and production serves the navigable graph).
     val g = stagedKnnGraph(s, d, degree, perCell)
     val edges = maybeCache(s.read.parquet(s"$g/edges"))
     val q = e0.filter(col("vec_id") < qBound)
       .select(col("vec_id").as("q_id"), col("qe").as("qq"))
-    val entries = s.read.parquet(s"$g/entries").select(col("cid").as("c_id"))
     val cv = e0.select(col("vec_id").as("c_id"), col("qe").as("ce"))
     def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
     // candidate (q_id, c_id) frames are query-plan-sized → broadcast
@@ -698,8 +736,28 @@ object Vectors {
     def topB(sc: DataFrame): DataFrame = maybeCache(
       sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= beamW)
         .select(col("q_id"), col("c_id"), col("d2")))
-    val ent = q.select(col("q_id")).crossJoin(broadcast(entries))
-    var beamDf = topB(score(ent))
+    // ENTRY DESCENT through the staged super layer (r16 — replacing
+    // the all-cells crossJoin): each query ranks the √cells
+    // super-centroids (broadcast), routes to its argmin super, and
+    // scores ONLY that super's child seeds exactly (children ARE
+    // corpus vectors at the seed ids, so the child rank IS the exact
+    // entry scoring) — the multi-layer HNSW descent, entry work
+    // O(√cells) per query instead of O(cells).
+    val scent = s.read.parquet(s"$g/supers")
+    val chl = s.read.parquet(s"$g/children")
+      .join(e0.select(col("vec_id").as("cid"), col("qe").as("che")), Seq("cid"))
+    def rd2(a: Column, b: Column): Column =
+      dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
+    val routed = q.join(broadcast(scent))
+      .groupBy(col("q_id"))
+      .agg(min(struct(rd2(col("qq"), col("sce")).as("d2"), col("sid"))).as("best"),
+        first(col("qq")).as("qq"))
+      .select(col("q_id"), col("qq"), col("best.sid").as("sid"))
+    val ent = routed.join(chl, Seq("sid"))
+      .filter(col("cid") =!= col("q_id"))
+      .select(col("q_id"), col("cid").as("c_id"),
+        sqd(col("qq"), col("che")).as("d2"))
+    var beamDf = topB(ent)
     val cands = scala.collection.mutable.Buffer[DataFrame](ent)
     for (_ <- 1 to rounds) {
       val nbrs = beamDf.join(edges, beamDf("c_id") === edges("a_id"))
@@ -810,30 +868,51 @@ object Vectors {
   /** DuckDB twin of [[knnEdgesScaled]]'s corpus-sized centroid rule
     * (the integer formula mirrored exactly: cells = max(8, ⌈n/125⌉),
     * stride = n // cells, seeds = multiples of stride below
-    * stride·cells).
+    * stride·cells) — assignment through the TWO-LEVEL layer, like the
+    * Spark chain.
     */
   private lazy val knnEdgeCtesScaled: String = knnEdgeCtesOver(
+    knnScaledCentCte, twoLevel = true)
+
+  private def knnScaledCentCte: String =
     """nn AS (SELECT count(*) AS n FROM embeddings),
       |par AS (SELECT greatest(8, (n + 124) // 125) AS cells,
       |               greatest(1, n // greatest(8, (n + 124) // 125)) AS stride FROM nn),
       |cent AS (
       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings, par
-      |  WHERE vec_id % stride = 0 AND vec_id < stride * cells)""".stripMargin)
+      |  WHERE vec_id % stride = 0 AND vec_id < stride * cells)""".stripMargin
 
-  /** The shared tail of both knn oracle chains: assignment, in-cell
-    * pairs, top-3 — ending in `t`.
+  /** The shared tail of both knn oracle chains: assignment (flat for
+    * the fixed-8 chain, two-level micro-unit for the corpus-scaled
+    * one — mirroring [[knnEdgesOver]]), in-cell pairs, top-`degree` —
+    * ending in `t`.
     */
-  private def knnEdgeCtesOver(centCte: String): String = {
+  private def knnEdgeCtesOver(centCte: String, twoLevel: Boolean = false,
+      degree: Int = 3): String = {
+    val asgCte = if (!twoLevel)
+      s"""asg AS (
+         |  SELECT vec_id, embedding, nrm, cid AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, ${D.norm("e.embedding")} AS nrm, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${D.dot("e.embedding", "e.embedding")}
+         |                      - 2 * ${D.dot("e.embedding", "c.ce")}
+         |                      + ${D.dot("c.ce", "c.ce")}, c.cid) AS rn
+         |    FROM embeddings e, cent c) t
+         |  WHERE rn = 1)""".stripMargin
+    else
+      s"""km AS (SELECT vec_id,
+         |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
+         |       FROM embeddings),
+         |cm2 AS (SELECT cid,
+         |              list_transform(ce, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS ce
+         |        FROM cent),
+         |${superLayerCtes("kl", "cm2")},
+         |${twoLevelRankCtes("kl", "km", "vec_id", "qe", "ka")},
+         |asg AS (SELECT e.vec_id, e.embedding, ${D.norm("e.embedding")} AS nrm,
+         |               ka.cid AS cell
+         |        FROM embeddings e JOIN ka ON ka.vec_id = e.vec_id AND ka.rn = 1)""".stripMargin
     s"""$centCte,
-       |asg AS (
-       |  SELECT vec_id, embedding, nrm, cid AS cell FROM (
-       |    SELECT e.vec_id, e.embedding, ${D.norm("e.embedding")} AS nrm, c.cid,
-       |           row_number() OVER (PARTITION BY e.vec_id
-       |             ORDER BY ${D.dot("e.embedding", "e.embedding")}
-       |                      - 2 * ${D.dot("e.embedding", "c.ce")}
-       |                      + ${D.dot("c.ce", "c.ce")}, c.cid) AS rn
-       |    FROM embeddings e, cent c) t
-       |  WHERE rn = 1),
+       |$asgCte,
        |p AS (
        |  SELECT q.vec_id AS a_id, c.vec_id AS b_id,
        |         ${D.dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
@@ -844,7 +923,7 @@ object Vectors {
        |    SELECT a_id, b_id, cos,
        |           row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rnk
        |    FROM p) x
-       |  WHERE rnk <= 3)""".stripMargin
+       |  WHERE rnk <= $degree)""".stripMargin
   }
 
   /** The CTE chain shared by `sim_ivf_pq`'s and `sim_ivf_pq_rerank`'s
@@ -870,12 +949,8 @@ object Vectors {
        |        WHERE rn = 1),
        |qd AS (SELECT vec_id AS q_id, m, c, d2 FROM dist WHERE vec_id < 20),
        |$scaledLloydCentCtes,
-       |dd AS (SELECT e.vec_id, c.cid,
-       |              row_number() OVER (PARTITION BY e.vec_id
-       |                ORDER BY ${D.dot("e.qe", "e.qe")}
-       |                         - 2 * ${D.dot("e.qe", "c.ce")}
-       |                         + ${D.dot("c.ce", "c.ce")}, c.cid) AS rn
-       |       FROM e, cent c),
+       |${superLayerCtes("cl", "cent")},
+       |${twoLevelRankCtes("cl", "e", "vec_id", "qe", "dd")},
        |asg AS (SELECT vec_id, cid AS cell FROM dd WHERE rn = 1),
        |probes AS (SELECT vec_id AS q_id, cid AS pcell FROM dd
        |           WHERE rn <= 2 AND vec_id < 20),
@@ -974,19 +1049,105 @@ object Vectors {
     * codes FLAT in n (ScaleProbe's ivfidx octave), where the old
     * fixed-8-seed quantizer scanned nprobe·n/8.
     */
+  /** The HIERARCHICAL (two-level) coarse-assignment layer over any
+    * centroid/seed frame `cent`(cid, ce) — the production answer to
+    * the flat O(cells) assignment scan: with cells ∝ n, every stage
+    * that ranks an item against ALL centroids is linear-in-n per item
+    * (and the full centroid frame itself outgrows broadcast limits at
+    * ~10⁹ vectors). FAISS's answer past ~10⁴ cells is a hierarchical
+    * coarse assigner (IMI / HNSW-on-centroids); this is its two-level
+    * k-means-tree form. Geometry: sups = max(1, ⌈√cells⌉) SUPER-seeds
+    * picked by the SAME stride rule applied to the cid-ranked centroid
+    * index space (idx % sstride == 0, idx < sstride·sups — one
+    * formula, no fork), then ONE Lloyd pass over the centroid frame:
+    * assign every centroid to its nearest super-seed (exact integer
+    * micro-unit L2, tie → lowest sid) and take the lattice-rounded
+    * member mean (floor(mean + 0.5) — the scaledLloydCent parity
+    * argument verbatim: integer-valued sums are exact doubles, one
+    * identical IEEE divide, so both engines land on the same lattice
+    * point). The CHILD MAP is the E-step membership (centroid →
+    * nearest super-SEED), NOT a re-assignment against the final
+    * super-centroids: E-step membership guarantees every emitted
+    * super-centroid has ≥ 1 child (a super-seed is itself a member at
+    * d2 = 0), so a routed item always finds candidates — re-assignment
+    * could strand a query in a childless super.
+    * Returns (scent = (sid, sce), chl = (cid, ce, sid)).
+    * Cost: everything here is centroid-frame-sized (cells rows — the
+    * idx window runs single-partition over metadata, not corpus data);
+    * per-ITEM routing work drops from O(cells) to
+    * O(sups + cells/sups) = O(√cells), and the only frame an assigner
+    * must broadcast is the √cells super layer.
+    */
+  private[graft] def superLayer(cent: DataFrame): (DataFrame, DataFrame) = {
+    val cells = cent.count()
+    val sups = math.max(1L, math.ceil(math.sqrt(cells.toDouble)).toLong)
+    val sstr = math.max(1L, cells / sups)
+    val wIdx = org.apache.spark.sql.expressions.Window.orderBy(col("cid"))
+    val sseed = cent
+      .select(col("cid"), col("ce"),
+        (row_number().over(wIdx) - 1).cast("bigint").as("idx"))
+      .filter(col("idx") % sstr === 0 && col("idx") < sstr * sups)
+      .select(col("cid").as("sid"), col("ce").as("sse"))
+    def d2(a: Column, b: Column): Column =
+      dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
+    val chl = maybeCache(cent.join(broadcast(sseed))
+      .groupBy(col("cid"))
+      .agg(min(struct(d2(col("ce"), col("sse")).as("d2"), col("sid"))).as("best"),
+        first(col("ce")).as("ce"))
+      .select(col("cid"), col("ce"), col("best.sid").as("sid")))
+    val scent = chl.groupBy(col("sid"))
+      .agg(graft.functions.VectorMean.centroid(
+        col("ce").cast("array<float>")).as("mv"))
+      .select(col("sid"),
+        transform(col("mv"), x => floor(x + lit(0.5d))).as("sce"))
+    (scent, chl)
+  }
+
+  /** Two-level routing of an item frame `items`(idCol, vecCol) through
+    * a [[superLayer]]: rank the √cells super-centroids (the ONLY
+    * broadcast — sups rows), keep the argmin super, then rank ONLY
+    * that super's children via a sid-keyed JOIN — deliberately NOT a
+    * `broadcast()` of the full child frame: at 10⁹ vectors the cells
+    * frame is ~4 GB (past practical broadcast limits), while a
+    * sid-keyed shuffle join is the standard scalable shape (Catalyst
+    * still picks a broadcast from stats when cells is actually small —
+    * the right call at both scales, made by the optimizer, not
+    * hardcoded). Output: (idCol, cid, d2c, rn) with rn ranked by
+    * (d2c, cid) within the routed super — the [[coarseRanked]] schema.
+    */
+  private[graft] def twoLevelRanked(items: DataFrame, idCol: String,
+      vecCol: String, scent: DataFrame, chl: DataFrame): DataFrame = {
+    def d2(a: Column, b: Column): Column =
+      dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
+    val routed = items.join(broadcast(scent))
+      .groupBy(col(idCol))
+      .agg(min(struct(d2(col(vecCol), col("sce")).as("d2"), col("sid"))).as("best"),
+        first(col(vecCol)).as(vecCol))
+      .select(col(idCol), col(vecCol), col("best.sid").as("sid"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("d2c"), col("cid"))
+    routed.join(chl, Seq("sid"))
+      .select(col(idCol), col("cid"), d2(col(vecCol), col("ce")).as("d2c"))
+      .withColumn("rn", row_number().over(wRank))
+  }
+
   private[graft] def scaledLloydCent(e0: DataFrame,
       perCell: Long = ivfPerCell): DataFrame = {
     // seeds via THE shared stride rule (strideSeedRows) — the IVF
     // quantizer geometry and the knn-graph geometry are one formula
     val seeds = strideSeedRows(e0, perCell, "scaledLloydCent")
-      .select(col("vec_id").as("scid"), col("qe").as("se"))
-    def d2(a: Column, b: Column): Column =
-      dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
-    val asg = e0.join(broadcast(seeds))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(d2(col("qe"), col("se")).as("d2"), col("scid"))).as("best"),
-        first(col("qe")).as("qe"))
-      .select(col("vec_id"), col("qe"), col("best.scid").as("scell"))
+      .select(col("vec_id").as("cid"), col("qe").as("ce"))
+    // TWO-LEVEL E-step: the super layer is built over the SEED frame
+    // (√cells super-seeds, one Lloyd pass over cells rows — metadata),
+    // and every vector routes super-first, then ranks only the routed
+    // super's child seeds. Per-vector work O(√cells), and the only
+    // broadcast is the super layer — the flat form's
+    // broadcast-ALL-seeds expand grew ∝ n on both axes.
+    val (scent, chl) = superLayer(seeds)
+    val asg = twoLevelRanked(e0, "vec_id", "qe", scent, chl)
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("scell"))
+      .join(e0, Seq("vec_id"))
     asg.groupBy(col("scell"))
       .agg(graft.functions.VectorMean.centroid(
         col("qe").cast("array<float>")).as("mv"))
@@ -1000,45 +1161,94 @@ object Vectors {
     * seed assignment, and the lattice-rounded mean mirror the Spark
     * chain op for op.
     */
+  /** DuckDB d2 between two 64-dim list expressions — the expanded
+    * dot-product form every coarse ranking uses (exact on micro-unit
+    * integers in doubles, < 2⁵³).
+    */
+  private def dd2(a: String, b: String): String =
+    s"${D.dot(a, a)} - 2 * ${D.dot(a, b)} + ${D.dot(b, b)}"
+
+  /** DuckDB twin of [[superLayer]] as a CTE suffix over a centroid
+    * relation `$centRel`(cid, ce) — emits `${p}scent`(sid, sce) and
+    * `${p}chl`(cid, ce, sid), mirroring the integer formula
+    * (sups = max(1, ⌈√cells⌉), index-stride super-seeds, E-step
+    * membership, lattice-rounded member means) op for op.
+    */
+  private def superLayerCtes(p: String, centRel: String): String =
+    s"""${p}n AS (SELECT count(*) AS cells FROM $centRel),
+       |${p}par AS (SELECT greatest(1, CAST(ceil(sqrt(cells)) AS BIGINT)) AS sups,
+       |                   greatest(1, cells // greatest(1, CAST(ceil(sqrt(cells)) AS BIGINT))) AS sstr
+       |            FROM ${p}n),
+       |${p}idx AS (SELECT cid, ce, row_number() OVER (ORDER BY cid) - 1 AS idx
+       |            FROM $centRel),
+       |${p}ssd AS (SELECT cid AS sid, ce AS sse FROM ${p}idx, ${p}par
+       |            WHERE idx % sstr = 0 AND idx < sstr * sups),
+       |${p}chl AS (SELECT cid, ce, sid FROM (
+       |              SELECT x.cid, x.ce, s.sid,
+       |                     row_number() OVER (PARTITION BY x.cid
+       |                       ORDER BY ${dd2("x.ce", "s.sse")}, s.sid) AS rn
+       |              FROM ${p}idx x, ${p}ssd s) t WHERE rn = 1),
+       |${p}scent AS (SELECT sid, list(mv ORDER BY i) AS sce FROM (
+       |                SELECT sid, i, floor(sum(ce[i]) / count(*) + 0.5) AS mv
+       |                FROM ${p}chl, range(1, ${dim + 1}) t(i)
+       |                GROUP BY sid, i) g GROUP BY sid)""".stripMargin
+
+  /** DuckDB twin of [[twoLevelRanked]]: route `$itemRel`(idCol,
+    * vecCol) through the `$p` super layer — emits `${out}rt` (the
+    * argmin-super route) and `$out`(idCol, cid, rn) ranked by
+    * (d2c, cid) within the routed super's children.
+    */
+  private def twoLevelRankCtes(p: String, itemRel: String, idCol: String,
+      vecCol: String, out: String): String =
+    s"""${out}rt AS (SELECT $idCol, sid FROM (
+       |              SELECT i.$idCol, s.sid,
+       |                     row_number() OVER (PARTITION BY i.$idCol
+       |                       ORDER BY ${dd2(s"i.$vecCol", "s.sce")}, s.sid) AS rn
+       |              FROM $itemRel i, ${p}scent s) t WHERE rn = 1),
+       |$out AS (SELECT $idCol, cid,
+       |                row_number() OVER (PARTITION BY $idCol
+       |                  ORDER BY d2c, cid) AS rn FROM (
+       |           SELECT i.$idCol, c.cid, ${dd2(s"i.$vecCol", "c.ce")} AS d2c
+       |           FROM $itemRel i JOIN ${out}rt r ON r.$idCol = i.$idCol
+       |                JOIN ${p}chl c ON c.sid = r.sid) z)""".stripMargin
+
   private def scaledLloydCentCtes: String = {
     val pc = ivfPerCell
     s"""nn AS (SELECT count(*) AS n FROM e),
        |par AS (SELECT greatest(8, (n + ${pc - 1}) // $pc) AS cells,
        |               greatest(1, n // greatest(8, (n + ${pc - 1}) // $pc)) AS stride
        |        FROM nn),
-       |sdd AS (SELECT vec_id AS scid, qe AS se FROM e, par
+       |sdd AS (SELECT vec_id AS cid, qe AS ce FROM e, par
        |        WHERE vec_id % stride = 0 AND vec_id < stride * cells),
-       |sa AS (SELECT vec_id, qe, scid AS scell FROM (
-       |         SELECT e.vec_id, e.qe, s.scid,
-       |                row_number() OVER (PARTITION BY e.vec_id
-       |                  ORDER BY ${D.dot("e.qe", "e.qe")}
-       |                           - 2 * ${D.dot("e.qe", "s.se")}
-       |                           + ${D.dot("s.se", "s.se")}, s.scid) AS rn
-       |         FROM e, sdd s) t
-       |       WHERE rn = 1),
+       |${superLayerCtes("sl", "sdd")},
+       |${twoLevelRankCtes("sl", "e", "vec_id", "qe", "sa0")},
+       |sa AS (SELECT e.vec_id, e.qe, sa0.cid AS scell
+       |       FROM e JOIN sa0 ON sa0.vec_id = e.vec_id AND sa0.rn = 1),
        |cm AS (SELECT scell, i, floor(sum(qe[i]) / count(*) + 0.5) AS mv
        |       FROM sa, range(1, ${dim + 1}) t(i) GROUP BY scell, i),
        |cent AS (SELECT scell AS cid, list(mv ORDER BY i) AS ce FROM cm
        |         GROUP BY scell)""".stripMargin
   }
 
-  /** Shared coarse-quantizer routing: every vector's micro-unit L2 to
-    * the broadcast centroid frame, ranked by (d2c, cid), kept to
-    * rn ≤ nprobe — (vec_id, cid, rn). The ONE arithmetic all four
-    * IVF×PQ chains (flat, residual, index build, index serve) derive
-    * their assignment/probe splits from: the flat↔residual equal-scan
-    * assertion and the in-memory↔persisted hash equality both depend
-    * on these chains never drifting, so the formula lives once.
+  /** Shared coarse-quantizer routing, now TWO-LEVEL (r16): every
+    * vector routes to its argmin super-centroid ([[superLayer]] over
+    * the given centroid frame — the only broadcast, √cells rows),
+    * then ranks ONLY that super's child centroids by exact micro-unit
+    * L2, ranked by (d2c, cid), kept to rn ≤ nprobe — (vec_id, cid,
+    * rn). The ONE arithmetic all four IVF×PQ chains (flat, residual,
+    * index build, index serve) derive their assignment/probe splits
+    * from: the flat↔residual equal-scan assertion and the
+    * in-memory↔persisted hash equality both depend on these chains
+    * never drifting, so the formula lives once — and the oracle
+    * mirrors the two-level argmin op for op (superLayerCtes +
+    * twoLevelRankCtes). Note nprobe probes all come from the routed
+    * super's children — the HNSW-style descent a production
+    * multi-probe would widen by routing to >1 super.
     */
   private[graft] def coarseRanked(e0: DataFrame, cent: DataFrame,
       nprobe: Int = 2): DataFrame = {
-    def cd2(a: Column, b: Column): Column =
-      dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
-    val wAsg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("d2c"), col("cid"))
-    e0.join(broadcast(cent))
-      .select(col("vec_id"), col("cid"), cd2(col("qe"), col("ce")).as("d2c"))
-      .withColumn("rn", row_number().over(wAsg))
+    val (scent, chl) = superLayer(cent)
+    twoLevelRanked(e0, "vec_id", "qe", scent, chl)
       .filter(col("rn") <= nprobe)
   }
 
@@ -1220,8 +1430,10 @@ object Vectors {
         s"${graft.ops.sourceStamp(src)}:$ivfIndexFormat") { stage =>
       val (e0, enc, _) = pqParts(s, d)
       val cent = quantCent(s, d)
+      // cell stays BIGINT (seed vec_ids exceed Int range at target
+      // corpora — r15 advice; see the residual builder's note)
       val asg = coarseRanked(e0, cent, nprobe = 1)
-        .select(col("vec_id").as("c_id"), col("cid").cast("int").as("cell"))
+        .select(col("vec_id").as("c_id"), col("cid").as("cell"))
       // cell-keyed repartition before the write: each cell lives in
       // exactly one task, so partitionBy emits ONE file per cell and
       // a serve reads exactly nprobe files regardless of build
@@ -1256,11 +1468,15 @@ object Vectors {
     // across the (broadcast-sized) query batch — a driver-side
     // collect of AT MOST ncells integers, never corpus data. The
     // literal IN list is what turns into the scan's PartitionFilters.
-    val cells = probes.select(col("pcell").cast("int")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val lists = s.read.parquet(s"$idx/lists")
-      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
-      .select(col("c_id"), col("m"), col("code"), col("cell").cast("bigint").as("cell"))
+    // The explicit read schema types the partition column BIGINT
+    // (cell ids are seed vec_ids — Int overflows at target corpora,
+    // r15 advice) without a cast that would wrap the partition filter.
+    val cells = probes.select(col("pcell").cast("bigint")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val lists = s.read.schema("c_id BIGINT, m INT, code INT, cell BIGINT")
+      .parquet(s"$idx/lists")
+      .filter(col("cell").isin(cells.map(java.lang.Long.valueOf): _*))
+      .select(col("c_id"), col("m"), col("code"), col("cell"))
     // query distance tables from the STORED codebook (32 rows)
     val ms = explode(sequence(lit(0), lit(7))).as("m")
     val sub = e0q.select(col("vec_id"), ms, col("qe"))
@@ -1303,12 +1519,25 @@ object Vectors {
       val asg = coarseRanked(e0, cent, nprobe = 1)
         .select(col("vec_id"), col("cid").as("cell"))
       val (cb, enc) = residualEncode(e0, cent, asg, quantCbRes(s, d))
-      // one file per cell — see the flat-index builder's note
-      enc.withColumn("cell", col("cell").cast("int"))
-        .repartition(col("cell"))
+      // one file per cell — see the flat-index builder's note. `cell`
+      // stays BIGINT end-to-end: cell ids are seed vec_ids, which on
+      // the corpora this design targets exceed Int range — an
+      // ANSI-mode int cast would turn the build into a runtime crash
+      // (r15 advice).
+      enc.repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
       cent.write.mode("overwrite").parquet(s"$stage/centroids")
       cb.write.mode("overwrite").parquet(s"$stage/codebook")
+      // the TWO-LEVEL routing tables, staged alongside the quantizer
+      // (FAISS ships its coarse assigner with the index): `supers/` =
+      // (sid, sce) super-centroids, `children/` = (cid, sid) E-step
+      // membership. The streaming add() path reads these instead of
+      // re-deriving the layer in driver code that could drift from
+      // [[superLayer]]'s DataFrame math.
+      val (scent, chl) = superLayer(cent)
+      scent.coalesce(1).write.mode("overwrite").parquet(s"$stage/supers")
+      chl.select(col("cid"), col("sid")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/children")
     }
   }
 
@@ -1352,12 +1581,15 @@ object Vectors {
     val cent = s.read.parquet(s"$quantDir/centroids")
     val probes = maybeCache(coarseRanked(e0q, cent, nprobe)
       .select(col("vec_id").as("q_id"), col("cid").as("pcell")))
-    // the cell plan: AT MOST ncells integers collected, never corpus data
-    val cells = probes.select(col("pcell").cast("int")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val lists0 = s.read.parquet(listsPath)
-      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
-      .select(col("c_id"), col("m"), col("code"), col("cell").cast("bigint").as("cell"))
+    // the cell plan: AT MOST ncells integers collected, never corpus
+    // data. Explicit read schema: BIGINT partition column, no cast —
+    // see ivfPqIndexedParts.
+    val cells = probes.select(col("pcell").cast("bigint")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val lists0 = s.read.schema("c_id BIGINT, m INT, code INT, cell BIGINT")
+      .parquet(listsPath)
+      .filter(col("cell").isin(cells.map(java.lang.Long.valueOf): _*))
+      .select(col("c_id"), col("m"), col("code"), col("cell"))
     // logical deletes: the tombstone anti-join sits BELOW the ADC
     // aggregate, so a deleted vector can never reach a shortlist (a
     // post-top-k filter would silently under-return instead) — the
@@ -1410,6 +1642,24 @@ object Vectors {
     val cents: Array[(Long, Array[Long])] = s.read.parquet(s"$quantDir/centroids")
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
+    // the staged TWO-LEVEL routing tables ([[superLayer]], written by
+    // the index build so the stream cannot drift from the DataFrame
+    // math): √cells super-centroids + the (cid → sid) child map as
+    // positions into the cid-sorted centroid array. Per-row routing is
+    // now O(sups + cells/sups) = O(√cells) — the flat form scanned all
+    // cells per arriving row, i.e. total ingest O(n²/perCell) once
+    // cells ∝ n (the r15 scale-blocker; ScaleProbe's ivfstream octave
+    // measures the per-row cost flat through ≥4,096 cells).
+    val supers: Array[(Long, Array[Long])] = s.read.parquet(s"$quantDir/supers")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val childIdx: Map[Long, Array[Int]] = {
+      val pos = cents.iterator.map(_._1).zipWithIndex.toMap
+      s.read.parquet(s"$quantDir/children").collect()
+        .map(r => (r.getLong(1), r.getLong(0)))
+        .groupBy(_._1)
+        .map { case (sid, arr) => sid -> arr.map(a => pos(a._2)).sorted }
+    }
     val cbk: Array[Array[(Int, Array[Long])]] = {
       val byM = s.read.parquet(s"$quantDir/codebook")
         .collect().map(r => (r.getInt(1), (r.getInt(0), r.getSeq[Long](2).toArray)))
@@ -1417,6 +1667,8 @@ object Vectors {
       Array.tabulate(8)(m => byM(m).map(_._2).sortBy(_._1))
     }
     val bcCent = s.sparkContext.broadcast(cents)
+    val bcSup = s.sparkContext.broadcast(supers)
+    val bcChl = s.sparkContext.broadcast(childIdx)
     val bcCbk = s.sparkContext.broadcast(cbk)
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
@@ -1437,25 +1689,46 @@ object Vectors {
           x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
       .as[(Long, Seq[Long])]
       // stateless typed projection: per row, one argmin over the
-      // broadcast centroids, one residual, 8 sub-codebook argmins —
+      // √cells broadcast SUPER-centroids, one argmin over the routed
+      // super's children, one residual, 8 sub-codebook argmins —
       // emits the 8 (c_id, cell, m, code) rows directly. Still a
       // zero-exchange micro-batch plan (Scan → MapPartitions →
-      // FileSink); no state store, no join.
+      // FileSink); no state store, no join. Memory note: executors
+      // still hold the FULL centroid array (the shipped-quantizer
+      // reality — FAISS workers hold exactly this in RAM); past that,
+      // the fallback is a per-batch repartition by routed super so
+      // each task holds one super's children — one exchange per
+      // micro-batch, the dial a beyond-RAM deployment flips.
       .mapPartitions { it =>
         val cs = bcCent.value
+        val sup = bcSup.value
+        val chl = bcChl.value
         val books = bcCbk.value
         it.flatMap { case (id, qeSeq) =>
           val qe = qeSeq.toArray
+          // level 1: nearest super-centroid (sup is sid-sorted, so
+          // strict less-than keeps the lowest-sid winner on ties)
+          var bestSd = Long.MaxValue; var bestS = -1
+          var si = 0
+          while (si < sup.length) {
+            val se = sup(si)._2
+            var dd = 0L; var j = 0
+            while (j < 64) { val x = qe(j) - se(j); dd += x * x; j += 1 }
+            if (dd < bestSd) { bestSd = dd; bestS = si }
+            si += 1
+          }
+          // level 2: nearest child centroid of the routed super (kids
+          // are positions into the cid-sorted array, ascending, so
+          // strict less-than keeps the lowest-cid winner)
+          val kids = chl(sup(bestS)._1)
           var bestD = Long.MaxValue; var bestI = -1
-          var i = 0
-          while (i < cs.length) {
-            val ce = cs(i)._2
+          var ki = 0
+          while (ki < kids.length) {
+            val ce = cs(kids(ki))._2
             var dd = 0L; var j = 0
             while (j < 64) { val x = qe(j) - ce(j); dd += x * x; j += 1 }
-            // ties break on the LOWER cid; cs is cid-sorted, so strict
-            // less-than keeps the first (lowest-cid) winner
-            if (dd < bestD) { bestD = dd; bestI = i }
-            i += 1
+            if (dd < bestD) { bestD = dd; bestI = kids(ki) }
+            ki += 1
           }
           val cell = cs(bestI)._1
           val ce = cs(bestI)._2
@@ -1473,7 +1746,7 @@ object Vectors {
               if (dd < bd) { bd = dd; bc = codes(c)._1 } // codes c-sorted: ties keep lowest
               c += 1
             }
-            (id, cell.toInt, m, bc)
+            (id, cell, m, bc)
           }
         }
       }
@@ -1568,12 +1841,8 @@ object Vectors {
        |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
        |           FROM embeddings),
        |$scaledLloydCentCtes,
-       |dd AS (SELECT e.vec_id, c.cid,
-       |              row_number() OVER (PARTITION BY e.vec_id
-       |                ORDER BY ${D.dot("e.qe", "e.qe")}
-       |                         - 2 * ${D.dot("e.qe", "c.ce")}
-       |                         + ${D.dot("c.ce", "c.ce")}, c.cid) AS rn
-       |       FROM e, cent c),
+       |${superLayerCtes("cl", "cent")},
+       |${twoLevelRankCtes("cl", "e", "vec_id", "qe", "dd")},
        |cand AS (SELECT e.vec_id AS c_id, e.label AS c_label, e.qe AS ce2, dd.cid AS cell
        |         FROM e JOIN dd ON dd.vec_id = e.vec_id AND dd.rn = 1),
        |probes AS (SELECT e.vec_id AS q_id, e.label AS q_label, e.qe AS qq, dd.cid AS pcell
@@ -1759,12 +2028,8 @@ object Vectors {
          |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
          |           FROM embeddings),
          |$scaledLloydCentCtes,
-         |dd AS (SELECT e.vec_id, c.cid,
-         |              row_number() OVER (PARTITION BY e.vec_id
-         |                ORDER BY ${D.dot("e.qe", "e.qe")}
-         |                         - 2 * ${D.dot("e.qe", "c.ce")}
-         |                         + ${D.dot("c.ce", "c.ce")}, c.cid) AS rn
-         |       FROM e, cent c),
+         |${superLayerCtes("cl", "cent")},
+         |${twoLevelRankCtes("cl", "e", "vec_id", "qe", "dd")},
          |asg AS (SELECT vec_id, cid AS cell FROM dd WHERE rn = 1),
          |resv AS (SELECT e.vec_id, a.cell,
          |                list_transform(range(1, 65), j -> e.qe[j] - c.ce[j]) AS res
@@ -3195,18 +3460,21 @@ object Vectors {
     },
 
     // ---- HNSW-style beam search over the knn graph ---------------------
-    // The graph-based ANN serve (Malkov & Yashunin 2018, single-layer
-    // greedy beam): entry points = the scaled quantizer's seed list
-    // (the upper-layer stand-in), beam = best 8 by exact micro-unit
-    // L2, 3 unrolled expansion rounds over the stored top-3 neighbor
-    // lists (the oracled knn_graph_scaled edge chain), then top-3.
+    // The graph-based ANN serve (Malkov & Yashunin 2018, greedy beam
+    // with a genuine layer descent, r16): entry points come from the
+    // staged SUPER layer — each query ranks the √cells
+    // super-centroids, routes to its argmin super, and scores only
+    // that super's child seeds exactly (the upper-layer hop of HNSW,
+    // O(√cells) entry work instead of r15's all-cells scan). Beam =
+    // best 8 by exact micro-unit L2, 3 unrolled expansion rounds over
+    // the stored DEGREE-8 neighbor lists — the measured NAVIGABLE
+    // dial (SCALE.md: degree-3 beams to 0.117 recall on planted
+    // clusters where degree-8 reaches 0.717; degree is HNSW's M
+    // lever, and r15 shipped the losing configuration) — then top-3.
     // All arithmetic integer-exact, all ties (d2, c_id) — the oracle
-    // unrolls the identical rounds. Candidate budget per query is
-    // cells + 3·8·3 ≈ 88 at sf0.1 vs the IVF probe2 dial's ~500
-    // (2 of 8 refined cells) — the honest comparison (recall AND
-    // candidates) is measured in SCALE.md. Scale shape: after the
-    // entry scoring every frame is query-sized and broadcast; the
-    // edge list is the persisted artifact production would mmap.
+    // unrolls the identical rounds. Scale shape: after the entry
+    // descent every frame is query-sized and broadcast; the edge list
+    // is the persisted artifact production would mmap.
     sql("sim_graph_beam", {
       val roundCtes = (1 to 3).map { r =>
         s"""n$r AS (SELECT DISTINCT b${r - 1}.q_id, t.b_id AS c_id
@@ -3226,18 +3494,21 @@ object Vectors {
            |                 row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
            |          FROM s$r) x$r WHERE rn <= 8)""".stripMargin
       }.mkString(",\n")
-      s"""WITH $knnEdgeCtesScaled,
+      s"""WITH ${knnEdgeCtesOver(knnScaledCentCte, twoLevel = true, degree = 8)},
          |e AS (SELECT vec_id,
          |        list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
          |      FROM embeddings),
          |q AS (SELECT vec_id AS q_id, qe AS qq FROM e WHERE vec_id < 20),
-         |ent AS (SELECT q.q_id, c.cid AS c_id FROM q, cent c),
-         |s0 AS (SELECT ent.q_id, ent.c_id,
+         |brt AS (SELECT q_id, qq, sid FROM (
+         |          SELECT q.q_id, q.qq, s.sid,
+         |                 row_number() OVER (PARTITION BY q.q_id
+         |                   ORDER BY ${dd2("q.qq", "s.sce")}, s.sid) AS rn
+         |          FROM q, klscent s) t0 WHERE rn = 1),
+         |s0 AS (SELECT b.q_id, c.cid AS c_id,
          |              CAST(list_sum(list_transform(range(1, 65),
-         |                j -> (q.qq[j] - c.qe[j]) * (q.qq[j] - c.qe[j]))) AS BIGINT) AS d2
-         |       FROM ent JOIN e c ON c.vec_id = ent.c_id
-         |              JOIN q ON q.q_id = ent.q_id
-         |       WHERE ent.c_id <> ent.q_id),
+         |                j -> (b.qq[j] - c.ce[j]) * (b.qq[j] - c.ce[j]))) AS BIGINT) AS d2
+         |       FROM brt b JOIN klchl c ON c.sid = b.sid
+         |       WHERE c.cid <> b.q_id),
          |b0 AS (SELECT q_id, c_id, d2 FROM (
          |         SELECT q_id, c_id, d2,
          |                row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn

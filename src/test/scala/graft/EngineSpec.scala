@@ -656,6 +656,57 @@ class EngineSpec extends SparkSpec {
     assert(ex2.getMessage.contains("more than once"))
   }
 
+  test("merge hardening: insert-only cardinality, dup insert columns, BY SOURCE, conditional inserts, CASE in USING") {
+    val e = fresh()
+    e.put("m3", e.spark.sql("SELECT * FROM VALUES (1L, 'a'), (2L, 'b') AS t(k, name)"))
+    // 1. INSERT-ONLY merge: duplicate source keys that MATCH a target
+    // row must NOT trip the cardinality rule (ANSI/DuckDB raise it
+    // only when a target row is updated/deleted twice — r15 advice);
+    // the matched rows stay, nothing inserts for them
+    e.query("MERGE INTO m3 USING (SELECT * FROM VALUES (1L, 'p'), (1L, 'q'), (7L, 'n') " +
+      "AS z(sk, sn)) AS s ON m3.k = s.sk " +
+      "WHEN NOT MATCHED THEN INSERT (k, name) VALUES (s.sk, s.sn)")
+    val r1 = e.get("m3").orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(r1 == Seq((1L, "a"), (2L, "b"), (7L, "n")), s"unexpected: $r1")
+    // 2. duplicate column in the INSERT list errors loudly (was
+    // silent last-writer-wins via toMap — r15 advice)
+    val exDup = intercept[IllegalArgumentException] {
+      e.query("MERGE INTO m3 USING (SELECT 8L AS sk, 'x' AS sn) AS s ON m3.k = s.sk " +
+        "WHEN NOT MATCHED THEN INSERT (k, k) VALUES (s.sk, 9L)")
+    }
+    assert(exDup.getMessage.contains("more than once") &&
+      exDup.getMessage.contains("'k'"), exDup.getMessage)
+    // 3. WHEN NOT MATCHED BY SOURCE: rejected naming the construct,
+    // not a confusing generic predicate error
+    val exBy = intercept[IllegalArgumentException] {
+      e.query("MERGE INTO m3 USING (SELECT 1L AS sk, 'x' AS sn) AS s ON m3.k = s.sk " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    }
+    assert(exBy.getMessage.contains("BY SOURCE"), exBy.getMessage)
+    // 4. multiple NOT MATCHED clauses with conditions: first-match-
+    // wins — sn='hi' takes the first insert form, others the fallback
+    e.query("MERGE INTO m3 USING (SELECT * FROM VALUES (20L, 'hi'), (21L, 'lo') " +
+      "AS z(sk, sn)) AS s ON m3.k = s.sk " +
+      "WHEN NOT MATCHED AND s.sn = 'hi' THEN INSERT (k, name) VALUES (s.sk, 'HIGH') " +
+      "WHEN NOT MATCHED AND s.sn = 'hi' THEN INSERT (k, name) VALUES (s.sk, 'never') " +
+      "WHEN NOT MATCHED THEN INSERT (k, name) VALUES (s.sk, 'other')")
+    val r4 = e.get("m3").filter(col("k") >= 20L).orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(r4 == Seq((20L, "HIGH"), (21L, "other")), s"unexpected: $r4")
+    // 5. a CASE…WHEN inside the USING subquery must not be read as a
+    // merge-clause boundary (the WHEN splitter is paren/CASE-aware
+    // and the source is extracted before splitting — pin it)
+    e.query("MERGE INTO m3 USING (SELECT sk, CASE WHEN sk % 2 = 0 THEN 'even' " +
+      "ELSE 'odd' END AS sn FROM (SELECT 30L AS sk UNION ALL SELECT 31L)) AS s " +
+      "ON m3.k = s.sk " +
+      "WHEN NOT MATCHED AND s.sn = 'even' THEN INSERT (k, name) VALUES (s.sk, s.sn) " +
+      "WHEN NOT MATCHED THEN INSERT (k, name) VALUES (s.sk, upper(s.sn))")
+    val r5 = e.get("m3").filter(col("k") >= 30L).orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(r5 == Seq((30L, "even"), (31L, "ODD")), s"unexpected: $r5")
+  }
+
   test("TcpGate arrow mode: schema + rows round-trip byte-exactly via Arrow IPC") {
     import graft.engine.GateClient
     import org.apache.spark.sql.GraftBridge

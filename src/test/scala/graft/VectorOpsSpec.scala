@@ -467,12 +467,21 @@ class VectorOpsSpec extends SparkSpec {
     assert(out.filter(col("rnk") === 1).join(nn, Seq("q_id"))
       .filter(col("d2") < col("nn_d2")).count() == 0,
       "beam returned a distance below the exact nearest neighbor")
-    // a wider beam is monotone: per-query best d2 at beam 16 ≤ at beam 8
+    // FIXTURE-PINNED empirical check (r15 advice): per-query best d2
+    // at beam 16 ≤ at beam 8. This is NOT an invariant of greedy beam
+    // search in general — beam-16's retained set need not superset
+    // beam-8's trajectory — but on this corpus + quantizer it holds,
+    // and a silent flip would flag a behavior change worth reading.
+    // Here the entry stage makes it an actual superset at round 0:
+    // both widths rank the SAME routed super's children, so
+    // b0(16) ⊇ b0(8); the pinned property is that the expansion
+    // rounds preserve it on this fixture.
     val w8 = out.filter(col("rnk") === 1).select(col("q_id"), col("d2").as("d8"))
     val (_, b16) = graft.ops.Vectors.beamParts(spark, sfDir, beamW = 16)
     val w16 = b16.groupBy("q_id").agg(min(col("d2")).as("d16"))
     assert(w8.join(w16, Seq("q_id")).filter(col("d16") > col("d8")).count() == 0,
-      "widening the beam made a query strictly worse")
+      "widening the beam made a query strictly worse (fixture-pinned check — " +
+        "see comment; revisit on corpus/quantizer change)")
   }
 
   test("graph_reach_recursive: genuine UnionLoop execution with exact BFS min-hop levels") {
@@ -520,7 +529,7 @@ class VectorOpsSpec extends SparkSpec {
     val one = graft.ops.Vectors.ivfPqIndexedServe(spark, sfDir, qBound = 1L)
     assert(one.count() > 0)
     val onePlan = one.queryExecution.executedPlan.toString
-    val cellsInFilter = "cell#\\d+ IN \\(([^)]*)\\)".r
+    val cellsInFilter = "cell#\\d+L? IN \\(([^)]*)\\)".r
       .findFirstMatchIn(onePlan).map(_.group(1).split(",").length)
     assert(cellsInFilter.contains(2),
       s"single-query serve should probe exactly 2 cells; plan:\n${onePlan.take(3000)}")
@@ -577,6 +586,46 @@ class VectorOpsSpec extends SparkSpec {
     assert(fromIndex.exceptAll(inMemory).count() == 0 &&
       inMemory.exceptAll(fromIndex).count() == 0,
       "persisted serve diverged from the in-memory chain at the scaled geometry")
+  }
+
+  test("streamed two-level encode parity at the 1,024-cell geometry (r16 gate)") {
+    // the r15 parity spec pinned streamed-vs-batch bit-equality at the
+    // 8-cell fixture; the two-level router's acceptance gate is the
+    // SAME equality at a geometry where the hierarchy actually routes
+    // (1,024 cells → 32 super-centroids × ~32 children): 256
+    // rotations of the 500-vector fixture → 128,000 vectors, cells =
+    // ceil(n/125) = 1,024. Stream encode is pure Long arithmetic over
+    // the broadcast two-level tables; batch is the exact-double
+    // DataFrame chain — set-equality of the (c_id, cell, m, code)
+    // rows proves the routes and codes are bit-identical.
+    val tmp = graft.ops.purgeOnExit(
+      java.nio.file.Files.createTempDirectory("ivf1024").toString)
+    val e = Tables.embeddings(spark, sfDir)
+    e.select(col("vec_id"), col("embedding"),
+        explode(expr("sequence(0, 255)")).as("r"))
+      .select((col("vec_id") * 256 + col("r")).as("vec_id"),
+        expr("transform(sequence(0, 63), i -> embedding[int((i + r) % 64)])")
+          .as("embedding"),
+        pmod(col("vec_id") * 256 + col("r"), lit(10)).cast("int").as("label"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val n = spark.read.parquet(s"$tmp/embeddings.parquet").count()
+    assert(n == 128000L)
+    val batchIdx = graft.ops.Vectors.stagedIvfPqResIndex(spark, tmp)
+    val cells = spark.read.parquet(s"$batchIdx/centroids").count()
+    assert(cells >= 1024, s"expected >= 1024 cells, trained $cells")
+    val sups = spark.read.parquet(s"$batchIdx/supers").count()
+    assert(sups == 32, s"expected ceil(sqrt(1024)) = 32 supers, got $sups")
+    // srcDir points at the multi-part corpus directly (stageEmb's
+    // single-file copy is for the fixture layout)
+    val streamed = graft.ops.Vectors.streamIvfPqIngest(spark, tmp,
+      srcDir = Some(s"$tmp/embeddings.parquet"))
+    val sl = spark.read.parquet(streamed)
+      .select(col("c_id"), col("cell").cast("bigint").as("cell"), col("m"), col("code"))
+    val bl = spark.read.parquet(s"$batchIdx/lists")
+      .select(col("c_id"), col("cell").cast("bigint").as("cell"), col("m"), col("code"))
+    assert(sl.exceptAll(bl).count() == 0 && bl.exceptAll(sl).count() == 0,
+      "streamed two-level codes diverged from the batch encode at 1,024 cells")
   }
 
   test("sim_ivf_pq_residual: identical candidate scan to sim_ivf_pq, well-formed top-3") {
@@ -639,7 +688,7 @@ class VectorOpsSpec extends SparkSpec {
     val one = graft.ops.Vectors.ivfPqResIndexedServe(spark, sfDir, qBound = 1L)
     assert(one.count() > 0)
     val onePlan = one.queryExecution.executedPlan.toString
-    val cellsInFilter = "cell#\\d+ IN \\(([^)]*)\\)".r
+    val cellsInFilter = "cell#\\d+L? IN \\(([^)]*)\\)".r
       .findFirstMatchIn(onePlan).map(_.group(1).split(",").length)
     assert(cellsInFilter.contains(2),
       s"single-query residual serve should probe exactly 2 cells; plan:\n${onePlan.take(3000)}")
