@@ -732,7 +732,7 @@ object ScaleProbe {
           .select("q_id", "c_id")
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         for ((bw, rounds, deg) <- Seq((8, 3, 3), (16, 3, 3), (32, 5, 3),
-            (16, 5, 8), (32, 5, 8))) {
+            (8, 3, 8), (16, 5, 8), (32, 5, 8))) {
           val t0 = System.nanoTime()
           val (cands, beamDf) =
             graft.ops.Vectors.beamParts(spark, dir, 20L, bw, rounds, deg)

@@ -438,8 +438,11 @@ object Vectors {
         .write.mode("overwrite").parquet(s"$stage/cbflat")
       val asg = coarseRanked(e0, cent, nprobe = 1).filter(col("rn") === 1)
         .select(col("vec_id"), col("cid").as("cell"))
+      // no broadcast hint on cent: it grows ∝ n (cells = n/125) —
+      // Catalyst broadcasts it while small and shuffle-joins on cell
+      // past that, which is the scalable shape for an equality fetch
       val resv = e0.join(asg, Seq("vec_id"))
-        .join(broadcast(cent), col("cell") === col("cid"))
+        .join(cent, col("cell") === col("cid"))
         .select(col("vec_id"), col("cell"),
           zip_with(col("qe"), col("ce"), (x, y) => x - y).as("res"))
       trainedCodebook(resv, "res", pqResSeedIds, "cv").coalesce(1)
@@ -1313,9 +1316,11 @@ object Vectors {
     */
   private[graft] def residualEncode(e0: DataFrame, cent: DataFrame,
       asg: DataFrame, cb: DataFrame): (DataFrame, DataFrame) = {
-    // integer residuals from the OWN-cell centroid (corpus side)
+    // integer residuals from the OWN-cell centroid (corpus side). No
+    // broadcast hint on cent: the centroid frame grows ∝ n, so the
+    // optimizer must stay free to shuffle-join on cell at scale
     val resv = maybeCache(e0.join(asg, Seq("vec_id"))
-      .join(broadcast(cent), col("cell") === col("cid"))
+      .join(cent, col("cell") === col("cid"))
       .select(col("vec_id"), col("cell"),
         zip_with(col("qe"), col("ce"), (x, y) => x - y).as("res")))
     val ms = explode(sequence(lit(0), lit(7))).as("m")
@@ -1343,9 +1348,11 @@ object Vectors {
   private[graft] def residualQueryTables(e0q: DataFrame, cent: DataFrame,
       probes: DataFrame, cb: DataFrame): DataFrame = {
     val ms = explode(sequence(lit(0), lit(7))).as("m")
+    // the query side is the tiny frame here — no broadcast hint on
+    // the ∝-n centroid frame; AQE broadcasts the query side instead
     val qres = probes
       .join(e0q.withColumnRenamed("vec_id", "q_id"), Seq("q_id"))
-      .join(broadcast(cent), col("pcell") === col("cid"))
+      .join(cent, col("pcell") === col("cid"))
       .select(col("q_id"), col("pcell"),
         zip_with(col("qe"), col("ce"), (x, y) => x - y).as("res"))
     qres.select(col("q_id"), col("pcell"), ms, col("res"))
