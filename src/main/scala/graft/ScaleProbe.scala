@@ -402,7 +402,7 @@ object ScaleProbe {
     // modes: all (default) | events | dedup | indexed | ann | state |
     // state-rocks | cc | ccdelta | ccchain | batchlog | bpe | decontam |
     // span | pq | pqres | beam | ivfidx | ivfstream | ivffilter | geom |
-    // rcte | knn | phash | media | buckets |
+    // twolevel | rcte | knn | phash | media | buckets |
     // triangles | pagerank — first non-numeric arg selects; numeric
     // args keep their meaning
     val modes = args.filter(a => !a.forall(_.isDigit) && a.nonEmpty).toSet
@@ -935,6 +935,86 @@ object ScaleProbe {
         spark.catalog.clearCache(); e0.cache(); e0.count()
       }
       e0.unpersist()
+    }
+
+    if (on("twolevel")) {
+      // The two-level router is APPROXIMATE: an item's true nearest
+      // centroid can live outside its routed super (the same trade
+      // FAISS IMI / k-means-tree assignment makes). Price the
+      // approximation against the FLAT argmin over the same centroid
+      // set at the 64× octave: (a) assignment agreement — fraction of
+      // vectors whose routed cell equals the flat argmin cell; (b)
+      // probe-set overlap at nprobe = 2; (c) end recall of the
+      // exact-d2 top-3 serve under both routings vs brute force. The
+      // honest reading this buys: what the O(√cells) routing costs in
+      // quality, next to what it saves in work (the ivfstream and
+      // geom tables).
+      val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      val factor = math.min(64, maxFactor)
+      for (regime <- Seq("isotropic", "structured")) {
+      val dir = s"$tmpRoot/twolevel_${regime}_$factor"
+      if (regime == "isotropic")
+        scaledEmb(embBase, factor).repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      else plantedClusterCorpus(spark, dir, 128000L, 0.40, 0.05)
+      val e0 = graft.ops.Vectors.microVecs(spark, dir).cache()
+      val n = e0.count()
+      val cent = graft.ops.Vectors.scaledLloydCent(e0).cache()
+      val cells = cent.count()
+      def cd2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        graft.functions.DotProduct.dotp(a, a) -
+          lit(2) * graft.functions.DotProduct.dotp(a, b) +
+          graft.functions.DotProduct.dotp(b, b)
+      // flat argmin over the SAME centroids (the r15 routing)
+      val wF = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("d2c"), col("cid"))
+      val flat = e0.join(broadcast(cent))
+        .select(col("vec_id"), col("cid"), cd2(col("qe"), col("ce")).as("d2c"))
+        .withColumn("rn", row_number().over(wF)).filter(col("rn") <= 2)
+        .cache()
+      val two = graft.ops.Vectors.coarseRanked(e0, cent, 2).cache()
+      val agree = two.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("tc"))
+        .join(flat.filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid").as("fc")), Seq("vec_id"))
+        .filter(col("tc") === col("fc")).count()
+      val probeOverlap = two.select(col("vec_id"), col("cid"))
+        .intersect(flat.select(col("vec_id"), col("cid"))).count()
+      // serve recall both ways: exact-d2 top-3 over the probed cells
+      val q = e0.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("qe").as("qq"))
+      def sqd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0d), (acc, v) => acc + v).cast("bigint")
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+      val gt = e0.select(col("vec_id").as("c_id"), col("qe").as("ce"))
+        .join(broadcast(q), col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"), sqd(col("qq"), col("ce")).as("d2"))
+        .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+        .select("q_id", "c_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recallOf(ranked: org.apache.spark.sql.DataFrame): Double = {
+        val asg = ranked.filter(col("rn") === 1)
+          .select(col("vec_id").as("c_id"), col("cid").as("cell"))
+        val probes = ranked.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
+        val top3 = asg.join(broadcast(probes),
+            col("cell") === col("pcell") && col("c_id") =!= col("q_id"))
+          .join(e0.select(col("vec_id").as("c_id"), col("qe").as("ce")), Seq("c_id"))
+          .join(broadcast(q), Seq("q_id"))
+          .select(col("q_id"), col("c_id"), sqd(col("qq"), col("ce")).as("d2"))
+          .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+          .select("q_id", "c_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        top3.count(gt.contains) / gt.size.toDouble
+      }
+      val recTwo = recallOf(two)
+      val recFlat = recallOf(flat)
+      println(f"""{"shape":"twolevel","regime":"$regime","rows":$n,"cells":$cells,"asg_agree":${agree.toDouble / n}%.4f,"probe_overlap":${probeOverlap.toDouble / (2 * n)}%.4f,"recall_two_level":$recTwo%.3f,"recall_flat":$recFlat%.3f}""")
+      two.unpersist(); flat.unpersist(); cent.unpersist(); e0.unpersist()
+      spark.catalog.clearCache()
+      }
     }
 
     if (on("knn")) {
