@@ -66,15 +66,19 @@ object Bench {
         .selectExpr("max(xxhash64(id)) AS h").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    calibrate() // untimed: JIT/codegen warm-up of the range+hash pipeline
-    val calStart = calibrate()
+    // calibration only on FULL-SET runs: a filtered dev-loop run never
+    // writes the driver artifact, so it must not pay ~200M hashed rows
+    // for samples nobody reads
+    val doCal = only.isEmpty
+    if (doCal) calibrate() // untimed: JIT/codegen warm-up of the pipeline
+    val calStart = if (doCal) calibrate() else 0.0
     val keys = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only(name) }
       .sortBy { case (name, _) => h(name) }
     var calMid = 0.0
     val sweep = keys.zipWithIndex
       .map { case ((name, fn), i) =>
-        if (i == keys.size / 2) calMid = calibrate()
+        if (doCal && keys.nonEmpty && i == keys.size / 2) calMid = calibrate()
         // min-of-2 (min-of-3 for sub-second keys): a single timing is
         // at the mercy of machine contention — round 3's driver bench
         // showed untouched keys "regressing" 4-7× from background load
@@ -114,15 +118,17 @@ object Bench {
         name -> (if (rOk) math.min(secs, rSecs) else secs)
       }
     }.sortBy(_._1)
-    val calEnd = calibrate()
+    val calEnd = if (doCal) calibrate() else 0.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // calibration sits BEFORE "queries": the anchor-parsing regex
     // reads everything after the "queries" token, and the cal keys
     // must not leak into the per-key anchor map
-    val cal = f"""{"start":$calStart%.3f,"mid":$calMid%.3f,"end":$calEnd%.3f}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$cal,"queries":$qs,"sf":"$sfDir"}"""
+    val cal =
+      if (doCal) f""","calibration":{"start":$calStart%.3f,"mid":$calMid%.3f,"end":$calEnd%.3f}"""
+      else ""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec"$cal,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // the driver's captured stdout tail truncates at 2000 chars, which
     // loses the per-key map — persist the full line so every round's

@@ -688,44 +688,44 @@ private[graft] object SqlVerbs {
           val joinCond = keys.map { case (t, s0) => col(t) === col(s"__src_$s0") }
             .reduce(_ && _)
           val matchedC = coalesce(col("__graft_matched"), lit(false))
-          // insert-only statements NEVER join the source onto the
-          // target: beyond being wasted work, the left join would FAN
-          // OUT a target row matched by several source rows — a state
-          // the (skipped-here) cardinality check otherwise forbids —
-          // and duplicate it in the output. Matched rows are simply
-          // kept as-is.
-          lazy val joined = df.join(srcR, joinCond, "left")
-          // matched clauses: effective condition = matched AND pred AND
-          // no earlier matched clause fired (first-match-wins)
-          var priorM: Column = lit(false)
-          val matchedActs = normActs.collect {
-            case u: MergeUpd => u.asInstanceOf[MergeAct]
-            case d0: MergeDel => d0.asInstanceOf[MergeAct]
-          }.map { act =>
-            val pred = (act match {
-              case MergeUpd(p, _) => p
-              case MergeDel(p)    => p
-              case _              => None
-            }).map(t => coalesce(expr(rw(t)), lit(false))).getOrElse(lit(true))
-            val eff = matchedC && pred && !priorM
-            priorM = priorM || (matchedC && pred)
-            (act, eff)
-          }
-          val delCond = matchedActs.collect { case (_: MergeDel, eff) => eff }
-            .reduceOption(_ || _).getOrElse(lit(false))
-          val kept = joined.filter(!delCond)
-          val proj = fields.map { f =>
-            val assignedChain = matchedActs.collect {
-              case (MergeUpd(_, assigns), eff)
-                  if assigns.exists(_._1 == f.name.toLowerCase) =>
-                (eff, assigns.find(_._1 == f.name.toLowerCase).get._2)
+          // insert-only statements NEVER build the matched-side join:
+          // beyond being wasted analysis, the left join would FAN OUT
+          // a target row matched by several source rows — a state the
+          // (skipped-here) cardinality check otherwise forbids — and
+          // duplicate it in the output. Matched rows are kept as-is.
+          val updated = if (!hasMatchedClause) df else {
+            val joined = df.join(srcR, joinCond, "left")
+            // matched clauses: effective condition = matched AND pred
+            // AND no earlier matched clause fired (first-match-wins)
+            var priorM: Column = lit(false)
+            val matchedActs = normActs.collect {
+              case u: MergeUpd => u.asInstanceOf[MergeAct]
+              case d0: MergeDel => d0.asInstanceOf[MergeAct]
+            }.map { act =>
+              val pred = (act match {
+                case MergeUpd(p, _) => p
+                case MergeDel(p)    => p
+                case _              => None
+              }).map(t => coalesce(expr(rw(t)), lit(false))).getOrElse(lit(true))
+              val eff = matchedC && pred && !priorM
+              priorM = priorM || (matchedC && pred)
+              (act, eff)
             }
-            assignedChain.foldRight(col(f.name): Column) { case ((eff, text), acc) =>
-              when(eff, expr(rw(text)).cast(f.dataType)).otherwise(acc)
-            }.as(f.name)
+            val delCond = matchedActs.collect { case (_: MergeDel, eff) => eff }
+              .reduceOption(_ || _).getOrElse(lit(false))
+            val kept = joined.filter(!delCond)
+            val proj = fields.map { f =>
+              val assignedChain = matchedActs.collect {
+                case (MergeUpd(_, assigns), eff)
+                    if assigns.exists(_._1 == f.name.toLowerCase) =>
+                  (eff, assigns.find(_._1 == f.name.toLowerCase).get._2)
+              }
+              assignedChain.foldRight(col(f.name): Column) { case ((eff, text), acc) =>
+                when(eff, expr(rw(text)).cast(f.dataType)).otherwise(acc)
+              }.as(f.name)
+            }
+            kept.select(proj.toIndexedSeq: _*)
           }
-          val updated =
-            if (!hasMatchedClause) df else kept.select(proj.toIndexedSeq: _*)
           // NOT MATCHED inserts: source rows with no target match,
           // first-match-wins across the insert clauses
           val srcUn = srcR.join(
@@ -762,10 +762,15 @@ private[graft] object SqlVerbs {
     clause match {
       case WhenRe(notM, rest0) =>
         var rest = rest0.trim
-        // reject the Delta/SQL:2023 BY SOURCE form loudly BEFORE the
-        // generic predicate parse would blame "WHEN clause predicate":
-        // the error must name the unsupported construct
-        if (rest.toUpperCase.startsWith("BY SOURCE"))
+        // BY TARGET is the SQL:2023 synonym for the plain NOT MATCHED
+        // semantics this engine implements — accept it by stripping;
+        // BY SOURCE is genuinely unsupported and must be rejected
+        // NAMING the construct, before the generic predicate parse
+        // would blame "WHEN clause predicate". Both checks tolerate
+        // arbitrary whitespace between the keywords.
+        if (rest.matches("(?is)^BY\\s+TARGET\\b.*"))
+          rest = rest.replaceFirst("(?is)^BY\\s+TARGET", "").trim
+        if (rest.matches("(?is)^BY\\s+SOURCE\\b.*"))
           throw new IllegalArgumentException(
             "MERGE: WHEN [NOT] MATCHED BY SOURCE is not supported " +
               s"(matched/not-matched-by-target clauses only): $sqlText")

@@ -67,7 +67,7 @@ object Vectors {
     * a stale index built by an earlier version. Bump on any change to
     * the encode logic or layout.
     */
-  private[graft] val ivfIndexFormat: String = "f5-two-level"
+  private[graft] val ivfIndexFormat: String = "f6-two-level-mp2"
 
   /** Deterministic per-subspace codebook picks for product
     * quantization (sim_pq_adc): 4 codes per 8-dim subspace.
@@ -434,9 +434,20 @@ object Vectors {
       val e0 = microVecs(s, d)
       val cent = maybeCache(scaledLloydCent(e0))
       cent.coalesce(1).write.mode("overwrite").parquet(s"$stage/centroids")
+      // the TWO-LEVEL routing tables, derived ONCE per corpus and
+      // staged with the quantizer (r16 review: every serve was
+      // re-deriving the layer per call): `supers/` = (sid, sce),
+      // `children/` = (cid, sid) E-step membership. Every consumer —
+      // in-memory chains, index builds, serves, the stream — reads
+      // these through quantLayer/dirLayer.
+      val (scent, chl) = superLayer(cent)
+      scent.coalesce(1).write.mode("overwrite").parquet(s"$stage/supers")
+      chl.select(col("cid"), col("sid")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/children")
       trainedCodebook(e0, "qe", pqSeedIds, "ce").coalesce(1)
         .write.mode("overwrite").parquet(s"$stage/cbflat")
-      val asg = coarseRanked(e0, cent, nprobe = 1).filter(col("rn") === 1)
+      val asg = coarseRanked(e0, cent, nprobe = 1, layer = Some((scent, chl)))
+        .filter(col("rn") === 1)
         .select(col("vec_id"), col("cid").as("cell"))
       // no broadcast hint on cent: it grows ∝ n (cells = n/125) —
       // Catalyst broadcasts it while small and shuffle-joins on cell
@@ -449,6 +460,23 @@ object Vectors {
         .write.mode("overwrite").parquet(s"$stage/cbres")
     }
   }
+
+  /** The staged two-level routing tables of a quantizer/index dir —
+    * (scent = (sid, sce), chl = (cid, ce, sid) with ce re-joined from
+    * the dir's own centroids). Reading beats re-deriving: no count
+    * action, no window, no per-call Lloyd pass — and one derivation
+    * means serve, build, and stream routing cannot drift.
+    */
+  private def dirLayer(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val scent = s.read.parquet(s"$dir/supers")
+    val chl = s.read.parquet(s"$dir/children")
+      .join(s.read.parquet(s"$dir/centroids"), Seq("cid"))
+      .select(col("cid"), col("ce"), col("sid"))
+    (scent, chl)
+  }
+
+  private def quantLayer(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    dirLayer(s, stagedIvfQuant(s, d))
 
   private def quantCent(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${stagedIvfQuant(s, d)}/centroids")
@@ -622,7 +650,8 @@ object Vectors {
     * the raw floats (elementwise per-row arithmetic, parity-safe).
     */
   private def knnEdgesOver(e: DataFrame, cent: DataFrame,
-      degree: Int = 3, twoLevel: Boolean = false): DataFrame = {
+      degree: Int = 3, twoLevel: Boolean = false,
+      layer: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val asg = if (!twoLevel) {
       val d2 = dot(col("embedding"), col("embedding")) -
         lit(2) * dot(col("embedding"), col("ce")) + dot(col("ce"), col("ce"))
@@ -635,8 +664,8 @@ object Vectors {
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell")))
     } else {
-      val (scent, chl) = superLayer(
-        cent.select(col("cid"), microCol(col("ce")).as("ce")))
+      val (scent, chl) = layer.getOrElse(superLayer(
+        cent.select(col("cid"), microCol(col("ce")).as("ce"))))
       maybeCache(twoLevelRanked(
           e.select(col("vec_id"), microCol(col("embedding")).as("qe")),
           "vec_id", "qe", scent, chl)
@@ -681,12 +710,14 @@ object Vectors {
     */
   /** Staged, stamped knn PROXIMITY GRAPH — the persisted artifact a
     * graph-ANN deployment serves from (HNSW persists exactly this:
-    * per-node neighbor lists plus the entry points). `edges/` =
+    * per-node neighbor lists plus the upper layers). `edges/` =
     * (a_id, b_id) from the corpus-scaled edge chain at the given
-    * degree; `entries/` = the quantizer seed ids (the upper-layer
-    * stand-in). Built once per (source stamp, degree, perCell,
-    * format); the ONE centroid derivation feeds both the cell
-    * geometry and the entry set, so they cannot fork.
+    * degree; `supers/` (sid, sce) + `children/` (cid, sid) = the
+    * [[superLayer]] over the micro-unit seed frame — the genuine HNSW
+    * upper layer the beam serve descends through (r16; replaced the
+    * r15 all-cells `entries/` list). Built once per (source stamp,
+    * degree, perCell, format); the ONE centroid derivation feeds both
+    * the cell geometry and the entry layer, so they cannot fork.
     */
   private[graft] def stagedKnnGraph(s: SparkSession, d: String,
       degree: Int = 3, perCell: Long = ivfPerCell): String = {
@@ -696,17 +727,18 @@ object Vectors {
         s"${graft.ops.sourceStamp(src)}:$ivfIndexFormat") { stage =>
       val e = emb(s, d)
       val cent = scaledKnnCentroids(e, perCell)
-      knnEdgesOver(e, cent, degree, twoLevel = true)
-        .select(col("a_id"), col("b_id"))
-        .write.mode("overwrite").parquet(s"$stage/edges")
       // the genuine HNSW upper layer (replacing r15's all-cells entry
       // list): the √cells super-centroids + the (cid → sid) child map
-      // over the MICRO-UNIT seed layer — a beam serve descends
-      // super → child seeds → graph, never scanning all cells
-      val (scent, chl) = superLayer(
+      // over the MICRO-UNIT seed layer — derived ONCE, feeding both
+      // the edge build's assignment and the staged entry tables a
+      // beam serve descends through (super → child seeds → graph)
+      val lay = superLayer(
         cent.select(col("cid"), microCol(col("ce")).as("ce")))
-      scent.coalesce(1).write.mode("overwrite").parquet(s"$stage/supers")
-      chl.select(col("cid"), col("sid")).coalesce(1)
+      knnEdgesOver(e, cent, degree, twoLevel = true, layer = Some(lay))
+        .select(col("a_id"), col("b_id"))
+        .write.mode("overwrite").parquet(s"$stage/edges")
+      lay._1.coalesce(1).write.mode("overwrite").parquet(s"$stage/supers")
+      lay._2.select(col("cid"), col("sid")).coalesce(1)
         .write.mode("overwrite").parquet(s"$stage/children")
     }
   }
@@ -741,11 +773,12 @@ object Vectors {
         .select(col("q_id"), col("c_id"), col("d2")))
     // ENTRY DESCENT through the staged super layer (r16 — replacing
     // the all-cells crossJoin): each query ranks the √cells
-    // super-centroids (broadcast), routes to its argmin super, and
-    // scores ONLY that super's child seeds exactly (children ARE
-    // corpus vectors at the seed ids, so the child rank IS the exact
-    // entry scoring) — the multi-layer HNSW descent, entry work
-    // O(√cells) per query instead of O(cells).
+    // super-centroids (broadcast), routes to its TOP-2 supers (the
+    // same multi-assign rule as twoLevelRanked), and scores only
+    // those supers' child seeds exactly (children ARE corpus vectors
+    // at the seed ids, so the child rank IS the exact entry
+    // scoring) — the multi-layer HNSW descent, entry work O(√cells)
+    // per query instead of O(cells).
     val scent = s.read.parquet(s"$g/supers")
     val chl = s.read.parquet(s"$g/children")
       .join(e0.select(col("vec_id").as("cid"), col("qe").as("che")), Seq("cid"))
@@ -753,9 +786,10 @@ object Vectors {
       dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
     val routed = q.join(broadcast(scent))
       .groupBy(col("q_id"))
-      .agg(min(struct(rd2(col("qq"), col("sce")).as("d2"), col("sid"))).as("best"),
+      .agg(graft.functions.MinPair2.top2(
+          rd2(col("qq"), col("sce")), col("sid")).as("sids"),
         first(col("qq")).as("qq"))
-      .select(col("q_id"), col("qq"), col("best.sid").as("sid"))
+      .select(col("q_id"), col("qq"), explode(col("sids")).as("sid"))
     val ent = routed.join(chl, Seq("sid"))
       .filter(col("cid") =!= col("q_id"))
       .select(col("q_id"), col("cid").as("c_id"),
@@ -1075,11 +1109,16 @@ object Vectors {
     * d2 = 0), so a routed item always finds candidates — re-assignment
     * could strand a query in a childless super.
     * Returns (scent = (sid, sce), chl = (cid, ce, sid)).
-    * Cost: everything here is centroid-frame-sized (cells rows — the
-    * idx window runs single-partition over metadata, not corpus data);
-    * per-ITEM routing work drops from O(cells) to
-    * O(sups + cells/sups) = O(√cells), and the only frame an assigner
-    * must broadcast is the √cells super layer.
+    * Cost, stated precisely: the layer BUILD's E-step expands
+    * cells × sups = cells^1.5 rows (a map-side-combinable partial
+    * aggregate — at the 8M-cell extreme that is ~2.3×10¹⁰ distance
+    * rows, a real but build-once cost, and the recursive fix past
+    * that is a third level); the idx window runs single-partition
+    * over the cells rows. What the layer BUYS is per-ITEM routing:
+    * O(sups + cells/sups) = O(√cells) instead of O(cells), with the
+    * √cells super layer the only frame an assigner must broadcast —
+    * and routing runs per corpus row / per query / per arriving
+    * stream row, i.e. n times per build.
     */
   private[graft] def superLayer(cent: DataFrame): (DataFrame, DataFrame) = {
     val cells = cent.count()
@@ -1108,15 +1147,27 @@ object Vectors {
 
   /** Two-level routing of an item frame `items`(idCol, vecCol) through
     * a [[superLayer]]: rank the √cells super-centroids (the ONLY
-    * broadcast — sups rows), keep the argmin super, then rank ONLY
-    * that super's children via a sid-keyed JOIN — deliberately NOT a
-    * `broadcast()` of the full child frame: at 10⁹ vectors the cells
-    * frame is ~4 GB (past practical broadcast limits), while a
-    * sid-keyed shuffle join is the standard scalable shape (Catalyst
-    * still picks a broadcast from stats when cells is actually small —
-    * the right call at both scales, made by the optimizer, not
-    * hardcoded). Output: (idCol, cid, d2c, rn) with rn ranked by
-    * (d2c, cid) within the routed super — the [[coarseRanked]] schema.
+    * broadcast — sups rows), keep the TOP-2 supers (multi-assign —
+    * the FAISS IMI move), then rank the UNION of both supers'
+    * children via a sid-keyed JOIN — deliberately NOT a `broadcast()`
+    * of the full child frame: at 10⁹ vectors the cells frame is
+    * ~4 GB (past practical broadcast limits), while a sid-keyed
+    * shuffle join is the standard scalable shape (Catalyst still
+    * picks a broadcast from stats when cells is actually small — the
+    * right call at both scales, made by the optimizer, not
+    * hardcoded). Routing to TWO supers (r16 review fix) does two
+    * things a single-super route cannot: it GUARANTEES ≥ 2 candidate
+    * cells (superLayer only promises ≥ 1 child per super, so a
+    * 1-child super would silently under-provision an nprobe = 2
+    * serve), and it halves the boundary-approximation loss the
+    * `twolevel` probe prices on isotropic corpora — at 2·√cells work
+    * per item, still O(√cells). The top-2 route itself is ONE
+    * map-side-combinable aggregate ([[graft.functions.MinPair2]] —
+    * a window here would shuffle the n·√cells expand). Output:
+    * (idCol, cid, d2c, rn) with rn ranked by (d2c, cid) over the
+    * routed supers' children — the [[coarseRanked]] schema; child
+    * sets are disjoint (the E-step membership is a partition), so no
+    * dedup is needed.
     */
   private[graft] def twoLevelRanked(items: DataFrame, idCol: String,
       vecCol: String, scent: DataFrame, chl: DataFrame): DataFrame = {
@@ -1124,9 +1175,10 @@ object Vectors {
       dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
     val routed = items.join(broadcast(scent))
       .groupBy(col(idCol))
-      .agg(min(struct(d2(col(vecCol), col("sce")).as("d2"), col("sid"))).as("best"),
+      .agg(graft.functions.MinPair2.top2(
+          d2(col(vecCol), col("sce")), col("sid")).as("sids"),
         first(col(vecCol)).as(vecCol))
-      .select(col(idCol), col(vecCol), col("best.sid").as("sid"))
+      .select(col(idCol), col(vecCol), explode(col("sids")).as("sid"))
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("d2c"), col("cid"))
     routed.join(chl, Seq("sid"))
@@ -1197,9 +1249,9 @@ object Vectors {
        |                GROUP BY sid, i) g GROUP BY sid)""".stripMargin
 
   /** DuckDB twin of [[twoLevelRanked]]: route `$itemRel`(idCol,
-    * vecCol) through the `$p` super layer — emits `${out}rt` (the
-    * argmin-super route) and `$out`(idCol, cid, rn) ranked by
-    * (d2c, cid) within the routed super's children.
+    * vecCol) through the `$p` super layer to its TOP-2 supers, then
+    * emit `$out`(idCol, cid, rn) ranked by (d2c, cid) over the union
+    * of both routed supers' children (disjoint by construction).
     */
   private def twoLevelRankCtes(p: String, itemRel: String, idCol: String,
       vecCol: String, out: String): String =
@@ -1207,7 +1259,7 @@ object Vectors {
        |              SELECT i.$idCol, s.sid,
        |                     row_number() OVER (PARTITION BY i.$idCol
        |                       ORDER BY ${dd2(s"i.$vecCol", "s.sce")}, s.sid) AS rn
-       |              FROM $itemRel i, ${p}scent s) t WHERE rn = 1),
+       |              FROM $itemRel i, ${p}scent s) t WHERE rn <= 2),
        |$out AS (SELECT $idCol, cid,
        |                row_number() OVER (PARTITION BY $idCol
        |                  ORDER BY d2c, cid) AS rn FROM (
@@ -1249,8 +1301,12 @@ object Vectors {
     * multi-probe would widen by routing to >1 super.
     */
   private[graft] def coarseRanked(e0: DataFrame, cent: DataFrame,
-      nprobe: Int = 2): DataFrame = {
-    val (scent, chl) = superLayer(cent)
+      nprobe: Int = 2,
+      layer: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    // callers with a STAGED layer pass it (quantLayer/dirLayer —
+    // r16 review: re-deriving per serve paid a count + window + Lloyd
+    // pass each call); probe/on-the-fly callers derive inline
+    val (scent, chl) = layer.getOrElse(superLayer(cent))
     twoLevelRanked(e0, "vec_id", "qe", scent, chl)
       .filter(col("rn") <= nprobe)
   }
@@ -1271,7 +1327,8 @@ object Vectors {
     */
   private[graft] def ivfPqFlatParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val (e0, enc, qd) = pqParts(s, d)
-    val ranked = maybeCache(coarseRanked(e0, quantCent(s, d)))
+    val ranked = maybeCache(coarseRanked(e0, quantCent(s, d),
+      layer = Some(quantLayer(s, d))))
     // inverted lists: each code row learns its cell once (the
     // build-time co-partitioning); the probe filter + ADC lookup is
     // then ONE broadcast join of the query-sized (tables × probes)
@@ -1294,7 +1351,8 @@ object Vectors {
   private[graft] def ivfPqResidualAdist(s: SparkSession, d: String): DataFrame = {
     val e0 = microVecs(s, d)
     val cent = quantCent(s, d)
-    val ranked = maybeCache(coarseRanked(e0, cent))
+    val ranked = maybeCache(coarseRanked(e0, cent,
+      layer = Some(quantLayer(s, d))))
     val asg = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
     val (cb, enc) = residualEncode(e0, cent, asg, quantCbRes(s, d))
@@ -1439,7 +1497,8 @@ object Vectors {
       val cent = quantCent(s, d)
       // cell stays BIGINT (seed vec_ids exceed Int range at target
       // corpora — r15 advice; see the residual builder's note)
-      val asg = coarseRanked(e0, cent, nprobe = 1)
+      val asg = coarseRanked(e0, cent, nprobe = 1,
+          layer = Some(quantLayer(s, d)))
         .select(col("vec_id").as("c_id"), col("cid").as("cell"))
       // cell-keyed repartition before the write: each cell lives in
       // exactly one task, so partitionBy emits ONE file per cell and
@@ -1450,9 +1509,15 @@ object Vectors {
         .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
       // quantizer copies alongside the lists (the self-contained FAISS
       // index layout the serve paths read) — the SAME staged trained
-      // quantizers every chain uses, so artifact and codes cannot drift
+      // quantizers AND routing tables every chain uses, so artifact,
+      // codes, and serve routing cannot drift
       cent.write.mode("overwrite").parquet(s"$stage/centroids")
       quantCbFlat(s, d).write.mode("overwrite").parquet(s"$stage/codebook")
+      val quant = stagedIvfQuant(s, d)
+      s.read.parquet(s"$quant/supers").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/supers")
+      s.read.parquet(s"$quant/children").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/children")
     }
   }
 
@@ -1469,7 +1534,8 @@ object Vectors {
     val idx = stagedIvfPqIndex(s, d)
     val e0q = microVecs(s, d).filter(col("vec_id") < qBound)
     val cent = s.read.parquet(s"$idx/centroids")
-    val probes = maybeCache(coarseRanked(e0q, cent, nprobe)
+    val probes = maybeCache(coarseRanked(e0q, cent, nprobe,
+        layer = Some(dirLayer(s, idx)))
       .select(col("vec_id").as("q_id"), col("cid").as("pcell")))
     // the query router's cell plan: nprobe cells per query, distinct
     // across the (broadcast-sized) query batch — a driver-side
@@ -1523,7 +1589,8 @@ object Vectors {
         s"${graft.ops.sourceStamp(src)}:$ivfIndexFormat") { stage =>
       val e0 = microVecs(s, d)
       val cent = quantCent(s, d)
-      val asg = coarseRanked(e0, cent, nprobe = 1)
+      val asg = coarseRanked(e0, cent, nprobe = 1,
+          layer = Some(quantLayer(s, d)))
         .select(col("vec_id"), col("cid").as("cell"))
       val (cb, enc) = residualEncode(e0, cent, asg, quantCbRes(s, d))
       // one file per cell — see the flat-index builder's note. `cell`
@@ -1535,15 +1602,15 @@ object Vectors {
         .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
       cent.write.mode("overwrite").parquet(s"$stage/centroids")
       cb.write.mode("overwrite").parquet(s"$stage/codebook")
-      // the TWO-LEVEL routing tables, staged alongside the quantizer
-      // (FAISS ships its coarse assigner with the index): `supers/` =
-      // (sid, sce) super-centroids, `children/` = (cid, sid) E-step
-      // membership. The streaming add() path reads these instead of
-      // re-deriving the layer in driver code that could drift from
-      // [[superLayer]]'s DataFrame math.
-      val (scent, chl) = superLayer(cent)
-      scent.coalesce(1).write.mode("overwrite").parquet(s"$stage/supers")
-      chl.select(col("cid"), col("sid")).coalesce(1)
+      // the TWO-LEVEL routing tables, copied from the ONE staged
+      // derivation in stagedIvfQuant (FAISS ships its coarse assigner
+      // with the index): `supers/` = (sid, sce), `children/` =
+      // (cid, sid) E-step membership. The streaming add() path and
+      // the serves read these — a single derivation, no drift.
+      val quant = stagedIvfQuant(s, d)
+      s.read.parquet(s"$quant/supers").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/supers")
+      s.read.parquet(s"$quant/children").coalesce(1)
         .write.mode("overwrite").parquet(s"$stage/children")
     }
   }
@@ -1586,7 +1653,8 @@ object Vectors {
       tombstones: Option[DataFrame] = None): DataFrame = {
     val e0q = microVecs(s, d).filter(col("vec_id") < qBound)
     val cent = s.read.parquet(s"$quantDir/centroids")
-    val probes = maybeCache(coarseRanked(e0q, cent, nprobe)
+    val probes = maybeCache(coarseRanked(e0q, cent, nprobe,
+        layer = Some(dirLayer(s, quantDir)))
       .select(col("vec_id").as("q_id"), col("cid").as("pcell")))
     // the cell plan: AT MOST ncells integers collected, never corpus
     // data. Explicit read schema: BIGINT partition column, no cast —
@@ -1713,30 +1781,40 @@ object Vectors {
         val books = bcCbk.value
         it.flatMap { case (id, qeSeq) =>
           val qe = qeSeq.toArray
-          // level 1: nearest super-centroid (sup is sid-sorted, so
-          // strict less-than keeps the lowest-sid winner on ties)
-          var bestSd = Long.MaxValue; var bestS = -1
+          // level 1: TOP-2 super-centroids by (d2, sid) — sup is
+          // sid-sorted and the comparisons are strict, so ties keep
+          // the lower sid, bit-matching the batch MinPair2 aggregate
+          var d1 = Long.MaxValue; var s1 = -1
+          var d2v = Long.MaxValue; var s2 = -1
           var si = 0
           while (si < sup.length) {
             val se = sup(si)._2
             var dd = 0L; var j = 0
             while (j < 64) { val x = qe(j) - se(j); dd += x * x; j += 1 }
-            if (dd < bestSd) { bestSd = dd; bestS = si }
+            if (dd < d1) { d2v = d1; s2 = s1; d1 = dd; s1 = si }
+            else if (dd < d2v) { d2v = dd; s2 = si }
             si += 1
           }
-          // level 2: nearest child centroid of the routed super (kids
-          // are positions into the cid-sorted array, ascending, so
-          // strict less-than keeps the lowest-cid winner)
-          val kids = chl(sup(bestS)._1)
+          // level 2: nearest child over BOTH routed supers' children.
+          // The two child lists are cid-ascending individually but
+          // not jointly, so ties compare (d2, cid) explicitly —
+          // matching the batch window's (d2c, cid) order
           var bestD = Long.MaxValue; var bestI = -1
-          var ki = 0
-          while (ki < kids.length) {
-            val ce = cs(kids(ki))._2
-            var dd = 0L; var j = 0
-            while (j < 64) { val x = qe(j) - ce(j); dd += x * x; j += 1 }
-            if (dd < bestD) { bestD = dd; bestI = kids(ki) }
-            ki += 1
+          def scanKids(s0: Int): Unit = if (s0 >= 0) {
+            val kids = chl(sup(s0)._1)
+            var ki = 0
+            while (ki < kids.length) {
+              val ce = cs(kids(ki))._2
+              var dd = 0L; var j = 0
+              while (j < 64) { val x = qe(j) - ce(j); dd += x * x; j += 1 }
+              if (dd < bestD ||
+                  (dd == bestD && cs(kids(ki))._1 < cs(bestI)._1)) {
+                bestD = dd; bestI = kids(ki)
+              }
+              ki += 1
+            }
           }
+          scanKids(s1); scanKids(s2)
           val cell = cs(bestI)._1
           val ce = cs(bestI)._2
           val res = new Array[Long](64)
@@ -1907,13 +1985,14 @@ object Vectors {
     */
   private[graft] def filteredAdaptive(e0L: DataFrame, labelMod: Int,
       nprobe: Int = 2, perCell: Long = ivfPerCell, k: Int = 3,
-      qBound: Long = 20L, cent: Option[DataFrame] = None): DataFrame = {
+      qBound: Long = 20L, cent: Option[DataFrame] = None,
+      layer: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val n = e0L.count()
     val maxCnt = e0L.groupBy(col("label")).count()
       .agg(max(col("count"))).collect()(0).getLong(0)
     if (maxCnt * nprobe * perCell < k.toLong * n)
       exactFilteredTop3(e0L, labelMod, qBound)
-    else filteredTop3(e0L, nprobe, labelMod, qBound, cent)
+    else filteredTop3(e0L, nprobe, labelMod, qBound, cent, layer)
   }
 
   /** sim_ivf_filtered's chain over any LABELED micro-unit frame
@@ -1927,12 +2006,14 @@ object Vectors {
     */
   private[graft] def filteredTop3(e0: DataFrame, nprobe: Int = 2,
       labelMod: Int = 10, qBound: Long = 20L,
-      cent: Option[DataFrame] = None): DataFrame = {
+      cent: Option[DataFrame] = None,
+      layer: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
-    // oracled keys pass the staged trained quantizer; probe callers
-    // over synthetic corpora (no staged artifact) train on the fly
+    // oracled keys pass the staged trained quantizer + routing layer;
+    // probe callers over synthetic corpora (no staged artifact) train
+    // and derive on the fly
     val ranked = maybeCache(coarseRanked(e0,
-      cent.getOrElse(scaledLloydCent(e0)), nprobe))
+      cent.getOrElse(scaledLloydCent(e0)), nprobe, layer))
     val cand = e0.join(ranked.filter(col("rn") === 1)
         .select(col("vec_id"), col("cid").as("cell")), Seq("vec_id"))
       .select(col("vec_id").as("c_id"), col("label").as("c_label"),
@@ -3147,7 +3228,8 @@ object Vectors {
          |   FROM p) t
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
     }) { (s, d) =>
-      filteredTop3(microVecsL(s, d), cent = Some(quantCent(s, d)))
+      filteredTop3(microVecsL(s, d), cent = Some(quantCent(s, d)),
+        layer = Some(quantLayer(s, d)))
     },
 
     // ---- selectivity-adaptive filtered ANN (the ACORN-style switch) ----
@@ -3199,9 +3281,11 @@ object Vectors {
       val e0 = microVecs(s, d)
       def lab(m: Int) = e0.select(col("vec_id"),
         pmod(col("vec_id"), lit(m)).cast("int").as("label"), col("qe"))
-      filteredAdaptive(lab(10), 10, cent = Some(quantCent(s, d)))
+      filteredAdaptive(lab(10), 10, cent = Some(quantCent(s, d)),
+          layer = Some(quantLayer(s, d)))
         .withColumn("regime", lit("dense"))
-        .unionByName(filteredAdaptive(lab(200), 200, cent = Some(quantCent(s, d)))
+        .unionByName(filteredAdaptive(lab(200), 200,
+          cent = Some(quantCent(s, d)), layer = Some(quantLayer(s, d)))
           .withColumn("regime", lit("sparse")))
         .select(col("regime"), col("q_id"), col("c_id"), col("c_label"),
           col("rnk"), col("d2"))
@@ -3510,7 +3594,7 @@ object Vectors {
          |          SELECT q.q_id, q.qq, s.sid,
          |                 row_number() OVER (PARTITION BY q.q_id
          |                   ORDER BY ${dd2("q.qq", "s.sce")}, s.sid) AS rn
-         |          FROM q, klscent s) t0 WHERE rn = 1),
+         |          FROM q, klscent s) t0 WHERE rn <= 2),
          |s0 AS (SELECT b.q_id, c.cid AS c_id,
          |              CAST(list_sum(list_transform(range(1, 65),
          |                j -> (b.qq[j] - c.ce[j]) * (b.qq[j] - c.ce[j]))) AS BIGINT) AS d2

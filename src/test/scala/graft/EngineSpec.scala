@@ -678,12 +678,18 @@ class EngineSpec extends SparkSpec {
     assert(exDup.getMessage.contains("more than once") &&
       exDup.getMessage.contains("'k'"), exDup.getMessage)
     // 3. WHEN NOT MATCHED BY SOURCE: rejected naming the construct,
-    // not a confusing generic predicate error
+    // not a confusing generic predicate error — tolerant of extra
+    // whitespace between the keywords
     val exBy = intercept[IllegalArgumentException] {
       e.query("MERGE INTO m3 USING (SELECT 1L AS sk, 'x' AS sn) AS s ON m3.k = s.sk " +
-        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+        "WHEN NOT MATCHED BY  SOURCE THEN DELETE")
     }
     assert(exBy.getMessage.contains("BY SOURCE"), exBy.getMessage)
+    // 3b. BY TARGET is the SQL:2023 synonym for plain NOT MATCHED —
+    // accepted, identical semantics
+    e.query("MERGE INTO m3 USING (SELECT 11L AS sk, 'bt' AS sn) AS s ON m3.k = s.sk " +
+      "WHEN NOT MATCHED BY TARGET THEN INSERT (k, name) VALUES (s.sk, s.sn)")
+    assert(e.get("m3").filter(col("k") === 11L).count() == 1)
     // 4. multiple NOT MATCHED clauses with conditions: first-match-
     // wins — sn='hi' takes the first insert form, others the fallback
     e.query("MERGE INTO m3 USING (SELECT * FROM VALUES (20L, 'hi'), (21L, 'lo') " +
