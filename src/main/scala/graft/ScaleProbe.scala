@@ -718,8 +718,12 @@ object ScaleProbe {
           d0
         }
         // exact L2 ground truth through the same micro-unit frame
+        // 100 queries, not the operators' 20: recall over 20 queries
+        // has a ±0.05–0.07 sampling band that made successive probe
+        // runs look like regressions (r16); the keys stay at 20, the
+        // MEASUREMENT widens
         val e0 = graft.ops.Vectors.microVecs(spark, dir)
-        val q = e0.filter(col("vec_id") < 20)
+        val q = e0.filter(col("vec_id") < 100)
           .select(col("vec_id").as("q_id"), col("qe").as("qq"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
@@ -735,7 +739,7 @@ object ScaleProbe {
             (8, 3, 8), (16, 5, 8), (32, 5, 8))) {
           val t0 = System.nanoTime()
           val (cands, beamDf) =
-            graft.ops.Vectors.beamParts(spark, dir, 20L, bw, rounds, deg)
+            graft.ops.Vectors.beamParts(spark, dir, 100L, bw, rounds, deg)
           val nCand = cands.map(_.count()).sum
           val top3 = beamDf
             .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
@@ -891,7 +895,8 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       val e0 = graft.ops.Vectors.microVecs(spark, dir).cache()
       val n = e0.count()
-      val q = e0.filter(col("vec_id") < 20)
+      // 100-query measurement (see the beam leg's sampling note)
+      val q = e0.filter(col("vec_id") < 100)
         .select(col("vec_id").as("q_id"), col("qe").as("qq"))
       val wTop = org.apache.spark.sql.expressions.Window
         .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
@@ -916,7 +921,7 @@ object ScaleProbe {
         ranked.count()
         val asg = ranked.filter(col("rn") === 1)
           .select(col("vec_id").as("c_id"), col("cid").as("cell"))
-        val probes = ranked.filter(col("vec_id") < 20)
+        val probes = ranked.filter(col("vec_id") < 100)
           .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
         val cand = asg.join(broadcast(probes),
           col("cell") === col("pcell") && col("c_id") =!= col("q_id"))
@@ -930,7 +935,7 @@ object ScaleProbe {
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         val secs = (System.nanoTime() - t0) / 1e9
         val rec = top3.count(gt.contains) / gt.size.toDouble
-        println(f"""{"shape":"geom","rows":$n,"geometry":"$geom","per_cell_target":$perCell,"cells":$cells,"artifact_rows":$cells,"cand_total":$nCand,"cand_per_q":${nCand / 20},"recall":$rec%.3f,"secs":$secs%.1f}""")
+        println(f"""{"shape":"geom","rows":$n,"geometry":"$geom","per_cell_target":$perCell,"cells":$cells,"artifact_rows":$cells,"cand_total":$nCand,"cand_per_q":${nCand / 100},"recall":$rec%.3f,"secs":$secs%.1f}""")
         ranked.unpersist(); cent.unpersist()
         spark.catalog.clearCache(); e0.cache(); e0.count()
       }
@@ -981,7 +986,8 @@ object ScaleProbe {
       val probeOverlap = two.select(col("vec_id"), col("cid"))
         .intersect(flat.select(col("vec_id"), col("cid"))).count()
       // serve recall both ways: exact-d2 top-3 over the probed cells
-      val q = e0.filter(col("vec_id") < 20)
+      // 100-query measurement (see the beam leg's sampling note)
+      val q = e0.filter(col("vec_id") < 100)
         .select(col("vec_id").as("q_id"), col("qe").as("qq"))
       def sqd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
         aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
@@ -997,7 +1003,7 @@ object ScaleProbe {
       def recallOf(ranked: org.apache.spark.sql.DataFrame): Double = {
         val asg = ranked.filter(col("rn") === 1)
           .select(col("vec_id").as("c_id"), col("cid").as("cell"))
-        val probes = ranked.filter(col("vec_id") < 20)
+        val probes = ranked.filter(col("vec_id") < 100)
           .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
         val top3 = asg.join(broadcast(probes),
             col("cell") === col("pcell") && col("c_id") =!= col("q_id"))
