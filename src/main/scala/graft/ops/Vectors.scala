@@ -1286,11 +1286,11 @@ object Vectors {
   }
 
   /** Shared coarse-quantizer routing, now TWO-LEVEL (r16): every
-    * vector routes to its argmin super-centroid ([[superLayer]] over
+    * vector routes to its TOP-2 super-centroids ([[superLayer]] over
     * the given centroid frame — the only broadcast, √cells rows),
-    * then ranks ONLY that super's child centroids by exact micro-unit
-    * L2, ranked by (d2c, cid), kept to rn ≤ nprobe — (vec_id, cid,
-    * rn). The ONE arithmetic all four IVF×PQ chains (flat, residual,
+    * then ranks ONLY those supers' child centroids by exact
+    * micro-unit L2, ranked by (d2c, cid), kept to rn ≤ nprobe —
+    * (vec_id, cid, rn). The ONE arithmetic all four IVF×PQ chains (flat, residual,
     * index build, index serve) derive their assignment/probe splits
     * from: the flat↔residual equal-scan assertion and the
     * in-memory↔persisted hash equality both depend on these chains
@@ -3554,8 +3554,8 @@ object Vectors {
     // The graph-based ANN serve (Malkov & Yashunin 2018, greedy beam
     // with a genuine layer descent, r16): entry points come from the
     // staged SUPER layer — each query ranks the √cells
-    // super-centroids, routes to its argmin super, and scores only
-    // that super's child seeds exactly (the upper-layer hop of HNSW,
+    // super-centroids, routes to its top-2 supers, and scores only
+    // those supers' child seeds exactly (the upper-layer hop of HNSW,
     // O(√cells) entry work instead of r15's all-cells scan). Beam =
     // best 8 by exact micro-unit L2, 3 unrolled expansion rounds over
     // the stored DEGREE-8 neighbor lists — the measured NAVIGABLE
