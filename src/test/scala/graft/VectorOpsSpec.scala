@@ -550,6 +550,61 @@ class VectorOpsSpec extends SparkSpec {
       s"index holds $totalCells cell directories, assignment uses $usedCells")
   }
 
+  test("superLayer invariants: sqrt geometry, total child partition, >=2 routed cells per item") {
+    // the structural guarantees the two-level router rests on, pinned
+    // directly (r16 review: a single routed super with one child
+    // would silently under-provision an nprobe=2 serve — the top-2
+    // multi-assign makes >=2 candidate cells a THEOREM, not a fixture
+    // accident, because every super has >=1 child: a super-seed is
+    // its own E-step member at d2=0)
+    val e0 = graft.ops.Vectors.microVecs(spark, sfDir)
+    val cent = graft.ops.Vectors.scaledLloydCent(e0).cache()
+    val cells = cent.count()
+    val (scent, chl) = graft.ops.Vectors.superLayer(cent)
+    val sups = scent.count()
+    assert(sups == math.max(1L, math.ceil(math.sqrt(cells.toDouble)).toLong),
+      s"expected ceil(sqrt($cells)) supers, got $sups")
+    // the child map is a PARTITION of the cells: every centroid in
+    // exactly one super, every super non-empty
+    assert(chl.count() == cells && chl.select("cid").distinct().count() == cells,
+      "child map is not a partition of the centroid set")
+    val perSuper = chl.groupBy("sid").count()
+    assert(perSuper.count() == sups && perSuper.filter(col("count") < 1).count() == 0,
+      "a super-centroid lost all children")
+    // every item's two-level rank sees the union of its TOP-2 supers'
+    // children — at least 2 candidate cells for every vector
+    val ranked = graft.ops.Vectors.twoLevelRanked(e0, "vec_id", "qe", scent, chl)
+    val perItem = ranked.groupBy("vec_id").count()
+    assert(perItem.filter(col("count") < 2).count() == 0,
+      "an item routed to fewer than 2 candidate cells")
+    // rank is dense from 1 and ordered by (d2c, cid)
+    assert(ranked.filter(col("rn") === 1).count() == e0.count())
+    cent.unpersist()
+  }
+
+  test("MinPair2: lexicographic top-2 with exact ties, merge associativity, single-element groups") {
+    import spark.implicits._
+    // ties on d2 resolve to the LOWER id — the min(struct) rule the
+    // oracle's row_number ORDER BY d2, sid mirrors
+    val df = Seq((1L, 5.0, 30L), (1L, 5.0, 10L), (1L, 5.0, 20L), (1L, 7.0, 1L),
+      (2L, 3.0, 9L)).toDF("g", "d2", "id")
+    val out = df.groupBy("g")
+      .agg(graft.functions.MinPair2.top2(col("d2"), col("id")).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) == Seq(10L, 20L), s"tie-break wrong: ${out(1L)}")
+    assert(out(2L) == Seq(9L), s"single-element group wrong: ${out(2L)}")
+    // repartition-invariance = merge correctness (map-side combine
+    // merges partial buffers in arbitrary order)
+    val big = spark.range(0, 1000).selectExpr("id % 7 AS g",
+      "CAST(xxhash64(id) % 1000 AS DOUBLE) AS d2", "id")
+    val a = big.repartition(1).groupBy("g")
+      .agg(graft.functions.MinPair2.top2(col("d2"), col("id")).as("ids"))
+    val b = big.repartition(32).groupBy("g")
+      .agg(graft.functions.MinPair2.top2(col("d2"), col("id")).as("ids"))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "MinPair2 result depends on partitioning — merge is broken")
+  }
+
   test("IVF×PQ geometry scales with the corpus: 4× the vectors → 16 cells on disk, serve still exact") {
     // the corpus-scaled quantizer is the point of the persisted index:
     // at 4× this fixture (2,000 vectors) cells = max(8, ceil(n/125)) =
