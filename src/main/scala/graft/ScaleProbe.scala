@@ -836,10 +836,19 @@ object ScaleProbe {
         val sStream = warmServe(idx)
         val comp = graft.ops.Vectors.compactStreamedLists(spark, idx)
         val sComp = warmServe(s"$comp/lists")
-        val cFiles = new java.io.File(s"$comp/lists").listFiles()
+        // r17 layout: compacted cell dirs nest under shard=K — walk
+        // both levels; dirs_listed_serve is the LISTING-cost metric
+        // the shard level exists to bound (directories a compacted
+        // 2-cell serve enumerates: probed shards' subtrees only,
+        // vs every cell dir in the flat layout)
+        val compShards = Option(new java.io.File(s"$comp/lists").listFiles())
+          .toSeq.flatten.filter(f => f.isDirectory && f.getName.startsWith("shard="))
+        val compCellDirs = compShards
+          .flatMap(sh => Option(sh.listFiles()).toSeq.flatten)
           .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        val cFiles = compCellDirs
           .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
-        println(f"""{"shape":"ivfpq_stream","factor":$factor,"vectors":$n,"code_rows":$rows,"secs":$secs%.1f,"rows_per_sec":${(n / secs).toLong},"us_per_row":${secs * 1e6 / n}%.1f,"cells":${cellDirs.length},"files_per_cell_max":${filesPerCell.max},"serve_streamed_s":$sStream%.2f,"serve_compacted_s":$sComp%.2f,"compacted_files":$cFiles}""")
+        println(f"""{"shape":"ivfpq_stream","factor":$factor,"vectors":$n,"code_rows":$rows,"secs":$secs%.1f,"rows_per_sec":${(n / secs).toLong},"us_per_row":${secs * 1e6 / n}%.1f,"cells":${cellDirs.length},"files_per_cell_max":${filesPerCell.max},"serve_streamed_s":$sStream%.2f,"serve_compacted_s":$sComp%.2f,"compacted_files":$cFiles,"shards":${compShards.size},"dirs_per_shard_mean":${if (compShards.isEmpty) 0 else compCellDirs.size / compShards.size}}""")
         spark.catalog.clearCache()
       }
     }

@@ -762,14 +762,22 @@ private[graft] object SqlVerbs {
     clause match {
       case WhenRe(notM, rest0) =>
         var rest = rest0.trim
-        // BY TARGET is the SQL:2023 synonym for the plain NOT MATCHED
-        // semantics this engine implements — accept it by stripping;
+        // BY TARGET is the SQL:2023 synonym for NOT MATCHED — valid
+        // ONLY after NOT MATCHED (SQL:2023 allows no BY modifier on
+        // plain WHEN MATCHED), so the strip consults the NOT capture
+        // (r16 advice: an unconditional strip silently accepted the
+        // invalid 'WHEN MATCHED BY TARGET' as plain WHEN MATCHED).
         // BY SOURCE is genuinely unsupported and must be rejected
         // NAMING the construct, before the generic predicate parse
-        // would blame "WHEN clause predicate". Both checks tolerate
+        // would blame "WHEN clause predicate". All checks tolerate
         // arbitrary whitespace between the keywords.
-        if (rest.matches("(?is)^BY\\s+TARGET\\b.*"))
+        if (rest.matches("(?is)^BY\\s+TARGET\\b.*")) {
+          if (notM == null || notM.trim.isEmpty)
+            throw new IllegalArgumentException(
+              "MERGE: BY TARGET is only valid after WHEN NOT MATCHED " +
+                s"(SQL:2023) — 'WHEN MATCHED BY TARGET' is not a clause: $sqlText")
           rest = rest.replaceFirst("(?is)^BY\\s+TARGET", "").trim
+        }
         if (rest.matches("(?is)^BY\\s+SOURCE\\b.*"))
           throw new IllegalArgumentException(
             "MERGE: WHEN [NOT] MATCHED BY SOURCE is not supported " +

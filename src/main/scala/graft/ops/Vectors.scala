@@ -67,7 +67,7 @@ object Vectors {
     * a stale index built by an earlier version. Bump on any change to
     * the encode logic or layout.
     */
-  private[graft] val ivfIndexFormat: String = "f6-two-level-mp2"
+  private[graft] val ivfIndexFormat: String = "f7-sharded-lists"
 
   /** Deterministic per-subspace codebook picks for product
     * quantization (sim_pq_adc): 4 codes per 8-dim subspace.
@@ -432,7 +432,11 @@ object Vectors {
     graft.ops.stagedArtifact(s, s"ivfquant_$key",
         s"${graft.ops.sourceStamp(src)}:$ivfIndexFormat") { stage =>
       val e0 = microVecs(s, d)
-      val cent = maybeCache(scaledLloydCent(e0))
+      // the Lloyd E-step routes through the SHARED staged seed layer
+      // (r17) — the same artifact the knn-graph build reads, so the
+      // two geometries not only use one formula, they use one LAYER
+      val cent = maybeCache(scaledLloydCent(e0,
+        seedLay = Some(seedLayer(s, d, ivfPerCell))))
       cent.coalesce(1).write.mode("overwrite").parquet(s"$stage/centroids")
       // the TWO-LEVEL routing tables, derived ONCE per corpus and
       // staged with the quantizer (r16 review: every serve was
@@ -477,6 +481,49 @@ object Vectors {
 
   private def quantLayer(s: SparkSession, d: String): (DataFrame, DataFrame) =
     dirLayer(s, stagedIvfQuant(s, d))
+
+  /** Staged, stamped SEED-frame super layer — the [[superLayer]] over
+    * the micro-unit stride seeds at `perCell`, derived ONCE per
+    * (corpus stamp, perCell) and shared by every build that routes
+    * against the raw seed frame: the IVF quantizer's Lloyd E-step
+    * ([[scaledLloydCent]]) and the knn proximity graph
+    * ([[stagedKnnGraph]]) previously each re-derived this layer over
+    * the SAME seed rows (r16's knn_graph_scaled paid ~1.2 s idle
+    * re-running the count + idx window + super Lloyd pass the
+    * quantizer build had already done — VERDICT r16 queue item 5).
+    * Layout: `supers/` = (sid, sce); `children/` = (cid, sid) — child
+    * seed VECTORS are not copied, they re-join from the corpus at
+    * read (a cid IS a seed vec_id).
+    */
+  private[graft] def stagedSeedLayer(s: SparkSession, d: String,
+      perCell: Long): String = {
+    val src = s"$d/embeddings.parquet"
+    val key = src.replaceAll("[^A-Za-z0-9.]", "_")
+    graft.ops.stagedArtifact(s, s"seedlayer_${perCell}_$key",
+        s"${graft.ops.sourceStamp(src)}:$ivfIndexFormat") { stage =>
+      val seeds = strideSeedRows(microVecs(s, d), perCell, "stagedSeedLayer")
+        .select(col("vec_id").as("cid"), col("qe").as("ce"))
+      val (scent, chl) = superLayer(seeds)
+      scent.coalesce(1).write.mode("overwrite").parquet(s"$stage/supers")
+      chl.select(col("cid"), col("sid")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/children")
+    }
+  }
+
+  /** Read [[stagedSeedLayer]] back as (scent, chl), the child seed
+    * vectors re-joined from the corpus (micro-units — the frame the
+    * layer was derived over).
+    */
+  private[graft] def seedLayer(s: SparkSession, d: String,
+      perCell: Long): (DataFrame, DataFrame) = {
+    val dir = stagedSeedLayer(s, d, perCell)
+    val scent = s.read.parquet(s"$dir/supers")
+    val chl = s.read.parquet(s"$dir/children")
+      .join(microVecs(s, d).select(col("vec_id").as("cid"),
+        col("qe").as("ce")), Seq("cid"))
+      .select(col("cid"), col("ce"), col("sid"))
+    (scent, chl)
+  }
 
   private def quantCent(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${stagedIvfQuant(s, d)}/centroids")
@@ -591,7 +638,8 @@ object Vectors {
   private[graft] def knnEdgesScaled(s: SparkSession, d: String,
       perCell: Long = 125L, degree: Int = 3): DataFrame = {
     val e = emb(s, d)
-    knnEdgesOver(e, scaledKnnCentroids(e, perCell), degree, twoLevel = true)
+    knnEdgesOver(e, scaledKnnCentroids(e, perCell), degree, twoLevel = true,
+      layer = Some(seedLayer(s, d, perCell)))
   }
 
   /** The corpus-sized centroid rule of [[knnEdgesScaled]] — exposed so
@@ -729,11 +777,13 @@ object Vectors {
       val cent = scaledKnnCentroids(e, perCell)
       // the genuine HNSW upper layer (replacing r15's all-cells entry
       // list): the √cells super-centroids + the (cid → sid) child map
-      // over the MICRO-UNIT seed layer — derived ONCE, feeding both
-      // the edge build's assignment and the staged entry tables a
-      // beam serve descends through (super → child seeds → graph)
-      val lay = superLayer(
-        cent.select(col("cid"), microCol(col("ce")).as("ce")))
+      // over the MICRO-UNIT seed layer — read from the SHARED staged
+      // seed-layer artifact (r17: the quantizer's Lloyd E-step runs
+      // over the SAME seed frame, so one derivation feeds both), then
+      // copied alongside the edges so the graph dir stays the
+      // self-contained artifact a beam serve descends through
+      // (super → child seeds → graph)
+      val lay = seedLayer(s, d, perCell)
       knnEdgesOver(e, cent, degree, twoLevel = true, layer = Some(lay))
         .select(col("a_id"), col("b_id"))
         .write.mode("overwrite").parquet(s"$stage/edges")
@@ -786,7 +836,7 @@ object Vectors {
       dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
     val routed = q.join(broadcast(scent))
       .groupBy(col("q_id"))
-      .agg(graft.functions.MinPair2.top2(
+      .agg(graft.functions.MinPairW.topW(2)(
           rd2(col("qq"), col("sce")), col("sid")).as("sids"),
         first(col("qq")).as("qq"))
       .select(col("q_id"), col("qq"), explode(col("sids")).as("sid"))
@@ -1107,7 +1157,16 @@ object Vectors {
     * super-centroids: E-step membership guarantees every emitted
     * super-centroid has ≥ 1 child (a super-seed is itself a member at
     * d2 = 0), so a routed item always finds candidates — re-assignment
-    * could strand a query in a childless super.
+    * could strand a query in a childless super. Precondition for that
+    * theorem (and the sups = ⌈√cells⌉ spec pin): super-seed VECTORS
+    * are pairwise distinct. An exact-duplicate seed ties at d2 = 0
+    * and assigns to the lower sid, leaving the higher super childless
+    * — routing stays CORRECT (scent derives from chl, so a childless
+    * super simply never exists in the emitted layer and the router
+    * sees one fewer super), but the √cells geometry degrades by one
+    * per duplicate. Stride seeds over the fixtures' distinct-vector
+    * corpora satisfy this; a corpus with duplicated vectors at seed
+    * positions gets the degraded-but-correct layer.
     * Returns (scent = (sid, sce), chl = (cid, ce, sid)).
     * Cost, stated precisely: the layer BUILD's E-step expands
     * cells × sups = cells^1.5 rows (a map-side-combinable partial
@@ -1147,35 +1206,39 @@ object Vectors {
 
   /** Two-level routing of an item frame `items`(idCol, vecCol) through
     * a [[superLayer]]: rank the √cells super-centroids (the ONLY
-    * broadcast — sups rows), keep the TOP-2 supers (multi-assign —
-    * the FAISS IMI move), then rank the UNION of both supers'
+    * broadcast — sups rows), keep the TOP-`w` supers (multi-assign —
+    * the FAISS IMI move), then rank the UNION of the routed supers'
     * children via a sid-keyed JOIN — deliberately NOT a `broadcast()`
     * of the full child frame: at 10⁹ vectors the cells frame is
     * ~4 GB (past practical broadcast limits), while a sid-keyed
     * shuffle join is the standard scalable shape (Catalyst still
     * picks a broadcast from stats when cells is actually small — the
     * right call at both scales, made by the optimizer, not
-    * hardcoded). Routing to TWO supers (r16 review fix) does two
-    * things a single-super route cannot: it GUARANTEES ≥ 2 candidate
-    * cells (superLayer only promises ≥ 1 child per super, so a
-    * 1-child super would silently under-provision an nprobe = 2
-    * serve), and it halves the boundary-approximation loss the
-    * `twolevel` probe prices on isotropic corpora — at 2·√cells work
-    * per item, still O(√cells). The top-2 route itself is ONE
-    * map-side-combinable aggregate ([[graft.functions.MinPair2]] —
-    * a window here would shuffle the n·√cells expand). Output:
-    * (idCol, cid, d2c, rn) with rn ranked by (d2c, cid) over the
-    * routed supers' children — the [[coarseRanked]] schema; child
-    * sets are disjoint (the E-step membership is a partition), so no
-    * dedup is needed.
+    * hardcoded). `w` is the ROUTING WIDTH: a super structurally
+    * guarantees only ≥ 1 child, so routing to w supers is what makes
+    * ≥ min(w, cells) candidate cells a THEOREM — an nprobe-cell serve
+    * must route with w ≥ nprobe or its probe count silently degrades
+    * to the routed supers' child count on skinny supers (the r16
+    * review caught exactly this at nprobe = 2; r17 generalizes the
+    * fix to the filtered-ANN serving rule's nprobe = 4–8 range).
+    * Wider routing also shrinks the boundary-approximation loss the
+    * `twolevel` probe prices on isotropic corpora — at w·√cells work
+    * per item, still O(√cells) for the small fixed w a serve dials.
+    * The top-w route itself is ONE map-side-combinable aggregate
+    * ([[graft.functions.MinPairW]] — a window here would shuffle the
+    * n·√cells expand). Output: (idCol, cid, d2c, rn) with rn ranked
+    * by (d2c, cid) over the routed supers' children — the
+    * [[coarseRanked]] schema; child sets are disjoint (the E-step
+    * membership is a partition), so no dedup is needed.
     */
   private[graft] def twoLevelRanked(items: DataFrame, idCol: String,
-      vecCol: String, scent: DataFrame, chl: DataFrame): DataFrame = {
+      vecCol: String, scent: DataFrame, chl: DataFrame,
+      w: Int = 2): DataFrame = {
     def d2(a: Column, b: Column): Column =
       dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
     val routed = items.join(broadcast(scent))
       .groupBy(col(idCol))
-      .agg(graft.functions.MinPair2.top2(
+      .agg(graft.functions.MinPairW.topW(w)(
           d2(col(vecCol), col("sce")), col("sid")).as("sids"),
         first(col(vecCol)).as(vecCol))
       .select(col(idCol), col(vecCol), explode(col("sids")).as("sid"))
@@ -1187,18 +1250,22 @@ object Vectors {
   }
 
   private[graft] def scaledLloydCent(e0: DataFrame,
-      perCell: Long = ivfPerCell): DataFrame = {
-    // seeds via THE shared stride rule (strideSeedRows) — the IVF
-    // quantizer geometry and the knn-graph geometry are one formula
-    val seeds = strideSeedRows(e0, perCell, "scaledLloydCent")
-      .select(col("vec_id").as("cid"), col("qe").as("ce"))
+      perCell: Long = ivfPerCell,
+      seedLay: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     // TWO-LEVEL E-step: the super layer is built over the SEED frame
     // (√cells super-seeds, one Lloyd pass over cells rows — metadata),
     // and every vector routes super-first, then ranks only the routed
     // super's child seeds. Per-vector work O(√cells), and the only
     // broadcast is the super layer — the flat form's
-    // broadcast-ALL-seeds expand grew ∝ n on both axes.
-    val (scent, chl) = superLayer(seeds)
+    // broadcast-ALL-seeds expand grew ∝ n on both axes. Staged
+    // callers pass the shared [[stagedSeedLayer]] (one derivation for
+    // the quantizer AND the knn graph — r17); ad-hoc/probe callers
+    // derive inline via THE shared stride rule (strideSeedRows — the
+    // IVF quantizer geometry and the knn-graph geometry are one
+    // formula).
+    val (scent, chl) = seedLay.getOrElse(superLayer(
+      strideSeedRows(e0, perCell, "scaledLloydCent")
+        .select(col("vec_id").as("cid"), col("qe").as("ce"))))
     val asg = twoLevelRanked(e0, "vec_id", "qe", scent, chl)
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid").as("scell"))
@@ -1249,17 +1316,19 @@ object Vectors {
        |                GROUP BY sid, i) g GROUP BY sid)""".stripMargin
 
   /** DuckDB twin of [[twoLevelRanked]]: route `$itemRel`(idCol,
-    * vecCol) through the `$p` super layer to its TOP-2 supers, then
+    * vecCol) through the `$p` super layer to its TOP-`w` supers, then
     * emit `$out`(idCol, cid, rn) ranked by (d2c, cid) over the union
-    * of both routed supers' children (disjoint by construction).
+    * of the routed supers' children (disjoint by construction). `w`
+    * must equal the Spark twin's routing width — max(2, nprobe) for
+    * every [[coarseRanked]] chain.
     */
   private def twoLevelRankCtes(p: String, itemRel: String, idCol: String,
-      vecCol: String, out: String): String =
+      vecCol: String, out: String, w: Int = 2): String =
     s"""${out}rt AS (SELECT $idCol, sid FROM (
        |              SELECT i.$idCol, s.sid,
        |                     row_number() OVER (PARTITION BY i.$idCol
        |                       ORDER BY ${dd2(s"i.$vecCol", "s.sce")}, s.sid) AS rn
-       |              FROM $itemRel i, ${p}scent s) t WHERE rn <= 2),
+       |              FROM $itemRel i, ${p}scent s) t WHERE rn <= $w),
        |$out AS (SELECT $idCol, cid,
        |                row_number() OVER (PARTITION BY $idCol
        |                  ORDER BY d2c, cid) AS rn FROM (
@@ -1267,12 +1336,23 @@ object Vectors {
        |           FROM $itemRel i JOIN ${out}rt r ON r.$idCol = i.$idCol
        |                JOIN ${p}chl c ON c.sid = r.sid) z)""".stripMargin
 
-  private def scaledLloydCentCtes: String = {
-    val pc = ivfPerCell
+  private def scaledLloydCentCtes: String =
+    scaledLloydCentCtesAt(ivfPerCell.toString)
+
+  /** [[scaledLloydCentCtes]] with the per-cell budget as an SQL
+    * EXPRESSION over `n` (in scope from the `nn` CTE) instead of the
+    * n/125 constant — `sim_ivf_sqrtn` derives pc = n ÷ 4⌈√n⌉ (the
+    * PLANS.md production geometry rule) through the SAME CTE chain,
+    * so the two dials cannot fork. All arithmetic stays integer
+    * (greatest/`//`), and ⌈√n⌉ is ceil of the correctly-rounded IEEE
+    * sqrt — bit-identical between java.lang.Math and DuckDB.
+    */
+  private def scaledLloydCentCtesAt(pcExpr: String): String = {
     s"""nn AS (SELECT count(*) AS n FROM e),
-       |par AS (SELECT greatest(8, (n + ${pc - 1}) // $pc) AS cells,
-       |               greatest(1, n // greatest(8, (n + ${pc - 1}) // $pc)) AS stride
-       |        FROM nn),
+       |pcx AS (SELECT greatest(1, $pcExpr) AS pc FROM nn),
+       |par AS (SELECT greatest(8, (n + pc - 1) // pc) AS cells,
+       |               greatest(1, n // greatest(8, (n + pc - 1) // pc)) AS stride
+       |        FROM nn, pcx),
        |sdd AS (SELECT vec_id AS cid, qe AS ce FROM e, par
        |        WHERE vec_id % stride = 0 AND vec_id < stride * cells),
        |${superLayerCtes("sl", "sdd")},
@@ -1285,20 +1365,25 @@ object Vectors {
        |         GROUP BY scell)""".stripMargin
   }
 
-  /** Shared coarse-quantizer routing, now TWO-LEVEL (r16): every
-    * vector routes to its TOP-2 super-centroids ([[superLayer]] over
-    * the given centroid frame — the only broadcast, √cells rows),
-    * then ranks ONLY those supers' child centroids by exact
-    * micro-unit L2, ranked by (d2c, cid), kept to rn ≤ nprobe —
-    * (vec_id, cid, rn). The ONE arithmetic all four IVF×PQ chains (flat, residual,
-    * index build, index serve) derive their assignment/probe splits
-    * from: the flat↔residual equal-scan assertion and the
-    * in-memory↔persisted hash equality both depend on these chains
-    * never drifting, so the formula lives once — and the oracle
-    * mirrors the two-level argmin op for op (superLayerCtes +
-    * twoLevelRankCtes). Note nprobe probes all come from the routed
-    * super's children — the HNSW-style descent a production
-    * multi-probe would widen by routing to >1 super.
+  /** Shared coarse-quantizer routing, TWO-LEVEL (r16) with
+    * nprobe-PROVISIONED width (r17): every vector routes to its
+    * TOP-max(2, nprobe) super-centroids ([[superLayer]] over the
+    * given centroid frame — the only broadcast, √cells rows), then
+    * ranks ONLY those supers' child centroids by exact micro-unit
+    * L2, ranked by (d2c, cid), kept to rn ≤ nprobe — (vec_id, cid,
+    * rn). Width = max(2, nprobe) makes the probe plan structurally
+    * sound at EVERY dial: a super guarantees only ≥ 1 child, so
+    * top-2 routing covers nprobe ≤ 2 but would silently
+    * under-provision the filtered-ANN serving rule's nprobe = 4–8
+    * (nprobe ∝ k/(s·|cell|)) whenever a routed super runs skinny —
+    * with w = nprobe, ≥ min(nprobe, cells) candidate cells is a
+    * theorem, not a fixture accident. The ONE arithmetic all four
+    * IVF×PQ chains (flat, residual, index build, index serve) derive
+    * their assignment/probe splits from: the flat↔residual
+    * equal-scan assertion and the in-memory↔persisted hash equality
+    * both depend on these chains never drifting, so the formula
+    * lives once — and the oracle mirrors the two-level argmin op for
+    * op (superLayerCtes + twoLevelRankCtes, same w).
     */
   private[graft] def coarseRanked(e0: DataFrame, cent: DataFrame,
       nprobe: Int = 2,
@@ -1307,7 +1392,7 @@ object Vectors {
     // r16 review: re-deriving per serve paid a count + window + Lloyd
     // pass each call); probe/on-the-fly callers derive inline
     val (scent, chl) = layer.getOrElse(superLayer(cent))
-    twoLevelRanked(e0, "vec_id", "qe", scent, chl)
+    twoLevelRanked(e0, "vec_id", "qe", scent, chl, w = math.max(2, nprobe))
       .filter(col("rn") <= nprobe)
   }
 
@@ -1478,9 +1563,15 @@ object Vectors {
     * (FAISS persists exactly this: inverted lists of PQ codes plus the
     * coarse centroids and sub-quantizer codebooks; Jégou et al. 2011
     * §5.1). Layout under the returned dir:
-    * `lists/cell=N/` — (c_id, m, code) PQ codes parquet-PARTITIONED by
-    * coarse cell, so a query's nprobe cells are literal partition
-    * directories and a serve scan reads nothing else; `centroids/` —
+    * `lists/shard=K/cell=N/` — (c_id, m, code) PQ codes
+    * parquet-PARTITIONED by (shard = cell % 256, cell), so a query's
+    * nprobe cells are literal partition directories and a serve scan
+    * reads nothing else — the shard level (r17) bounds LISTING cost:
+    * at the √n production geometry a 10⁹-vector index holds ~506k
+    * cell directories, and a flat layout makes every serve's file
+    * enumeration (NameNode listing on HDFS) walk all of them; the
+    * serve now lists only the probed cells' shard subtrees
+    * (~cells/256 dirs each, [[readLists]]); `centroids/` —
     * the cells coarse (cid, ce) rows from [[scaledLloydCent]] (cells =
     * max(8, ⌈n/125⌉), so per-query scanned codes stay FLAT as the
     * corpus grows); `codebook/` — the 8×4 (c, m, ce) sub-quantizer
@@ -1488,6 +1579,65 @@ object Vectors {
     * atomically published via [[graft.ops.stagedArtifact]] — the same
     * freshness/race contract as Text.stagedHsIndex.
     */
+  /** shard = cell % 256 — the inverted-list DIRECTORY-SHARDING key
+    * (r17). Dials: 256 shards keep the per-shard directory count at
+    * cells/256 (~2k dirs per shard at the 10⁹-vector √n geometry) so
+    * a probed cell's shard subtree lists in O(cells/256), while the
+    * shard count itself stays a bounded top-level fan-out. pmod keeps
+    * it total on any BIGINT cell id.
+    */
+  private val listShardMod = 256
+  private def listShard(cell: Column): Column =
+    pmod(cell, lit(listShardMod.toLong)).cast("int")
+
+  /** schema of a sharded on-disk inverted-list dir (partition columns
+    * last, both present so an explicit-schema read keeps `cell`
+    * BIGINT without a filter-wrapping cast — r15 advice)
+    */
+  private val shardedListsSchema = "c_id BIGINT, m INT, code INT, shard INT, cell BIGINT"
+  private val streamListsSchema = "c_id BIGINT, m INT, code INT, cell BIGINT"
+
+  /** THE pruned inverted-list read every serve path routes through:
+    * given the probed `cells`, return their (c_id, m, code, cell)
+    * rows touching only those cells' storage. Two layouts, one
+    * contract:
+    * - a STREAM-SINK dir (`_spark_metadata` present — the live
+    *   streamed index): read the ROOT so Spark enumerates files from
+    *   the sink's commit log (the exactly-once view; file listing is
+    *   log reads, not directory walks, so sharding buys nothing and
+    *   bypassing the root would surface uncommitted files);
+    * - a batch/compacted dir (`shard=K/cell=N` layout): read ONLY the
+    *   probed cells' shard subtrees (basePath-anchored), so serve-time
+    *   LISTING is O(nprobe · cells/256) instead of O(cells) — the
+    *   NameNode-pressure fix for the √n geometry's ~506k cell dirs.
+    * Both keep the literal `cell IN (…)` predicate on the partition
+    * column (the spec-asserted PartitionFilters prune), so files-read
+    * still equals the probed cell count. Local-fs existence probes
+    * mirror the repo's artifact machinery (compactStreamedLists reads
+    * `_spark_metadata` the same way); on a cluster store these are
+    * nprobe-many driver-side stat calls.
+    */
+  private[graft] def readLists(s: SparkSession, listsPath: String,
+      cells: Array[Long]): DataFrame = {
+    val sel = (df: DataFrame) => df
+      .filter(col("cell").isin(cells.map(java.lang.Long.valueOf): _*))
+      .select(col("c_id"), col("m"), col("code"), col("cell"))
+    if (new java.io.File(s"$listsPath/_spark_metadata").exists())
+      sel(s.read.schema(streamListsSchema).parquet(listsPath))
+    else {
+      val shardDirs = cells.map(c => (((c % listShardMod) + listShardMod) % listShardMod).toInt)
+        .distinct.sorted
+        .map(k => s"$listsPath/shard=$k")
+        .filter(p => new java.io.File(p).isDirectory)
+      val r = s.read.option("basePath", listsPath).schema(shardedListsSchema)
+      // no shard dir present (empty compacted artifact, or every
+      // probed cell empty): the root read with the explicit schema
+      // degrades to 0 rows instead of a missing-path error
+      sel(if (shardDirs.isEmpty) r.parquet(listsPath)
+          else r.parquet(shardDirs.toIndexedSeq: _*))
+    }
+  }
+
   private[graft] def stagedIvfPqIndex(s: SparkSession, d: String): String = {
     val src = s"$d/embeddings.parquet"
     val key = src.replaceAll("[^A-Za-z0-9.]", "_")
@@ -1506,7 +1656,9 @@ object Vectors {
       // parallelism (without it every write task touches every cell —
       // files/cell ∝ tasks, measured 10× in the ivfidx octave)
       enc.join(asg, Seq("c_id")).repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
+        .withColumn("shard", listShard(col("cell")))
+        .write.mode("overwrite").partitionBy("shard", "cell")
+        .parquet(s"$stage/lists")
       // quantizer copies alongside the lists (the self-contained FAISS
       // index layout the serve paths read) — the SAME staged trained
       // quantizers AND routing tables every chain uses, so artifact,
@@ -1540,16 +1692,11 @@ object Vectors {
     // the query router's cell plan: nprobe cells per query, distinct
     // across the (broadcast-sized) query batch — a driver-side
     // collect of AT MOST ncells integers, never corpus data. The
-    // literal IN list is what turns into the scan's PartitionFilters.
-    // The explicit read schema types the partition column BIGINT
-    // (cell ids are seed vec_ids — Int overflows at target corpora,
-    // r15 advice) without a cast that would wrap the partition filter.
+    // literal IN list is what turns into the scan's PartitionFilters
+    // (readLists also restricts the LISTING to the probed shards).
     val cells = probes.select(col("pcell").cast("bigint")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val lists = s.read.schema("c_id BIGINT, m INT, code INT, cell BIGINT")
-      .parquet(s"$idx/lists")
-      .filter(col("cell").isin(cells.map(java.lang.Long.valueOf): _*))
-      .select(col("c_id"), col("m"), col("code"), col("cell"))
+    val lists = readLists(s, s"$idx/lists", cells)
     // query distance tables from the STORED codebook (32 rows)
     val ms = explode(sequence(lit(0), lit(7))).as("m")
     val sub = e0q.select(col("vec_id"), ms, col("qe"))
@@ -1597,9 +1744,12 @@ object Vectors {
       // stays BIGINT end-to-end: cell ids are seed vec_ids, which on
       // the corpora this design targets exceed Int range — an
       // ANSI-mode int cast would turn the build into a runtime crash
-      // (r15 advice).
+      // (r15 advice). shard = cell % 256 bounds serve-time listing
+      // (see the flat builder's layout note).
       enc.repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
+        .withColumn("shard", listShard(col("cell")))
+        .write.mode("overwrite").partitionBy("shard", "cell")
+        .parquet(s"$stage/lists")
       cent.write.mode("overwrite").parquet(s"$stage/centroids")
       cb.write.mode("overwrite").parquet(s"$stage/codebook")
       // the TWO-LEVEL routing tables, copied from the ONE staged
@@ -1657,14 +1807,11 @@ object Vectors {
         layer = Some(dirLayer(s, quantDir)))
       .select(col("vec_id").as("q_id"), col("cid").as("pcell")))
     // the cell plan: AT MOST ncells integers collected, never corpus
-    // data. Explicit read schema: BIGINT partition column, no cast —
-    // see ivfPqIndexedParts.
+    // data. readLists keeps the literal BIGINT partition filter AND
+    // restricts listing to the probed shards — see ivfPqIndexedParts.
     val cells = probes.select(col("pcell").cast("bigint")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val lists0 = s.read.schema("c_id BIGINT, m INT, code INT, cell BIGINT")
-      .parquet(listsPath)
-      .filter(col("cell").isin(cells.map(java.lang.Long.valueOf): _*))
-      .select(col("c_id"), col("m"), col("code"), col("cell"))
+    val lists0 = readLists(s, listsPath, cells)
     // logical deletes: the tombstone anti-join sits BELOW the ADC
     // aggregate, so a deleted vector can never reach a shortlist (a
     // post-top-k filter would silently under-return instead) — the
@@ -1769,11 +1916,17 @@ object Vectors {
       // emits the 8 (c_id, cell, m, code) rows directly. Still a
       // zero-exchange micro-batch plan (Scan → MapPartitions →
       // FileSink); no state store, no join. Memory note: executors
-      // still hold the FULL centroid array (the shipped-quantizer
-      // reality — FAISS workers hold exactly this in RAM); past that,
-      // the fallback is a per-batch repartition by routed super so
-      // each task holds one super's children — one exchange per
-      // micro-batch, the dial a beyond-RAM deployment flips.
+      // hold the FULL centroid array (the shipped-quantizer reality —
+      // FAISS workers hold exactly this in RAM), and under the
+      // PLANS.md geometry rule that is BOUNDED, not a scaling risk:
+      // production cells = [4√n, 16√n], so even 10¹¹ vectors price
+      // the array at 16√10¹¹ ≈ 5.1M cells × ~620 B ≈ 3 GB — executor
+      // RAM, not corpus-proportional. The once-documented
+      // repartition-by-routed-super fallback is SUBSUMED by that
+      // rule (r17): the only regime where the array outgrows RAM is
+      // cells ∝ n/125 past ~10⁷ vectors, which the geometry rule
+      // itself forbids — see PLANS.md "beyond-RAM fallback:
+      // subsumed".
       .mapPartitions { it =>
         val cs = bcCent.value
         val sup = bcSup.value
@@ -1783,7 +1936,7 @@ object Vectors {
           val qe = qeSeq.toArray
           // level 1: TOP-2 super-centroids by (d2, sid) — sup is
           // sid-sorted and the comparisons are strict, so ties keep
-          // the lower sid, bit-matching the batch MinPair2 aggregate
+          // the lower sid, bit-matching the batch MinPairW(2) aggregate
           var d1 = Long.MaxValue; var s1 = -1
           var d2v = Long.MaxValue; var s2 = -1
           var si = 0
@@ -1910,7 +2063,9 @@ object Vectors {
         // cells in the rewrite input — keep repartition legal
         val nc = math.max(1, lists.select(col("cell")).distinct().count().toInt)
         lists.repartition(nc, col("cell"))
-          .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
+          .withColumn("shard", listShard(col("cell")))
+          .write.mode("overwrite").partitionBy("shard", "cell")
+          .parquet(s"$stage/lists")
       }
     }
   }
@@ -2659,6 +2814,70 @@ object Vectors {
         .withColumn("rnk", row_number().over(wTop).cast("bigint"))
         .filter(col("rnk") <= 3)
         .select(col("q_id"), col("c_id"), col("rnk"), pr6(col("cos")).as("cosine"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // ---- IVF serve at the √n PRODUCTION geometry --------------------
+    // Every other IVF key trains at the bench geometry (n/125 cells);
+    // the geometry rule (PLANS.md, closed by the geom probe) says a
+    // production deployment past ~10⁷ vectors picks cells ∈ [4√n,
+    // 16√n] and buys recall with nprobe. Until r17 that dial was
+    // probe-priced only — this key ORACLES it end-to-end: perCell =
+    // max(1, n ÷ 4⌈√n⌉) (pure integer arithmetic both engines, ⌈√n⌉
+    // from the correctly-rounded IEEE sqrt), the SAME scaledLloydCent
+    // two-level chain through the SAME parameterized CTE twin
+    // (scaledLloydCentCtesAt — one formula, no fork), nprobe = 2
+    // serve, exact integer top-3. At sf0.1 that is ~980 cells /
+    // ~32 supers — the router working at a super layer 4× the n/125
+    // keys', hash-verified instead of recall-probed.
+    sql("sim_ivf_sqrtn", {
+      s"""WITH e AS (SELECT vec_id,
+         |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
+         |           FROM embeddings),
+         |${scaledLloydCentCtesAt("n // (4 * CAST(ceil(sqrt(n)) AS BIGINT))")},
+         |${superLayerCtes("cl", "cent")},
+         |${twoLevelRankCtes("cl", "e", "vec_id", "qe", "dd")},
+         |cand AS (SELECT e.vec_id AS c_id, e.qe AS ce2, dd.cid AS cell
+         |         FROM e JOIN dd ON dd.vec_id = e.vec_id AND dd.rn = 1),
+         |probes AS (SELECT e.vec_id AS q_id, e.qe AS qq, dd.cid AS pcell
+         |           FROM e JOIN dd ON dd.vec_id = e.vec_id AND dd.rn <= 2
+         |           WHERE e.vec_id < 20),
+         |p AS (SELECT q.q_id, c.c_id,
+         |             CAST(list_sum(list_transform(range(1, 65),
+         |               j -> (q.qq[j] - c.ce2[j]) * (q.qq[j] - c.ce2[j]))) AS BIGINT) AS d2
+         |      FROM probes q JOIN cand c
+         |        ON c.cell = q.pcell AND c.c_id <> q.q_id)
+         |SELECT q_id, c_id, rnk, d2 FROM
+         |  (SELECT q_id, c_id, d2,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rnk
+         |   FROM p) t
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+    }) { (s, d) =>
+      val e0 = maybeCache(microVecs(s, d))
+      val n = e0.count()
+      val perCell = math.max(1L,
+        n / (4L * math.ceil(math.sqrt(n.toDouble)).toLong))
+      // the √n-geometry seed layer stages once per (corpus, perCell) —
+      // the same build-once artifact discipline as the n/125 chains
+      val ranked = maybeCache(coarseRanked(e0,
+        maybeCache(scaledLloydCent(e0, perCell,
+          seedLay = Some(seedLayer(s, d, perCell))))))
+      def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
+      val cand = e0.join(ranked.filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid").as("cell")), Seq("vec_id"))
+        .select(col("vec_id").as("c_id"), col("qe").as("ce2"), col("cell"))
+      val probes = e0.filter(col("vec_id") < 20)
+        .join(ranked.filter(col("vec_id") < 20)
+          .select(col("vec_id"), col("cid").as("pcell")), Seq("vec_id"))
+        .select(col("vec_id").as("q_id"), col("qe").as("qq"), col("pcell"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+      cand.join(broadcast(probes),
+          col("cell") === col("pcell") && col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"), sqd(col("qq"), col("ce2")).as("d2"))
+        .withColumn("rnk", row_number().over(wTop).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("c_id"), col("rnk"), col("d2"))
         .orderBy(col("q_id"), col("rnk"))
     },
 

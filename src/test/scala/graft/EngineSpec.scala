@@ -690,6 +690,18 @@ class EngineSpec extends SparkSpec {
     e.query("MERGE INTO m3 USING (SELECT 11L AS sk, 'bt' AS sn) AS s ON m3.k = s.sk " +
       "WHEN NOT MATCHED BY TARGET THEN INSERT (k, name) VALUES (s.sk, s.sn)")
     assert(e.get("m3").filter(col("k") === 11L).count() == 1)
+    // 3c. …but ONLY after NOT MATCHED: SQL:2023 has no BY modifier on
+    // plain WHEN MATCHED, so 'WHEN MATCHED BY TARGET' is rejected
+    // naming the construct instead of silently running as WHEN
+    // MATCHED (r16 advice)
+    val exMbt = intercept[IllegalArgumentException] {
+      e.query("MERGE INTO m3 USING (SELECT 1L AS sk, 'x' AS sn) AS s ON m3.k = s.sk " +
+        "WHEN MATCHED BY TARGET THEN UPDATE SET name = s.sn")
+    }
+    assert(exMbt.getMessage.contains("BY TARGET") &&
+      exMbt.getMessage.contains("NOT MATCHED"), exMbt.getMessage)
+    assert(e.get("m3").filter(col("k") === 1L).collect()(0).getString(1) == "a",
+      "the invalid clause must not have updated the matched row")
     // 4. multiple NOT MATCHED clauses with conditions: first-match-
     // wins — sn='hi' takes the first insert form, others the fallback
     e.query("MERGE INTO m3 USING (SELECT * FROM VALUES (20L, 'hi'), (21L, 'lo') " +

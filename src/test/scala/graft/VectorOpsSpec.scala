@@ -8,6 +8,18 @@ class VectorOpsSpec extends SparkSpec {
   private def run(key: String) =
     SparkEntry.queries(key)(spark, sfDir)
 
+  /** cell=N leaf directories of an inverted-list dir — r17 layout
+    * nests them under shard=K (listing-bounded serve); a flat cell=
+    * child would be a layout regression, so the helper counts ONLY
+    * the sharded leaves and the callers' equality assertions catch a
+    * writer that forgot the shard level.
+    */
+  private def cellDirs(lists: String): Seq[java.io.File] =
+    Option(new java.io.File(lists).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      .flatMap(sh => Option(sh.listFiles()).toSeq.flatten)
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+
   test("sim_topk: k results per query, cosine within [-1, 1], ranks dense") {
     val out = run("sim_topk").cache()
     val perQ = out.groupBy("q_id").agg(count(lit(1)).as("n"),
@@ -544,8 +556,7 @@ class VectorOpsSpec extends SparkSpec {
       s"quantizer should train $expectedCells centroids")
     val usedCells = graft.ops.Vectors.coarseRanked(e0, cent, nprobe = 1)
       .filter(col("rn") === 1).select("cid").distinct().count()
-    val totalCells = new java.io.File(s"$idx/lists").listFiles()
-      .count(_.getName.startsWith("cell="))
+    val totalCells = cellDirs(s"$idx/lists").size
     assert(totalCells == usedCells,
       s"index holds $totalCells cell directories, assignment uses $usedCells")
   }
@@ -582,27 +593,98 @@ class VectorOpsSpec extends SparkSpec {
     cent.unpersist()
   }
 
-  test("MinPair2: lexicographic top-2 with exact ties, merge associativity, single-element groups") {
+  test("MinPairW: lexicographic top-w with exact ties, merge associativity, short groups") {
     import spark.implicits._
     // ties on d2 resolve to the LOWER id — the min(struct) rule the
     // oracle's row_number ORDER BY d2, sid mirrors
     val df = Seq((1L, 5.0, 30L), (1L, 5.0, 10L), (1L, 5.0, 20L), (1L, 7.0, 1L),
       (2L, 3.0, 9L)).toDF("g", "d2", "id")
     val out = df.groupBy("g")
-      .agg(graft.functions.MinPair2.top2(col("d2"), col("id")).as("ids"))
+      .agg(graft.functions.MinPairW.topW(2)(col("d2"), col("id")).as("ids"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(out(1L) == Seq(10L, 20L), s"tie-break wrong: ${out(1L)}")
     assert(out(2L) == Seq(9L), s"single-element group wrong: ${out(2L)}")
-    // repartition-invariance = merge correctness (map-side combine
-    // merges partial buffers in arbitrary order)
+    // w wider than the group returns the whole group best-first; w
+    // narrower truncates at exactly w (the routing-width contract)
+    val w4 = df.groupBy("g")
+      .agg(graft.functions.MinPairW.topW(4)(col("d2"), col("id")).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(w4(1L) == Seq(10L, 20L, 30L, 1L), s"w=4 order wrong: ${w4(1L)}")
+    assert(w4(2L) == Seq(9L), s"w=4 short group wrong: ${w4(2L)}")
+    // every w agrees with the window form (row_number ORDER BY d2, id
+    // <= w) — the oracle-mirror contract — and repartition-invariance
+    // proves merge correctness (map-side combine merges partial
+    // buffers in arbitrary order)
     val big = spark.range(0, 1000).selectExpr("id % 7 AS g",
       "CAST(xxhash64(id) % 1000 AS DOUBLE) AS d2", "id")
-    val a = big.repartition(1).groupBy("g")
-      .agg(graft.functions.MinPair2.top2(col("d2"), col("id")).as("ids"))
-    val b = big.repartition(32).groupBy("g")
-      .agg(graft.functions.MinPair2.top2(col("d2"), col("id")).as("ids"))
-    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
-      "MinPair2 result depends on partitioning — merge is broken")
+    for (w <- Seq(2, 4, 8)) {
+      val wind = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("d2"), col("id"))
+      val expect = big.withColumn("rn", row_number().over(wind))
+        .filter(col("rn") <= w).groupBy("g")
+        .agg(sort_array(collect_list(struct(col("rn"), col("id")))).as("s"))
+        .selectExpr("g", "transform(s, x -> x.id) AS ids")
+      val a = big.repartition(1).groupBy("g")
+        .agg(graft.functions.MinPairW.topW(w)(col("d2"), col("id")).as("ids"))
+      val b = big.repartition(32).groupBy("g")
+        .agg(graft.functions.MinPairW.topW(w)(col("d2"), col("id")).as("ids"))
+      assert(a.exceptAll(expect).count() == 0 && expect.exceptAll(a).count() == 0,
+        s"MinPairW($w) disagrees with the window form")
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"MinPairW($w) result depends on partitioning — merge is broken")
+    }
+  }
+
+  test("top-w routing provisions nprobe: >= min(nprobe, cells) candidate cells, even on skinny supers") {
+    import spark.implicits._
+    // ADVERSARIAL geometry — the failure mode the r16 review caught
+    // for nprobe = 2, one level up (VERDICT r16 finding 1): build a
+    // centroid frame whose stride-picked super-seeds include TWO
+    // adjacent OUTLIERS whose supers keep only themselves as
+    // children. Fixture-average supers carry ~sqrt(cells) children,
+    // so nprobe = 4-8 used to work by accident; here a query at the
+    // outliers sees its two nearest supers hold ONE cell each — top-2
+    // routing covers exactly 2 cells and an nprobe = 4 serve silently
+    // under-probes, while w = nprobe routing provably covers the plan.
+    // 16 centroids, stride 4 -> super-seeds at cid 0,4,8,12. cids 8
+    // and 12 sit far away together; everything else clusters near the
+    // origin-side seeds, so supers 8 and 12 are both 1-child.
+    def vec(base: Long): Seq[Long] = Seq.tabulate(64)(i => base + i)
+    val cent = (0L until 16L).map {
+      case 8L  => (8L, vec(99000L))
+      case 12L => (12L, vec(100000L))
+      case c   => (c, vec(c * 10L))
+    }.toDF("cid", "ce")
+    val (scent, chl) = graft.ops.Vectors.superLayer(cent)
+    val kidCounts = chl.groupBy("sid").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kidCounts(8L) == 1L && kidCounts(12L) == 1L,
+      s"fixture lost its point: supers 8 and 12 should be 1-child, got $kidCounts")
+    val q = Seq((0L, vec(100000L)), (1L, vec(5L))).toDF("vec_id", "qe")
+    for (nprobe <- Seq(2, 4, 8)) {
+      val ranked = graft.ops.Vectors.coarseRanked(q, cent, nprobe,
+        layer = Some((scent, chl)))
+      val perItem = ranked.groupBy("vec_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = math.min(nprobe.toLong, 16L)
+      assert(perItem.values.forall(_ == want),
+        s"nprobe=$nprobe: probe plans $perItem do not cover $want cells")
+      // probed cells are distinct (child sets partition the centroids)
+      assert(ranked.select("vec_id", "cid").distinct().count() ==
+        ranked.count(), s"nprobe=$nprobe: duplicate probe cells")
+    }
+    // and on the real fixture geometry the same theorem holds
+    val e0 = graft.ops.Vectors.microVecs(spark, sfDir).filter(col("vec_id") < 50)
+    val fixCent = graft.ops.Vectors.scaledLloydCent(
+      graft.ops.Vectors.microVecs(spark, sfDir))
+    val cells = fixCent.count()
+    for (nprobe <- Seq(4, 8)) {
+      val covered = graft.ops.Vectors.coarseRanked(e0, fixCent, nprobe)
+        .groupBy("vec_id").count()
+        .filter(col("count") < math.min(nprobe.toLong, cells)).count()
+      assert(covered == 0,
+        s"nprobe=$nprobe: a fixture item's probe plan fell short of $nprobe cells")
+    }
   }
 
   test("IVF×PQ geometry scales with the corpus: 4× the vectors → 16 cells on disk, serve still exact") {
@@ -626,8 +708,7 @@ class VectorOpsSpec extends SparkSpec {
     val n = spark.read.parquet(s"$tmp/embeddings.parquet").count()
     assert(n == 2000)
     val idx = graft.ops.Vectors.stagedIvfPqResIndex(spark, tmp)
-    val dirs = new java.io.File(s"$idx/lists").listFiles()
-      .count(_.getName.startsWith("cell="))
+    val dirs = cellDirs(s"$idx/lists").size
     val used = graft.ops.Vectors.coarseRanked(
         graft.ops.Vectors.microVecs(spark, tmp),
         spark.read.parquet(s"$idx/centroids"), nprobe = 1)
@@ -751,8 +832,7 @@ class VectorOpsSpec extends SparkSpec {
     val usedCells = graft.ops.Vectors.coarseRanked(e0,
         spark.read.parquet(s"$idx/centroids"), nprobe = 1)
       .filter(col("rn") === 1).select("cid").distinct().count()
-    val totalCells = new java.io.File(s"$idx/lists").listFiles()
-      .count(_.getName.startsWith("cell="))
+    val totalCells = cellDirs(s"$idx/lists").size
     assert(totalCells == usedCells,
       s"residual index holds $totalCells cell directories, assignment uses $usedCells")
   }
@@ -805,9 +885,8 @@ class VectorOpsSpec extends SparkSpec {
       .select(col("c_id"), col("cell").cast("int").as("cell"), col("m"), col("code"))
     assert(cl.exceptAll(tl).count() == 0 && tl.exceptAll(cl).count() == 0,
       "compaction changed the list rows")
-    val cellDirs = new java.io.File(s"$comp/lists").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
-    assert(cellDirs.nonEmpty && cellDirs.forall(
+    val compCells = cellDirs(s"$comp/lists")
+    assert(compCells.nonEmpty && compCells.forall(
       _.listFiles().count(_.getName.endsWith(".parquet")) == 1),
       "compacted index should hold exactly one file per cell")
     val servedCompact = graft.ops.Vectors.resIndexServe(spark, sfDir,
