@@ -402,7 +402,7 @@ object ScaleProbe {
     // modes: all (default) | events | dedup | indexed | ann | state |
     // state-rocks | cc | ccdelta | ccchain | batchlog | bpe | decontam |
     // span | pq | pqres | beam | ivfidx | ivfstream | ivffilter | geom |
-    // twolevel | rcte | knn | phash | media | buckets |
+    // sqrtn | twolevel | rcte | knn | phash | media | buckets |
     // triangles | pagerank — first non-numeric arg selects; numeric
     // args keep their meaning
     val modes = args.filter(a => !a.forall(_.isDigit) && a.nonEmpty).toSet
@@ -870,7 +870,17 @@ object ScaleProbe {
           expr("transform(embedding, x -> floor(cast(x AS DOUBLE) * 1000000d + 0.5d))").as("qe"))
         .cache()
       val n = e0.count()
-      for (m <- Seq(10, 1000, 10000); nprobe <- Seq(1, 2, 4, 8)) {
+      // sweep past 8 where the serving rule nprobe ≳ k/(s·|cell|)
+      // says the full-k plateau lives at THIS geometry (n/125 cells,
+      // |cell| = 125): 1/1000 → 3/0.125 = 24 (64 = 2.7× margin);
+      // 1/10000 → 240 of the 1,024 cells — the rule's own statement
+      // that pre-filtered IVF degrades toward a flat scan at sharp
+      // filters (the ACORN adaptive flip exists for exactly that).
+      // Wide dials only widen the QUERY routing (w = nprobe on 20
+      // rows); corpus assignment stays w = 2 (filteredTop3 r17).
+      val probesFor = Map(10 -> Seq(1, 2, 4, 8),
+        1000 -> Seq(1, 2, 4, 8, 24, 64), 10000 -> Seq(1, 2, 4, 8, 240))
+      for (m <- Seq(10, 1000, 10000); nprobe <- probesFor(m)) {
         val lab = e0.select(col("vec_id"),
           pmod(col("vec_id"), lit(m)).cast("int").as("label"), col("qe"))
         val out = graft.ops.Vectors.filteredTop3(lab, nprobe, labelMod = m)
@@ -949,6 +959,69 @@ object ScaleProbe {
         spark.catalog.clearCache(); e0.cache(); e0.count()
       }
       e0.unpersist()
+    }
+
+    if (on("sqrtn")) {
+      // The ORACLED √n production geometry (`sim_ivf_sqrtn`, r17):
+      // perCell = max(1, n ÷ 4⌈√n⌉) — pure integer arithmetic both
+      // engines mirror exactly. The geom leg priced the 4√n dial
+      // through the probe-side approximation perCell = ⌊√n/4⌋; this
+      // leg re-runs the SAME two-level serve (scaledLloydCent +
+      // coarseRanked, nprobe = 2, exact-d2 top-3, 100-query recall)
+      // through the ORACLED formula at 1× (the corpus the key
+      // hash-verifies on) and at the geom table's 64× octave, so the
+      // probe table's artifact/scan/recall numbers demonstrably
+      // reproduce through the oracled chain rather than through a
+      // probe-only variant of it.
+      val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      for (factor <- Seq(1, 64).filter(_ <= math.max(1, maxFactor))) {
+        val dir = s"$tmpRoot/sqrtn_$factor"
+        scaledEmb(embBase, factor).repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        val e0 = graft.ops.Vectors.microVecs(spark, dir).cache()
+        val n = e0.count()
+        val q = e0.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("q_id"), col("qe").as("qq"))
+        val wTop = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+        def sqd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0d), (acc, v) => acc + v).cast("bigint")
+        val gt = e0.select(col("vec_id").as("c_id"), col("qe").as("ce"))
+          .join(broadcast(q), col("c_id") =!= col("q_id"))
+          .select(col("q_id"), col("c_id"), sqd(col("qq"), col("ce")).as("d2"))
+          .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+          .select("q_id", "c_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        // the key's integer formula, verbatim (Vectors.scala sim_ivf_sqrtn)
+        val perCell = math.max(1L,
+          n / (4L * math.ceil(math.sqrt(n.toDouble)).toLong))
+        val t0 = System.nanoTime()
+        val cent = graft.ops.Vectors.scaledLloydCent(e0, perCell).cache()
+        val cells = cent.count()
+        val ranked = graft.ops.Vectors.coarseRanked(e0, cent, 2).cache()
+        ranked.count()
+        val asg = ranked.filter(col("rn") === 1)
+          .select(col("vec_id").as("c_id"), col("cid").as("cell"))
+        val probes = ranked.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
+        val cand = asg.join(broadcast(probes),
+          col("cell") === col("pcell") && col("c_id") =!= col("q_id"))
+        val nCand = cand.count()
+        val top3 = cand
+          .join(e0.select(col("vec_id").as("c_id"), col("qe").as("ce")), Seq("c_id"))
+          .join(broadcast(q), Seq("q_id"))
+          .select(col("q_id"), col("c_id"), sqd(col("qq"), col("ce")).as("d2"))
+          .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+          .select("q_id", "c_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val secs = (System.nanoTime() - t0) / 1e9
+        val rec = top3.count(gt.contains) / gt.size.toDouble
+        val sups = math.max(1L, math.ceil(math.sqrt(cells.toDouble)).toLong)
+        println(f"""{"shape":"sqrtn","rows":$n,"per_cell":$perCell,"cells":$cells,"sups":$sups,"artifact_rows":$cells,"cand_total":$nCand,"cand_per_q":${nCand / 100},"recall":$rec%.3f,"secs":$secs%.1f}""")
+        ranked.unpersist(); cent.unpersist(); e0.unpersist()
+        spark.catalog.clearCache()
+      }
     }
 
     if (on("twolevel")) {

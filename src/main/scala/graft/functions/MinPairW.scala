@@ -11,8 +11,10 @@ import org.apache.spark.sql.expressions.Aggregator
   * ROUTING WIDTH dial: a serve that probes nprobe cells must route to
   * at least nprobe supers, because a super structurally guarantees
   * only ≥ 1 child — top-2 routing provably covers an nprobe = 2 serve
-  * but UNDER-provisions nprobe = 4–8 (the filtered-ANN serving rule's
-  * range) on any corpus where a routed super has few children. The
+  * but UNDER-provisions wider dials (the filtered-ANN serving rule
+  * needs nprobe ≈ 2–3 × k/(s·|cell|) — 24–64 at sharp filters on the
+  * n/125 geometry, SCALE.md) on any corpus where a routed super has
+  * few children. The
   * alternatives are worse at scale: a window over the items×sups
   * expand shuffles n·√cells rows (the groupBy collapses them
   * map-side), and w chained min(struct) passes scan the expand w

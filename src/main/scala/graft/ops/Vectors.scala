@@ -1220,7 +1220,8 @@ object Vectors {
     * must route with w ≥ nprobe or its probe count silently degrades
     * to the routed supers' child count on skinny supers (the r16
     * review caught exactly this at nprobe = 2; r17 generalizes the
-    * fix to the filtered-ANN serving rule's nprobe = 4–8 range).
+    * fix to the filtered-ANN serving rule's full range — measured
+    * 24–64 at 1/1000 selectivity on the n/125 geometry, SCALE.md).
     * Wider routing also shrinks the boundary-approximation loss the
     * `twolevel` probe prices on isotropic corpora — at w·√cells work
     * per item, still O(√cells) for the small fixed w a serve dials.
@@ -1374,8 +1375,9 @@ object Vectors {
     * rn). Width = max(2, nprobe) makes the probe plan structurally
     * sound at EVERY dial: a super guarantees only ≥ 1 child, so
     * top-2 routing covers nprobe ≤ 2 but would silently
-    * under-provision the filtered-ANN serving rule's nprobe = 4–8
-    * (nprobe ∝ k/(s·|cell|)) whenever a routed super runs skinny —
+    * under-provision the filtered-ANN serving rule's wide dials
+    * (nprobe ≈ 2–3 × k/(s·|cell|) — 24–64 at sharp filters on the
+    * n/125 geometry) whenever a routed super runs skinny —
     * with w = nprobe, ≥ min(nprobe, cells) candidate cells is a
     * theorem, not a fixture accident. The ONE arithmetic all four
     * IVF×PQ chains (flat, residual, index build, index serve) derive
@@ -2166,15 +2168,32 @@ object Vectors {
     def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
     // oracled keys pass the staged trained quantizer + routing layer;
     // probe callers over synthetic corpora (no staged artifact) train
-    // and derive on the fly
-    val ranked = maybeCache(coarseRanked(e0,
-      cent.getOrElse(scaledLloydCent(e0)), nprobe, layer))
-    val cand = e0.join(ranked.filter(col("rn") === 1)
+    // and derive on the fly — ONCE, shared by both routing calls below
+    val centF = cent.getOrElse(scaledLloydCent(e0))
+    val lay = layer.getOrElse(superLayer(centF))
+    // CORPUS assignment routes at the fixed w = 2 (only rn = 1 is
+    // consumed — an item's cell); the nprobe-WIDE routing runs on the
+    // QUERY frame alone. Routing the whole corpus at w = nprobe would
+    // multiply the O(√cells)-per-item assignment cost by nprobe/2 for
+    // zero benefit — at the serving rule's nprobe = 8–24 dials that
+    // is the difference between an O(n√cells) and an O(n·nprobe·
+    // √cells/2) build. Per-item rankings are independent, so the
+    // query frame's rn ≤ nprobe here is bit-identical to filtering
+    // the same items out of a whole-corpus wide routing (the w = 2
+    // oracled keys are doubly unaffected: both calls route w = 2).
+    val asgR = maybeCache(coarseRanked(e0, centF,
+      nprobe = math.min(nprobe, 2), layer = Some(lay)))
+    val probeR =
+      if (nprobe <= 2) asgR
+      else maybeCache(coarseRanked(e0.filter(col("vec_id") < qBound),
+        centF, nprobe, layer = Some(lay)))
+    val cand = e0.join(asgR.filter(col("rn") === 1)
         .select(col("vec_id"), col("cid").as("cell")), Seq("vec_id"))
       .select(col("vec_id").as("c_id"), col("label").as("c_label"),
         col("qe").as("ce2"), col("cell"))
     val probes = e0.filter(col("vec_id") < qBound)
-      .join(ranked.filter(col("vec_id") < qBound)
+      .join(probeR.filter(col("vec_id") < qBound)
+        .filter(col("rn") <= nprobe)
         .select(col("vec_id"), col("cid").as("pcell")), Seq("vec_id"))
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("qe").as("qq"), col("pcell"))
@@ -2827,9 +2846,12 @@ object Vectors {
     // from the correctly-rounded IEEE sqrt), the SAME scaledLloydCent
     // two-level chain through the SAME parameterized CTE twin
     // (scaledLloydCentCtesAt — one formula, no fork), nprobe = 2
-    // serve, exact integer top-3. At sf0.1 that is ~980 cells /
-    // ~32 supers — the router working at a super layer 4× the n/125
-    // keys', hash-verified instead of recall-probed.
+    // serve, exact integer top-3. At sf0.1 (2,000 vectors) that is
+    // 182 cells / 14 supers — the router working at a super layer
+    // 3.5× the n/125 keys' (16 cells / 4 supers), hash-verified
+    // instead of recall-probed; ScaleProbe's `sqrtn` leg shows the
+    // SAME integer formula reproducing the geom table's 4√n row at
+    // the 64× octave (1,439 cells, 178 cand/query, 0.043 recall).
     sql("sim_ivf_sqrtn", {
       s"""WITH e AS (SELECT vec_id,
          |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
