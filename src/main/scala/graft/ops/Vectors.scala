@@ -2079,16 +2079,35 @@ object Vectors {
     * vec_id-derived), `labelMod` the wanted-label modulus.
     */
   private def filteredIvfCtes(labelExpr: String, labelMod: Int): String =
+    filteredIvfCtesW(labelExpr, labelMod, 2)
+
+  /** [[filteredIvfCtes]] at an arbitrary probe width — the DuckDB
+    * twin of [[filteredTop3]]'s r17 SPLIT routing: the corpus
+    * ASSIGNMENT ranks through the w = 2 `dd` chain (only rn = 1 is
+    * consumed), while nprobe > 2 adds a SECOND rank CTE (`dq`) over
+    * the query frame alone at w = nprobe — mirroring, op for op, the
+    * Spark side's refusal to multiply every corpus row's O(√cells)
+    * routing by nprobe/2 when only 20 query rows need the width.
+    */
+  private def filteredIvfCtesW(labelExpr: String, labelMod: Int,
+      nprobe: Int): String = {
+    val wideQ =
+      if (nprobe <= 2) ""
+      else s"""qf AS (SELECT vec_id, qe FROM e WHERE vec_id < 20),
+              |${twoLevelRankCtes("cl", "qf", "vec_id", "qe", "dq", nprobe)},
+              |""".stripMargin
+    val (probeRel, probeRn) =
+      if (nprobe <= 2) ("dd", nprobe) else ("dq", nprobe)
     s"""e AS (SELECT vec_id, $labelExpr AS label,
        |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
        |           FROM embeddings),
        |$scaledLloydCentCtes,
        |${superLayerCtes("cl", "cent")},
        |${twoLevelRankCtes("cl", "e", "vec_id", "qe", "dd")},
-       |cand AS (SELECT e.vec_id AS c_id, e.label AS c_label, e.qe AS ce2, dd.cid AS cell
+       |${wideQ}cand AS (SELECT e.vec_id AS c_id, e.label AS c_label, e.qe AS ce2, dd.cid AS cell
        |         FROM e JOIN dd ON dd.vec_id = e.vec_id AND dd.rn = 1),
-       |probes AS (SELECT e.vec_id AS q_id, e.label AS q_label, e.qe AS qq, dd.cid AS pcell
-       |           FROM e JOIN dd ON dd.vec_id = e.vec_id AND dd.rn <= 2
+       |probes AS (SELECT e.vec_id AS q_id, e.label AS q_label, e.qe AS qq, $probeRel.cid AS pcell
+       |           FROM e JOIN $probeRel ON $probeRel.vec_id = e.vec_id AND $probeRel.rn <= $probeRn
        |           WHERE e.vec_id < 20),
        |p AS (SELECT q.q_id, c.c_id, c.c_label,
        |             CAST(list_sum(list_transform(range(1, 65),
@@ -2096,6 +2115,7 @@ object Vectors {
        |      FROM probes q JOIN cand c
        |        ON c.cell = q.pcell AND c.c_label = (q.q_label + 1) % $labelMod
        |           AND c.c_id <> q.q_id)""".stripMargin
+  }
 
   /** Pre-filtered EXACT search — the sparse side of the ACORN switch:
     * the corpus scan keeps only the query batch's wanted labels (a
@@ -3471,6 +3491,31 @@ object Vectors {
     }) { (s, d) =>
       filteredTop3(microVecsL(s, d), cent = Some(quantCent(s, d)),
         layer = Some(quantLayer(s, d)))
+    },
+
+    // ---- filtered ANN at the WIDE dial, hash-verified -------------------
+    // Every other oracled key serves the canonical nprobe = 2, so the
+    // top-w routing's w > 2 path (MinPairW(8) + the w = 8 oracle CTE
+    // + the r17 query-frame-only width split) was spec- and
+    // probe-covered but never ORACLED. This key serves the SAME
+    // filtered search at nprobe = 8 — the serving-rule regime where
+    // wide widths actually get dialed — and hash-matches DuckDB
+    // running the identical split: assignment through the w = 2
+    // chain (rn = 1), queries through a SECOND w = 8 rank CTE over
+    // the 20-row query frame. At the fixture's 16-cell geometry the
+    // 8-probe plan covers half the cells; the provisioning theorem
+    // (≥ min(nprobe, cells) probed cells) is what makes the plan
+    // structurally identical on any corpus, not just this fixture.
+    sql("sim_ivf_filtered_probe8", {
+      s"""WITH ${filteredIvfCtesW("label", 10, 8)}
+         |SELECT q_id, c_id, c_label, rnk, d2 FROM
+         |  (SELECT q_id, c_id, c_label, d2,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rnk
+         |   FROM p) t
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+    }) { (s, d) =>
+      filteredTop3(microVecsL(s, d), nprobe = 8,
+        cent = Some(quantCent(s, d)), layer = Some(quantLayer(s, d)))
     },
 
     // ---- selectivity-adaptive filtered ANN (the ACORN-style switch) ----
