@@ -1056,6 +1056,44 @@ class VectorOpsSpec extends SparkSpec {
       s"post-filter (${post.count()}) should under-return vs pre-filter (${out.count()})")
   }
 
+  test("sim_ivf_filtered_probe8: wide dial provisions 8 cells per query; filter and rank contracts hold") {
+    val out = run("sim_ivf_filtered_probe8").cache()
+    // the same filter/rank contracts as the nprobe = 2 key
+    val lab = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    assert(out.join(lab, Seq("q_id"))
+      .filter(col("c_label") =!= (col("q_label") + 1) % 10).count() == 0,
+      "a result violates the attribute filter")
+    assert(out.groupBy("q_id").agg(max(col("rnk")).as("m"))
+      .filter(col("m") > 3).count() == 0, "rank overflow")
+    // THEOREM (the r17 provisioning guarantee, restated through THIS
+    // key's exact dial): the query frame's probe plan covers
+    // min(8, cells) distinct cells per query — the split route's
+    // w = 8 query-side routing, not a fixture accident
+    val e0 = graft.ops.Vectors.microVecs(spark, sfDir)
+    val cent = spark.read.parquet(
+      s"${graft.ops.Vectors.stagedIvfQuant(spark, sfDir)}/centroids")
+    val cells = cent.count()
+    val want = math.min(8L, cells)
+    val short = graft.ops.Vectors.coarseRanked(
+        e0.filter(col("vec_id") < 20), cent, nprobe = 8)
+      .groupBy("vec_id").count().filter(col("count") < want).count()
+    assert(short == 0, s"a query's probe plan fell short of $want cells")
+    // FIXTURE-PINNED (not a theorem — the w = 8 ranking pools MORE
+    // supers' children, so its top-2 cells can in principle differ
+    // from the w = 2 route's): on this geometry the 8-cell probe set
+    // contains the 2-cell one, so widening never worsens any rank's
+    // exact distance — the serving rule's "probing more only helps"
+    // reading, checked pointwise
+    val p2 = run("sim_ivf_filtered")
+      .select(col("q_id"), col("rnk"), col("d2").as("d2_2"))
+    val worse = out.select(col("q_id"), col("rnk"), col("d2"))
+      .join(p2, Seq("q_id", "rnk"))
+      .filter(col("d2") > col("d2_2")).count()
+    assert(worse == 0, "widening the probe set worsened a rank's distance")
+    out.unpersist()
+  }
+
   test("knn_graph_scaled: corpus-sized cells, per-node top-3, per-cell size tracks the target") {
     val out = run("knn_graph_scaled").cache()
     // per-node edge structure identical to knn_graph's contract
