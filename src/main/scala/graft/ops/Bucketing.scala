@@ -32,16 +32,10 @@ object Bucketing {
   def stage(s: SparkSession, d: String): Unit = {
     def ensure(name: String)(write: => Unit): Unit =
       if (!s.catalog.tableExists(name)) {
+        // Hadoop-FS sweep (r18): the warehouse may live on a cluster
+        // store, where a java.io walk would miss the stale directory
         val wh = s.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-          .stripPrefix("file:")
-        val dir = new java.io.File(s"$wh/$name")
-        if (dir.exists()) {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles.foreach(rm)
-            f.delete(): Unit
-          }
-          rm(dir)
-        }
+        graft.ops.hfsDelete(s, s"$wh/$name")
         write
       }
     ensure(s"graft_orders_bkt_${tag(d)}") {

@@ -893,7 +893,7 @@ object Pipeline {
         s"${scratchRoot(s)}/stream_cc_${ProcessHandle.current().pid()}") +
         s"/${java.util.UUID.randomUUID.toString.replace("-", "")}"
       val (idx, inDir, chk) = (s"$root/idx", s"$root/in", s"$root/chk")
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      hfsMkdirs(s, inDir)
       ClusterStream.seedIndex(s, corpus.limit(0), idx)
       // one parallel job stages all three arrival windows: hash-
       // repartition on doc_id → one part file per window, each file

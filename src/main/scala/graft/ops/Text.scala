@@ -257,7 +257,7 @@ object Text {
     // (shingling, permutation count, band layout, extras schema) must
     // rebuild rather than serve a stale index (see stagedArtifact doc)
     graft.ops.stagedArtifact(s, s"${name}_$key",
-        s"${graft.ops.sourceStamp(src)}:$hsIndexFormat") { stage =>
+        s"${graft.ops.sourceStamp(s, src)}:$hsIndexFormat") { stage =>
       val c = corpus
       val oldHs = shingleHashes(c)
       oldHs.write.mode("overwrite").parquet(s"$stage/hs")

@@ -166,20 +166,10 @@ object Vectors {
     * as EventStream).
     */
   private def stageEmb(s: SparkSession, sfDir: String): String = {
-    import java.nio.file._
-    val src = Paths.get(s"$sfDir/embeddings.parquet")
-    val key = src.toString.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = Paths.get(s"${graft.ops.scratchRoot(s)}/stream_emb_$key")
-    val dst = dir.resolve("embeddings.parquet")
-    val stale = !Files.exists(dst) ||
-      Files.size(dst) != Files.size(src) ||
-      Files.getLastModifiedTime(dst) != Files.getLastModifiedTime(src)
-    if (stale) {
-      Files.createDirectories(dir)
-      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.COPY_ATTRIBUTES)
-    }
-    dir.toString
+    val src = s"$sfDir/embeddings.parquet"
+    val key = src.replaceAll("[^A-Za-z0-9.]", "_")
+    graft.ops.stageReplayCopy(s, src,
+      s"${graft.ops.scratchRoot(s)}/stream_emb_$key", "embeddings.parquet")
   }
 
   /** Stream the embeddings corpus into a bucket-partitioned parquet
@@ -430,7 +420,7 @@ object Vectors {
     val src = s"$d/embeddings.parquet"
     val key = src.replaceAll("[^A-Za-z0-9.]", "_")
     graft.ops.stagedArtifact(s, s"ivfquant_$key",
-        s"${graft.ops.sourceStamp(src)}:$ivfIndexFormat") { stage =>
+        s"${graft.ops.sourceStamp(s, src)}:$ivfIndexFormat") { stage =>
       val e0 = microVecs(s, d)
       // the Lloyd E-step routes through the SHARED staged seed layer
       // (r17) — the same artifact the knn-graph build reads, so the
@@ -500,7 +490,7 @@ object Vectors {
     val src = s"$d/embeddings.parquet"
     val key = src.replaceAll("[^A-Za-z0-9.]", "_")
     graft.ops.stagedArtifact(s, s"seedlayer_${perCell}_$key",
-        s"${graft.ops.sourceStamp(src)}:$ivfIndexFormat") { stage =>
+        s"${graft.ops.sourceStamp(s, src)}:$ivfIndexFormat") { stage =>
       val seeds = strideSeedRows(microVecs(s, d), perCell, "stagedSeedLayer")
         .select(col("vec_id").as("cid"), col("qe").as("ce"))
       val (scent, chl) = superLayer(seeds)
@@ -772,7 +762,7 @@ object Vectors {
     val src = s"$d/embeddings.parquet"
     val key = src.replaceAll("[^A-Za-z0-9.]", "_")
     graft.ops.stagedArtifact(s, s"knngraph_${degree}_${perCell}_$key",
-        s"${graft.ops.sourceStamp(src)}:$ivfIndexFormat") { stage =>
+        s"${graft.ops.sourceStamp(s, src)}:$ivfIndexFormat") { stage =>
       val e = emb(s, d)
       val cent = scaledKnnCentroids(e, perCell)
       // the genuine HNSW upper layer (replacing r15's all-cells entry
@@ -1614,23 +1604,24 @@ object Vectors {
     *   NameNode-pressure fix for the √n geometry's ~506k cell dirs.
     * Both keep the literal `cell IN (…)` predicate on the partition
     * column (the spec-asserted PartitionFilters prune), so files-read
-    * still equals the probed cell count. Local-fs existence probes
-    * mirror the repo's artifact machinery (compactStreamedLists reads
-    * `_spark_metadata` the same way); on a cluster store these are
-    * nprobe-many driver-side stat calls.
+    * still equals the probed cell count. Existence probes go through
+    * Hadoop FileSystem (r18 — `java.io.File` answers false for any
+    * `hdfs://`/`s3a://` path, which would silently revert the shard
+    * layer's listing bound to O(cells) exactly on cluster stores);
+    * on any store these are ≤ 1 + nprobe driver-side stat calls.
     */
   private[graft] def readLists(s: SparkSession, listsPath: String,
       cells: Array[Long]): DataFrame = {
     val sel = (df: DataFrame) => df
       .filter(col("cell").isin(cells.map(java.lang.Long.valueOf): _*))
       .select(col("c_id"), col("m"), col("code"), col("cell"))
-    if (new java.io.File(s"$listsPath/_spark_metadata").exists())
+    if (graft.ops.hfsExists(s, s"$listsPath/_spark_metadata"))
       sel(s.read.schema(streamListsSchema).parquet(listsPath))
     else {
       val shardDirs = cells.map(c => (((c % listShardMod) + listShardMod) % listShardMod).toInt)
         .distinct.sorted
         .map(k => s"$listsPath/shard=$k")
-        .filter(p => new java.io.File(p).isDirectory)
+        .filter(p => graft.ops.hfsIsDir(s, p))
       val r = s.read.option("basePath", listsPath).schema(shardedListsSchema)
       // no shard dir present (empty compacted artifact, or every
       // probed cell empty): the root read with the explicit schema
@@ -1644,7 +1635,7 @@ object Vectors {
     val src = s"$d/embeddings.parquet"
     val key = src.replaceAll("[^A-Za-z0-9.]", "_")
     graft.ops.stagedArtifact(s, s"ivfpq_index_$key",
-        s"${graft.ops.sourceStamp(src)}:$ivfIndexFormat") { stage =>
+        s"${graft.ops.sourceStamp(s, src)}:$ivfIndexFormat") { stage =>
       val (e0, enc, _) = pqParts(s, d)
       val cent = quantCent(s, d)
       // cell stays BIGINT (seed vec_ids exceed Int range at target
@@ -1735,7 +1726,7 @@ object Vectors {
     val src = s"$d/embeddings.parquet"
     val key = src.replaceAll("[^A-Za-z0-9.]", "_")
     graft.ops.stagedArtifact(s, s"ivfpqres_index_$key",
-        s"${graft.ops.sourceStamp(src)}:$ivfIndexFormat") { stage =>
+        s"${graft.ops.sourceStamp(s, src)}:$ivfIndexFormat") { stage =>
       val e0 = microVecs(s, d)
       val cent = quantCent(s, d)
       val asg = coarseRanked(e0, cent, nprobe = 1,
@@ -2021,9 +2012,11 @@ object Vectors {
     */
   private[graft] def compactStreamedLists(s: SparkSession, streamIdx: String,
       tombstones: Option[DataFrame] = None): String = {
-    val meta = new java.io.File(s"$streamIdx/_spark_metadata")
-    val lastBatch = Option(meta.listFiles()).toSeq.flatten
-      .map(_.getName.takeWhile(_.isDigit)).filter(_.nonEmpty).map(_.toLong)
+    // Hadoop-FS batch-log listing (r18): the commit log lives next to
+    // the sink's data, i.e. on the CLUSTER store in production
+    val metaFiles = graft.ops.hfsList(s, s"$streamIdx/_spark_metadata")
+    val lastBatch = metaFiles
+      .map(_.getPath.getName.takeWhile(_.isDigit)).filter(_.nonEmpty).map(_.toLong)
       .reduceOption(_ max _).getOrElse(-1L)
     // physical deletion happens HERE: tombstoned rows are dropped from
     // the rewrite, reclaiming storage and serve-scan cost. The artifact
@@ -2047,16 +2040,16 @@ object Vectors {
     // has not committed, so a raw directory listing would say "data"
     // while the committed view is empty — exactly the crash this
     // guard exists to prevent
-    val hasData = lastBatch >= 0 &&
-      Option(meta.listFiles()).toSeq.flatten
-        .filter(f => f.isFile && f.getName.takeWhile(_.isDigit).nonEmpty)
-        .exists(f => java.nio.file.Files.readAllLines(f.toPath)
-          .stream().anyMatch(_.contains("\"path\"")))
+    val hasData = lastBatch >= 0 && {
+      val (mfs, _) = graft.ops.hfs(s, s"$streamIdx/_spark_metadata")
+      metaFiles
+        .filter(f => f.isFile && f.getPath.getName.takeWhile(_.isDigit).nonEmpty)
+        .exists(f => graft.ops.hfsReadText(mfs, f.getPath).contains("\"path\""))
+    }
     graft.ops.stagedArtifact(s, s"ivfpq_compact_$key",
         s"batch:$lastBatch$tsStamp:$ivfIndexFormat") { stage =>
       if (!hasData) {
-        java.nio.file.Files.createDirectories(
-          java.nio.file.Paths.get(s"$stage/lists"))
+        graft.ops.hfsMkdirs(s, s"$stage/lists")
       } else {
         val base = s.read.parquet(streamIdx)
         val lists = tombstones.fold(base)(t =>

@@ -120,15 +120,125 @@ package object ops {
     * directories and stream sinks: `spark.graft.scratchDir` when set,
     * else `<spark.sql.warehouse.dir>/_graft_scratch`. Never a
     * hardcoded repo path, so the engine works from any working
-    * directory (VERDICT r10 #8). The `file:` scheme is stripped
-    * because several consumers also touch these paths through
-    * java.nio; a non-local warehouse therefore requires an explicit
-    * local `spark.graft.scratchDir` (staging is driver-local I/O).
+    * directory (VERDICT r10 #8). A bare local-warehouse `file:` scheme
+    * is stripped so the string stays usable by harness-side java.nio
+    * consumers; any OTHER scheme (`hdfs://`, `s3a://`) passes through
+    * untouched — the artifact machinery itself routes every probe,
+    * move, and delete through Hadoop [[hfs]] (r18), so a cluster
+    * deployment points `spark.graft.scratchDir` at the shared store
+    * the executors read the published lists from.
     */
   def scratchRoot(spark: SparkSession): String =
     spark.conf.getOption("spark.graft.scratchDir")
       .getOrElse(spark.conf.get("spark.sql.warehouse.dir") + "/_graft_scratch")
       .stripPrefix("file:")
+
+  // ---- Hadoop-FileSystem path machinery (VERDICT r17 #1) ----------------
+  //
+  // Every existence/type/listing probe and every artifact move the
+  // serve paths rely on goes through `org.apache.hadoop.fs.FileSystem`,
+  // NOT java.io.File: a java.io probe answers `false` for any
+  // `hdfs://`/`s3a://` path, so on a cluster store readLists' shard
+  // pruning would silently fall back to an O(cells) root listing (the
+  // exact NameNode regression the r17 shard layer exists to prevent)
+  // and stagedArtifact would rebuild every run. One helper call = one
+  // driver-side RPC, the same cost class as the stat it replaces; the
+  // FileSystem instance is cached per (scheme, authority) by Hadoop.
+
+  /** FileSystem + parsed Path for `p` under the session's Hadoop conf
+    * (which carries the cluster's credentials/defaultFS, unlike a
+    * bare `new Configuration()`).
+    */
+  private[graft] def hfs(spark: SparkSession, p: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp.getFileSystem(spark.sessionState.newHadoopConf()), hp)
+  }
+
+  private[graft] def hfsExists(spark: SparkSession, p: String): Boolean = {
+    val (fs, hp) = hfs(spark, p); fs.exists(hp)
+  }
+
+  private[graft] def hfsIsDir(spark: SparkSession, p: String): Boolean = {
+    val (fs, hp) = hfs(spark, p)
+    try fs.getFileStatus(hp).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+  }
+
+  private[graft] def hfsMkdirs(spark: SparkSession, p: String): Unit = {
+    val (fs, hp) = hfs(spark, p); fs.mkdirs(hp); ()
+  }
+
+  private[graft] def hfsDelete(spark: SparkSession, p: String): Unit = {
+    val (fs, hp) = hfs(spark, p); fs.delete(hp, true); ()
+  }
+
+  /** Child statuses of `p` (empty when `p` is absent) — the
+    * `_spark_metadata` batch-log listing compactStreamedLists reads.
+    */
+  private[graft] def hfsList(spark: SparkSession, p: String)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val (fs, hp) = hfs(spark, p)
+    if (fs.exists(hp)) fs.listStatus(hp).toIndexedSeq else Seq.empty
+  }
+
+  /** Full UTF-8 text of one SMALL control file (markers, commit
+    * logs) — never data.
+    */
+  private[graft] def hfsReadText(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Copy ONE file `src` → `dst` (overwriting), optionally stamping
+    * the copy with the source's mtime so size+mtime staleness checks
+    * (see [[stageReplayCopy]]) stay valid across copies — Hadoop's
+    * FileUtil.copy does not preserve times the way java.nio
+    * COPY_ATTRIBUTES did.
+    */
+  private[graft] def hfsCopyFile(spark: SparkSession, src: String, dst: String,
+      preserveMtime: Boolean = false): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val sp = new org.apache.hadoop.fs.Path(src)
+    val dp = new org.apache.hadoop.fs.Path(dst)
+    val sfs = sp.getFileSystem(conf)
+    val dfs = dp.getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp, false, true, conf)
+    if (preserveMtime)
+      dfs.setTimes(dp, sfs.getFileStatus(sp).getModificationTime, -1)
+    ()
+  }
+
+  /** Stage ONE source parquet file into replay directory `dir` as
+    * `name`, once per source version: re-copy only when the source's
+    * size or mtime drifts from the staged copy's (two sfDirs never
+    * share a replay dir — callers key `dir` on the full source path).
+    * The file-stream sources list a DIRECTORY; testdata tables are
+    * single files — this is the shared staging move of EventStream /
+    * the embeddings stream.
+    */
+  private[graft] def stageReplayCopy(spark: SparkSession, src: String,
+      dir: String, name: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val sp = new org.apache.hadoop.fs.Path(src)
+    val sfs = sp.getFileSystem(conf)
+    val dp = new org.apache.hadoop.fs.Path(s"$dir/$name")
+    val dfs = dp.getFileSystem(conf)
+    val sst = sfs.getFileStatus(sp)
+    val stale = !dfs.exists(dp) || {
+      val dst = dfs.getFileStatus(dp)
+      dst.getLen != sst.getLen ||
+        dst.getModificationTime != sst.getModificationTime
+    }
+    if (stale) {
+      dfs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+      org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp, false, true, conf)
+      dfs.setTimes(dp, sst.getModificationTime, -1)
+    }
+    dir
+  }
 
   /** Build-once staged publish for derived on-disk artifacts (MinHash
     * band indexes, IVF×PQ inverted lists): if `<scratch>/<name>`'s
@@ -147,35 +257,44 @@ package object ops {
     */
   def stagedArtifact(spark: SparkSession, name: String, stamp: String)(
       build: String => Unit): String = {
-    import java.nio.file._
-    val dir = Paths.get(s"${scratchRoot(spark)}/$name")
-    val marker = dir.resolve("_built")
-    val fresh = Files.exists(marker) &&
-      new String(Files.readAllBytes(marker), "UTF-8") == stamp
+    import org.apache.hadoop.fs.Path
+    val dirStr = s"${scratchRoot(spark)}/$name"
+    val (fs, dir) = hfs(spark, dirStr)
+    val marker = new Path(dir, "_built")
+    val fresh = fs.exists(marker) && hfsReadText(fs, marker) == stamp
     if (!fresh) {
-      val stage = Paths.get(s"$dir.build-${ProcessHandle.current().pid()}")
+      val stage = new Path(s"$dirStr.build-${ProcessHandle.current().pid()}")
       build(stage.toString)
-      Files.write(stage.resolve("_built"), stamp.getBytes("UTF-8"))
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      val out = fs.create(new Path(stage, "_built"), true)
+      try out.write(stamp.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(dir)) fs.delete(dir, true)
+      // FileSystem.rename is mv-like: with `dir` absent this IS the
+      // atomic publish. The two lost-race shapes both discard our
+      // copy and keep the winner's: rename returns false (dest exists
+      // as a file / src missing), or — when a concurrent winner
+      // re-created `dir` between our delete and rename — the rename
+      // lands `stage` UNDER the winner's dir; detect and remove the
+      // nested orphan. Either way: duplicate build, never a torn
+      // index.
+      if (!fs.rename(stage, dir)) fs.delete(stage, true)
+      else {
+        val nested = new Path(dir, stage.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
       }
-      try {
-        if (Files.exists(dir)) rm(dir.toFile)
-        Files.move(stage, dir, StandardCopyOption.ATOMIC_MOVE)
-      } catch {
-        case _: FileAlreadyExistsException | _: DirectoryNotEmptyException =>
-          rm(stage.toFile)
-      }
+      ()
     }
     dir.toString
   }
 
   /** size+mtime stamp of a source file — the freshness key for
     * [[stagedArtifact]] builds derived from one parquet source.
+    * Hadoop-stat'd (r18) so a `hdfs://`/`s3a://` source stamps
+    * instead of throwing NoSuchFileException from java.nio.
     */
-  def sourceStamp(path: String): String = {
-    val p = java.nio.file.Paths.get(path)
-    s"${java.nio.file.Files.size(p)}:${java.nio.file.Files.getLastModifiedTime(p)}"
+  def sourceStamp(spark: SparkSession, path: String): String = {
+    val (fs, hp) = hfs(spark, path)
+    val st = fs.getFileStatus(hp)
+    s"${st.getLen}:${st.getModificationTime}"
   }
 
   /** Register `path` for recursive deletion at JVM exit and return it
@@ -190,12 +309,17 @@ package object ops {
     // streaming index builds register their pid-scoped root on every
     // invocation) must not stack duplicate shutdown hooks
     if (purgeRegistered.add(path)) {
+      // capture the Hadoop conf NOW (credentials/defaultFS live in the
+      // active session's conf; at shutdown the session may be gone)
+      val conf = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
       sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(new java.io.File(path))
+        val hp = new org.apache.hadoop.fs.Path(path)
+        // a NEW FileSystem instance: the shared cache may already be
+        // closed by Spark's own shutdown hooks when this one runs
+        val fs = org.apache.hadoop.fs.FileSystem.newInstance(hp.toUri, conf)
+        try { fs.delete(hp, true); () } finally fs.close()
       }
     }
     path

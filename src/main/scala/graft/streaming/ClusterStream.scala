@@ -183,11 +183,11 @@ object ClusterStream {
     * maxFilesPerTrigger=1).
     */
   def stageFile(df: DataFrame, stageDir: String, dest: String): Unit = {
+    val s = df.sparkSession
     df.coalesce(1).write.mode("overwrite").parquet(stageDir)
-    val part = new java.io.File(stageDir).listFiles()
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-    java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(dest))
-    ()
+    val part = graft.ops.hfsList(s, stageDir).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet")).get
+    graft.ops.hfsCopyFile(s, part.toString, dest)
   }
 
   /** Stage `df` as `n` arrival windows in ONE parallel job: hash-
@@ -197,12 +197,12 @@ object ClusterStream {
     * a single task per window.
     */
   def stageWindows(df: DataFrame, n: Int, stageDir: String, inDir: String): Unit = {
+    val s = df.sparkSession
     df.repartition(n, col("doc_id")).write.mode("overwrite").parquet(stageDir)
-    new java.io.File(stageDir).listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
-        java.nio.file.Files.copy(f.toPath,
-          java.nio.file.Paths.get(s"$inDir/window$i.parquet"))
+    graft.ops.hfsList(s, stageDir).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .sortBy(_.getName).zipWithIndex.foreach { case (p, i) =>
+        graft.ops.hfsCopyFile(s, p.toString, s"$inDir/window$i.parquet")
       }
   }
 

@@ -395,25 +395,14 @@ object EventStream {
     * have anyway (a directory new files land in).
     */
   private def stageDir(spark: SparkSession, sfDir: String): String = {
-    import java.nio.file._
-    val src = Paths.get(s"$sfDir/events.parquet")
     // key on the full sanitized path (not a 32-bit hashCode — two
-    // sfDirs must never collide into one replay directory), and
-    // re-copy when the source was regenerated (size or mtime drift;
-    // COPY_ATTRIBUTES preserves the source mtime so the comparison
-    // stays valid across copies)
-    val key = src.toString.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = Paths.get(s"${graft.ops.scratchRoot(spark)}/stream_events_$key")
-    val dst = dir.resolve("events.parquet")
-    val stale = !Files.exists(dst) ||
-      Files.size(dst) != Files.size(src) ||
-      Files.getLastModifiedTime(dst) != Files.getLastModifiedTime(src)
-    if (stale) {
-      Files.createDirectories(dir)
-      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.COPY_ATTRIBUTES)
-    }
-    dir.toString
+    // sfDirs must never collide into one replay directory); the shared
+    // helper re-copies on size/mtime drift and stamps the copy with
+    // the source mtime so the comparison stays valid across copies
+    val src = s"$sfDir/events.parquet"
+    val key = src.replaceAll("[^A-Za-z0-9.]", "_")
+    graft.ops.stageReplayCopy(spark, src,
+      s"${graft.ops.scratchRoot(spark)}/stream_events_$key", "events.parquet")
   }
 
   /** Watermarked hourly tumbling-window aggregation (the streaming
