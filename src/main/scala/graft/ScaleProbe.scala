@@ -848,7 +848,17 @@ object ScaleProbe {
           .filter(f => f.isDirectory && f.getName.startsWith("cell="))
         val cFiles = compCellDirs
           .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
-        println(f"""{"shape":"ivfpq_stream","factor":$factor,"vectors":$n,"code_rows":$rows,"secs":$secs%.1f,"rows_per_sec":${(n / secs).toLong},"us_per_row":${secs * 1e6 / n}%.1f,"cells":${cellDirs.length},"files_per_cell_max":${filesPerCell.max},"serve_streamed_s":$sStream%.2f,"serve_compacted_s":$sComp%.2f,"compacted_files":$cFiles,"shards":${compShards.size},"dirs_per_shard_mean":${if (compShards.isEmpty) 0 else compCellDirs.size / compShards.size}}""")
+        // r18 guard telemetry (VERDICT r17 #3): the driver-side
+        // frozen-quantizer collect the geometry rule bounds — rows
+        // and the guard's own per-row heap estimate at this octave
+        // (4,096 cells at factor 256). streamIvfPqIngest now REFUSES
+        // geometries past 6M cells / 4 GiB; this records how far
+        // under the budget the measured octaves sit.
+        val qcells = spark.read.parquet(s"$quant/centroids").count()
+        val qsups = spark.read.parquet(s"$quant/supers").count()
+        val qchl = spark.read.parquet(s"$quant/children").count()
+        val collectedBytes = (qcells + qsups) * 600L + qchl * 48L + 256L * 120L
+        println(f"""{"shape":"ivfpq_stream","factor":$factor,"vectors":$n,"code_rows":$rows,"secs":$secs%.1f,"rows_per_sec":${(n / secs).toLong},"us_per_row":${secs * 1e6 / n}%.1f,"cells":${cellDirs.length},"files_per_cell_max":${filesPerCell.max},"serve_streamed_s":$sStream%.2f,"serve_compacted_s":$sComp%.2f,"compacted_files":$cFiles,"shards":${compShards.size},"dirs_per_shard_mean":${if (compShards.isEmpty) 0 else compCellDirs.size / compShards.size},"quant_collect_rows":${qcells + qsups + qchl + 256},"quant_collect_bytes_est":$collectedBytes}""")
         spark.catalog.clearCache()
       }
     }

@@ -67,7 +67,7 @@ object Vectors {
     * a stale index built by an earlier version. Bump on any change to
     * the encode logic or layout.
     */
-  private[graft] val ivfIndexFormat: String = "f7-sharded-lists"
+  private[graft] val ivfIndexFormat: String = "f8-staged-cent"
 
   /** Deterministic per-subspace codebook picks for product
     * quantization (sim_pq_adc): 4 codes per 8-dim subspace.
@@ -416,28 +416,58 @@ object Vectors {
     * stays where it belongs: in the CODES (recomputed vs stored
     * cell-partitioned lists), not the quantizers.
     */
+  /** Staged, stamped REFINED CENTROIDS + two-level routing tables at
+    * an arbitrary per-cell target — the quantizer-geometry artifact,
+    * keyed on (corpus stamp, perCell, format token). r18 (VERDICT r17
+    * #2): the √n production geometry (`sim_ivf_sqrtn`) previously
+    * retrained its Lloyd quantizer on EVERY call — the anchor's
+    * heaviest key, pure per-run training cost a deployment would
+    * stage — while the n/125 chain amortized through
+    * [[stagedIvfQuant]]. Both geometries now train through THIS
+    * artifact: one Lloyd pass per (corpus, perCell), every later call
+    * serve-only. Layout: `centroids/` = (cid, ce), `supers/` =
+    * (sid, sce), `children/` = (cid, sid) — [[dirLayer]]'s contract.
+    */
+  private[graft] def stagedIvfCent(s: SparkSession, d: String,
+      perCell: Long): String = {
+    val src = s"$d/embeddings.parquet"
+    val key = src.replaceAll("[^A-Za-z0-9.]", "_")
+    graft.ops.stagedArtifact(s, s"ivfcent_${perCell}_$key",
+        s"${graft.ops.sourceStamp(s, src)}:$ivfIndexFormat") { stage =>
+      // the Lloyd E-step routes through the SHARED staged seed layer
+      // (r17) — the same artifact the knn-graph build reads, so the
+      // geometries not only use one formula, they use one LAYER
+      val cent = maybeCache(scaledLloydCent(microVecs(s, d), perCell,
+        seedLay = Some(seedLayer(s, d, perCell))))
+      cent.coalesce(1).write.mode("overwrite").parquet(s"$stage/centroids")
+      // the TWO-LEVEL routing tables, derived ONCE per geometry and
+      // staged with the centroids (r16 review: every serve was
+      // re-deriving the layer per call)
+      val (scent, chl) = superLayer(cent)
+      scent.coalesce(1).write.mode("overwrite").parquet(s"$stage/supers")
+      chl.select(col("cid"), col("sid")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/children")
+    }
+  }
+
   private[graft] def stagedIvfQuant(s: SparkSession, d: String): String = {
     val src = s"$d/embeddings.parquet"
     val key = src.replaceAll("[^A-Za-z0-9.]", "_")
     graft.ops.stagedArtifact(s, s"ivfquant_$key",
         s"${graft.ops.sourceStamp(s, src)}:$ivfIndexFormat") { stage =>
       val e0 = microVecs(s, d)
-      // the Lloyd E-step routes through the SHARED staged seed layer
-      // (r17) — the same artifact the knn-graph build reads, so the
-      // two geometries not only use one formula, they use one LAYER
-      val cent = maybeCache(scaledLloydCent(e0,
-        seedLay = Some(seedLayer(s, d, ivfPerCell))))
+      // centroids + routing tables COPY from the geometry artifact
+      // (one Lloyd training shared with every other consumer of the
+      // n/125 geometry); the quantizer artifact stays self-contained —
+      // downstream layout unchanged, consumers keep reading one dir
+      val centDir = stagedIvfCent(s, d, ivfPerCell)
+      val cent = maybeCache(s.read.parquet(s"$centDir/centroids"))
       cent.coalesce(1).write.mode("overwrite").parquet(s"$stage/centroids")
-      // the TWO-LEVEL routing tables, derived ONCE per corpus and
-      // staged with the quantizer (r16 review: every serve was
-      // re-deriving the layer per call): `supers/` = (sid, sce),
-      // `children/` = (cid, sid) E-step membership. Every consumer —
-      // in-memory chains, index builds, serves, the stream — reads
-      // these through quantLayer/dirLayer.
-      val (scent, chl) = superLayer(cent)
-      scent.coalesce(1).write.mode("overwrite").parquet(s"$stage/supers")
-      chl.select(col("cid"), col("sid")).coalesce(1)
+      s.read.parquet(s"$centDir/supers").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/supers")
+      s.read.parquet(s"$centDir/children").coalesce(1)
         .write.mode("overwrite").parquet(s"$stage/children")
+      val (scent, chl) = dirLayer(s, centDir)
       trainedCodebook(e0, "qe", pqSeedIds, "ce").coalesce(1)
         .write.mode("overwrite").parquet(s"$stage/cbflat")
       val asg = coarseRanked(e0, cent, nprobe = 1, layer = Some((scent, chl)))
@@ -845,6 +875,65 @@ object Vectors {
       beamDf = topB(merged)
     }
     (cands.toSeq, beamDf)
+  }
+
+  /** DuckDB twin of [[beamParts]] + top-3, parameterized on the
+    * (beamW, rounds) budget dial — ONE builder for the canonical 8×3
+    * key and the wide 16×5 key (r18), so the two oracles cannot
+    * fork: the entry descent (top-2 supers, exact child scoring),
+    * `rounds` unrolled expansion CTEs over the stored degree-8
+    * neighbor lists, beam kept to `beamW` by (d2, c_id), final top-3.
+    * The beam-state CTEs are MATERIALIZED and the edge list reads
+    * through a materialized alias: each round references b(r-1)
+    * twice, so DuckDB's default inlining re-expands the whole knn
+    * chain 2^rounds times — the 5-round dial OOM'd a 100 GiB limit
+    * at sf0.1 before the hints, 0.9 s after (results identical).
+    */
+  private def beamOracleSql(beamW: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""n$r AS (SELECT DISTINCT b${r - 1}.q_id, tm.b_id AS c_id
+         |        FROM b${r - 1} JOIN tm ON tm.a_id = b${r - 1}.c_id),
+         |s$r AS (SELECT q_id, c_id, min(d2) AS d2 FROM (
+         |          SELECT q_id, c_id, d2 FROM b${r - 1}
+         |          UNION ALL
+         |          SELECT n$r.q_id, n$r.c_id,
+         |                 CAST(list_sum(list_transform(range(1, 65),
+         |                   j -> (q.qq[j] - c.qe[j]) * (q.qq[j] - c.qe[j]))) AS BIGINT) AS d2
+         |          FROM n$r JOIN e c ON c.vec_id = n$r.c_id
+         |                 JOIN q ON q.q_id = n$r.q_id
+         |          WHERE n$r.c_id <> n$r.q_id) u$r
+         |        GROUP BY q_id, c_id),
+         |b$r AS MATERIALIZED (SELECT q_id, c_id, d2 FROM (
+         |          SELECT q_id, c_id, d2,
+         |                 row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
+         |          FROM s$r) x$r WHERE rn <= $beamW)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${knnEdgeCtesOver(knnScaledCentCte, twoLevel = true, degree = 8)},
+       |tm AS MATERIALIZED (SELECT a_id, b_id FROM t),
+       |e AS (SELECT vec_id,
+       |        list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
+       |      FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, qe AS qq FROM e WHERE vec_id < 20),
+       |brt AS (SELECT q_id, qq, sid FROM (
+       |          SELECT q.q_id, q.qq, s.sid,
+       |                 row_number() OVER (PARTITION BY q.q_id
+       |                   ORDER BY ${dd2("q.qq", "s.sce")}, s.sid) AS rn
+       |          FROM q, klscent s) t0 WHERE rn <= 2),
+       |s0 AS (SELECT b.q_id, c.cid AS c_id,
+       |              CAST(list_sum(list_transform(range(1, 65),
+       |                j -> (b.qq[j] - c.ce[j]) * (b.qq[j] - c.ce[j]))) AS BIGINT) AS d2
+       |       FROM brt b JOIN klchl c ON c.sid = b.sid
+       |       WHERE c.cid <> b.q_id),
+       |b0 AS MATERIALIZED (SELECT q_id, c_id, d2 FROM (
+       |         SELECT q_id, c_id, d2,
+       |                row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
+       |         FROM s0) x0 WHERE rn <= $beamW),
+       |$roundCtes
+       |SELECT q_id, c_id, rnk, d2 FROM (
+       |  SELECT q_id, c_id, d2,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rnk
+       |  FROM b$rounds) f
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
   }
 
   /** Integer-exact damped PageRank over an arbitrary (src, dst) edge
@@ -1315,6 +1404,16 @@ object Vectors {
     */
   private def twoLevelRankCtes(p: String, itemRel: String, idCol: String,
       vecCol: String, out: String, w: Int = 2): String =
+    twoLevelRankCtesW(p, itemRel, idCol, vecCol, out, w.toString)
+
+  /** [[twoLevelRankCtes]] with the SUPER-routing width as an SQL
+    * EXPRESSION (r18): the per-query-width key routes its query frame
+    * at the BATCH's max width — a data-dependent scalar subquery —
+    * while every fixed-dial caller passes the literal through the Int
+    * overload above.
+    */
+  private def twoLevelRankCtesW(p: String, itemRel: String, idCol: String,
+      vecCol: String, out: String, w: String): String =
     s"""${out}rt AS (SELECT $idCol, sid FROM (
        |              SELECT i.$idCol, s.sid,
        |                     row_number() OVER (PARTITION BY i.$idCol
@@ -1854,6 +1953,22 @@ object Vectors {
     // (d2, id) tie-breaks — are bit-identical to the batch
     // residualEncode's double folds, which are exact on the same
     // integers (spec-asserted list equality).
+    // GEOMETRY-RULE GUARD (r18, VERDICT r17 #3): these collects are
+    // O(cells) driver state, bounded ONLY by the serving-geometry
+    // rule (SCALE.md: cells ≤ 16√n, ≈5M cells even at 10¹¹ vectors ≈
+    // 3 GB of quantizer — ordinary driver/executor RAM). A caller who
+    // ignores the rule (perCell ~ O(1) ⇒ cells ∝ n) would discover it
+    // as a driver OOM mid-collect; fail BEFORE collecting, naming the
+    // rule, instead. Budget: 6M cells / 4 GiB estimated heap (64
+    // Longs + tuple/array headers ≈ 600 B per centroid row).
+    val ncells = s.read.parquet(s"$quantDir/centroids").count()
+    val estBytes = ncells * 600L
+    require(ncells <= 6000000L && estBytes <= (4L << 30),
+      s"streamIvfPqIngest: the frozen quantizer holds $ncells cells " +
+        s"(≈$estBytes B collected to the driver) — outside the 16√n " +
+        "serving-geometry rule's broadcast budget (6M cells / 4 GiB). " +
+        "Re-train with perCell ≥ √n/16 (SCALE.md geometry rule); an " +
+        "out-of-rule quantizer cannot be streamed against.")
     val cents: Array[(Long, Array[Long])] = s.read.parquet(s"$quantDir/centroids")
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
@@ -2074,6 +2189,14 @@ object Vectors {
   private def filteredIvfCtes(labelExpr: String, labelMod: Int): String =
     filteredIvfCtesW(labelExpr, labelMod, 2)
 
+  /** Query-batch bound shared by the filtered-ANN twins: the oracle
+    * CTEs carry the SAME literal as [[filteredTop3]]'s default — a
+    * caller dialing a non-default qBound must thread it through BOTH
+    * sides (r17 ADVICE: the hardcoded `vec_id < 20` here would
+    * silently diverge from a Spark call at another bound).
+    */
+  private val filteredQBound: Long = 20L
+
   /** [[filteredIvfCtes]] at an arbitrary probe width — the DuckDB
     * twin of [[filteredTop3]]'s r17 SPLIT routing: the corpus
     * ASSIGNMENT ranks through the w = 2 `dd` chain (only rn = 1 is
@@ -2083,10 +2206,10 @@ object Vectors {
     * routing by nprobe/2 when only 20 query rows need the width.
     */
   private def filteredIvfCtesW(labelExpr: String, labelMod: Int,
-      nprobe: Int): String = {
+      nprobe: Int, qBound: Long = filteredQBound): String = {
     val wideQ =
       if (nprobe <= 2) ""
-      else s"""qf AS (SELECT vec_id, qe FROM e WHERE vec_id < 20),
+      else s"""qf AS (SELECT vec_id, qe FROM e WHERE vec_id < $qBound),
               |${twoLevelRankCtes("cl", "qf", "vec_id", "qe", "dq", nprobe)},
               |""".stripMargin
     val (probeRel, probeRn) =
@@ -2101,7 +2224,7 @@ object Vectors {
        |         FROM e JOIN dd ON dd.vec_id = e.vec_id AND dd.rn = 1),
        |probes AS (SELECT e.vec_id AS q_id, e.label AS q_label, e.qe AS qq, $probeRel.cid AS pcell
        |           FROM e JOIN $probeRel ON $probeRel.vec_id = e.vec_id AND $probeRel.rn <= $probeRn
-       |           WHERE e.vec_id < 20),
+       |           WHERE e.vec_id < $qBound),
        |p AS (SELECT q.q_id, c.c_id, c.c_label,
        |             CAST(list_sum(list_transform(range(1, 65),
        |               j -> (q.qq[j] - c.ce2[j]) * (q.qq[j] - c.ce2[j]))) AS BIGINT) AS d2
@@ -2118,7 +2241,7 @@ object Vectors {
     * [[filteredTop3]].
     */
   private[graft] def exactFilteredTop3(e0: DataFrame, labelMod: Int,
-      qBound: Long = 20L): DataFrame = {
+      qBound: Long = filteredQBound): DataFrame = {
     def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
     val q = e0.filter(col("vec_id") < qBound)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
@@ -2155,7 +2278,7 @@ object Vectors {
     */
   private[graft] def filteredAdaptive(e0L: DataFrame, labelMod: Int,
       nprobe: Int = 2, perCell: Long = ivfPerCell, k: Int = 3,
-      qBound: Long = 20L, cent: Option[DataFrame] = None,
+      qBound: Long = filteredQBound, cent: Option[DataFrame] = None,
       layer: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val n = e0L.count()
     val maxCnt = e0L.groupBy(col("label")).count()
@@ -2175,7 +2298,7 @@ object Vectors {
     * nprobe ∝ 1/s — measured in SCALE.md.
     */
   private[graft] def filteredTop3(e0: DataFrame, nprobe: Int = 2,
-      labelMod: Int = 10, qBound: Long = 20L,
+      labelMod: Int = 10, qBound: Long = filteredQBound,
       cent: Option[DataFrame] = None,
       layer: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
@@ -2221,6 +2344,93 @@ object Vectors {
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= 3)
       .select(col("q_id"), col("c_id"), col("c_label"), col("rnk"), col("d2"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** PER-QUERY probe width from the serving rule (r18, VERDICT r17
+    * #4). SCALE.md's ivffilter table verified nprobe ≈ 2–3 ×
+    * k/(s·|cell|) to the decimals, and both s and k are known at
+    * query time — so the width is COMPUTED per query instead of
+    * dialed per batch: from the label histogram (bounded-domain
+    * aggregate), each query's wanted-label count `cnt` gives
+    *   wRaw = ⌈3k·n / (cnt·perCell)⌉   (the rule at its 3× headroom),
+    *   w    = min(max(wRaw, 2), cells/4), then the ACORN flip —
+    * a query whose even-clamped width cannot be expected to fill k
+    * (cnt·w·perCell < k·n) routes to pre-filtered exact search.
+    * All arithmetic is integer, so the DuckDB twin carries the SAME
+    * formula and the hash match pins it. Serving shape: the query
+    * frame routes ONCE at the batch's max width (one scalar — the
+    * only extra driver value; the histogram join, n, and cells are
+    * the same metadata-sized reads every serve path already does)
+    * and each query trims to its own w — per-item rankings are
+    * independent, so this is bit-identical to routing each query at
+    * its own width. Corpus assignment stays on the w = 2 chain
+    * (rn = 1 only), per the r17 split.
+    */
+  private[graft] def filteredPerQueryW(e0L: DataFrame, n: Long,
+      perCell: Long, cent: DataFrame, lay: (DataFrame, DataFrame),
+      wantedOf: Column => Column, k: Int = 3,
+      qBound: Long = filteredQBound): DataFrame = {
+    def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
+    val cells = cent.count()
+    val cellsQ = math.max(1L, cells / 4L)
+    val hist = e0L.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+    val qw = maybeCache(e0L.filter(col("vec_id") < qBound)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("qe").as("qq"))
+      .withColumn("w_label", wantedOf(col("q_label")))
+      .join(hist.select(col("label").as("w_label"), col("cnt")),
+        Seq("w_label"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("w", expr(
+        s"CASE WHEN cnt > 0 THEN least(greatest((${3L * k} * $n + cnt * $perCell - 1) div nullif(cnt * $perCell, 0), 2), $cellsQ) END"))
+      .withColumn("route", expr(
+        s"CASE WHEN cnt > 0 AND cnt * w * $perCell >= ${k.toLong} * $n THEN 'ivf' ELSE 'exact' END")))
+    // the batch's max width — ONE integer, the literal the wide
+    // routing needs at plan time (same driver-value class as the
+    // cell plans)
+    val wMax = qw.filter(col("route") === "ivf")
+      .agg(coalesce(max(col("w")), lit(2L))).collect()(0).getLong(0).toInt
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+    def topK(df: DataFrame): DataFrame = df
+      .withColumn("rnk", row_number().over(rankW).cast("bigint"))
+      .filter(col("rnk") <= k)
+    // IVF side: route the query frame once at wMax, trim per query
+    val probeR = coarseRanked(e0L.filter(col("vec_id") < qBound), cent,
+      nprobe = wMax, layer = Some(lay))
+    val cand = e0L.join(coarseRanked(e0L, cent, nprobe = 2,
+        layer = Some(lay)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell")), Seq("vec_id"))
+      .select(col("vec_id").as("c_id"), col("label").as("c_label"),
+        col("qe").as("ce2"), col("cell"))
+    val probes = qw.filter(col("route") === "ivf")
+      .join(probeR.select(col("vec_id").as("q_id"),
+        col("cid").as("pcell"), col("rn")), Seq("q_id"))
+      .filter(col("rn") <= col("w"))
+    val ivfOut = topK(cand.join(broadcast(probes),
+        col("cell") === col("pcell") && col("c_label") === col("w_label")
+          && col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("w"), col("c_id"), col("c_label"),
+        sqd(col("qq"), col("ce2")).as("d2")))
+      .withColumn("route", lit("ivf"))
+    // EXACT side: the sparse sliver — wanted labels of the exact
+    // queries (≤ |Q| ints, the pushable predicate), exact top-k
+    val qe2 = qw.filter(col("route") === "exact")
+    val wantedEx = qe2.select(col("w_label").cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val scan = if (wantedEx.isEmpty) e0L.filter(lit(false))
+      else e0L.filter(col("label").isin(wantedEx.map(Integer.valueOf).toIndexedSeq: _*))
+    val exOut = topK(scan.select(col("vec_id").as("c_id"),
+        col("label").as("c_label"), col("qe").as("ce2"))
+      .join(broadcast(qe2), col("c_label") === col("w_label")
+          && col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("w"), col("c_id"), col("c_label"),
+        sqd(col("qq"), col("ce2")).as("d2")))
+      .withColumn("route", lit("exact"))
+    ivfOut.unionByName(exOut)
+      .select(col("route"), col("q_id"), col("w"), col("c_id"),
+        col("c_label"), col("rnk"), col("d2"))
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -2892,11 +3102,15 @@ object Vectors {
       val n = e0.count()
       val perCell = math.max(1L,
         n / (4L * math.ceil(math.sqrt(n.toDouble)).toLong))
-      // the √n-geometry seed layer stages once per (corpus, perCell) —
-      // the same build-once artifact discipline as the n/125 chains
+      // the √n-geometry quantizer is STAGED per (corpus, perCell) —
+      // r18: this key previously retrained its Lloyd centroids every
+      // call (the anchor's heaviest key); now training runs once
+      // through stagedIvfCent and each call is serve-only, the same
+      // build-once discipline as the n/125 chains
+      val centDir = stagedIvfCent(s, d, perCell)
       val ranked = maybeCache(coarseRanked(e0,
-        maybeCache(scaledLloydCent(e0, perCell,
-          seedLay = Some(seedLayer(s, d, perCell))))))
+        s.read.parquet(s"$centDir/centroids"),
+        layer = Some(dirLayer(s, centDir))))
       def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
       val cand = e0.join(ranked.filter(col("rn") === 1)
           .select(col("vec_id"), col("cid").as("cell")), Seq("vec_id"))
@@ -3571,6 +3785,93 @@ object Vectors {
         .orderBy(col("regime"), col("q_id"), col("rnk"))
     },
 
+    // ---- per-query probe width from the serving rule (r18) --------------
+    // The width dial, closed per query: SCALE.md's ivffilter table
+    // verified nprobe ≈ 2–3 × k/(s·|cell|) to the decimals, and both
+    // s (wanted-label count / n, from the bounded-domain histogram)
+    // and k are known AT QUERY TIME — so this key computes each
+    // query's width w = min(max(⌈3k·n/(cnt·perCell)⌉, 2), cells/4)
+    // and then applies the ACORN flip per query (cnt·w·perCell <
+    // k·n → pre-filtered exact). One MIXED-selectivity batch: labels
+    // at 1/10 (dense, 5 labels over half the corpus), 1/160 (mid, 20
+    // labels over a quarter), and ~1/2000 (sparse, 499 labels over a
+    // quarter) — so one frame serves w = 2-ish dense probes, wide
+    // mid probes (w = 45-clamped at the sf0.1 √n geometry), and
+    // exact-routed sparse queries. Serves the √n PRODUCTION geometry
+    // through the SAME staged stagedIvfCent artifact as
+    // sim_ivf_sqrtn; the oracle carries the identical integer width
+    // formula (w and route are output columns — the hash pins the
+    // formula, not just the neighbors). The probe8 key stays as the
+    // fixed-width pin.
+    sql("sim_ivf_filtered_perq", {
+      s"""WITH e AS (SELECT vec_id,
+         |             CAST(CASE WHEN vec_id % 2 = 0 THEN (vec_id // 2) % 5
+         |                       WHEN vec_id % 4 = 1 THEN 5 + (vec_id // 4) % 20
+         |                       ELSE 25 + (vec_id // 4) % 499 END AS INT) AS label,
+         |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
+         |           FROM embeddings),
+         |${scaledLloydCentCtesAt("n // (4 * CAST(ceil(sqrt(n)) AS BIGINT))")},
+         |${superLayerCtes("cl", "cent")},
+         |${twoLevelRankCtes("cl", "e", "vec_id", "qe", "dd")},
+         |cellsq AS (SELECT greatest(1, count(*) // 4) AS cq FROM cent),
+         |hist AS (SELECT label, count(*) AS cnt FROM e GROUP BY label),
+         |qr AS (SELECT q_id, q_label, qq, w_label, cnt, w,
+         |              CASE WHEN cnt > 0 AND cnt * w * pc >= 3 * n
+         |                   THEN 'ivf' ELSE 'exact' END AS route
+         |       FROM (SELECT q0.q_id, q0.q_label, q0.qq, q0.w_label,
+         |                    coalesce(h.cnt, 0) AS cnt,
+         |                    CASE WHEN coalesce(h.cnt, 0) > 0 THEN
+         |                      least(greatest((9 * n + coalesce(h.cnt, 0) * pc - 1)
+         |                        // nullif(coalesce(h.cnt, 0) * pc, 0), 2), cq)
+         |                    END AS w, n, pc
+         |             FROM (SELECT vec_id AS q_id, label AS q_label, qe AS qq,
+         |                          CAST(CASE WHEN label < 5 THEN (label + 1) % 5
+         |                                    WHEN label < 25 THEN 5 + ((label - 4) % 20)
+         |                                    ELSE 25 + ((label - 24) % 499) END AS INT) AS w_label
+         |                   FROM e WHERE vec_id < 20) q0
+         |             LEFT JOIN hist h ON h.label = q0.w_label, nn, pcx, cellsq) z),
+         |wmx AS (SELECT coalesce(max(w), 2) AS wmax FROM qr WHERE route = 'ivf'),
+         |qf AS (SELECT q_id AS vec_id, qq AS qe FROM qr WHERE route = 'ivf'),
+         |${twoLevelRankCtesW("cl", "qf", "vec_id", "qe", "dq", "(SELECT wmax FROM wmx)")},
+         |cand AS (SELECT e.vec_id AS c_id, e.label AS c_label, e.qe AS ce2, dd.cid AS cell
+         |         FROM e JOIN dd ON dd.vec_id = e.vec_id AND dd.rn = 1),
+         |pi AS (SELECT q.q_id, q.w, c.c_id, c.c_label,
+         |              CAST(list_sum(list_transform(range(1, 65),
+         |                j -> (q.qq[j] - c.ce2[j]) * (q.qq[j] - c.ce2[j]))) AS BIGINT) AS d2
+         |       FROM qr q JOIN dq ON dq.vec_id = q.q_id AND dq.rn <= q.w
+         |            JOIN cand c ON c.cell = dq.cid AND c.c_label = q.w_label
+         |                       AND c.c_id <> q.q_id
+         |       WHERE q.route = 'ivf'),
+         |pe AS (SELECT q.q_id, q.w, c.vec_id AS c_id, c.label AS c_label,
+         |              CAST(list_sum(list_transform(range(1, 65),
+         |                j -> (q.qq[j] - c.qe[j]) * (q.qq[j] - c.qe[j]))) AS BIGINT) AS d2
+         |       FROM qr q JOIN e c ON c.label = q.w_label AND c.vec_id <> q.q_id
+         |       WHERE q.route = 'exact')
+         |SELECT route, q_id, w, c_id, c_label, rnk, d2 FROM (
+         |  SELECT 'ivf' AS route, q_id, w, c_id, c_label, d2,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rnk FROM pi
+         |  UNION ALL
+         |  SELECT 'exact', q_id, w, c_id, c_label, d2,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rnk FROM pe) u
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+    }) { (s, d) =>
+      val e0 = maybeCache(microVecs(s, d))
+      val n = e0.count()
+      val perCell = math.max(1L,
+        n / (4L * math.ceil(math.sqrt(n.toDouble)).toLong))
+      val centDir = stagedIvfCent(s, d, perCell)
+      val e0L = e0.select(col("vec_id"), expr(
+        "CAST(CASE WHEN vec_id % 2 = 0 THEN (vec_id div 2) % 5 " +
+          "WHEN vec_id % 4 = 1 THEN 5 + (vec_id div 4) % 20 " +
+          "ELSE 25 + (vec_id div 4) % 499 END AS INT)").as("label"),
+        col("qe"))
+      filteredPerQueryW(e0L, n, perCell,
+        s.read.parquet(s"$centDir/centroids"), dirLayer(s, centDir),
+        q => (when(q < 5, (q + 1) % 5)
+          .when(q < 25, lit(5) + (q - 4) % 20)
+          .otherwise(lit(25) + (q - 24) % 499)).cast("int"))
+    },
+
     // ---- semantic decontamination (embedding-space eval leakage) -------
     // The third decontamination modality: `decontaminate` catches
     // exact 5-gram leaks, `decontaminate_fuzzy` near-verbatim MinHash
@@ -3845,52 +4146,28 @@ object Vectors {
     // unrolls the identical rounds. Scale shape: after the entry
     // descent every frame is query-sized and broadcast; the edge list
     // is the persisted artifact production would mmap.
-    sql("sim_graph_beam", {
-      val roundCtes = (1 to 3).map { r =>
-        s"""n$r AS (SELECT DISTINCT b${r - 1}.q_id, t.b_id AS c_id
-           |        FROM b${r - 1} JOIN t ON t.a_id = b${r - 1}.c_id),
-           |s$r AS (SELECT q_id, c_id, min(d2) AS d2 FROM (
-           |          SELECT q_id, c_id, d2 FROM b${r - 1}
-           |          UNION ALL
-           |          SELECT n$r.q_id, n$r.c_id,
-           |                 CAST(list_sum(list_transform(range(1, 65),
-           |                   j -> (q.qq[j] - c.qe[j]) * (q.qq[j] - c.qe[j]))) AS BIGINT) AS d2
-           |          FROM n$r JOIN e c ON c.vec_id = n$r.c_id
-           |                 JOIN q ON q.q_id = n$r.q_id
-           |          WHERE n$r.c_id <> n$r.q_id) u$r
-           |        GROUP BY q_id, c_id),
-           |b$r AS (SELECT q_id, c_id, d2 FROM (
-           |          SELECT q_id, c_id, d2,
-           |                 row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
-           |          FROM s$r) x$r WHERE rn <= 8)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH ${knnEdgeCtesOver(knnScaledCentCte, twoLevel = true, degree = 8)},
-         |e AS (SELECT vec_id,
-         |        list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
-         |      FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, qe AS qq FROM e WHERE vec_id < 20),
-         |brt AS (SELECT q_id, qq, sid FROM (
-         |          SELECT q.q_id, q.qq, s.sid,
-         |                 row_number() OVER (PARTITION BY q.q_id
-         |                   ORDER BY ${dd2("q.qq", "s.sce")}, s.sid) AS rn
-         |          FROM q, klscent s) t0 WHERE rn <= 2),
-         |s0 AS (SELECT b.q_id, c.cid AS c_id,
-         |              CAST(list_sum(list_transform(range(1, 65),
-         |                j -> (b.qq[j] - c.ce[j]) * (b.qq[j] - c.ce[j]))) AS BIGINT) AS d2
-         |       FROM brt b JOIN klchl c ON c.sid = b.sid
-         |       WHERE c.cid <> b.q_id),
-         |b0 AS (SELECT q_id, c_id, d2 FROM (
-         |         SELECT q_id, c_id, d2,
-         |                row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
-         |         FROM s0) x0 WHERE rn <= 8),
-         |$roundCtes
-         |SELECT q_id, c_id, rnk, d2 FROM (
-         |  SELECT q_id, c_id, d2,
-         |         row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rnk
-         |  FROM b3) f
-         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
-    }) { (s, d) =>
+    sql("sim_graph_beam", beamOracleSql(8, 3)) { (s, d) =>
       val (_, beamDf) = beamParts(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+      beamDf.withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("c_id"), col("rnk"), col("d2"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // ---- beam serve at the WIDE budget dial, hash-verified (r18) -------
+    // SCALE.md's r17 budget→recall table prices the 16×5 and 32×5
+    // dials but only 8×3 was hash-verified; the probe8 precedent
+    // (r17) showed the wide path is exactly where latent
+    // under-provision hides. This key serves the SAME persisted
+    // degree-8 graph at beam = 16, 5 expansion rounds — the budget a
+    // recall-sensitive deployment dials — through the same
+    // beamParts, with the oracle unrolling the identical descent +
+    // rounds at the wide literals (one shared builder: the two dials
+    // CANNOT fork).
+    sql("sim_graph_beam_wide", beamOracleSql(16, 5)) { (s, d) =>
+      val (_, beamDf) = beamParts(s, d, beamW = 16, rounds = 5)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
       beamDf.withColumn("rnk", row_number().over(w).cast("bigint"))

@@ -1134,6 +1134,76 @@ class VectorOpsSpec extends SparkSpec {
     assert(flagged > 0 && flagged * 20 < rows.length, s"$flagged of ${rows.length}")
   }
 
+  test("stagedIvfCent: the staged sqrt-n quantizer equals a fresh Lloyd training (train once, serve many)") {
+    // r18 (VERDICT r17 #2): sim_ivf_sqrtn used to retrain its Lloyd
+    // quantizer every call; it now reads the (corpus, perCell)-keyed
+    // staged artifact. Parity pin: the staged centroids and routing
+    // tables are BIT-EQUAL to a fresh in-memory training through the
+    // same seed layer — staging changed the cost, not the math.
+    val e0 = graft.ops.Vectors.microVecs(spark, sfDir)
+    val n = e0.count()
+    val perCell = math.max(1L,
+      n / (4L * math.ceil(math.sqrt(n.toDouble)).toLong))
+    val dir = graft.ops.Vectors.stagedIvfCent(spark, sfDir, perCell)
+    val staged = spark.read.parquet(s"$dir/centroids")
+    val fresh = graft.ops.Vectors.scaledLloydCent(e0, perCell,
+      seedLay = Some(graft.ops.Vectors.seedLayer(spark, sfDir, perCell)))
+    assert(staged.exceptAll(fresh).count() == 0 &&
+      fresh.exceptAll(staged).count() == 0,
+      "staged sqrt-n centroids diverged from a fresh Lloyd training")
+    val cells = math.max(8L, (n + perCell - 1) / perCell)
+    assert(staged.count() == cells, s"expected $cells cells at the sqrt-n geometry")
+    // the routing tables partition the centroids (every cell has
+    // exactly one super)
+    val chl = spark.read.parquet(s"$dir/children")
+    assert(chl.count() == cells && chl.select("cid").distinct().count() == cells)
+  }
+
+  test("sim_ivf_filtered_perq: per-query widths follow the serving-rule integer formula; sparse flips to exact") {
+    val out = run("sim_ivf_filtered_perq").cache()
+    // recompute the width formula from the key's OWN fixture rule —
+    // the spec is the second witness (the DuckDB oracle is the first)
+    val n = Tables.embeddings(spark, sfDir).count()
+    val perCell = math.max(1L,
+      n / (4L * math.ceil(math.sqrt(n.toDouble)).toLong))
+    val cells = math.max(8L, (n + perCell - 1) / perCell)
+    val cellsQ = math.max(1L, cells / 4)
+    def labelOf(id: Long): Long =
+      if (id % 2 == 0) (id / 2) % 5
+      else if (id % 4 == 1) 5 + (id / 4) % 20
+      else 25 + (id / 4) % 499
+    def wantedOf(l: Long): Long =
+      if (l < 5) (l + 1) % 5
+      else if (l < 25) 5 + ((l - 4) % 20)
+      else 25 + ((l - 24) % 499)
+    val hist = (0L until n).map(labelOf).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val got = out.select(col("q_id"), col("route"), col("w"))
+      .distinct().collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (qid, (route, w)) =>
+      val cnt = hist.getOrElse(wantedOf(labelOf(qid)), 0L)
+      assert(cnt > 0, s"q$qid emitted rows for an absent label")
+      val wExp = math.min(
+        math.max((9 * n + cnt * perCell - 1) / (cnt * perCell), 2L), cellsQ)
+      val routeExp = if (cnt * wExp * perCell >= 3 * n) "ivf" else "exact"
+      assert(w == wExp && route == routeExp,
+        s"q$qid: got ($route, $w), formula says ($routeExp, $wExp) at cnt=$cnt")
+    }
+    // the batch genuinely mixes: both routes present, and the IVF
+    // widths exceed the fixed nprobe=2 dial (the point of the key)
+    val routes = got.values.map(_._1).toSet
+    assert(routes == Set("ivf", "exact"), s"routes present: $routes")
+    assert(got.values.collect { case ("ivf", w) => w }.max > 2,
+      "no query dialed a wide width — fixture lost its point")
+    // per-query output is a well-formed top-k: <= 3 rows, dense ranks
+    val perQ = out.groupBy("q_id").agg(count(lit(1)).as("nr"),
+      max(col("rnk")).as("maxr"), min(col("rnk")).as("minr"))
+    assert(perQ.filter(col("nr") > 3 || col("minr") =!= 1 ||
+      col("maxr") =!= col("nr")).count() == 0)
+  }
+
   test("readLists is Hadoop-FS routed: file:-URI shard pruning, two probed cells sharing one shard") {
     import spark.implicits._
     // r18 gate for VERDICT r17 #1: the shard-subtree and
