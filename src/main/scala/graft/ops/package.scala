@@ -147,12 +147,17 @@ package object ops {
 
   /** FileSystem + parsed Path for `p` under the session's Hadoop conf
     * (which carries the cluster's credentials/defaultFS, unlike a
-    * bare `new Configuration()`).
+    * bare `new Configuration()`). Reads the SparkContext's LIVE conf
+    * rather than `sessionState.newHadoopConf()` — the latter clones
+    * ~1k properties per call, and serve paths that compose several
+    * staged artifacts make dozens of probe calls per query (measured
+    * as a few tenths of a second on the artifact-heavy serve keys).
+    * The probes never mutate the conf.
     */
   private[graft] def hfs(spark: SparkSession, p: String)
       : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
     val hp = new org.apache.hadoop.fs.Path(p)
-    (hp.getFileSystem(spark.sessionState.newHadoopConf()), hp)
+    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
   }
 
   private[graft] def hfsExists(spark: SparkSession, p: String): Boolean = {
@@ -200,7 +205,7 @@ package object ops {
     */
   private[graft] def hfsCopyFile(spark: SparkSession, src: String, dst: String,
       preserveMtime: Boolean = false): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = spark.sparkContext.hadoopConfiguration
     val sp = new org.apache.hadoop.fs.Path(src)
     val dp = new org.apache.hadoop.fs.Path(dst)
     val sfs = sp.getFileSystem(conf)
@@ -221,7 +226,7 @@ package object ops {
     */
   private[graft] def stageReplayCopy(spark: SparkSession, src: String,
       dir: String, name: String): String = {
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = spark.sparkContext.hadoopConfiguration
     val sp = new org.apache.hadoop.fs.Path(src)
     val sfs = sp.getFileSystem(conf)
     val dp = new org.apache.hadoop.fs.Path(s"$dir/$name")
@@ -312,7 +317,7 @@ package object ops {
       // capture the Hadoop conf NOW (credentials/defaultFS live in the
       // active session's conf; at shutdown the session may be gone)
       val conf = org.apache.spark.sql.SparkSession.getActiveSession
-        .map(_.sessionState.newHadoopConf())
+        .map(_.sparkContext.hadoopConfiguration)
         .getOrElse(new org.apache.hadoop.conf.Configuration())
       sys.addShutdownHook {
         val hp = new org.apache.hadoop.fs.Path(path)
