@@ -836,11 +836,29 @@ object Vectors {
         .join(broadcast(q), Seq("q_id"))
         .filter(col("c_id") =!= col("q_id"))
         .select(col("q_id"), col("c_id"), sqd(col("qq"), col("ce")).as("d2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
-    def topB(sc: DataFrame): DataFrame = maybeCache(
-      sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= beamW)
-        .select(col("q_id"), col("c_id"), col("d2")))
+    // ONE-SHUFFLE beam cut (r18): dedup-by-id + top-beamW fold in a
+    // single map-side-combinable aggregate (BeamTopW) — the
+    // groupBy(q,c).min + row_number window form paid TWO exchanges
+    // per round (a cluster barrier each; stage-scheduling-bound at
+    // local[32] on the wide dial). Exact under the duplicate-carries-
+    // identical-d2 contract (see BeamTopW doc); ties (d2, c_id) as
+    // before, so the oracle's row_number twin is unchanged.
+    // lazy localCheckpoint, not cache: each round's state feeds the
+    // next round TWICE (neighbor expand + carried beam), so without
+    // LINEAGE truncation the logical plan doubles per round and
+    // Catalyst re-analyzes a 2^rounds tree — the wide 16×5 dial's
+    // wall clock was mostly driver-side planning. The persisted
+    // state is ≤ beamW rows/query per round (query-sized, bounded);
+    // lazy so the round still materializes inside the caller's one
+    // action, exactly like maybeCache.
+    def topB(sc: DataFrame): DataFrame =
+      sc.groupBy(col("q_id"))
+        .agg(graft.functions.BeamTopW.topPairs(beamW)(
+          col("d2").cast("double"), col("c_id")).as("ps"))
+        .select(col("q_id"), explode(col("ps")).as("p"))
+        .select(col("q_id"), col("p._2").as("c_id"),
+          col("p._1").cast("bigint").as("d2"))
+        .localCheckpoint(false)
     // ENTRY DESCENT through the staged super layer (r16 — replacing
     // the all-cells crossJoin): each query ranks the √cells
     // super-centroids (broadcast), routes to its TOP-2 supers (the
@@ -867,12 +885,21 @@ object Vectors {
     var beamDf = topB(ent)
     val cands = scala.collection.mutable.Buffer[DataFrame](ent)
     for (_ <- 1 to rounds) {
+      // NO distinct on the served path (r18): duplicate (q_id, c_id)
+      // rows — beam members sharing a neighbor, ≤ beamW·degree per
+      // query either way — collapse in the min-d2 merge aggregate
+      // below with identical d2, so results are unchanged while each
+      // round drops one exchange (the wide 16×5 dial pays 5 of them;
+      // the key is stage-scheduling-bound at local[32]). The probe's
+      // candidate-count frames keep a LAZY dedup so SCALE.md's
+      // candidates/query column stays comparable across rounds —
+      // only ScaleProbe evaluates it.
       val nbrs = beamDf.join(edges, beamDf("c_id") === edges("a_id"))
-        .select(col("q_id"), col("b_id").as("c_id")).distinct()
-      cands += nbrs
-      val merged = score(nbrs).unionByName(beamDf)
-        .groupBy(col("q_id"), col("c_id")).agg(min(col("d2")).as("d2"))
-      beamDf = topB(merged)
+        .select(col("q_id"), col("b_id").as("c_id"))
+      cands += nbrs.distinct()
+      // no groupBy(q,c).min pre-pass: duplicate (q, c) rows carry
+      // identical d2, and the BeamTopW cut dedups by id itself
+      beamDf = topB(score(nbrs).unionByName(beamDf))
     }
     (cands.toSeq, beamDf)
   }

@@ -635,6 +635,41 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("BeamTopW: dedup-by-id top-w pairs equal window-over-distinct, at any partitioning") {
+    import spark.implicits._
+    // the one-exchange beam cut (r18): duplicates of an id ALWAYS
+    // carry the identical d2 (the beamParts contract — d2 is a pure
+    // function of the vectors), so the fixture derives d2 from
+    // (g, id) and plants each id ~2-3 times per group
+    val rows = for (g <- 0 to 5; i <- 0 to 60) yield {
+      val id = (i % 25).toLong
+      (g.toLong, id, ((id * 37 + g * 11) % 13) * 100 + id)
+    }
+    val df = rows.toDF("g", "id", "d2")
+    for (w <- Seq(2, 8, 16); parts <- Seq(1, 7, 32)) {
+      val a = df.repartition(parts).groupBy("g")
+        .agg(graft.functions.BeamTopW.topPairs(w)(
+          col("d2").cast("double"), col("id")).as("ps"))
+        .select(col("g"), explode(col("ps")).as("p"))
+        .select(col("g"), col("p._2").as("id"), col("p._1").cast("bigint").as("d2"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("d2"), col("id"))
+      val b = df.distinct()
+        .withColumn("rn", row_number().over(win)).filter(col("rn") <= w)
+        .select("g", "id", "d2")
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"BeamTopW($w) at $parts partitions disagrees with window-over-distinct")
+    }
+    // best-first array order, the duplicate never occupies two slots
+    val dup = Seq((1L, 10L, 5.0), (1L, 10L, 5.0), (1L, 20L, 5.0), (1L, 30L, 7.0))
+      .toDF("g", "id", "d2")
+    val got = dup.groupBy("g")
+      .agg(graft.functions.BeamTopW.topPairs(2)(col("d2"), col("id")).as("ps"))
+      .selectExpr("transform(ps, p -> p._2) AS ids")
+      .collect()(0).getSeq[Long](0)
+    assert(got == Seq(10L, 20L), s"duplicate occupied a beam slot: $got")
+  }
+
   test("top-w routing provisions nprobe: >= min(nprobe, cells) candidate cells, even on skinny supers") {
     import spark.implicits._
     // ADVERSARIAL geometry — the failure mode the r16 review caught
