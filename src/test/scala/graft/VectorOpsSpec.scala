@@ -1239,6 +1239,41 @@ class VectorOpsSpec extends SparkSpec {
       col("maxr") =!= col("nr")).count() == 0)
   }
 
+  test("filteredPerQueryW: single-route batches (all-ivf, all-exact) keep both sides' empty paths legal") {
+    // the mixed key proves the blend; this pins the two degenerate
+    // batches — an all-dense batch leaves the EXACT side empty (the
+    // wantedEx.isEmpty scan guard) and an all-sparse batch leaves the
+    // IVF side empty (wMax falls back to the 2 default with no ivf
+    // queries to route) — both plans must stay legal and well-formed
+    val e0 = graft.ops.Vectors.microVecs(spark, sfDir)
+    val n = e0.count()
+    val cent = graft.ops.Vectors.scaledLloydCent(e0)
+    val lay = graft.ops.Vectors.superLayer(cent)
+    def serve(labExpr: String, wanted: Column => Column) =
+      graft.ops.Vectors.filteredPerQueryW(
+        e0.select(col("vec_id"), expr(labExpr).as("label"), col("qe")),
+        n, 125L, cent, lay, wanted).cache()
+    // all-dense: 5 labels over the whole corpus (cnt = n/5) → every
+    // query fills k from 2 probed cells → all IVF
+    val dense = serve("CAST(vec_id % 5 AS INT)",
+      q => ((q + 1) % 5).cast("int"))
+    assert(dense.count() > 0 &&
+      dense.filter(col("route") =!= "ivf").count() == 0)
+    // all-sparse: 499 labels over the whole corpus (cnt ≈ 1) → even
+    // the clamped width cannot fill k → all EXACT
+    val sparse = serve("CAST(25 + vec_id % 499 AS INT)",
+      q => (lit(25) + (q - 24) % 499).cast("int"))
+    assert(sparse.count() > 0 &&
+      sparse.filter(col("route") =!= "exact").count() == 0)
+    // both outputs stay well-formed top-k (≤ 3 rows, dense ranks)
+    for (out <- Seq(dense, sparse)) {
+      val perQ = out.groupBy("q_id").agg(count(lit(1)).as("nr"),
+        max(col("rnk")).as("maxr"), min(col("rnk")).as("minr"))
+      assert(perQ.filter(col("nr") > 3 || col("minr") =!= 1 ||
+        col("maxr") =!= col("nr")).count() == 0)
+    }
+  }
+
   test("readLists is Hadoop-FS routed: file:-URI shard pruning, two probed cells sharing one shard") {
     import spark.implicits._
     // r18 gate for VERDICT r17 #1: the shard-subtree and
