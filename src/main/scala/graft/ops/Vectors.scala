@@ -2389,10 +2389,18 @@ object Vectors {
     * frame routes ONCE at the batch's max width (one scalar — the
     * only extra driver value; the histogram join, n, and cells are
     * the same metadata-sized reads every serve path already does)
-    * and each query trims to its own w — per-item rankings are
-    * independent, so this is bit-identical to routing each query at
-    * its own width. Corpus assignment stays on the w = 2 chain
-    * (rn = 1 only), per the r17 split.
+    * and each query trims to its own w. NOTE the exact semantics
+    * (r18 advice): the trim keeps each query's top-w SUPERS OF THE
+    * top-wMax routing, which is not in general the same super set as
+    * routing that query alone at max(2, w) — a super ranked beyond a
+    * query's own two-level width can hold a closer child, so a
+    * query's probe set (and thus its results) may depend on which
+    * other queries share its batch. The batch routing is ≥ as
+    * accurate (it considers at least as many supers per query), and
+    * the DuckDB twin carries the SAME wMax computation, so the hash
+    * pins this batch semantics — not a per-query-routing equivalence.
+    * Corpus assignment stays on the w = 2 chain (rn = 1 only), per
+    * the r17 split.
     */
   private[graft] def filteredPerQueryW(e0L: DataFrame, n: Long,
       perCell: Long, cent: DataFrame, lay: (DataFrame, DataFrame),

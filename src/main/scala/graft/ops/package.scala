@@ -197,20 +197,25 @@ package object ops {
     finally in.close()
   }
 
-  /** Copy ONE file `src` → `dst` (overwriting), optionally stamping
-    * the copy with the source's mtime so size+mtime staleness checks
-    * (see [[stageReplayCopy]]) stay valid across copies — Hadoop's
+  /** Copy ONE file `src` → `dst`, optionally stamping the copy with
+    * the source's mtime so size+mtime staleness checks (see
+    * [[stageReplayCopy]]) stay valid across copies — Hadoop's
     * FileUtil.copy does not preserve times the way java.nio
-    * COPY_ATTRIBUTES did.
+    * COPY_ATTRIBUTES did. `overwrite = false` restores java.nio
+    * Files.copy's write-once failure mode for callers whose dst is an
+    * arrival unit (a double-stage of the same stream window must fail
+    * loudly, not silently replace the file — r18 advice).
     */
   private[graft] def hfsCopyFile(spark: SparkSession, src: String, dst: String,
-      preserveMtime: Boolean = false): Unit = {
+      preserveMtime: Boolean = false, overwrite: Boolean = true): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val sp = new org.apache.hadoop.fs.Path(src)
     val dp = new org.apache.hadoop.fs.Path(dst)
     val sfs = sp.getFileSystem(conf)
     val dfs = dp.getFileSystem(conf)
-    org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp, false, true, conf)
+    if (!overwrite && dfs.exists(dp))
+      throw new java.nio.file.FileAlreadyExistsException(dst)
+    org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp, false, overwrite, conf)
     if (preserveMtime)
       dfs.setTimes(dp, sfs.getFileStatus(sp).getModificationTime, -1)
     ()
@@ -232,15 +237,34 @@ package object ops {
     val dp = new org.apache.hadoop.fs.Path(s"$dir/$name")
     val dfs = dp.getFileSystem(conf)
     val sst = sfs.getFileStatus(sp)
+    val stamp = s"${sst.getLen}:${sst.getModificationTime}"
+    // freshness: prefer the marker file when present — setTimes is a
+    // NO-OP on object stores (the base FileSystem implementation,
+    // e.g. S3A), so an mtime-only check re-copies the source on every
+    // call exactly on the cluster stores this staging targets (r18
+    // advice); the marker records the SOURCE's (len, mtime) the copy
+    // was taken from, independent of what the dst store reports.
+    // Underscore-prefixed: the replay dir is listed by file-stream
+    // sources and plain parquet reads, both of which skip _-files.
+    val mp = new org.apache.hadoop.fs.Path(s"$dir/_$name.stamp")
     val stale = !dfs.exists(dp) || {
-      val dst = dfs.getFileStatus(dp)
-      dst.getLen != sst.getLen ||
-        dst.getModificationTime != sst.getModificationTime
+      if (dfs.exists(mp)) hfsReadText(dfs, mp) != stamp
+      else {
+        val dst = dfs.getFileStatus(dp)
+        dst.getLen != sst.getLen ||
+          dst.getModificationTime != sst.getModificationTime
+      }
     }
     if (stale) {
       dfs.mkdirs(new org.apache.hadoop.fs.Path(dir))
       org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp, false, true, conf)
       dfs.setTimes(dp, sst.getModificationTime, -1)
+      if (dfs.getFileStatus(dp).getModificationTime != sst.getModificationTime) {
+        // mtime stamp didn't take (object store): persist the source
+        // stamp in the marker so the next call compares against it
+        val out = dfs.create(mp, true)
+        try out.write(stamp.getBytes("UTF-8")) finally out.close()
+      } else if (dfs.exists(mp)) { dfs.delete(mp, false); () }
     }
     dir
   }

@@ -187,7 +187,10 @@ object ClusterStream {
     df.coalesce(1).write.mode("overwrite").parquet(stageDir)
     val part = graft.ops.hfsList(s, stageDir).map(_.getPath)
       .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet")).get
-    graft.ops.hfsCopyFile(s, part.toString, dest)
+    // write-once: an arrival file is a micro-batch unit — double-
+    // staging the same window must fail loudly, not silently replace
+    // a possibly-already-ingested file (r18 advice)
+    graft.ops.hfsCopyFile(s, part.toString, dest, overwrite = false)
   }
 
   /** Stage `df` as `n` arrival windows in ONE parallel job: hash-
@@ -202,7 +205,10 @@ object ClusterStream {
     graft.ops.hfsList(s, stageDir).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .sortBy(_.getName).zipWithIndex.foreach { case (p, i) =>
-        graft.ops.hfsCopyFile(s, p.toString, s"$inDir/window$i.parquet")
+        // write-once, like stageFile: arrival units must not be
+        // silently replaced (r18 advice)
+        graft.ops.hfsCopyFile(s, p.toString, s"$inDir/window$i.parquet",
+          overwrite = false)
       }
   }
 
