@@ -776,23 +776,110 @@ object Vectors {
     * can count the scored candidates through the operator's own
     * chain for the equal-budget comparison against the IVF dial.
     */
+  /** Per-bucket row target of the POINT-FETCH bucket layout (r19):
+    * bMod = max(16, ⌈n/125⌉) buckets of ~125 rows each — the same
+    * n/125 directory-count class as the inverted lists' cells,
+    * nested under the identical shard = bucket % 256 layer so
+    * serve-time listing is bounded by the probed shards. A fetch of
+    * F ids reads ≤ F bucket directories (~125·F rows) regardless of
+    * corpus size — rows-read per fetch stays FLAT as n grows because
+    * the bucket count grows with n.
+    */
+  private[graft] val vecBucketRows = 125L
+
+  /** The shared point-fetch bucket modulus for source `d` — derived
+    * from the corpus row count (a parquet-footer read), so the edge
+    * buckets and the vector buckets of one source always agree.
+    */
+  private[graft] def vecBucketMod(s: SparkSession, d: String): Long =
+    math.max(16L, (emb(s, d).count() + vecBucketRows - 1) / vecBucketRows)
+
+  private val bucketVecSchema = "vec_id BIGINT, qe ARRAY<BIGINT>, shard INT, bucket BIGINT"
+  private val bucketEdgeSchema = "a_id BIGINT, b_id BIGINT, shard INT, bucket BIGINT"
+
+  /** Staged, stamped BUCKET-PARTITIONED copy of the micro-unit corpus
+    * vectors — `vectors/shard=S/bucket=K/` with
+    * bucket = vec_id % bMod — the point-fetch side table every serve
+    * path with a query-sized id set reads instead of scanning the
+    * corpus: the beam serve's per-round frontier scoring and the
+    * exact-re-rank shortlist fetch (r18 VERDICT #1/#3 — both
+    * previously joined a broadcast shortlist against the FULL corpus
+    * scan, i.e. 100 TB of floats read per query batch for ≤
+    * 32·|Q| point fetches). A fetch collects the id set's bucket
+    * residues (≤ min(|ids|, bMod) integers — the same driver-value
+    * class as the nprobe cell plans) and reads ONLY those bucket
+    * directories via literal PartitionFilters ([[readBucketed]], the
+    * readLists pattern). Build cost is one corpus-sized shuffle+write
+    * per source version — the FAISS analogy is storing the raw
+    * vectors alongside the index for its refine stage.
+    */
+  private[graft] def stagedVecBuckets(s: SparkSession, d: String): (String, Long) = {
+    val src = s"$d/embeddings.parquet"
+    val key = src.replaceAll("[^A-Za-z0-9.]", "_")
+    val bMod = vecBucketMod(s, d)
+    val dir = graft.ops.stagedArtifact(s, s"vecbuckets_$key",
+        s"${graft.ops.sourceStamp(s, src)}:$ivfIndexFormat:b$bMod") { stage =>
+      // bucket-keyed repartition before the write: one file per
+      // bucket regardless of build parallelism (the inverted-list
+      // builders' move)
+      microVecs(s, d)
+        .withColumn("bucket", pmod(col("vec_id"), lit(bMod)))
+        .withColumn("shard", listShard(col("bucket")))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("shard", "bucket")
+        .parquet(s"$stage/vectors")
+    }
+    (dir, bMod)
+  }
+
+  /** THE pruned bucket read behind every point fetch: given the id
+    * set's bucket residues, return those buckets' rows touching only
+    * their storage — the literal IN list becomes the scan's
+    * PartitionFilters, and the LISTING is restricted to the probed
+    * shard subtrees (the [[readLists]] contract, generalized over the
+    * stored schema).
+    */
+  private[graft] def readBucketed(s: SparkSession, path: String,
+      schema: String, buckets: Array[Long]): DataFrame = {
+    val shardDirs = buckets
+      .map(b => (((b % listShardMod) + listShardMod) % listShardMod).toInt)
+      .distinct.sorted
+      .map(k => s"$path/shard=$k")
+      .filter(p => graft.ops.hfsIsDir(s, p))
+    val r = s.read.option("basePath", path).schema(schema)
+    // no shard dir present (empty fetch set): the root read with the
+    // explicit schema degrades to 0 rows instead of a missing-path
+    // error — readLists' own edge case
+    (if (shardDirs.isEmpty) r.parquet(path)
+     else r.parquet(shardDirs.toIndexedSeq: _*))
+      .filter(col("bucket").isin(buckets.map(java.lang.Long.valueOf): _*))
+  }
+
   /** Staged, stamped knn PROXIMITY GRAPH — the persisted artifact a
     * graph-ANN deployment serves from (HNSW persists exactly this:
     * per-node neighbor lists plus the upper layers). `edges/` =
     * (a_id, b_id) from the corpus-scaled edge chain at the given
-    * degree; `supers/` (sid, sce) + `children/` (cid, sid) = the
-    * [[superLayer]] over the micro-unit seed frame — the genuine HNSW
-    * upper layer the beam serve descends through (r16; replaced the
-    * r15 all-cells `entries/` list). Built once per (source stamp,
-    * degree, perCell, format); the ONE centroid derivation feeds both
-    * the cell geometry and the entry layer, so they cannot fork.
+    * degree, PARTITIONED by (shard = bucket % 256,
+    * bucket = a_id % bMod) so a beam round's frontier reads only its
+    * own buckets' neighbor lists (r19 — previously a flat parquet the
+    * serve re-scanned in full every round); `supers/` (sid, sce) +
+    * `children/` (cid, sid, che) = the [[superLayer]] over the
+    * micro-unit seed frame — the genuine HNSW upper layer the beam
+    * serve descends through, with the child seeds' vectors stored
+    * ALONGSIDE (r19) so the entry scoring reads zero corpus. Built
+    * once per (source stamp, degree, perCell, format); the ONE
+    * centroid derivation feeds both the cell geometry and the entry
+    * layer, so they cannot fork; the bucket modulus is the SHARED
+    * [[stagedVecBuckets]] one, so a round's frontier residues drive
+    * both the edge read and the vector fetch.
     */
   private[graft] def stagedKnnGraph(s: SparkSession, d: String,
       degree: Int = 3, perCell: Long = ivfPerCell): String = {
     val src = s"$d/embeddings.parquet"
     val key = src.replaceAll("[^A-Za-z0-9.]", "_")
+    val bMod = stagedVecBuckets(s, d)._2
     graft.ops.stagedArtifact(s, s"knngraph_${degree}_${perCell}_$key",
-        s"${graft.ops.sourceStamp(s, src)}:$ivfIndexFormat") { stage =>
+        s"${graft.ops.sourceStamp(s, src)}:$ivfIndexFormat:bkt$bMod") { stage =>
       val e = emb(s, d)
       val cent = scaledKnnCentroids(e, perCell)
       // the genuine HNSW upper layer (replacing r15's all-cells entry
@@ -806,16 +893,29 @@ object Vectors {
       val lay = seedLayer(s, d, perCell)
       knnEdgesOver(e, cent, degree, twoLevel = true, layer = Some(lay))
         .select(col("a_id"), col("b_id"))
-        .write.mode("overwrite").parquet(s"$stage/edges")
+        .withColumn("bucket", pmod(col("a_id"), lit(bMod)))
+        .withColumn("shard", listShard(col("bucket")))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("shard", "bucket")
+        .parquet(s"$stage/edges")
       lay._1.coalesce(1).write.mode("overwrite").parquet(s"$stage/supers")
-      lay._2.select(col("cid"), col("sid")).coalesce(1)
+      // children ride with their vectors (che = the seed's micro-unit
+      // frame, exactly what the old serve re-fetched from the corpus)
+      lay._2.select(col("cid"), col("sid"), col("ce").as("che")).coalesce(1)
         .write.mode("overwrite").parquet(s"$stage/children")
     }
   }
 
+  /** One graph-beam serve. `reads`, when supplied, collects each
+    * round's (pruned edge read, pruned vector read) so ScaleProbe and
+    * the specs can count the rows/files a round actually touches.
+    */
   private[graft] def beamParts(s: SparkSession, d: String, qBound: Long = 20L,
       beamW: Int = 8, rounds: Int = 3, degree: Int = 8,
-      perCell: Long = ivfPerCell): (Seq[DataFrame], DataFrame) = {
+      perCell: Long = ivfPerCell,
+      reads: Option[scala.collection.mutable.Buffer[(DataFrame, DataFrame)]] = None)
+      : (Seq[DataFrame], DataFrame) = {
+    import s.implicits._
     val e0 = microVecs(s, d)
     // serve from the PERSISTED graph (built once, stamped) — the
     // serve path never re-derives edges, supers, or the child map.
@@ -824,18 +924,38 @@ object Vectors {
     // where degree-8 reaches 0.717 at sub-cell-scan budget; degree is
     // HNSW's M lever and production serves the navigable graph).
     val g = stagedKnnGraph(s, d, degree, perCell)
-    val edges = maybeCache(s.read.parquet(s"$g/edges"))
+    val (vdir, bMod) = stagedVecBuckets(s, d)
     val q = e0.filter(col("vec_id") < qBound)
       .select(col("vec_id").as("q_id"), col("qe").as("qq"))
-    val cv = e0.select(col("vec_id").as("c_id"), col("qe").as("ce"))
     def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
-    // candidate (q_id, c_id) frames are query-plan-sized → broadcast
-    // them into the corpus vector fetch; floats never shuffle
-    def score(cand: DataFrame): DataFrame =
-      cv.join(broadcast(cand), Seq("c_id"))
-        .join(broadcast(q), Seq("q_id"))
-        .filter(col("c_id") =!= col("q_id"))
-        .select(col("q_id"), col("c_id"), sqd(col("qq"), col("ce")).as("d2"))
+    // PER-ROUND STATE = a leaf DataFrame over a persisted tuple RDD
+    // (r19, replacing r18's lazy localCheckpoint): the SQL plan is cut
+    // at the RDD leaf, so Catalyst analysis stays O(1) per round (the
+    // r18 fix's point — without truncation the plan doubles per round
+    // and the wide dial's wall clock was 2^rounds driver-side
+    // re-analysis), while the RDD itself KEEPS its lineage — a lost
+    // executor recomputes the blocks instead of failing the serve
+    // (localCheckpoint's documented caveat, r18 advice), and retired
+    // rounds can be unpersisted (below) without breaking later reads.
+    // Each round's state is ≤ beamW rows/query — query-sized.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def leaf3(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[(Long, Long, Long)]) = {
+      val r = df.select(col("q_id"), col("c_id"), col("d2"))
+        .as[(Long, Long, Long)].rdd.persist(lvl)
+      (r.toDF("q_id", "c_id", "d2"), r)
+    }
+    def leaf2(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[(Long, Long)]) = {
+      val r = df.select(col("q_id"), col("c_id"))
+        .as[(Long, Long)].rdd.persist(lvl)
+      (r.toDF("q_id", "c_id"), r)
+    }
+    // an id set's bucket residues: ≤ min(|ids|, bMod) integers — the
+    // same driver-value class as the nprobe cell plans (never corpus
+    // data; ids are nonnegative, so plain % is pmod)
+    def residues(ids: org.apache.spark.rdd.RDD[Long]): Array[Long] =
+      ids.map(_ % bMod).distinct().collect().sorted
     // ONE-SHUFFLE beam cut (r18): dedup-by-id + top-beamW fold in a
     // single map-side-combinable aggregate (BeamTopW) — the
     // groupBy(q,c).min + row_number window form paid TWO exchanges
@@ -843,14 +963,6 @@ object Vectors {
     // local[32] on the wide dial). Exact under the duplicate-carries-
     // identical-d2 contract (see BeamTopW doc); ties (d2, c_id) as
     // before, so the oracle's row_number twin is unchanged.
-    // lazy localCheckpoint, not cache: each round's state feeds the
-    // next round TWICE (neighbor expand + carried beam), so without
-    // LINEAGE truncation the logical plan doubles per round and
-    // Catalyst re-analyzes a 2^rounds tree — the wide 16×5 dial's
-    // wall clock was mostly driver-side planning. The persisted
-    // state is ≤ beamW rows/query per round (query-sized, bounded);
-    // lazy so the round still materializes inside the caller's one
-    // action, exactly like maybeCache.
     def topB(sc: DataFrame): DataFrame =
       sc.groupBy(col("q_id"))
         .agg(graft.functions.BeamTopW.topPairs(beamW)(
@@ -858,18 +970,16 @@ object Vectors {
         .select(col("q_id"), explode(col("ps")).as("p"))
         .select(col("q_id"), col("p._2").as("c_id"),
           col("p._1").cast("bigint").as("d2"))
-        .localCheckpoint(false)
     // ENTRY DESCENT through the staged super layer (r16 — replacing
     // the all-cells crossJoin): each query ranks the √cells
     // super-centroids (broadcast), routes to its TOP-2 supers (the
     // same multi-assign rule as twoLevelRanked), and scores only
     // those supers' child seeds exactly (children ARE corpus vectors
-    // at the seed ids, so the child rank IS the exact entry
-    // scoring) — the multi-layer HNSW descent, entry work O(√cells)
-    // per query instead of O(cells).
+    // at the seed ids, stored WITH the children since r19, so the
+    // entry scoring reads zero corpus) — the multi-layer HNSW
+    // descent, entry work O(√cells) per query instead of O(cells).
     val scent = s.read.parquet(s"$g/supers")
     val chl = s.read.parquet(s"$g/children")
-      .join(e0.select(col("vec_id").as("cid"), col("qe").as("che")), Seq("cid"))
     def rd2(a: Column, b: Column): Column =
       dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
     val routed = q.join(broadcast(scent))
@@ -882,26 +992,54 @@ object Vectors {
       .filter(col("cid") =!= col("q_id"))
       .select(col("q_id"), col("cid").as("c_id"),
         sqd(col("qq"), col("che")).as("d2"))
-    var beamDf = topB(ent)
+    var (beamLeaf, beamRdd) = leaf3(topB(ent))
     val cands = scala.collection.mutable.Buffer[DataFrame](ent)
+    // rounds retired two materializations back: their blocks are no
+    // longer inputs to anything unmaterialized, so unpersist them —
+    // a later read (ScaleProbe's candidate counts) just recomputes
+    // from lineage. Live state is ≤ 3 query-sized frames per serve
+    // (the r18 leak: localCheckpointed rounds accumulated forever).
+    var retire: List[org.apache.spark.rdd.RDD[_]] = Nil
     for (_ <- 1 to rounds) {
+      // the frontier's bucket residues (collect materializes the
+      // round state; everything the PREVIOUS round persisted is now
+      // recomputable-only → unpersist it)
+      val fb = residues(beamRdd.map(_._2))
+      retire.foreach(_.unpersist(false)); retire = Nil
+      // the round reads ONLY the frontier's edge buckets and the
+      // expansion's vector buckets — rounds × O(frontier) file reads
+      // instead of rounds × O(corpus) scans (r18 VERDICT #1: at 10¹¹
+      // vectors the flat layout re-scanned the full edge list and the
+      // full float corpus every round for ≤ beamW·degree·|Q| point
+      // fetches)
+      val edgesR = readBucketed(s, s"$g/edges", bucketEdgeSchema, fb)
       // NO distinct on the served path (r18): duplicate (q_id, c_id)
       // rows — beam members sharing a neighbor, ≤ beamW·degree per
-      // query either way — collapse in the min-d2 merge aggregate
-      // below with identical d2, so results are unchanged while each
-      // round drops one exchange (the wide 16×5 dial pays 5 of them;
-      // the key is stage-scheduling-bound at local[32]). The probe's
-      // candidate-count frames keep a LAZY dedup so SCALE.md's
-      // candidates/query column stays comparable across rounds —
-      // only ScaleProbe evaluates it.
-      val nbrs = beamDf.join(edges, beamDf("c_id") === edges("a_id"))
-        .select(col("q_id"), col("b_id").as("c_id"))
-      cands += nbrs.distinct()
-      // no groupBy(q,c).min pre-pass: duplicate (q, c) rows carry
-      // identical d2, and the BeamTopW cut dedups by id itself
-      beamDf = topB(score(nbrs).unionByName(beamDf))
+      // query either way — collapse in the BeamTopW cut with
+      // identical d2. The probe's candidate-count frames keep a LAZY
+      // dedup so SCALE.md's candidates/query column stays comparable
+      // across rounds — only ScaleProbe evaluates it.
+      val (nbrsLeaf, nbrsRdd) = leaf2(
+        beamLeaf.join(edgesR, beamLeaf("c_id") === edgesR("a_id"))
+          .select(beamLeaf("q_id"), col("b_id").as("c_id")))
+      val nb = residues(nbrsRdd.map(_._2))
+      val vecsR = readBucketed(s, s"$vdir/vectors", bucketVecSchema, nb)
+        .select(col("vec_id").as("c_id"), col("qe").as("ce"))
+      reads.foreach(_ += ((edgesR, vecsR)))
+      cands += nbrsLeaf.distinct()
+      // candidate (q_id, c_id) frames are query-plan-sized →
+      // broadcast them into the pruned vector fetch; floats never
+      // shuffle. No groupBy(q,c).min pre-pass: duplicate (q, c) rows
+      // carry identical d2, and the BeamTopW cut dedups by id itself.
+      val scored = vecsR.join(broadcast(nbrsLeaf), Seq("c_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .filter(col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"), sqd(col("qq"), col("ce")).as("d2"))
+      val (bl, br) = leaf3(topB(scored.unionByName(beamLeaf)))
+      retire = List(beamRdd, nbrsRdd)
+      beamLeaf = bl; beamRdd = br
     }
-    (cands.toSeq, beamDf)
+    (cands.toSeq, beamLeaf)
   }
 
   /** DuckDB twin of [[beamParts]] + top-3, parameterized on the
@@ -1637,24 +1775,40 @@ object Vectors {
       .groupBy(col("q_id"), col("c_id"))
       .agg(sum(col("d2")).cast("bigint").as("ad"))
 
-  /** Shared exact-re-rank tail of `sim_pq_rerank` and
-    * `sim_ivf_pq_rerank` (Jégou 2011 §5.3 over either ADC aggregate):
-    * top-32 shortlist by approximate distance → fetch exact
-    * micro-unit vectors for ONLY those candidates → exact integer
-    * squared-L2 top-3. The shortlist (with its query's exact vector
-    * riding along) is query-sized and broadcasts into the corpus
-    * fetch — the floats stay cold.
+  /** Shared exact-re-rank tail of `sim_pq_rerank`,
+    * `sim_ivf_pq_rerank` and `sim_ivf_pq_serve` (Jégou 2011 §5.3 over
+    * any ADC aggregate): top-32 shortlist by approximate distance →
+    * fetch exact micro-unit vectors for ONLY those candidates → exact
+    * integer squared-L2 top-3. The fetch reads the BUCKET-STAGED
+    * vector copy ([[stagedVecBuckets]]) pruned to the shortlist's
+    * bucket residues (r19, VERDICT r18 #3 — previously a broadcast
+    * join against the full corpus scan: one scan, bounded work, but
+    * 100 TB of floats READ per query batch for ≤ 32·|Q| point
+    * fetches). The shortlist (with its query's exact vector riding
+    * along) is query-sized and broadcasts into the pruned fetch — the
+    * floats never shuffle.
     */
-  private[graft] def exactRerank(e0: DataFrame, adist: DataFrame): DataFrame = {
+  private[graft] def exactRerank(s: SparkSession, d: String,
+      adist: DataFrame): DataFrame = {
     def sq(a: Column, b: Column): Column = sqDist(a, b)
     val wSl = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("ad"), col("c_id"))
-    val sl = adist.withColumn("srn", row_number().over(wSl))
+    // the shortlist is read twice (residue collect + fetch join) —
+    // cache the query-sized frame, not the corpus
+    val sl = maybeCache(adist.withColumn("srn", row_number().over(wSl))
       .filter(col("srn") <= 32)
-      .select(col("q_id"), col("c_id"))
-      .join(e0.select(col("vec_id").as("q_id"), col("qe").as("qqe")), Seq("q_id"))
-    val ex = e0.select(col("vec_id").as("c_id"), col("qe").as("cqe"))
-      .join(broadcast(sl), Seq("c_id"))
+      .select(col("q_id"), col("c_id")))
+    val (vdir, bMod) = stagedVecBuckets(s, d)
+    // bucket residues of q_ids ∪ shortlist c_ids: ≤ min(33·|Q|, bMod)
+    // integers — the nprobe-cell-plan driver-value class
+    val bks = sl.select(pmod(col("q_id"), lit(bMod)).as("b"))
+      .union(sl.select(pmod(col("c_id"), lit(bMod)).as("b")))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val vecs = readBucketed(s, s"$vdir/vectors", bucketVecSchema, bks)
+    val slq = vecs.select(col("vec_id").as("q_id"), col("qe").as("qqe"))
+      .join(broadcast(sl), Seq("q_id"))
+    val ex = vecs.select(col("vec_id").as("c_id"), col("qe").as("cqe"))
+      .join(broadcast(slq), Seq("c_id"))
       .select(col("q_id"), col("c_id"),
         sq(col("qqe"), col("cqe")).cast("bigint").as("exact_d2"))
     val wTop = org.apache.spark.sql.expressions.Window
@@ -1939,6 +2093,115 @@ object Vectors {
       lists0.join(broadcast(t.select(col("c_id"))), Seq("c_id"), "left_anti"))
     val cb = s.read.parquet(s"$quantDir/codebook")
     ivfPqCellAdist(lists, residualQueryTables(e0q, cent, probes, cb))
+  }
+
+  /** The PER-QUERY-WIDTH production serve (r19, VERDICT r18 #2):
+    * `sim_ivf_filtered_perq` proved the serving-rule width formula on
+    * the in-memory chain; this threads it into the PERSISTED residual
+    * IVF×PQ index. One call serves a mixed-selectivity label-filtered
+    * batch: each query's probe width is computed from the label
+    * histogram (w = clamp(⌈3k·n / (cnt·perCell)⌉, 2, cells/4)), the
+    * query frame routes ONCE through the STORED quantizer at the
+    * batch max width and trims to rn ≤ w per query (the
+    * [[filteredPerQueryW]] batch semantics — see its doc for what the
+    * trim does and does not guarantee), the union of per-query probe
+    * sets becomes the literal PartitionFilters cell plan over the
+    * stored lists, the ADC scan pairs each query only with candidates
+    * of its wanted label (vec_id-derived — no stored metadata
+    * column), and a query whose clamped width cannot be expected to
+    * fill k (cnt·w·perCell < k·n) flips to pre-filtered exact search
+    * (the ACORN fallback). `d2` is the ADC distance on the ivf route
+    * and exact integer L2 on the exact route — exactly the two
+    * distances a production fallback pair serves. w and route are
+    * OUTPUT columns, so the oracle hash pins the formula.
+    */
+  private[graft] def resIndexServePerQ(s: SparkSession, d: String,
+      k: Int = 3, qBound: Long = filteredQBound): DataFrame = {
+    def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
+    val idx = stagedIvfPqResIndex(s, d)
+    val e0 = microVecs(s, d)
+    val e0L = e0.select(col("vec_id"),
+      tierLabelCol("vec_id").as("label"), col("qe"))
+    val n = e0.count()
+    val cent = s.read.parquet(s"$idx/centroids")
+    val cells = cent.count()
+    val cellsQ = math.max(1L, cells / 4L)
+    // bounded-domain label histogram (≤ 524 rows) + the width/route
+    // table: |Q| rows, every column integer so the DuckDB twin
+    // carries the SAME arithmetic
+    val hist = e0L.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+    val qw = maybeCache(e0L.filter(col("vec_id") < qBound)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("qe").as("qq"))
+      .withColumn("w_label", tierWantedCol(col("q_label")))
+      .join(hist.select(col("label").as("w_label"), col("cnt")),
+        Seq("w_label"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("w", expr(
+        s"CASE WHEN cnt > 0 THEN least(greatest((${3L * k} * $n + cnt * $ivfPerCell - 1) div nullif(cnt * $ivfPerCell, 0), 2), $cellsQ) END"))
+      .withColumn("route", expr(
+        s"CASE WHEN cnt > 0 AND cnt * w * $ivfPerCell >= ${k.toLong} * $n THEN 'ivf' ELSE 'exact' END")))
+    // the batch's max width — ONE integer (the only extra driver
+    // value over the fixed-dial serve)
+    val wMax = qw.filter(col("route") === "ivf")
+      .agg(coalesce(max(col("w")), lit(2L))).collect()(0).getLong(0).toInt
+    val e0q = e0.filter(col("vec_id") < qBound)
+    val probeR = coarseRanked(e0q, cent, nprobe = wMax,
+      layer = Some(dirLayer(s, idx)))
+    val probes = maybeCache(qw.filter(col("route") === "ivf")
+      .select(col("q_id"), col("w"), col("w_label"))
+      .join(probeR.select(col("vec_id").as("q_id"),
+        col("cid").as("pcell"), col("rn")), Seq("q_id"))
+      .filter(col("rn") <= col("w"))
+      .select(col("q_id"), col("pcell"), col("w"), col("w_label")))
+    // the cell plan: the union of per-query probe sets — AT MOST
+    // ncells integers collected, never corpus data; readLists turns
+    // the literal IN list into PartitionFilters and lists only the
+    // probed shards
+    val cellsArr = probes.select(col("pcell").cast("bigint")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val lists = readLists(s, s"$idx/lists", cellsArr)
+    val cb = s.read.parquet(s"$idx/codebook")
+    val qd = residualQueryTables(e0q, cent,
+      probes.select(col("q_id"), col("pcell")), cb)
+    // per-query width + wanted label ride into the broadcast side of
+    // the ADC join; the label predicate pairs each query only with
+    // its wanted candidates — computed from c_id, below the aggregate
+    val qdl = qd.join(broadcast(qw.select(col("q_id"), col("w"),
+      col("w_label"))), Seq("q_id"))
+    val adist = lists.join(broadcast(qdl),
+        col("m") === col("qm") && col("code") === col("c")
+          && col("cell") === col("pcell") && col("c_id") =!= col("q_id")
+          && tierLabelCol("c_id") === col("w_label"))
+      .groupBy(col("q_id"), col("c_id"), col("w"))
+      .agg(sum(col("d2")).cast("bigint").as("ad"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+    val ivfOut = adist
+      .select(col("q_id"), col("w"), col("c_id"), col("ad").as("d2"))
+      .withColumn("rnk", row_number().over(rankW).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .withColumn("route", lit("ivf"))
+    // EXACT side: the sparse sliver — wanted labels of the exact
+    // queries (≤ |Q| ints, the pushable predicate), exact top-k
+    val qe2 = qw.filter(col("route") === "exact")
+    val wantedEx = qe2.select(col("w_label").cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val scan = if (wantedEx.isEmpty) e0L.filter(lit(false))
+      else e0L.filter(col("label").isin(wantedEx.map(Integer.valueOf).toIndexedSeq: _*))
+    val exOut = scan.select(col("vec_id").as("c_id"),
+        col("label").as("c_label"), col("qe").as("ce2"))
+      .join(broadcast(qe2), col("c_label") === col("w_label")
+          && col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("w"), col("c_id"),
+        sqd(col("qq"), col("ce2")).as("d2"))
+      .withColumn("rnk", row_number().over(rankW).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .withColumn("route", lit("exact"))
+    ivfOut.unionByName(exOut)
+      .select(col("route"), col("q_id"), col("w"), col("c_id"),
+        col("rnk"), col("d2"))
+      .orderBy(col("q_id"), col("rnk"))
   }
 
   /** Streaming maintenance of the persisted residual IVF×PQ index —
@@ -2469,6 +2732,34 @@ object Vectors {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** The 3-tier mixed-selectivity label universe shared by
+    * `sim_ivf_filtered_perq` and `sim_ivf_pq_serve_perq` (one
+    * definition so the two serving-rule keys cannot fork): ~5 dense
+    * labels (≈n/10 rows each), 20 medium (≈n/80), 499 sparse (0–2
+    * rows) — vec_id-DERIVED, so the persisted PQ index needs no
+    * stored metadata column (the label is computable from c_id at
+    * serve time: the FAISS id-encodes-metadata pattern).
+    */
+  private def tierLabelCol(id: String): Column = expr(
+    s"CAST(CASE WHEN $id % 2 = 0 THEN ($id div 2) % 5 " +
+      s"WHEN $id % 4 = 1 THEN 5 + ($id div 4) % 20 " +
+      s"ELSE 25 + ($id div 4) % 499 END AS INT)")
+
+  private def tierWantedCol(q: Column): Column =
+    (when(q < 5, (q + 1) % 5)
+      .when(q < 25, lit(5) + (q - 4) % 20)
+      .otherwise(lit(25) + (q - 24) % 499)).cast("int")
+
+  private def tierLabelDuck(id: String): String =
+    s"""CAST(CASE WHEN $id % 2 = 0 THEN ($id // 2) % 5
+       |          WHEN $id % 4 = 1 THEN 5 + ($id // 4) % 20
+       |          ELSE 25 + ($id // 4) % 499 END AS INT)""".stripMargin
+
+  private def tierWantedDuck(l: String): String =
+    s"""CAST(CASE WHEN $l < 5 THEN ($l + 1) % 5
+       |          WHEN $l < 25 THEN 5 + (($l - 4) % 20)
+       |          ELSE 25 + (($l - 24) % 499) END AS INT)""".stripMargin
+
   /** sim_mmr's greedy chain over any micro-unit (vec_id, qe) frame —
     * exact top-8 shortlist per query (vec_id < `qBound`), then three
     * unrolled λ=1/2 MMR rounds, every comparison pure BIGINT
@@ -2550,35 +2841,10 @@ object Vectors {
          |$scaledLloydCentCtes,
          |${superLayerCtes("cl", "cent")},
          |${twoLevelRankCtes("cl", "e", "vec_id", "qe", "dd")},
-         |asg AS (SELECT vec_id, cid AS cell FROM dd WHERE rn = 1),
-         |resv AS (SELECT e.vec_id, a.cell,
-         |                list_transform(range(1, 65), j -> e.qe[j] - c.ce[j]) AS res
-         |         FROM e JOIN asg a ON a.vec_id = e.vec_id
-         |                JOIN cent c ON c.cid = a.cell),
-         |${trainedCbCtes(pqResSeedIds, "resv", "res", "cv")},
-         |sub AS (SELECT vec_id, cell, m.m, res[m.m * 8 + 1 : m.m * 8 + 8] AS sv
-         |        FROM resv, range(0, 8) m(m)),
-         |dist AS (SELECT vec_id, cell, sub.m, cb.c,
-         |                list_sum(list_transform(range(1, 9),
-         |                  j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))) AS d2
-         |         FROM sub JOIN cb ON sub.m = cb.m),
-         |enc AS (SELECT vec_id, cell, m, c AS code FROM
-         |          (SELECT vec_id, cell, m, c,
-         |                  row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
-         |           FROM dist) t
-         |        WHERE rn = 1),
+         |$residualEncCtes,
          |probes AS (SELECT vec_id AS q_id, cid AS pcell FROM dd
          |           WHERE rn <= 2 AND vec_id < 20),
-         |qres AS (SELECT p.q_id, p.pcell,
-         |                list_transform(range(1, 65), j -> e.qe[j] - c.ce[j]) AS res
-         |         FROM probes p JOIN e ON e.vec_id = p.q_id
-         |                JOIN cent c ON c.cid = p.pcell),
-         |qsub AS (SELECT q_id, pcell, m.m, res[m.m * 8 + 1 : m.m * 8 + 8] AS sv
-         |         FROM qres, range(0, 8) m(m)),
-         |qd AS (SELECT q_id, pcell, qsub.m, cb.c,
-         |              list_sum(list_transform(range(1, 9),
-         |                j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))) AS d2
-         |       FROM qsub JOIN cb ON qsub.m = cb.m),
+         |${residualQdCtes("probes")},
          |adist AS (SELECT qd.q_id, enc.vec_id AS c_id, sum(qd.d2)::BIGINT AS ad
          |          FROM enc JOIN qd ON qd.pcell = enc.cell
          |                          AND qd.m = enc.m AND qd.c = enc.code
@@ -2586,6 +2852,106 @@ object Vectors {
          |          GROUP BY 1, 2)
          |${residualTail(rerank)}""".stripMargin
   }
+
+  /** The residual-ENCODE CTE chain (corpus cell assignment → residual
+    * vectors → trained sub-codebook → per-subspace codes), shared by
+    * [[ivfPqResidualOracle]] and [[ivfPqServePerQOracle]] so the
+    * persisted-index oracles cannot fork. Expects `e`, `cent`, `dd`
+    * in scope; ends in `enc`(vec_id, cell, m, code) with `cb` bound.
+    */
+  private def residualEncCtes: String =
+    s"""asg AS (SELECT vec_id, cid AS cell FROM dd WHERE rn = 1),
+       |resv AS (SELECT e.vec_id, a.cell,
+       |                list_transform(range(1, 65), j -> e.qe[j] - c.ce[j]) AS res
+       |         FROM e JOIN asg a ON a.vec_id = e.vec_id
+       |                JOIN cent c ON c.cid = a.cell),
+       |${trainedCbCtes(pqResSeedIds, "resv", "res", "cv")},
+       |sub AS (SELECT vec_id, cell, m.m, res[m.m * 8 + 1 : m.m * 8 + 8] AS sv
+       |        FROM resv, range(0, 8) m(m)),
+       |dist AS (SELECT vec_id, cell, sub.m, cb.c,
+       |                list_sum(list_transform(range(1, 9),
+       |                  j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))) AS d2
+       |         FROM sub JOIN cb ON sub.m = cb.m),
+       |enc AS (SELECT vec_id, cell, m, c AS code FROM
+       |          (SELECT vec_id, cell, m, c,
+       |                  row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+       |           FROM dist) t
+       |        WHERE rn = 1)""".stripMargin
+
+  /** Per-probed-cell QUERY distance tables from the stored residual
+    * codebook — `$probesRel` must expose (q_id, pcell); ends in
+    * `qd`(q_id, pcell, m, c, d2).
+    */
+  private def residualQdCtes(probesRel: String): String =
+    s"""qres AS (SELECT p.q_id, p.pcell,
+       |                list_transform(range(1, 65), j -> e.qe[j] - c.ce[j]) AS res
+       |         FROM $probesRel p JOIN e ON e.vec_id = p.q_id
+       |                JOIN cent c ON c.cid = p.pcell),
+       |qsub AS (SELECT q_id, pcell, m.m, res[m.m * 8 + 1 : m.m * 8 + 8] AS sv
+       |         FROM qres, range(0, 8) m(m)),
+       |qd AS (SELECT q_id, pcell, qsub.m, cb.c,
+       |              list_sum(list_transform(range(1, 9),
+       |                j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))) AS d2
+       |       FROM qsub JOIN cb ON qsub.m = cb.m)""".stripMargin
+
+  /** DuckDB twin of [[resIndexServePerQ]] — the residual-chain oracle
+    * extended with the width CTEs: the label histogram, the integer
+    * width/route formula (same constants: k = 3, pc = [[ivfPerCell]],
+    * clamp [2, cells/4]), wMax routing through the two-level layer,
+    * the rn ≤ w per-query trim, the label-matched ADC aggregate, and
+    * the pre-filtered exact branch — w and route as output columns so
+    * the hash pins the formula.
+    */
+  private def ivfPqServePerQOracle: String =
+    s"""WITH e AS (SELECT vec_id, ${tierLabelDuck("vec_id")} AS label,
+       |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
+       |           FROM embeddings),
+       |$scaledLloydCentCtes,
+       |${superLayerCtes("cl", "cent")},
+       |${twoLevelRankCtes("cl", "e", "vec_id", "qe", "dd")},
+       |$residualEncCtes,
+       |cellsq AS (SELECT greatest(1, count(*) // 4) AS cq FROM cent),
+       |hist AS (SELECT label, count(*) AS cnt FROM e GROUP BY label),
+       |qr AS (SELECT q_id, q_label, qq, w_label, cnt, w,
+       |              CASE WHEN cnt > 0 AND cnt * w * pc >= 3 * n
+       |                   THEN 'ivf' ELSE 'exact' END AS route
+       |       FROM (SELECT q0.q_id, q0.q_label, q0.qq, q0.w_label,
+       |                    coalesce(h.cnt, 0) AS cnt,
+       |                    CASE WHEN coalesce(h.cnt, 0) > 0 THEN
+       |                      least(greatest((9 * n + coalesce(h.cnt, 0) * pc - 1)
+       |                        // nullif(coalesce(h.cnt, 0) * pc, 0), 2), cq)
+       |                    END AS w, n, pc
+       |             FROM (SELECT vec_id AS q_id, label AS q_label, qe AS qq,
+       |                          ${tierWantedDuck("label")} AS w_label
+       |                   FROM e WHERE vec_id < 20) q0
+       |             LEFT JOIN hist h ON h.label = q0.w_label, nn, pcx, cellsq) z),
+       |wmx AS (SELECT coalesce(max(w), 2) AS wmax FROM qr WHERE route = 'ivf'),
+       |qf AS (SELECT q_id AS vec_id, qq AS qe FROM qr WHERE route = 'ivf'),
+       |${twoLevelRankCtesW("cl", "qf", "vec_id", "qe", "dq", "(SELECT wmax FROM wmx)")},
+       |probes AS (SELECT q.q_id, dq.cid AS pcell, q.w, q.w_label
+       |           FROM qr q JOIN dq ON dq.vec_id = q.q_id AND dq.rn <= q.w
+       |           WHERE q.route = 'ivf'),
+       |${residualQdCtes("(SELECT q_id, pcell FROM probes)")},
+       |adist AS (SELECT qd.q_id, enc.vec_id AS c_id, p.w, sum(qd.d2)::BIGINT AS ad
+       |          FROM enc JOIN qd ON qd.pcell = enc.cell
+       |                          AND qd.m = enc.m AND qd.c = enc.code
+       |               JOIN (SELECT DISTINCT q_id, w, w_label FROM probes) p
+       |                 ON p.q_id = qd.q_id
+       |          WHERE enc.vec_id <> qd.q_id
+       |            AND ${tierLabelDuck("enc.vec_id")} = p.w_label
+       |          GROUP BY 1, 2, 3),
+       |pe AS (SELECT q.q_id, q.w, c.vec_id AS c_id,
+       |              CAST(list_sum(list_transform(range(1, 65),
+       |                j -> (q.qq[j] - c.qe[j]) * (q.qq[j] - c.qe[j]))) AS BIGINT) AS d2
+       |       FROM qr q JOIN e c ON c.label = q.w_label AND c.vec_id <> q.q_id
+       |       WHERE q.route = 'exact')
+       |SELECT route, q_id, w, c_id, rnk, d2 FROM (
+       |  SELECT 'ivf' AS route, q_id, w, c_id, ad AS d2,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS rnk FROM adist
+       |  UNION ALL
+       |  SELECT 'exact', q_id, w, c_id, d2,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rnk FROM pe) u
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
   private def residualTail(rerank: Boolean): String =
     if (!rerank)
@@ -3445,8 +3811,8 @@ object Vectors {
          |   FROM ex) t
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
     }) { (s, d) =>
-      val (e0, adist) = pqAdcChain(s, d)
-      exactRerank(e0, adist)
+      val adist = pqAdcChain(s, d)._2
+      exactRerank(s, d, adist)
     },
 
     // ---- IVF × PQ: the composed production index (FAISS IVFPQ shape) ---
@@ -3585,7 +3951,20 @@ object Vectors {
         .select(col("vec_id").as("c_id"))
       val idx = stagedIvfPqResIndex(s, d)
       val adist = resIndexAdist(s, d, s"$idx/lists", idx, tombstones = Some(ts))
-      exactRerank(microVecs(s, d), adist)
+      exactRerank(s, d, adist)
+    },
+
+    // ---- the production serve at PER-QUERY widths (r19) ----------------
+    // The capstone's missing dial (VERDICT r18 #2): sim_ivf_pq_serve
+    // serves every query at nprobe = 2; this serves a
+    // mixed-selectivity label-filtered batch from the SAME persisted
+    // residual index with each query's width computed from the
+    // serving rule (sim_ivf_filtered_perq's formula), the union cell
+    // plan as literal PartitionFilters, label-matched ADC, and the
+    // ACORN exact flip for sparse labels. w/route are output columns
+    // — the oracle hash pins the whole rule end-to-end.
+    sql("sim_ivf_pq_serve_perq", ivfPqServePerQOracle) { (s, d) =>
+      resIndexServePerQ(s, d)
     },
 
     // ---- IVF × PQ with exact re-ranking (the full FAISS serve path) ----
@@ -3602,8 +3981,8 @@ object Vectors {
     // recall lift); SCALE.md measures the composition against each
     // tier alone.
     sql("sim_ivf_pq_rerank", ivfPqRerankOracle) { (s, d) =>
-      val (e0, adist) = ivfPqFlatParts(s, d)
-      exactRerank(e0, adist)
+      val adist = ivfPqFlatParts(s, d)._2
+      exactRerank(s, d, adist)
     },
 
     // ---- MMR-diversified retrieval (Carbonell & Goldstein 1998) --------
@@ -3839,10 +4218,7 @@ object Vectors {
     // formula, not just the neighbors). The probe8 key stays as the
     // fixed-width pin.
     sql("sim_ivf_filtered_perq", {
-      s"""WITH e AS (SELECT vec_id,
-         |             CAST(CASE WHEN vec_id % 2 = 0 THEN (vec_id // 2) % 5
-         |                       WHEN vec_id % 4 = 1 THEN 5 + (vec_id // 4) % 20
-         |                       ELSE 25 + (vec_id // 4) % 499 END AS INT) AS label,
+      s"""WITH e AS (SELECT vec_id, ${tierLabelDuck("vec_id")} AS label,
          |             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qe
          |           FROM embeddings),
          |${scaledLloydCentCtesAt("n // (4 * CAST(ceil(sqrt(n)) AS BIGINT))")},
@@ -3860,9 +4236,7 @@ object Vectors {
          |                        // nullif(coalesce(h.cnt, 0) * pc, 0), 2), cq)
          |                    END AS w, n, pc
          |             FROM (SELECT vec_id AS q_id, label AS q_label, qe AS qq,
-         |                          CAST(CASE WHEN label < 5 THEN (label + 1) % 5
-         |                                    WHEN label < 25 THEN 5 + ((label - 4) % 20)
-         |                                    ELSE 25 + ((label - 24) % 499) END AS INT) AS w_label
+         |                          ${tierWantedDuck("label")} AS w_label
          |                   FROM e WHERE vec_id < 20) q0
          |             LEFT JOIN hist h ON h.label = q0.w_label, nn, pcx, cellsq) z),
          |wmx AS (SELECT coalesce(max(w), 2) AS wmax FROM qr WHERE route = 'ivf'),
@@ -3895,16 +4269,11 @@ object Vectors {
       val perCell = math.max(1L,
         n / (4L * math.ceil(math.sqrt(n.toDouble)).toLong))
       val centDir = stagedIvfCent(s, d, perCell)
-      val e0L = e0.select(col("vec_id"), expr(
-        "CAST(CASE WHEN vec_id % 2 = 0 THEN (vec_id div 2) % 5 " +
-          "WHEN vec_id % 4 = 1 THEN 5 + (vec_id div 4) % 20 " +
-          "ELSE 25 + (vec_id div 4) % 499 END AS INT)").as("label"),
-        col("qe"))
+      val e0L = e0.select(col("vec_id"),
+        tierLabelCol("vec_id").as("label"), col("qe"))
       filteredPerQueryW(e0L, n, perCell,
         s.read.parquet(s"$centDir/centroids"), dirLayer(s, centDir),
-        q => (when(q < 5, (q + 1) % 5)
-          .when(q < 25, lit(5) + (q - 4) % 20)
-          .otherwise(lit(25) + (q - 24) % 499)).cast("int"))
+        tierWantedCol)
     },
 
     // ---- semantic decontamination (embedding-space eval leakage) -------
@@ -4203,6 +4572,22 @@ object Vectors {
     // CANNOT fork).
     sql("sim_graph_beam_wide", beamOracleSql(16, 5)) { (s, d) =>
       val (_, beamDf) = beamParts(s, d, beamW = 16, rounds = 5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+      beamDf.withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("c_id"), col("rnk"), col("d2"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // ---- beam serve at the TOP budget dial (r19, VERDICT r18 #6) -------
+    // SCALE.md's budget→recall table tops out at 32×5 (0.833 recall
+    // on planted clusters) — the dial a production tuner would
+    // actually pick on clustered data. Same persisted degree-8 graph,
+    // same shared (beamW, rounds)-parameterized oracle builder as the
+    // other two dials, so the three budgets cannot fork.
+    sql("sim_graph_beam_32x5", beamOracleSql(32, 5)) { (s, d) =>
+      val (_, beamDf) = beamParts(s, d, beamW = 32, rounds = 5)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
       beamDf.withColumn("rnk", row_number().over(w).cast("bigint"))
