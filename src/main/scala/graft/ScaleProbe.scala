@@ -329,6 +329,33 @@ object ScaleProbe {
     (maxState, secs, maxCommitMs, maxMem)
   }
 
+  /** Every file under `p`, recursively, through Hadoop FileSystem
+    * (r19, VERDICT r18 #7): the probes measure the same layouts the
+    * serves read, and a java.io.File walk silently counts ZERO files
+    * for any `hdfs://`/`s3a://` path — a cluster-run probe would
+    * report an empty index instead of failing.
+    */
+  private def hfsFilePaths(spark: SparkSession, p: String)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    val (fs, hp) = graft.ops.hfs(spark, p)
+    if (!fs.exists(hp)) Seq.empty
+    else {
+      val it = fs.listFiles(hp, true)
+      val b = scala.collection.mutable.Buffer[org.apache.hadoop.fs.Path]()
+      while (it.hasNext) b += it.next().getPath
+      b.toSeq
+    }
+  }
+
+  /** Child directories of `p` whose name starts with `prefix` —
+    * the cell=/shard= layout walks, Hadoop-FS routed.
+    */
+  private def hfsChildDirs(spark: SparkSession, p: String,
+      prefix: String): Seq[org.apache.hadoop.fs.Path] =
+    graft.ops.hfsList(spark, p)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath)
+
   /** Stage `e` as 8 time-ordered parquet files (micro-batch replay
     * order = event-time order, so the watermark advances monotonically).
     */
@@ -339,16 +366,17 @@ object ScaleProbe {
         org.apache.spark.sql.expressions.Window.orderBy(col("ts"))))
       .cache()
     ranked.count()
+    val spark = e.sparkSession
     for (p <- 1 to 8) {
       val tmp = s"$dir-tmp"
       ranked.filter(col("part") === p).drop("part")
         .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
+      val part = graft.ops.hfsList(spark, tmp).map(_.getPath)
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$dir/batch$p.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.ops.hfsMkdirs(spark, dir)
+      val (fs, dst) = graft.ops.hfs(spark, s"$dir/batch$p.parquet")
+      if (fs.exists(dst)) fs.delete(dst, false)
+      fs.rename(part, dst)
     }
     ranked.unpersist()
     ()
@@ -401,7 +429,8 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     // modes: all (default) | events | dedup | indexed | ann | state |
     // state-rocks | cc | ccdelta | ccchain | batchlog | bpe | decontam |
-    // span | pq | pqres | beam | ivfidx | ivfstream | ivffilter | geom |
+    // span | pq | pqres | beam | beamscan | ivfidx | ivfstream |
+    // ivffilter | perq | geom |
     // sqrtn | twolevel | rcte | knn | phash | media | buckets |
     // triangles | pagerank — first non-numeric arg selects; numeric
     // args keep their meaning
@@ -443,9 +472,6 @@ object ScaleProbe {
           idx, BatchLog.key("probe", w.toLong))
       }
       val ingestSecs = (System.nanoTime() - tIn0) / 1e9
-      def files(p: java.io.File): Long =
-        if (p.isDirectory) Option(p.listFiles()).map(_.map(files).sum).getOrElse(0L)
-        else 1L
       def labelSecs(): Double = {
         val t0 = System.nanoTime()
         ClusterStream.labels(spark, idx)._1.count()
@@ -455,7 +481,7 @@ object ScaleProbe {
         val dirs = Seq("hs", "bands", "digests", "edges")
           .map(h => s""""$h":${BatchLog.committedDirs(spark, idx, h).size}""")
           .mkString("{", ",", "}")
-        val nf = files(new java.io.File(idx))
+        val nf = hfsFilePaths(spark, idx).size
         val s1 = labelSecs(); val s2 = labelSecs()
         println(f"""{"shape":"batchlog_$stage","windows":$nWin,"dirs":$dirs,"files":$nf,"labels_secs":[$s1%.2f,$s2%.2f],"ingest_secs":$ingestSecs%.1f}""")
       }
@@ -753,6 +779,40 @@ object ScaleProbe {
       }
     }
 
+    if (on("beamscan")) {
+      // Per-round SCANNED ROWS of the bucket-pruned beam serve (r19,
+      // VERDICT r18 #1): the flat layout re-scanned the full edge
+      // list (n·degree rows) and the full float corpus every
+      // expansion round; the bucketed graph reads ≤ frontier-buckets
+      // × ~125·degree edge rows and ≤ expansion-buckets × ~125 vector
+      // rows per round — QUERY-sized, so the per-round read must stay
+      // FLAT across the corpus octave once bMod exceeds the
+      // frontier's residue count (the single-query row is the clean
+      // flat signal; the 20-query batch flattens past factor 8).
+      val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      for (factor <- Seq(1, 8, 64).filter(_ <= maxFactor)) {
+        val dir = s"$tmpRoot/beamscan_$factor"
+        scaledEmb(embBase, factor).repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+        graft.ops.Vectors.stagedKnnGraph(spark, dir, degree = 8) // untimed build
+        for (qb <- Seq(1L, 20L)) {
+          val reads = scala.collection.mutable.Buffer[(DataFrame, DataFrame)]()
+          val t0 = System.nanoTime()
+          val (_, beamDf) = graft.ops.Vectors.beamParts(spark, dir, qb,
+            beamW = 8, rounds = 3, degree = 8, reads = Some(reads))
+          beamDf.count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          val eRows = reads.map(_._1.count()).mkString("[", ",", "]")
+          val eFiles = reads.map(_._1.inputFiles.length).mkString("[", ",", "]")
+          val vRows = reads.map(_._2.count()).mkString("[", ",", "]")
+          val vFiles = reads.map(_._2.inputFiles.length).mkString("[", ",", "]")
+          println(f"""{"shape":"beam_scan","factor":$factor,"rows":$n,"queries":$qb,"edge_rows_total":${n * 8},"edge_rows_read":$eRows,"edge_files_read":$eFiles,"vec_rows_read":$vRows,"vec_files_read":$vFiles,"secs":$secs%.1f}""")
+          spark.catalog.clearCache()
+        }
+      }
+    }
+
     if (on("ivfidx")) {
       // Persisted IVF×PQ index serve: the claim (SCALE.md / PLANS.md)
       // is that the inverted lists land on disk PARTITIONED BY cell,
@@ -770,10 +830,8 @@ object ScaleProbe {
           .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
         val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
         val idx = graft.ops.Vectors.stagedIvfPqIndex(spark, dir) // untimed — once per corpus
-        def pfiles(p: java.io.File): Long =
-          if (p.isDirectory) Option(p.listFiles()).map(_.map(pfiles).sum).getOrElse(0L)
-          else if (p.getName.endsWith(".parquet")) 1L else 0L
-        val total = pfiles(new java.io.File(s"$idx/lists"))
+        val total = hfsFilePaths(spark, s"$idx/lists")
+          .count(_.getName.endsWith(".parquet"))
         for (nprobe <- Seq(1, 2, 4, 8)) {
           val (lists1, _, _) =
             graft.ops.Vectors.ivfPqIndexedParts(spark, dir, 1L, nprobe)
@@ -820,10 +878,10 @@ object ScaleProbe {
           maxFilesPerTrigger = Some(math.max(1, cpus.toInt / 4)))
         val secs = (System.nanoTime() - t0) / 1e9
         val rows = spark.read.parquet(idx).count()
-        val cellDirs = new java.io.File(idx).listFiles()
-          .filter(f => f.isDirectory && f.getName.startsWith("cell="))
-        val filesPerCell = cellDirs.map(
-          _.listFiles().count(_.getName.endsWith(".parquet")))
+        val cellDirs = hfsChildDirs(spark, idx, "cell=")
+        val filesPerCell = cellDirs.map(cd =>
+          graft.ops.hfsList(spark, cd.toString)
+            .count(_.getPath.getName.endsWith(".parquet")))
         // serve cost on the raw streamed layout vs the compacted one
         // (one file per cell): same rows, fewer open/footer costs
         val quant = graft.ops.Vectors.stagedIvfPqResIndex(spark, dir) // stamped: no rebuild
@@ -841,13 +899,12 @@ object ScaleProbe {
         // the shard level exists to bound (directories a compacted
         // 2-cell serve enumerates: probed shards' subtrees only,
         // vs every cell dir in the flat layout)
-        val compShards = Option(new java.io.File(s"$comp/lists").listFiles())
-          .toSeq.flatten.filter(f => f.isDirectory && f.getName.startsWith("shard="))
+        val compShards = hfsChildDirs(spark, s"$comp/lists", "shard=")
         val compCellDirs = compShards
-          .flatMap(sh => Option(sh.listFiles()).toSeq.flatten)
-          .filter(f => f.isDirectory && f.getName.startsWith("cell="))
-        val cFiles = compCellDirs
-          .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+          .flatMap(sh => hfsChildDirs(spark, sh.toString, "cell="))
+        val cFiles = compCellDirs.map(cd =>
+          graft.ops.hfsList(spark, cd.toString)
+            .count(_.getPath.getName.endsWith(".parquet"))).sum
         // r18 guard telemetry (VERDICT r17 #3): the driver-side
         // frozen-quantizer collect the geometry rule bounds — rows
         // and the guard's own per-row heap estimate at this octave
@@ -901,6 +958,40 @@ object ScaleProbe {
         println(f"""{"shape":"ivf_filtered","rows":$n,"selectivity":"1/$m","nprobe":$nprobe,"queries_full_k":$fullK,"mean_returned":$mean%.2f}""")
         spark.catalog.clearCache()
         e0.cache(); e0.count()
+      }
+    }
+
+    if (on("perq")) {
+      // Serving-rule octave for the per-query-width keys (r19,
+      // VERDICT r18 #5): the claim is that wide widths are paid on
+      // the QUERY frame only — the wMax routing frame is ≤ |Q|·wMax
+      // rows and the per-query candidates track w·perCell·selectivity
+      // — while corpus-side work stays the w = 2 assignment every
+      // serve already does. Each factor re-runs the REAL key chain
+      // (perQueryWServe) and records the width histogram, the routing
+      // and trimmed-plan row counts, and the scanned candidates.
+      val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      for (factor <- Seq(1, 8, 64).filter(_ <= maxFactor)) {
+        val dir = s"$tmpRoot/perq_$factor"
+        scaledEmb(embBase, factor).repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+        val trace = scala.collection.mutable.Map[String, DataFrame]()
+        val t0 = System.nanoTime()
+        val out = graft.ops.Vectors.perQueryWServe(spark, dir, Some(trace)).cache()
+        val rows = out.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val widths = out.filter(col("route") === "ivf")
+          .groupBy("w").agg(countDistinct("q_id").as("q"))
+          .collect().map(r => s""""${r.getLong(0)}":${r.getLong(1)}""")
+          .sorted.mkString("{", ",", "}")
+        val exactQ = out.filter(col("route") === "exact")
+          .select("q_id").distinct().count()
+        val routed = trace("probeR").count()
+        val trimmed = trace("probes").count()
+        val cands = trace("ivfCand").count()
+        println(f"""{"shape":"perq","factor":$factor,"rows":$n,"out_rows":$rows,"widths":$widths,"exact_queries":$exactQ,"routing_rows":$routed,"trimmed_probe_rows":$trimmed,"ivf_candidates":$cands,"secs":$secs%.1f}""")
+        out.unpersist(); spark.catalog.clearCache()
       }
     }
 

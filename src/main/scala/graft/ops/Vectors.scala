@@ -2668,7 +2668,9 @@ object Vectors {
   private[graft] def filteredPerQueryW(e0L: DataFrame, n: Long,
       perCell: Long, cent: DataFrame, lay: (DataFrame, DataFrame),
       wantedOf: Column => Column, k: Int = 3,
-      qBound: Long = filteredQBound): DataFrame = {
+      qBound: Long = filteredQBound,
+      trace: Option[scala.collection.mutable.Map[String, DataFrame]] = None)
+      : DataFrame = {
     def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
     val cells = cent.count()
     val cellsQ = math.max(1L, cells / 4L)
@@ -2706,12 +2708,19 @@ object Vectors {
       .join(probeR.select(col("vec_id").as("q_id"),
         col("cid").as("pcell"), col("rn")), Seq("q_id"))
       .filter(col("rn") <= col("w"))
-    val ivfOut = topK(cand.join(broadcast(probes),
+    val ivfCand = cand.join(broadcast(probes),
         col("cell") === col("pcell") && col("c_label") === col("w_label")
           && col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("w"), col("c_id"), col("c_label"),
-        sqd(col("qq"), col("ce2")).as("d2")))
-      .withColumn("route", lit("ivf"))
+        sqd(col("qq"), col("ce2")).as("d2"))
+    // ScaleProbe's perq octave counts these frames (wMax routing /
+    // trimmed plan / pre-top-k candidates) through the operator's
+    // real chain
+    trace.foreach { t =>
+      t += "probeR" -> probeR; t += "probes" -> probes
+      t += "ivfCand" -> ivfCand; ()
+    }
+    val ivfOut = topK(ivfCand).withColumn("route", lit("ivf"))
     // EXACT side: the sparse sliver — wanted labels of the exact
     // queries (≤ |Q| ints, the pushable predicate), exact top-k
     val qe2 = qw.filter(col("route") === "exact")
@@ -2759,6 +2768,28 @@ object Vectors {
     s"""CAST(CASE WHEN $l < 5 THEN ($l + 1) % 5
        |          WHEN $l < 25 THEN 5 + (($l - 4) % 20)
        |          ELSE 25 + (($l - 24) % 499) END AS INT)""".stripMargin
+
+  /** The `sim_ivf_filtered_perq` chain (key lambda extracted r19 so
+    * ScaleProbe's perq octave drives the operator's REAL code): the
+    * √n/4 per-cell geometry, the staged quantizer, the tier label
+    * universe, and [[filteredPerQueryW]] — with the optional trace
+    * exposing the wMax routing / trimmed-plan / pre-top-k candidate
+    * frames for the probe's scanned-row counts.
+    */
+  private[graft] def perQueryWServe(s: SparkSession, d: String,
+      trace: Option[scala.collection.mutable.Map[String, DataFrame]] = None)
+      : DataFrame = {
+    val e0 = maybeCache(microVecs(s, d))
+    val n = e0.count()
+    val perCell = math.max(1L,
+      n / (4L * math.ceil(math.sqrt(n.toDouble)).toLong))
+    val centDir = stagedIvfCent(s, d, perCell)
+    val e0L = e0.select(col("vec_id"),
+      tierLabelCol("vec_id").as("label"), col("qe"))
+    filteredPerQueryW(e0L, n, perCell,
+      s.read.parquet(s"$centDir/centroids"), dirLayer(s, centDir),
+      tierWantedCol, trace = trace)
+  }
 
   /** sim_mmr's greedy chain over any micro-unit (vec_id, qe) frame —
     * exact top-8 shortlist per query (vec_id < `qBound`), then three
@@ -4263,18 +4294,7 @@ object Vectors {
          |  SELECT 'exact', q_id, w, c_id, c_label, d2,
          |         row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rnk FROM pe) u
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
-    }) { (s, d) =>
-      val e0 = maybeCache(microVecs(s, d))
-      val n = e0.count()
-      val perCell = math.max(1L,
-        n / (4L * math.ceil(math.sqrt(n.toDouble)).toLong))
-      val centDir = stagedIvfCent(s, d, perCell)
-      val e0L = e0.select(col("vec_id"),
-        tierLabelCol("vec_id").as("label"), col("qe"))
-      filteredPerQueryW(e0L, n, perCell,
-        s.read.parquet(s"$centDir/centroids"), dirLayer(s, centDir),
-        tierWantedCol)
-    },
+    }) { (s, d) => perQueryWServe(s, d) },
 
     // ---- semantic decontamination (embedding-space eval leakage) -------
     // The third decontamination modality: `decontaminate` catches
