@@ -440,4 +440,60 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fin == batch, "final compacted labels must equal the batch clustering")
   }
+
+  test("stageReplayCopy: build-once staleness survives stores that drop mtimes (marker fallback)") {
+    val root = graft.ops.purgeOnExit(
+      java.nio.file.Files.createTempDirectory("replaycopy").toString)
+    val src = s"$root/src.parquet"
+    spark.range(5).toDF("id").coalesce(1).write.parquet(s"$root/srcdir")
+    val part = graft.ops.hfsList(spark, s"$root/srcdir").map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    graft.ops.hfsCopyFile(spark, part.toString, src)
+    val dir = s"$root/replay"
+    def dstStatus() = {
+      val (fs, p) = graft.ops.hfs(spark, s"$dir/staged.parquet")
+      fs.getFileStatus(p)
+    }
+    graft.ops.stageReplayCopy(spark, src, dir, "staged.parquet")
+    val first = dstStatus()
+    // fresh source + honored mtimes → the second call must NOT re-copy
+    graft.ops.stageReplayCopy(spark, src, dir, "staged.parquet")
+    assert(dstStatus().getModificationTime == first.getModificationTime)
+    // SIMULATED OBJECT STORE (r18 advice): the store normalizes the
+    // copy's mtime (setTimes no-op — S3A's base behavior), so the
+    // mtime check alone would re-copy every call; the marker carries
+    // the source (len, mtime) stamp and must keep the copy fresh
+    val (fs, dp) = graft.ops.hfs(spark, s"$dir/staged.parquet")
+    fs.setTimes(dp, System.currentTimeMillis() + 99999, -1)
+    val (sfs, sp) = graft.ops.hfs(spark, src)
+    val sst = sfs.getFileStatus(sp)
+    val mp = new org.apache.hadoop.fs.Path(s"$dir/_staged.parquet.stamp")
+    val outS = fs.create(mp, true)
+    try outS.write(s"${sst.getLen}:${sst.getModificationTime}".getBytes("UTF-8"))
+    finally outS.close()
+    val drifted = dstStatus().getModificationTime
+    graft.ops.stageReplayCopy(spark, src, dir, "staged.parquet")
+    assert(dstStatus().getModificationTime == drifted,
+      "marker said fresh but the copy was rewritten (copy-every-call regression)")
+    // a STALE marker (source changed) must force the re-copy
+    val outS2 = fs.create(mp, true)
+    try outS2.write("0:0".getBytes("UTF-8")) finally outS2.close()
+    graft.ops.stageReplayCopy(spark, src, dir, "staged.parquet")
+    assert(dstStatus().getModificationTime != drifted,
+      "stale marker did not trigger a re-copy")
+  }
+
+  test("hfsCopyFile overwrite=false fails loudly on an existing arrival file") {
+    val root = graft.ops.purgeOnExit(
+      java.nio.file.Files.createTempDirectory("writeonce").toString)
+    spark.range(3).toDF("id").coalesce(1).write.parquet(s"$root/one")
+    val part = graft.ops.hfsList(spark, s"$root/one").map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    graft.ops.hfsCopyFile(spark, part.toString, s"$root/w0.parquet",
+      overwrite = false)
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      graft.ops.hfsCopyFile(spark, part.toString, s"$root/w0.parquet",
+        overwrite = false)
+    }
+  }
 }
