@@ -2110,10 +2110,15 @@ object Vectors {
     * of its wanted label (vec_id-derived — no stored metadata
     * column), and a query whose clamped width cannot be expected to
     * fill k (cnt·w·perCell < k·n) flips to pre-filtered exact search
-    * (the ACORN fallback). `d2` is the ADC distance on the ivf route
-    * and exact integer L2 on the exact route — exactly the two
-    * distances a production fallback pair serves. w and route are
-    * OUTPUT columns, so the oracle hash pins the formula.
+    * (the ACORN fallback). The FULL capstone tiers ride along (r19):
+    * the tombstone anti-join sits below the ADC aggregate on the ivf
+    * route and below the scan on the exact route (a deleted vector
+    * can never reach a shortlist on either), and the ivf route's ADC
+    * top-32 shortlist re-ranks EXACTLY through the bucket-staged
+    * float fetch ([[exactRerank]]) — so `d2` is the exact integer L2
+    * on BOTH routes and the output is what the one-call production
+    * serve would return under a per-query width policy. w and route
+    * are OUTPUT columns, so the oracle hash pins the formula.
     */
   private[graft] def resIndexServePerQ(s: SparkSession, d: String,
       k: Int = 3, qBound: Long = filteredQBound): DataFrame = {
@@ -2160,7 +2165,13 @@ object Vectors {
     // probed shards
     val cellsArr = probes.select(col("pcell").cast("bigint")).distinct()
       .collect().map(_.getLong(0)).sorted
+    // logical deletes below every distance: the same % 17 tombstone
+    // set as sim_ivf_pq_deletes/_serve, anti-joined under the ADC
+    // aggregate AND under the exact-route scan
+    val ts = e0.filter(col("vec_id") % 17 === 3)
+      .select(col("vec_id").as("c_id"))
     val lists = readLists(s, s"$idx/lists", cellsArr)
+      .join(broadcast(ts), Seq("c_id"), "left_anti")
     val cb = s.read.parquet(s"$idx/codebook")
     val qd = residualQueryTables(e0q, cent,
       probes.select(col("q_id"), col("pcell")), cb)
@@ -2173,22 +2184,27 @@ object Vectors {
         col("m") === col("qm") && col("code") === col("c")
           && col("cell") === col("pcell") && col("c_id") =!= col("q_id")
           && tierLabelCol("c_id") === col("w_label"))
-      .groupBy(col("q_id"), col("c_id"), col("w"))
+      .groupBy(col("q_id"), col("c_id"))
       .agg(sum(col("d2")).cast("bigint").as("ad"))
+    // ivf route: ADC top-32 shortlist → EXACT re-rank through the
+    // bucket-staged float fetch (the capstone's refine tier, at
+    // per-query widths); w re-attaches from the width table
+    val ivfOut = exactRerank(s, d, adist)
+      .join(broadcast(qw.select(col("q_id"), col("w"))), Seq("q_id"))
+      .select(col("q_id"), col("w"), col("c_id"), col("rnk"),
+        col("exact_d2").as("d2"))
+      .withColumn("route", lit("ivf"))
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
-    val ivfOut = adist
-      .select(col("q_id"), col("w"), col("c_id"), col("ad").as("d2"))
-      .withColumn("rnk", row_number().over(rankW).cast("bigint"))
-      .filter(col("rnk") <= k)
-      .withColumn("route", lit("ivf"))
     // EXACT side: the sparse sliver — wanted labels of the exact
-    // queries (≤ |Q| ints, the pushable predicate), exact top-k
+    // queries (≤ |Q| ints, the pushable predicate), tombstones
+    // filtered, exact top-k
     val qe2 = qw.filter(col("route") === "exact")
     val wantedEx = qe2.select(col("w_label").cast("int")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val scan = if (wantedEx.isEmpty) e0L.filter(lit(false))
-      else e0L.filter(col("label").isin(wantedEx.map(Integer.valueOf).toIndexedSeq: _*))
+    val scan = (if (wantedEx.isEmpty) e0L.filter(lit(false))
+      else e0L.filter(col("label").isin(wantedEx.map(Integer.valueOf).toIndexedSeq: _*)))
+      .filter(col("vec_id") % 17 =!= 3)
     val exOut = scan.select(col("vec_id").as("c_id"),
         col("label").as("c_label"), col("qe").as("ce2"))
       .join(broadcast(qe2), col("c_label") === col("w_label")
@@ -2929,9 +2945,10 @@ object Vectors {
     * extended with the width CTEs: the label histogram, the integer
     * width/route formula (same constants: k = 3, pc = [[ivfPerCell]],
     * clamp [2, cells/4]), wMax routing through the two-level layer,
-    * the rn ≤ w per-query trim, the label-matched ADC aggregate, and
-    * the pre-filtered exact branch — w and route as output columns so
-    * the hash pins the formula.
+    * the rn ≤ w per-query trim, the label-matched tombstoned ADC
+    * aggregate, the top-32 → exact-L2 refine tail on the ivf route,
+    * and the pre-filtered tombstoned exact branch — w and route as
+    * output columns so the hash pins the formula.
     */
   private def ivfPqServePerQOracle: String =
     s"""WITH e AS (SELECT vec_id, ${tierLabelDuck("vec_id")} AS label,
@@ -2968,17 +2985,28 @@ object Vectors {
        |                          AND qd.m = enc.m AND qd.c = enc.code
        |               JOIN (SELECT DISTINCT q_id, w, w_label FROM probes) p
        |                 ON p.q_id = qd.q_id
-       |          WHERE enc.vec_id <> qd.q_id
+       |          WHERE enc.vec_id <> qd.q_id AND enc.vec_id % 17 <> 3
        |            AND ${tierLabelDuck("enc.vec_id")} = p.w_label
        |          GROUP BY 1, 2, 3),
+       |sl AS (SELECT q_id, w, c_id FROM
+       |         (SELECT q_id, w, c_id,
+       |                 row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS srn
+       |          FROM adist) t
+       |       WHERE srn <= 32),
+       |pi AS (SELECT sl.q_id, sl.w, sl.c_id,
+       |              CAST(list_sum(list_transform(range(1, 65),
+       |                j -> (q.qe[j] - c.qe[j]) * (q.qe[j] - c.qe[j]))) AS BIGINT) AS d2
+       |       FROM sl JOIN e q ON q.vec_id = sl.q_id
+       |               JOIN e c ON c.vec_id = sl.c_id),
        |pe AS (SELECT q.q_id, q.w, c.vec_id AS c_id,
        |              CAST(list_sum(list_transform(range(1, 65),
        |                j -> (q.qq[j] - c.qe[j]) * (q.qq[j] - c.qe[j]))) AS BIGINT) AS d2
        |       FROM qr q JOIN e c ON c.label = q.w_label AND c.vec_id <> q.q_id
+       |                         AND c.vec_id % 17 <> 3
        |       WHERE q.route = 'exact')
        |SELECT route, q_id, w, c_id, rnk, d2 FROM (
-       |  SELECT 'ivf' AS route, q_id, w, c_id, ad AS d2,
-       |         row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS rnk FROM adist
+       |  SELECT 'ivf' AS route, q_id, w, c_id, d2,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rnk FROM pi
        |  UNION ALL
        |  SELECT 'exact', q_id, w, c_id, d2,
        |         row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rnk FROM pe) u
@@ -3992,8 +4020,12 @@ object Vectors {
     // residual index with each query's width computed from the
     // serving rule (sim_ivf_filtered_perq's formula), the union cell
     // plan as literal PartitionFilters, label-matched ADC, and the
-    // ACORN exact flip for sparse labels. w/route are output columns
-    // — the oracle hash pins the whole rule end-to-end.
+    // ACORN exact flip for sparse labels — WITH the capstone's other
+    // tiers riding along: the %17 tombstone set invisible below both
+    // routes' distances, and the ivf route's ADC top-32 shortlist
+    // exact-re-ranked through the bucket-staged float fetch, so d2 is
+    // exact integer L2 on both routes. w/route are output columns —
+    // the oracle hash pins the whole rule end-to-end.
     sql("sim_ivf_pq_serve_perq", ivfPqServePerQOracle) { (s, d) =>
       resIndexServePerQ(s, d)
     },

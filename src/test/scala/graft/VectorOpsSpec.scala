@@ -1444,15 +1444,30 @@ class VectorOpsSpec extends SparkSpec {
     }
     assert(out.filter(lbl("c_id") =!= wanted).count() == 0,
       "a served hit does not carry its query's wanted label")
+    // tombstoned ids never surface on EITHER route (the capstone's
+    // delete tier at per-query widths)
+    assert(out.filter(col("c_id") % 17 === 3).count() == 0,
+      "a deleted vector surfaced in the per-query-width serve")
+    // d2 is the exact integer L2 on BOTH routes (the ivf route
+    // re-ranks its ADC shortlist through the bucket-staged fetch)
+    val e0 = graft.ops.Vectors.microVecs(spark, sfDir)
+      .withColumn("label", lbl("vec_id"))
+    val truthPQ = out
+      .join(e0.select(col("vec_id").as("q_id"), col("qe").as("qq")), Seq("q_id"))
+      .join(e0.select(col("vec_id").as("c_id"), col("qe").as("cq")), Seq("c_id"))
+      .select(col("d2"),
+        aggregate(zip_with(col("qq"), col("cq"), (x, y) => (x - y) * (x - y)),
+          lit(0d), (acc, v) => acc + v).cast("bigint").as("td2"))
+    assert(truthPQ.filter(col("d2") =!= col("td2")).count() == 0,
+      "served d2 diverged from the direct exact recompute")
     // the width column obeys the clamp on every ivf-route row
     val idx = graft.ops.Vectors.stagedIvfPqResIndex(spark, sfDir)
     val cellsQ = math.max(1L,
       spark.read.parquet(s"$idx/centroids").count() / 4L)
     assert(out.filter(col("route") === "ivf")
       .filter(col("w") < 2 || col("w") > cellsQ).count() == 0)
-    // exact-route answers equal the brute-force filtered top-3
-    val e0 = graft.ops.Vectors.microVecs(spark, sfDir)
-      .withColumn("label", lbl("vec_id"))
+    // exact-route answers equal the brute-force filtered tombstoned
+    // top-3
     val exq = out.filter(col("route") === "exact")
       .select("q_id").distinct()
     val w = org.apache.spark.sql.expressions.Window
@@ -1461,8 +1476,9 @@ class VectorOpsSpec extends SparkSpec {
       .select(col("vec_id").as("q_id"), col("qe").as("qq"))
       .join(exq, Seq("q_id"))
       .withColumn("wl", wanted)
-      .join(e0.select(col("vec_id").as("c_id"), col("label").as("cl"),
-        col("qe").as("cq")), col("cl") === col("wl") && col("c_id") =!= col("q_id"))
+      .join(e0.filter(col("vec_id") % 17 =!= 3)
+        .select(col("vec_id").as("c_id"), col("label").as("cl"),
+          col("qe").as("cq")), col("cl") === col("wl") && col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"),
         aggregate(zip_with(col("qq"), col("cq"), (x, y) => (x - y) * (x - y)),
           lit(0d), (acc, v) => acc + v).cast("bigint").as("td2"))
