@@ -2146,10 +2146,13 @@ object Vectors {
         s"CASE WHEN cnt > 0 THEN least(greatest((${3L * k} * $n + cnt * $ivfPerCell - 1) div nullif(cnt * $ivfPerCell, 0), 2), $cellsQ) END"))
       .withColumn("route", expr(
         s"CASE WHEN cnt > 0 AND cnt * w * $ivfPerCell >= ${k.toLong} * $n THEN 'ivf' ELSE 'exact' END")))
-    // the batch's max width — ONE integer (the only extra driver
-    // value over the fixed-dial serve)
-    val wMax = qw.filter(col("route") === "ivf")
-      .agg(coalesce(max(col("w")), lit(2L))).collect()(0).getLong(0).toInt
+    // ONE collect of the width table (≤ |Q| rows — the same
+    // driver-value class as the cell plans) feeds the batch max
+    // width AND the exact route's wanted-label IN-list, instead of
+    // two separate driver actions
+    val qwRows = qw.select(col("route"), col("w"), col("w_label")).collect()
+    val wMax = qwRows.filter(_.getString(0) == "ivf")
+      .map(_.getLong(1)).reduceOption(_ max _).getOrElse(2L).toInt
     val e0q = e0.filter(col("vec_id") < qBound)
     val probeR = coarseRanked(e0q, cent, nprobe = wMax,
       layer = Some(dirLayer(s, idx)))
@@ -2200,8 +2203,8 @@ object Vectors {
     // queries (≤ |Q| ints, the pushable predicate), tombstones
     // filtered, exact top-k
     val qe2 = qw.filter(col("route") === "exact")
-    val wantedEx = qe2.select(col("w_label").cast("int")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    val wantedEx = qwRows.filter(_.getString(0) == "exact")
+      .map(_.getInt(2)).distinct.sorted
     val scan = (if (wantedEx.isEmpty) e0L.filter(lit(false))
       else e0L.filter(col("label").isin(wantedEx.map(Integer.valueOf).toIndexedSeq: _*)))
       .filter(col("vec_id") % 17 =!= 3)
