@@ -1397,6 +1397,25 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("beamParts: retired rounds unpersist — live beam state is bounded per serve") {
+    // the r18-advice leak: localCheckpointed round state accumulated
+    // for the session. The persisted-RDD leaves now retire two
+    // materializations back; a full serve must leave at most the
+    // final state, the previous round's state, and the last
+    // expansion frame persisted (3 RDDs), not 2·rounds.
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    val before = sc.getPersistentRDDs.keySet
+    val (_, beamDf) = graft.ops.Vectors.beamParts(spark, sfDir,
+      qBound = 5L, beamW = 4, rounds = 4)
+    assert(beamDf.count() > 0)
+    val after = sc.getPersistentRDDs.keySet
+    val leaked = (after -- before).size
+    assert(leaked <= 3,
+      s"a 4-round serve left $leaked persisted RDDs (expected <= 3: " +
+        "final + previous beam state + last expansion frame)")
+  }
+
   test("exactRerank: the float fetch reads only the shortlist's buckets") {
     import spark.implicits._
     // shortlist ids chosen ≡ 0 (mod bMod=16 at this fixture), same
