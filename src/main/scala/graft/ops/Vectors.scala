@@ -2118,7 +2118,11 @@ object Vectors {
     * float fetch ([[exactRerank]]) — so `d2` is the exact integer L2
     * on BOTH routes and the output is what the one-call production
     * serve would return under a per-query width policy. w and route
-    * are OUTPUT columns, so the oracle hash pins the formula.
+    * are OUTPUT columns, so the oracle hash pins the formula. NOTE:
+    * `k` parameterizes the width formula and the exact route; the
+    * refine tail is the capstone's fixed top-32 → top-3
+    * ([[exactRerank]]'s contract), so a caller wanting k ≠ 3 on the
+    * ivf route would widen that tail first.
     */
   private[graft] def resIndexServePerQ(s: SparkSession, d: String,
       k: Int = 3, qBound: Long = filteredQBound): DataFrame = {
