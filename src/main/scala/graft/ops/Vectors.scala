@@ -1790,20 +1790,25 @@ object Vectors {
     */
   private[graft] def exactRerank(s: SparkSession, d: String,
       adist: DataFrame): DataFrame = {
+    import s.implicits._
     def sq(a: Column, b: Column): Column = sqDist(a, b)
     val wSl = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("ad"), col("c_id"))
-    // the shortlist is read twice (residue collect + fetch join) —
-    // cache the query-sized frame, not the corpus
-    val sl = maybeCache(adist.withColumn("srn", row_number().over(wSl))
+    // ONE action: the ≤ 32·|Q|-row shortlist collects once (the same
+    // query-sized driver-value class as the cell plans) and feeds
+    // BOTH the bucket residues and the fetch join's local side —
+    // r19b, replacing a cache-fill action plus a residue collect
+    val slRows: Array[(Long, Long)] = adist
+      .withColumn("srn", row_number().over(wSl))
       .filter(col("srn") <= 32)
-      .select(col("q_id"), col("c_id")))
+      .select(col("q_id"), col("c_id"))
+      .as[(Long, Long)].collect()
+    val sl = slRows.toSeq.toDF("q_id", "c_id")
     val (vdir, bMod) = stagedVecBuckets(s, d)
     // bucket residues of q_ids ∪ shortlist c_ids: ≤ min(33·|Q|, bMod)
-    // integers — the nprobe-cell-plan driver-value class
-    val bks = sl.select(pmod(col("q_id"), lit(bMod)).as("b"))
-      .union(sl.select(pmod(col("c_id"), lit(bMod)).as("b")))
-      .distinct().collect().map(_.getLong(0)).sorted
+    // integers
+    val bks = slRows.flatMap(t => Seq(t._1 % bMod, t._2 % bMod))
+      .distinct.sorted
     val vecs = readBucketed(s, s"$vdir/vectors", bucketVecSchema, bks)
     val slq = vecs.select(col("vec_id").as("q_id"), col("qe").as("qqe"))
       .join(broadcast(sl), Seq("q_id"))

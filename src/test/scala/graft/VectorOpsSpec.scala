@@ -1508,11 +1508,14 @@ class VectorOpsSpec extends SparkSpec {
       .select("q_id", "c_id", "rnk", "d2")
     assert(got.exceptAll(brute).count() == 0 && brute.exceptAll(got).count() == 0,
       "exact-route results diverge from the brute-force filtered top-3")
-    // the ivf route's list scan carries the probed cells as
-    // PARTITION filters (the readLists contract, now at per-query
-    // widths)
-    assert(out.queryExecution.executedPlan.toString
-      .contains("PartitionFilters: [cell"),
-      "per-query-width serve lost its cell partition filter")
+    // the refine fetch in the OUTPUT plan reads the bucket-staged
+    // vector copy through a literal bucket partition filter. (The
+    // probed-cell lists scan executes at serve CONSTRUCTION — the
+    // shortlist collect — through the same readLists path whose cell
+    // PartitionFilters the residual-indexed spec and the readLists
+    // fixture spec pin.)
+    assert("PartitionFilters: \\[[^\\]]*bucket".r
+      .findFirstIn(out.queryExecution.executedPlan.toString).isDefined,
+      "per-query-width serve lost its bucket partition filter")
   }
 }
