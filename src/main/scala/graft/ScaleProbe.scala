@@ -376,7 +376,10 @@ object ScaleProbe {
       graft.ops.hfsMkdirs(spark, dir)
       val (fs, dst) = graft.ops.hfs(spark, s"$dir/batch$p.parquet")
       if (fs.exists(dst)) fs.delete(dst, false)
-      fs.rename(part, dst)
+      // rename returns false instead of throwing on object-store/
+      // cross-FS failure modes — a silently dropped batch would make
+      // the probe measure fewer replay windows without erroring
+      require(fs.rename(part, dst), s"staging rename failed: $part -> $dst")
     }
     ranked.unpersist()
     ()

@@ -841,15 +841,23 @@ object Vectors {
     */
   private[graft] def readBucketed(s: SparkSession, path: String,
       schema: String, buckets: Array[Long]): DataFrame = {
-    val shardDirs = buckets
+    val wantDirs = buckets
       .map(b => (((b % listShardMod) + listShardMod) % listShardMod).toInt)
       .distinct.sorted
       .map(k => s"$path/shard=$k")
-      .filter(p => graft.ops.hfsIsDir(s, p))
+    val shardDirs = wantDirs.filter(p => graft.ops.hfsIsDir(s, p))
+    // a NON-empty fetch set whose every probed shard dir is missing is
+    // a broken artifact (path typo, store listing failure), not the
+    // empty-fetch edge case — falling through to the root read would
+    // silently restore the full-corpus scan the bucket layout exists
+    // to eliminate (r19 advice)
+    require(buckets.isEmpty || shardDirs.nonEmpty,
+      s"no staged shard dir exists under $path for buckets " +
+        s"${buckets.take(8).mkString(",")}… — staged artifact missing or unlisted")
     val r = s.read.option("basePath", path).schema(schema)
-    // no shard dir present (empty fetch set): the root read with the
-    // explicit schema degrades to 0 rows instead of a missing-path
-    // error — readLists' own edge case
+    // EMPTY fetch set: the root read with the explicit schema degrades
+    // to 0 rows instead of a missing-path error — readLists' own edge
+    // case
     (if (shardDirs.isEmpty) r.parquet(path)
      else r.parquet(shardDirs.toIndexedSeq: _*))
       .filter(col("bucket").isin(buckets.map(java.lang.Long.valueOf): _*))
@@ -1787,26 +1795,36 @@ object Vectors {
     * fetches). The shortlist (with its query's exact vector riding
     * along) is query-sized and broadcasts into the pruned fetch — the
     * floats never shuffle.
+    *
+    * CALLER CONTRACT (r19 advice): CONSTRUCTION IS AN ACTION — the
+    * shortlist collect runs the full upstream ADC chain eagerly at
+    * DataFrame-construction time (the documented one-action design:
+    * one collect feeds both the bucket residues and the fetch join).
+    * Build the frame only when you will consume it; upstream failures
+    * surface here, not at the downstream action.
     */
   private[graft] def exactRerank(s: SparkSession, d: String,
-      adist: DataFrame): DataFrame = {
+      adist: DataFrame, shortlist: Int = 32, k: Int = 3): DataFrame = {
     import s.implicits._
     def sq(a: Column, b: Column): Column = sqDist(a, b)
     val wSl = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("ad"), col("c_id"))
-    // ONE action: the ≤ 32·|Q|-row shortlist collects once (the same
-    // query-sized driver-value class as the cell plans) and feeds
-    // BOTH the bucket residues and the fetch join's local side —
-    // r19b, replacing a cache-fill action plus a residue collect
+    // ONE action: the ≤ shortlist·|Q|-row shortlist collects once
+    // (the same query-sized driver-value class as the cell plans)
+    // and feeds BOTH the bucket residues and the fetch join's local
+    // side — r19b, replacing a cache-fill action plus a residue
+    // collect. Defaults (32 → 3) are Jégou's dials and preserve every
+    // oracled key's hash; callers wanting k > 3 widen both (r19
+    // VERDICT #3: the tail was hard-wired).
     val slRows: Array[(Long, Long)] = adist
       .withColumn("srn", row_number().over(wSl))
-      .filter(col("srn") <= 32)
+      .filter(col("srn") <= shortlist)
       .select(col("q_id"), col("c_id"))
       .as[(Long, Long)].collect()
     val sl = slRows.toSeq.toDF("q_id", "c_id")
     val (vdir, bMod) = stagedVecBuckets(s, d)
-    // bucket residues of q_ids ∪ shortlist c_ids: ≤ min(33·|Q|, bMod)
-    // integers
+    // bucket residues of q_ids ∪ shortlist c_ids: ≤
+    // min((shortlist+1)·|Q|, bMod) integers
     val bks = slRows.flatMap(t => Seq(t._1 % bMod, t._2 % bMod))
       .distinct.sorted
     val vecs = readBucketed(s, s"$vdir/vectors", bucketVecSchema, bks)
@@ -1819,18 +1837,20 @@ object Vectors {
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("exact_d2"), col("c_id"))
     ex.withColumn("rnk", row_number().over(wTop).cast("bigint"))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= k)
       .select(col("q_id"), col("c_id"), col("rnk"), col("exact_d2"))
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  /** Shared top-3 tail over an ADC aggregate. */
-  private[graft] def ivfPqTop3(adist: DataFrame): DataFrame = {
+  /** Shared top-k tail over an ADC aggregate (default 3 — every
+    * oracled key's dial).
+    */
+  private[graft] def ivfPqTop3(adist: DataFrame, k: Int = 3): DataFrame = {
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("ad"), col("c_id"))
     adist
       .withColumn("rnk", row_number().over(wTop).cast("bigint"))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= k)
       .select(col("q_id"), col("c_id"), col("rnk"), col("ad").as("approx_d2"))
       .orderBy(col("q_id"), col("rnk"))
   }
@@ -2068,8 +2088,9 @@ object Vectors {
   private[graft] def resIndexServe(s: SparkSession, d: String,
       listsPath: String, quantDir: String,
       qBound: Long = 20L, nprobe: Int = 2,
-      tombstones: Option[DataFrame] = None): DataFrame =
-    ivfPqTop3(resIndexAdist(s, d, listsPath, quantDir, qBound, nprobe, tombstones))
+      tombstones: Option[DataFrame] = None, k: Int = 3): DataFrame =
+    ivfPqTop3(
+      resIndexAdist(s, d, listsPath, quantDir, qBound, nprobe, tombstones), k)
 
   /** [[resIndexServe]] up to the ADC aggregate — exposed so
     * `sim_ivf_pq_serve` can re-rank the probed+tombstoned shortlist
@@ -2123,14 +2144,16 @@ object Vectors {
     * float fetch ([[exactRerank]]) — so `d2` is the exact integer L2
     * on BOTH routes and the output is what the one-call production
     * serve would return under a per-query width policy. w and route
-    * are OUTPUT columns, so the oracle hash pins the formula. NOTE:
-    * `k` parameterizes the width formula and the exact route; the
-    * refine tail is the capstone's fixed top-32 → top-3
-    * ([[exactRerank]]'s contract), so a caller wanting k ≠ 3 on the
-    * ivf route would widen that tail first.
+    * are OUTPUT columns, so the oracle hash pins the formula.
+    * (shortlist, k) thread through the refine tail (r20, VERDICT r19
+    * #3): `k` parameterizes the width formula, the exact route's
+    * top-k, AND the ivf route's re-rank cut; `shortlist` is the ADC
+    * shortlist the re-rank fetches. Defaults (32 → 3) preserve every
+    * oracled hash.
     */
   private[graft] def resIndexServePerQ(s: SparkSession, d: String,
-      k: Int = 3, qBound: Long = filteredQBound): DataFrame = {
+      k: Int = 3, qBound: Long = filteredQBound,
+      shortlist: Int = 32): DataFrame = {
     def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
     val idx = stagedIvfPqResIndex(s, d)
     val e0 = microVecs(s, d)
@@ -2139,22 +2162,12 @@ object Vectors {
     val n = e0.count()
     val cent = s.read.parquet(s"$idx/centroids")
     val cells = cent.count()
-    val cellsQ = math.max(1L, cells / 4L)
-    // bounded-domain label histogram (≤ 524 rows) + the width/route
-    // table: |Q| rows, every column integer so the DuckDB twin
-    // carries the SAME arithmetic
-    val hist = e0L.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
-    val qw = maybeCache(e0L.filter(col("vec_id") < qBound)
-      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
-        col("qe").as("qq"))
-      .withColumn("w_label", tierWantedCol(col("q_label")))
-      .join(hist.select(col("label").as("w_label"), col("cnt")),
-        Seq("w_label"), "left")
-      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-      .withColumn("w", expr(
-        s"CASE WHEN cnt > 0 THEN least(greatest((${3L * k} * $n + cnt * $ivfPerCell - 1) div nullif(cnt * $ivfPerCell, 0), 2), $cellsQ) END"))
-      .withColumn("route", expr(
-        s"CASE WHEN cnt > 0 AND cnt * w * $ivfPerCell >= ${k.toLong} * $n THEN 'ivf' ELSE 'exact' END")))
+    // the width/route table: |Q| rows, every column integer so the
+    // DuckDB twin carries the SAME arithmetic — built by the ONE
+    // shared serving-rule builder (r19 advice: this block and
+    // filteredPerQueryW's must not drift)
+    val qw = maybeCache(widthRouteTable(e0L, n, ivfPerCell, cells,
+      tierWantedCol, k, col("vec_id") < qBound))
     // ONE collect of the width table (≤ |Q| rows — the same
     // driver-value class as the cell plans) feeds the batch max
     // width AND the exact route's wanted-label IN-list, instead of
@@ -2198,10 +2211,10 @@ object Vectors {
           && tierLabelCol("c_id") === col("w_label"))
       .groupBy(col("q_id"), col("c_id"))
       .agg(sum(col("d2")).cast("bigint").as("ad"))
-    // ivf route: ADC top-32 shortlist → EXACT re-rank through the
+    // ivf route: ADC top-`shortlist` → EXACT re-rank through the
     // bucket-staged float fetch (the capstone's refine tier, at
     // per-query widths); w re-attaches from the width table
-    val ivfOut = exactRerank(s, d, adist)
+    val ivfOut = exactRerank(s, d, adist, shortlist, k)
       .join(broadcast(qw.select(col("q_id"), col("w"))), Seq("q_id"))
       .select(col("q_id"), col("w"), col("c_id"), col("rnk"),
         col("exact_d2").as("d2"))
@@ -2697,23 +2710,17 @@ object Vectors {
       perCell: Long, cent: DataFrame, lay: (DataFrame, DataFrame),
       wantedOf: Column => Column, k: Int = 3,
       qBound: Long = filteredQBound,
-      trace: Option[scala.collection.mutable.Map[String, DataFrame]] = None)
+      trace: Option[scala.collection.mutable.Map[String, DataFrame]] = None,
+      qPred: Option[Column] = None)
       : DataFrame = {
     def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
     val cells = cent.count()
-    val cellsQ = math.max(1L, cells / 4L)
-    val hist = e0L.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
-    val qw = maybeCache(e0L.filter(col("vec_id") < qBound)
-      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
-        col("qe").as("qq"))
-      .withColumn("w_label", wantedOf(col("q_label")))
-      .join(hist.select(col("label").as("w_label"), col("cnt")),
-        Seq("w_label"), "left")
-      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-      .withColumn("w", expr(
-        s"CASE WHEN cnt > 0 THEN least(greatest((${3L * k} * $n + cnt * $perCell - 1) div nullif(cnt * $perCell, 0), 2), $cellsQ) END"))
-      .withColumn("route", expr(
-        s"CASE WHEN cnt > 0 AND cnt * w * $perCell >= ${k.toLong} * $n THEN 'ivf' ELSE 'exact' END")))
+    // qPred (r20): an explicit query-set predicate — the
+    // batch-dependence spec serves SOLO queries through the same
+    // chain; None = the oracled keys' vec_id < qBound batch
+    val qp = qPred.getOrElse(col("vec_id") < qBound)
+    val qw = maybeCache(
+      widthRouteTable(e0L, n, perCell, cells, wantedOf, k, qp))
     // the batch's max width — ONE integer, the literal the wide
     // routing needs at plan time (same driver-value class as the
     // cell plans)
@@ -2725,7 +2732,7 @@ object Vectors {
       .withColumn("rnk", row_number().over(rankW).cast("bigint"))
       .filter(col("rnk") <= k)
     // IVF side: route the query frame once at wMax, trim per query
-    val probeR = coarseRanked(e0L.filter(col("vec_id") < qBound), cent,
+    val probeR = coarseRanked(e0L.filter(qp), cent,
       nprobe = wMax, layer = Some(lay))
     val cand = e0L.join(coarseRanked(e0L, cent, nprobe = 2,
         layer = Some(lay)).filter(col("rn") === 1)
@@ -2767,6 +2774,37 @@ object Vectors {
       .select(col("route"), col("q_id"), col("w"), col("c_id"),
         col("c_label"), col("rnk"), col("d2"))
       .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** The serving-rule WIDTH/ROUTE table — ONE definition shared by
+    * [[filteredPerQueryW]] (`sim_ivf_filtered_perq`) and
+    * [[resIndexServePerQ]] (`sim_ivf_pq_serve_perq`); r19 advice: the
+    * two keys re-implemented the histogram join + integer width
+    * formula + clamp + route flip, and only their separate oracles
+    * would have caught a constant drifting. From the bounded-domain
+    * label histogram, each query's wanted-label count `cnt` gives
+    *   w = clamp(⌈3k·n / (cnt·perCell)⌉, 2, cells/4),
+    *   route = 'ivf' iff cnt·w·perCell ≥ k·n, else the ACORN exact
+    * flip. All arithmetic integer, so both keys' DuckDB twins carry
+    * the SAME formula. Output: (w_label, q_id, q_label, qq, cnt, w,
+    * route) — |Q| rows, the driver-value class of the cell plans.
+    */
+  private def widthRouteTable(e0L: DataFrame, n: Long, perCell: Long,
+      cells: Long, wantedOf: Column => Column, k: Int,
+      qPred: Column): DataFrame = {
+    val cellsQ = math.max(1L, cells / 4L)
+    val hist = e0L.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+    e0L.filter(qPred)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("qe").as("qq"))
+      .withColumn("w_label", wantedOf(col("q_label")))
+      .join(hist.select(col("label").as("w_label"), col("cnt")),
+        Seq("w_label"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("w", expr(
+        s"CASE WHEN cnt > 0 THEN least(greatest((${3L * k} * $n + cnt * $perCell - 1) div nullif(cnt * $perCell, 0), 2), $cellsQ) END"))
+      .withColumn("route", expr(
+        s"CASE WHEN cnt > 0 AND cnt * w * $perCell >= ${k.toLong} * $n THEN 'ivf' ELSE 'exact' END"))
   }
 
   /** The 3-tier mixed-selectivity label universe shared by

@@ -1518,4 +1518,41 @@ class VectorOpsSpec extends SparkSpec {
       .findFirstIn(out.queryExecution.executedPlan.toString).isDefined,
       "per-query-width serve lost its bucket partition filter")
   }
+
+  test("refine tail parameterized (r20): k=5 widens, k=3 is its prefix at equal shortlist, wider shortlist never worse, perq serves k=5") {
+    import graft.ops.Vectors
+    val idx = Vectors.stagedIvfPqResIndex(spark, sfDir)
+    // exactRerank construction is an action (its doc'd contract), so
+    // each call pays one ADC run — three runs at sf0.001, cheap
+    def adist() = Vectors.resIndexAdist(spark, sfDir, s"$idx/lists", idx)
+    val d3 = Vectors.exactRerank(spark, sfDir, adist()).cache()
+    val d5 = Vectors.exactRerank(spark, sfDir, adist(),
+      shortlist = 32, k = 5).cache()
+    // the tail actually widens past the old hard-wired 3
+    assert(d5.groupBy("q_id").count().filter(col("count") =!= 5).count() == 0,
+      "k=5 did not return 5 hits per query")
+    // containment: at the SAME shortlist the k=3 default is exactly
+    // the rnk<=3 prefix of k=5 (same candidate set, same order)
+    val p3 = d5.filter(col("rnk") <= 3)
+    assert(d3.exceptAll(p3).count() == 0 && p3.exceptAll(d3).count() == 0,
+      "k=3 output is not the rnk<=3 prefix of k=5 at equal shortlist")
+    // a WIDER ADC shortlist can only improve (or tie) each rank's
+    // exact distance — the candidate set only grows
+    val w48 = Vectors.exactRerank(spark, sfDir, adist(),
+      shortlist = 48, k = 5)
+    val j = d5.select(col("q_id"), col("rnk"), col("exact_d2").as("d32"))
+      .join(w48.select(col("q_id"), col("rnk"), col("exact_d2").as("d48")),
+        Seq("q_id", "rnk"))
+    assert(j.filter(col("d48") > col("d32")).count() == 0,
+      "widening the ADC shortlist worsened an exact rank")
+    // the capstone threads (shortlist, k): at k=5 both routes widen
+    // and the tombstone tier still holds on every route
+    val perq = Vectors.resIndexServePerQ(spark, sfDir, k = 5).cache()
+    assert(perq.filter(col("c_id") % 17 === 3).count() == 0,
+      "a deleted vector surfaced at k=5")
+    assert(perq.filter(col("rnk") > 5).count() == 0)
+    assert(perq.groupBy("q_id", "route").agg(max(col("rnk")).as("m"))
+      .filter(col("m") > 3).count() > 0,
+      "no query actually used the widened tail")
+  }
 }
