@@ -917,11 +917,47 @@ object Vectors {
   /** One graph-beam serve. `reads`, when supplied, collects each
     * round's (pruned edge read, pruned vector read) so ScaleProbe and
     * the specs can count the rows/files a round actually touches.
+    *
+    * PRODUCTION DIALS (r20, VERDICT r19 #1 — the IVF route served
+    * attribute filters and tombstone deletes; the graph route had
+    * neither):
+    *
+    *  - `tomb = true` anti-joins the `vec_id % 17 = 3` tombstone set
+    *    (the same delete universe as `sim_ivf_pq_deletes`) BELOW the
+    *    expansion — below the entry scoring and below each round's
+    *    neighbor set, before the vector fetch — so a deleted vector
+    *    never enters the navigation beam, never gets its floats
+    *    fetched, and can never surface: a consent-revoked vector is
+    *    unreachable on EVERY route, and stricter than HNSW's
+    *    soft-delete (which still navigates through deleted nodes
+    *    until compaction).
+    *  - `labelMod = Some(m)` serves a LABEL-FILTERED batch (query q
+    *    wants label (q_id%m + 1)%m; candidate label = c_id % m — the
+    *    vec_id-derived FAISS id-encodes-metadata pattern, zero stored
+    *    columns). The label predicate sits INSIDE the per-round
+    *    scoring, below a dedicated BeamTopW cut: every scored
+    *    candidate that matches feeds a per-query FILTERED ACCUMULATOR
+    *    (top-beamW by (d2, c_id), updated every round), which is what
+    *    the serve returns. The NAVIGATION beam stays label-UNfiltered
+    *    — non-matching nodes still navigate (the hnswlib/FAISS
+    *    IDSelector pattern: restricting traversal to the induced
+    *    subgraph of a 1/m-selectivity label would cut connectivity to
+    *    ~degree/m edges per node) — they just never enter results.
+    *    Post-filtering the final beam instead would under-return:
+    *    beamW members × 1/m selectivity ≈ beamW/m < k matching
+    *    survivors (the same argument as the filtered-IVF keys;
+    *    spec-demonstrated).
+    *
+    * Defaults (None/false) leave the three unfiltered dials'
+    * round-for-round plan — and their oracle hashes — untouched.
+    * When `labelMod` is set the returned beam IS the filtered
+    * accumulator.
     */
   private[graft] def beamParts(s: SparkSession, d: String, qBound: Long = 20L,
       beamW: Int = 8, rounds: Int = 3, degree: Int = 8,
       perCell: Long = ivfPerCell,
-      reads: Option[scala.collection.mutable.Buffer[(DataFrame, DataFrame)]] = None)
+      reads: Option[scala.collection.mutable.Buffer[(DataFrame, DataFrame)]] = None,
+      labelMod: Option[Int] = None, tomb: Boolean = false)
       : (Seq[DataFrame], DataFrame) = {
     import s.implicits._
     val e0 = microVecs(s, d)
@@ -936,6 +972,23 @@ object Vectors {
     val q = e0.filter(col("vec_id") < qBound)
       .select(col("vec_id").as("q_id"), col("qe").as("qq"))
     def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
+    // logical deletes below the expansion: the delete-set-sized
+    // broadcast anti-join the IVF route already serves
+    // (sim_ivf_pq_deletes) — candidates drop BEFORE scoring and
+    // before the float fetch, so a deleted vector is unreachable
+    val tsB = if (tomb) Some(broadcast(e0.filter(col("vec_id") % 17 === 3)
+      .select(col("vec_id").as("c_id")))) else None
+    def dropTombs(df: DataFrame): DataFrame =
+      tsB.fold(df)(t => df.join(t, Seq("c_id"), "left_anti"))
+    // the label predicate, INSIDE the per-round scoring: a scored
+    // candidate matching its query's wanted label enters the filtered
+    // accumulator — below that accumulator's own BeamTopW cut
+    def matching(sc: DataFrame, m: Int): DataFrame =
+      sc.join(broadcast(q.select(col("q_id"),
+          pmod(pmod(col("q_id"), lit(m.toLong)) + 1, lit(m.toLong)).as("wl"))),
+          Seq("q_id"))
+        .filter(pmod(col("c_id"), lit(m.toLong)) === col("wl"))
+        .select(col("q_id"), col("c_id"), col("d2"))
     // PER-ROUND STATE = a leaf DataFrame over a persisted tuple RDD
     // (r19, replacing r18's lazy localCheckpoint): the SQL plan is cut
     // at the RDD leaf, so Catalyst analysis stays O(1) per round (the
@@ -996,11 +1049,16 @@ object Vectors {
           rd2(col("qq"), col("sce")), col("sid")).as("sids"),
         first(col("qq")).as("qq"))
       .select(col("q_id"), col("qq"), explode(col("sids")).as("sid"))
-    val ent = routed.join(chl, Seq("sid"))
+    val ent = dropTombs(routed.join(chl, Seq("sid"))
       .filter(col("cid") =!= col("q_id"))
       .select(col("q_id"), col("cid").as("c_id"),
-        sqd(col("qq"), col("che")).as("d2"))
+        sqd(col("qq"), col("che")).as("d2")))
     var (beamLeaf, beamRdd) = leaf3(topB(ent))
+    // the filtered accumulator's round state rides the same persisted
+    // tuple-RDD leaf discipline as the navigation beam
+    var accState: Option[(DataFrame,
+      org.apache.spark.rdd.RDD[(Long, Long, Long)])] =
+      labelMod.map(m => leaf3(topB(matching(ent, m))))
     val cands = scala.collection.mutable.Buffer[DataFrame](ent)
     // rounds retired two materializations back: their blocks are no
     // longer inputs to anything unmaterialized, so unpersist them —
@@ -1027,9 +1085,9 @@ object Vectors {
       // identical d2. The probe's candidate-count frames keep a LAZY
       // dedup so SCALE.md's candidates/query column stays comparable
       // across rounds — only ScaleProbe evaluates it.
-      val (nbrsLeaf, nbrsRdd) = leaf2(
+      val (nbrsLeaf, nbrsRdd) = leaf2(dropTombs(
         beamLeaf.join(edgesR, beamLeaf("c_id") === edgesR("a_id"))
-          .select(beamLeaf("q_id"), col("b_id").as("c_id")))
+          .select(beamLeaf("q_id"), col("b_id").as("c_id"))))
       val nb = residues(nbrsRdd.map(_._2))
       val vecsR = readBucketed(s, s"$vdir/vectors", bucketVecSchema, nb)
         .select(col("vec_id").as("c_id"), col("qe").as("ce"))
@@ -1045,41 +1103,89 @@ object Vectors {
         .select(col("q_id"), col("c_id"), sqd(col("qq"), col("ce")).as("d2"))
       val (bl, br) = leaf3(topB(scored.unionByName(beamLeaf)))
       retire = List(beamRdd, nbrsRdd)
+      // the filtered accumulator takes this round's MATCHING scored
+      // candidates under its own top-beamW cut — below the cut, never
+      // a post-filter of the navigation beam
+      accState = accState.map { case (aL, aR) =>
+        val nxt = leaf3(topB(matching(scored, labelMod.get).unionByName(aL)))
+        retire = aR :: retire
+        nxt
+      }
       beamLeaf = bl; beamRdd = br
     }
-    (cands.toSeq, beamLeaf)
+    (cands.toSeq, accState.map(_._1).getOrElse(beamLeaf))
   }
 
   /** DuckDB twin of [[beamParts]] + top-3, parameterized on the
     * (beamW, rounds) budget dial — ONE builder for the canonical 8×3
-    * key and the wide 16×5 key (r18), so the two oracles cannot
-    * fork: the entry descent (top-2 supers, exact child scoring),
-    * `rounds` unrolled expansion CTEs over the stored degree-8
-    * neighbor lists, beam kept to `beamW` by (d2, c_id), final top-3.
-    * The beam-state CTEs are MATERIALIZED and the edge list reads
-    * through a materialized alias: each round references b(r-1)
-    * twice, so DuckDB's default inlining re-expands the whole knn
-    * chain 2^rounds times — the 5-round dial OOM'd a 100 GiB limit
-    * at sf0.1 before the hints, 0.9 s after (results identical).
+    * key, the wide 16×5 key (r18), the 32×5 key (r19) and the
+    * filtered+tombstoned key (r20), so the oracles cannot fork: the
+    * entry descent (top-2 supers, exact child scoring), `rounds`
+    * unrolled expansion CTEs over the stored degree-8 neighbor lists,
+    * beam kept to `beamW` by (d2, c_id), final top-3. With
+    * `tomb = true` candidates carry `vec_id % 17 <> 3` below every
+    * scoring join (the IVF deletes key's predicate); with
+    * `labelMod = Some(m)` each round's freshly scored candidates
+    * split into their own sc-CTE, the matching slice
+    * (c_id % m = (q_id % m + 1) % m) folds into a filtered
+    * accumulator a_r under its own top-beamW cut, and the final
+    * top-3 reads a_rounds — the navigation beam b_r stays
+    * unfiltered, mirroring [[beamParts]] exactly. The beam-state
+    * CTEs are MATERIALIZED and the edge list reads through a
+    * materialized alias: each round references b(r-1) twice, so
+    * DuckDB's default inlining re-expands the whole knn chain
+    * 2^rounds times — the 5-round dial OOM'd a 100 GiB limit at
+    * sf0.1 before the hints, 0.9 s after (results identical).
     */
-  private def beamOracleSql(beamW: Int, rounds: Int): String = {
-    val roundCtes = (1 to rounds).map { r =>
-      s"""n$r AS (SELECT DISTINCT b${r - 1}.q_id, tm.b_id AS c_id
-         |        FROM b${r - 1} JOIN tm ON tm.a_id = b${r - 1}.c_id),
-         |s$r AS (SELECT q_id, c_id, min(d2) AS d2 FROM (
-         |          SELECT q_id, c_id, d2 FROM b${r - 1}
-         |          UNION ALL
-         |          SELECT n$r.q_id, n$r.c_id,
-         |                 CAST(list_sum(list_transform(range(1, 65),
-         |                   j -> (q.qq[j] - c.qe[j]) * (q.qq[j] - c.qe[j]))) AS BIGINT) AS d2
-         |          FROM n$r JOIN e c ON c.vec_id = n$r.c_id
-         |                 JOIN q ON q.q_id = n$r.q_id
-         |          WHERE n$r.c_id <> n$r.q_id) u$r
-         |        GROUP BY q_id, c_id),
-         |b$r AS MATERIALIZED (SELECT q_id, c_id, d2 FROM (
+  private def beamOracleSql(beamW: Int, rounds: Int,
+      labelMod: Option[Int] = None, tomb: Boolean = false): String = {
+    val tsEnt = if (tomb) " AND c.cid % 17 <> 3" else ""
+    def tsNew(r: Int) = if (tomb) s" AND n$r.c_id % 17 <> 3" else ""
+    def accCut(src: String, name: String) =
+      s"""$name AS MATERIALIZED (SELECT q_id, c_id, d2 FROM (
          |          SELECT q_id, c_id, d2,
          |                 row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
-         |          FROM s$r) x$r WHERE rn <= $beamW)""".stripMargin
+         |          FROM $src) x$name WHERE rn <= $beamW)""".stripMargin
+    def matchPred(m: Int) = s"c_id % $m = (q_id % $m + 1) % $m"
+    val roundCtes = (1 to rounds).map { r =>
+      val scScore =
+        s"""SELECT n$r.q_id, n$r.c_id,
+           |                 CAST(list_sum(list_transform(range(1, 65),
+           |                   j -> (q.qq[j] - c.qe[j]) * (q.qq[j] - c.qe[j]))) AS BIGINT) AS d2
+           |          FROM n$r JOIN e c ON c.vec_id = n$r.c_id
+           |                 JOIN q ON q.q_id = n$r.q_id
+           |          WHERE n$r.c_id <> n$r.q_id${tsNew(r)}""".stripMargin
+      val base =
+        s"""n$r AS (SELECT DISTINCT b${r - 1}.q_id, tm.b_id AS c_id
+           |        FROM b${r - 1} JOIN tm ON tm.a_id = b${r - 1}.c_id),""".stripMargin
+      labelMod match {
+        case None =>
+          s"""${base}
+             |s$r AS (SELECT q_id, c_id, min(d2) AS d2 FROM (
+             |          SELECT q_id, c_id, d2 FROM b${r - 1}
+             |          UNION ALL
+             |          $scScore) u$r
+             |        GROUP BY q_id, c_id),
+             |b$r AS MATERIALIZED (SELECT q_id, c_id, d2 FROM (
+             |          SELECT q_id, c_id, d2,
+             |                 row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
+             |          FROM s$r) x$r WHERE rn <= $beamW)""".stripMargin
+        case Some(m) =>
+          s"""${base}
+             |sc$r AS MATERIALIZED ($scScore),
+             |s$r AS (SELECT q_id, c_id, min(d2) AS d2 FROM (
+             |          SELECT q_id, c_id, d2 FROM b${r - 1}
+             |          UNION ALL
+             |          SELECT q_id, c_id, d2 FROM sc$r) u$r
+             |        GROUP BY q_id, c_id),
+             |${accCut(s"s$r", s"b$r")},
+             |sa$r AS (SELECT q_id, c_id, min(d2) AS d2 FROM (
+             |          SELECT q_id, c_id, d2 FROM a${r - 1}
+             |          UNION ALL
+             |          SELECT q_id, c_id, d2 FROM sc$r WHERE ${matchPred(m)}) ua$r
+             |        GROUP BY q_id, c_id),
+             |${accCut(s"sa$r", s"a$r")}""".stripMargin
+      }
     }.mkString(",\n")
     s"""WITH ${knnEdgeCtesOver(knnScaledCentCte, twoLevel = true, degree = 8)},
        |tm AS MATERIALIZED (SELECT a_id, b_id FROM t),
@@ -1096,17 +1202,28 @@ object Vectors {
        |              CAST(list_sum(list_transform(range(1, 65),
        |                j -> (b.qq[j] - c.ce[j]) * (b.qq[j] - c.ce[j]))) AS BIGINT) AS d2
        |       FROM brt b JOIN klchl c ON c.sid = b.sid
-       |       WHERE c.cid <> b.q_id),
+       |       WHERE c.cid <> b.q_id$tsEnt),
        |b0 AS MATERIALIZED (SELECT q_id, c_id, d2 FROM (
        |         SELECT q_id, c_id, d2,
        |                row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
        |         FROM s0) x0 WHERE rn <= $beamW),
-       |$roundCtes
-       |SELECT q_id, c_id, rnk, d2 FROM (
-       |  SELECT q_id, c_id, d2,
-       |         row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rnk
-       |  FROM b$rounds) f
-       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+       |${labelMod.fold("")(m =>
+           accCut(s"(SELECT q_id, c_id, d2 FROM s0 WHERE ${matchPred(m)}) sa0",
+             "a0") + ",\n")}$roundCtes
+       |${labelMod match {
+           case None =>
+             s"""SELECT q_id, c_id, rnk, d2 FROM (
+                |  SELECT q_id, c_id, d2,
+                |         row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rnk
+                |  FROM b$rounds) f
+                |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+           case Some(m) =>
+             s"""SELECT q_id, c_id, c_label, rnk, d2 FROM (
+                |  SELECT q_id, c_id, CAST(c_id % $m AS INT) AS c_label, d2,
+                |         row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rnk
+                |  FROM a$rounds) f
+                |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+         }}""".stripMargin
   }
 
   /** Integer-exact damped PageRank over an arbitrary (src, dst) edge
@@ -4695,6 +4812,36 @@ object Vectors {
       beamDf.withColumn("rnk", row_number().over(w).cast("bigint"))
         .filter(col("rnk") <= 3)
         .select(col("q_id"), col("c_id"), col("rnk"), col("d2"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // ---- FILTERED + TOMBSTONED beam search (r20, VERDICT r19 #1) -------
+    // Production-dial parity with the IVF route: the graph serve now
+    // carries the attribute filter (label = c_id % 10, wanted =
+    // (q % 10 + 1) % 10 — the vec_id-derived id-encodes-metadata
+    // pattern, zero stored columns) and the tombstone delete set
+    // (vec_id % 17 = 3, the same universe as sim_ivf_pq_deletes).
+    // The label predicate sits INSIDE the per-round scoring, below a
+    // dedicated BeamTopW accumulator cut — post-filtering the final
+    // navigation beam under-returns (beamW·selectivity < k matching
+    // survivors; spec-demonstrated on this fixture) — while
+    // NAVIGATION stays unfiltered (hnswlib/FAISS IDSelector:
+    // restricting traversal to the induced matching subgraph cuts
+    // connectivity to ~degree/10 edges per node). The tombstone
+    // anti-join sits below the expansion on BOTH tiers: a deleted
+    // vector never navigates, never fetches floats, never surfaces.
+    // Same persisted degree-8 graph, same shared parameterized
+    // oracle builder as the three budget dials.
+    sql("sim_graph_beam_filtered",
+      beamOracleSql(8, 3, labelMod = Some(10), tomb = true)) { (s, d) =>
+      val (_, acc) = beamParts(s, d, labelMod = Some(10), tomb = true)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+      acc.withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("c_id"),
+          pmod(col("c_id"), lit(10L)).cast("int").as("c_label"),
+          col("rnk"), col("d2"))
         .orderBy(col("q_id"), col("rnk"))
     },
 

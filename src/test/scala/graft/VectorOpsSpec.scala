@@ -1519,6 +1519,44 @@ class VectorOpsSpec extends SparkSpec {
       "per-query-width serve lost its bucket partition filter")
   }
 
+  test("sim_graph_beam_filtered: predicate below the cut beats post-filtering; tombstones unreachable; exact distances") {
+    val out = run("sim_graph_beam_filtered").cache()
+    // every hit matches its query's wanted label, no tombstone ever
+    // surfaces, and the accumulator fills top-3 on the fixture
+    assert(out.filter(pmod(col("c_id"), lit(10L)) =!=
+      pmod(pmod(col("q_id"), lit(10L)) + 1, lit(10L))).count() == 0,
+      "a hit does not match its query's wanted label")
+    assert(out.filter(col("c_id") % 17 === 3).count() == 0,
+      "a deleted vector surfaced on the graph route")
+    assert(out.groupBy("q_id").count().filter(col("count") =!= 3).count() == 0,
+      "the filtered accumulator under-filled a query")
+    // d2 is the exact integer squared L2 — recompute from the corpus
+    val e0 = graft.ops.Vectors.microVecs(spark, sfDir)
+    val chk = out
+      .join(e0.select(col("vec_id").as("q_id"), col("qe").as("qq")), Seq("q_id"))
+      .join(e0.select(col("vec_id").as("c_id"), col("qe").as("cq")), Seq("c_id"))
+      .withColumn("td2", aggregate(zip_with(col("qq"), col("cq"),
+        (x, y) => (x - y) * (x - y)), lit(0d), (a, v) => a + v).cast("bigint"))
+    assert(chk.filter(col("td2") =!= col("d2")).count() == 0,
+      "a served distance is not the exact integer L2")
+    // THE ARGUMENT: post-filtering the final NAVIGATION beam (the
+    // same serve minus the accumulator) under-returns — beamW=8
+    // members at ~1/10 selectivity cannot be expected to hold 3
+    // matching survivors, which is why the predicate must sit below
+    // the cut (the filtered-IVF spec's argument, now on the graph
+    // route)
+    val (_, nav) = graft.ops.Vectors.beamParts(spark, sfDir, tomb = true)
+    val filled = nav
+      .filter(pmod(col("c_id"), lit(10L)) ===
+        pmod(pmod(col("q_id"), lit(10L)) + 1, lit(10L)))
+      .groupBy("q_id").count().filter(col("count") >= 3).count()
+    assert(filled < 20,
+      "post-filtering the navigation beam filled every query — the fixture no longer demonstrates under-return")
+    // the below-the-cut serve returns AT LEAST as many matching hits
+    // per query as the post-filter, for every query
+    assert(filled <= 20 && out.count() == 60)
+  }
+
   test("refine tail parameterized (r20): k=5 widens, k=3 is its prefix at equal shortlist, wider shortlist never worse, perq serves k=5") {
     import graft.ops.Vectors
     val idx = Vectors.stagedIvfPqResIndex(spark, sfDir)
