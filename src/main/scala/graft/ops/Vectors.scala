@@ -2193,6 +2193,36 @@ object Vectors {
     resIndexServe(s, d, s"$idx/lists", idx, qBound, nprobe)
   }
 
+  /** Register the production ANN serve as an ENGINE TRANSFORM (r20,
+    * VERDICT r19 #2). Mallard's model is named operations invoked
+    * through the server (`do_exchange`, `flight_server.py:301-318`);
+    * until now the capstone serves were reachable only as
+    * driver-contract query builders. After registration a WIRE
+    * client runs top-k against the PERSISTED residual IVF×PQ index
+    * with `EXCHANGE <command> FROM <table>`: the exchange input is a
+    * (vec_id, embedding) frame of QUERY vectors — any catalog table,
+    * PUT server-side or CTAS'd over the wire — which the serve
+    * quantizes with the index's own micro-unit projection, routes
+    * `nprobe` cells through the STORED quantizer, ADC-aggregates
+    * over the literal-partition-pruned lists (tombstones anti-joined
+    * below the aggregate when supplied), and answers
+    * (q_id, c_id, rnk, approx_d2). The query vectors are the
+    * client's own — external ids never need to exist in the corpus
+    * ([[resIndexAdistQ]]).
+    */
+  private[graft] def registerAnnServe(e: graft.engine.Engine, d: String,
+      command: String = "ann_topk", nprobe: Int = 2, k: Int = 3,
+      tombstones: Option[DataFrame] = None): Unit =
+    e.registerExchanger(command) { qdf =>
+      val s = qdf.sparkSession
+      val idx = stagedIvfPqResIndex(s, d)
+      val qFrame = qdf.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
+      ivfPqTop3(
+        resIndexAdistQ(s, s"$idx/lists", idx, qFrame, nprobe, tombstones), k)
+    }
+
   /** The shared residual-serve tail: plan nprobe cells from the
     * stored centroids under `quantDir`, prune the `listsPath` scan to
     * those cells, rebuild the per-cell query tables from the stored
@@ -2216,8 +2246,19 @@ object Vectors {
   private[graft] def resIndexAdist(s: SparkSession, d: String,
       listsPath: String, quantDir: String,
       qBound: Long = 20L, nprobe: Int = 2,
-      tombstones: Option[DataFrame] = None): DataFrame = {
-    val e0q = microVecs(s, d).filter(col("vec_id") < qBound)
+      tombstones: Option[DataFrame] = None): DataFrame =
+    resIndexAdistQ(s, listsPath, quantDir,
+      microVecs(s, d).filter(col("vec_id") < qBound), nprobe, tombstones)
+
+  /** [[resIndexAdist]] over an ARBITRARY micro-unit query frame
+    * (vec_id, qe) — the engine-facade serve's entry point (r20,
+    * VERDICT r19 #2): a wire client's query vectors are not corpus
+    * rows, so the serve cannot derive them from `vec_id < qBound`.
+    * Same stored-quantizer routing, same pruned-list ADC chain.
+    */
+  private[graft] def resIndexAdistQ(s: SparkSession,
+      listsPath: String, quantDir: String, e0q: DataFrame,
+      nprobe: Int = 2, tombstones: Option[DataFrame] = None): DataFrame = {
     val cent = s.read.parquet(s"$quantDir/centroids")
     val probes = maybeCache(coarseRanked(e0q, cent, nprobe,
         layer = Some(dirLayer(s, quantDir)))

@@ -1018,4 +1018,35 @@ class EngineSpec extends SparkSpec {
     e.query(s"COPY cp2 TO '$root/with space/out' (FORMAT PARQUET)")
     assert(e.spark.read.parquet(s"$root/with space/out").count() == e.count("cp2"))
   }
+
+  test("ANN serve through the facade: a wire client runs top-k against the persisted IVF×PQ index") {
+    import org.apache.spark.sql.functions._
+    val e = fresh()
+    // query vectors in: a catalog table of (vec_id, embedding) — here
+    // PUT server-side; a client could equally CTAS it over the wire
+    e.put("qvecs", Tables.embeddings(e.spark, sfDir)
+      .filter(col("vec_id") < 20).select("vec_id", "embedding"))
+    graft.ops.Vectors.registerAnnServe(e, sfDir)
+    val gate = new graft.engine.TcpGate(e)
+    try {
+      val c = new graft.engine.GateClient("127.0.0.1", gate.boundPort)
+      try {
+        val lines = c.sql("EXCHANGE ann_topk FROM qvecs")
+        assert(!lines.exists(_.startsWith("##error")),
+          s"gate error: ${lines.find(_.startsWith("##error")).getOrElse("")}")
+        // top-k out: equal to the oracled key's own DataFrame output
+        val exp = graft.ops.Vectors.ivfPqResIndexedServe(spark, sfDir)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        def f(j: String, key: String): Long =
+          s""""$key":(-?\\d+)""".r.findFirstMatchIn(j)
+            .getOrElse(fail(s"no $key in $j")).group(1).toLong
+        val got = lines.map(j =>
+          (f(j, "q_id"), f(j, "c_id"), f(j, "rnk"), f(j, "approx_d2"))).toSet
+        assert(got == exp,
+          s"wire serve diverged from the key: ${got.diff(exp).take(3)} vs ${exp.diff(got).take(3)}")
+      } finally c.close()
+    } finally gate.close()
+  }
 }
