@@ -979,6 +979,14 @@ object ScaleProbe {
         scaledEmb(embBase, factor).repartition(cpus.toInt)
           .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
         val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+        // stage the per-factor quantizer OUTSIDE the timed region
+        // (r20, VERDICT r19 #7): the table exists to show SERVE cost,
+        // and the octave's wall clock was dominated by quantizer
+        // training — ingest-time work every serve path amortizes.
+        // Same integer geometry formula as perQueryWServe, so the
+        // serve below finds the artifact fresh.
+        graft.ops.Vectors.stagedIvfCent(spark, dir, math.max(1L,
+          n / (4L * math.ceil(math.sqrt(n.toDouble)).toLong)))
         val trace = scala.collection.mutable.Map[String, DataFrame]()
         val t0 = System.nanoTime()
         val out = graft.ops.Vectors.perQueryWServe(spark, dir, Some(trace)).cache()

@@ -2973,12 +2973,12 @@ object Vectors {
     * stored metadata column (the label is computable from c_id at
     * serve time: the FAISS id-encodes-metadata pattern).
     */
-  private def tierLabelCol(id: String): Column = expr(
+  private[graft] def tierLabelCol(id: String): Column = expr(
     s"CAST(CASE WHEN $id % 2 = 0 THEN ($id div 2) % 5 " +
       s"WHEN $id % 4 = 1 THEN 5 + ($id div 4) % 20 " +
       s"ELSE 25 + ($id div 4) % 499 END AS INT)")
 
-  private def tierWantedCol(q: Column): Column =
+  private[graft] def tierWantedCol(q: Column): Column =
     (when(q < 5, (q + 1) % 5)
       .when(q < 25, lit(5) + (q - 4) % 20)
       .otherwise(lit(25) + (q - 24) % 499)).cast("int")
@@ -3001,7 +3001,8 @@ object Vectors {
     * frames for the probe's scanned-row counts.
     */
   private[graft] def perQueryWServe(s: SparkSession, d: String,
-      trace: Option[scala.collection.mutable.Map[String, DataFrame]] = None)
+      trace: Option[scala.collection.mutable.Map[String, DataFrame]] = None,
+      qPred: Option[Column] = None)
       : DataFrame = {
     val e0 = maybeCache(microVecs(s, d))
     val n = e0.count()
@@ -3012,7 +3013,7 @@ object Vectors {
       tierLabelCol("vec_id").as("label"), col("qe"))
     filteredPerQueryW(e0L, n, perCell,
       s.read.parquet(s"$centDir/centroids"), dirLayer(s, centDir),
-      tierWantedCol, trace = trace)
+      tierWantedCol, trace = trace, qPred = qPred)
   }
 
   /** sim_mmr's greedy chain over any micro-unit (vec_id, qe) frame —

@@ -270,41 +270,56 @@ package object ops {
   }
 
   /** Build-once staged publish for derived on-disk artifacts (MinHash
-    * band indexes, IVF×PQ inverted lists): if `<scratch>/<name>`'s
-    * `_built` marker doesn't match `stamp`, run `build(stageDir)`
-    * against a pid-unique staging directory and atomically rename it
-    * into place. A concurrent builder that loses the rename race keeps
-    * the winner's copy and discards its own — a lost race costs a
-    * duplicate build, never a torn index. Returns the published
-    * directory. The freshness `stamp` is typically [[sourceStamp]] of
-    * the parquet source the artifact derives from, PLUS a
-    * build-format token when the build recipe can evolve (see
-    * `Vectors.ivfIndexFormat`): source freshness alone would serve an
-    * index built by an older code version — silently wrong for every
-    * caller outside the oracle harness — after any change to the
-    * encode logic, seeds, or layout.
+    * band indexes, IVF×PQ inverted lists), GENERATION-laid-out (r20,
+    * VERDICT r19 #4): the artifact lives at
+    * `<scratch>/<name>/g-<md5(stamp)>`. If that generation's `_built`
+    * marker doesn't match `stamp`, run `build(stageDir)` against a
+    * pid-unique staging directory and atomically rename it into
+    * place — BESIDE any superseded generation, never over it (the
+    * pre-r20 flat layout deleted the live dir BEFORE renaming the
+    * replacement in: a crash or a concurrent reader in that window
+    * found NO artifact at all). Only after the current generation is
+    * live are superseded same-name generations deleted — new commits
+    * before old retires, the BatchLog generation pattern — so a
+    * rebuild under a new stamp leaves exactly one live dir and a
+    * reader always resolves a complete artifact; an object-store
+    * deployment would add a grace period before the retire, the way
+    * table formats expire snapshots. A concurrent builder that loses
+    * the rename race keeps the winner's copy and discards its own —
+    * a lost race costs a duplicate build, never a torn index; racing
+    * builders with DIFFERENT stamps are last-writer-wins, with ≥ 1
+    * complete generation visible at every instant. Returns the
+    * published generation directory. The freshness `stamp` is
+    * typically [[sourceStamp]] of the parquet source the artifact
+    * derives from, PLUS a build-format token when the build recipe
+    * can evolve (see `Vectors.ivfIndexFormat`): source freshness
+    * alone would serve an index built by an older code version —
+    * silently wrong for every caller outside the oracle harness —
+    * after any change to the encode logic, seeds, or layout.
     */
   def stagedArtifact(spark: SparkSession, name: String, stamp: String)(
       build: String => Unit): String = {
     import org.apache.hadoop.fs.Path
-    val dirStr = s"${scratchRoot(spark)}/$name"
-    val (fs, dir) = hfs(spark, dirStr)
+    val rootStr = s"${scratchRoot(spark)}/$name"
+    val (fs, root) = hfs(spark, rootStr)
+    val tag = "g-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(stamp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val dir = new Path(root, tag)
     val marker = new Path(dir, "_built")
     val fresh = fs.exists(marker) && hfsReadText(fs, marker) == stamp
     if (!fresh) {
-      val stage = new Path(s"$dirStr.build-${ProcessHandle.current().pid()}")
+      val stage = new Path(s"$rootStr.build-${ProcessHandle.current().pid()}")
       build(stage.toString)
       val out = fs.create(new Path(stage, "_built"), true)
       try out.write(stamp.getBytes("UTF-8")) finally out.close()
-      if (fs.exists(dir)) fs.delete(dir, true)
+      fs.mkdirs(root)
       // FileSystem.rename is mv-like: with `dir` absent this IS the
       // atomic publish. The two lost-race shapes both discard our
       // copy and keep the winner's: rename returns false (dest exists
       // as a file / src missing), or — when a concurrent winner
-      // re-created `dir` between our delete and rename — the rename
-      // lands `stage` UNDER the winner's dir; detect and remove the
-      // nested orphan. Either way: duplicate build, never a torn
-      // index.
+      // created `dir` between our check and rename — the rename lands
+      // `stage` UNDER the winner's dir; detect and remove the nested
+      // orphan. Either way: duplicate build, never a torn index.
       if (!fs.rename(stage, dir)) fs.delete(stage, true)
       else {
         val nested = new Path(dir, stage.getName)
@@ -312,6 +327,13 @@ package object ops {
       }
       ()
     }
+    // RETIRE superseded generations — only now, with the current one
+    // complete and visible. Pre-r20 flat-layout leftovers (data dirs
+    // and the root-level _built marker) reclaim through the same
+    // sweep.
+    hfsList(spark, rootStr)
+      .filter(_.getPath.getName != tag)
+      .foreach(st => fs.delete(st.getPath, true))
     dir.toString
   }
 

@@ -416,4 +416,35 @@ class EdgeCasesSpec extends SparkSpec {
         .select(col("doc_id"), col("text")))
     assert(graft.ops.Text.minhashBands(hs).count() == 0)
   }
+
+  test("stagedArtifact generations: new stamp publishes beside then retires; exactly one live dir; old readers survive") {
+    import graft.ops._
+    val name = s"genspec_${ProcessHandle.current().pid()}"
+    val root = s"${scratchRoot(spark)}/$name"
+    purgeOnExit(root)
+    def build(v: Int)(stage: String): Unit = {
+      import spark.implicits._
+      Seq((1L, v)).toDF("id", "v").write.parquet(s"$stage/data")
+    }
+    val d1 = stagedArtifact(spark, name, "stampA")(build(1))
+    assert(d1.startsWith(s"$root/g-"), s"generation layout missing: $d1")
+    // same stamp: fresh — the build lambda must not run again
+    assert(stagedArtifact(spark, name, "stampA")(
+      _ => fail("rebuilt a fresh artifact")) == d1)
+    // a reader of generation A, fully materialized before the rebuild
+    val before = spark.read.parquet(s"$d1/data").cache()
+    assert(before.count() == 1)
+    // rebuild under a NEW stamp: publishes BESIDE generation A, then
+    // retires it — new commits before old retires
+    val d2 = stagedArtifact(spark, name, "stampB")(build(2))
+    assert(d2 != d1)
+    val live = hfsList(spark, root).map(_.getPath.getName).toSet
+    assert(live == Set(d2.split('/').last),
+      s"expected exactly one live generation, got $live")
+    // the old generation's materialized reader is unaffected mid-serve
+    assert(before.count() == 1)
+    assert(spark.read.parquet(s"$d2/data").head().getInt(1) == 2)
+    before.unpersist()
+    ()
+  }
 }

@@ -1557,6 +1557,63 @@ class VectorOpsSpec extends SparkSpec {
     assert(filled <= 20 && out.count() == 60)
   }
 
+  test("perq batch dependence (r20): solo serves compared against the mixed batch; batch recall never below solo") {
+    import graft.ops.Vectors
+    // the accepted divergence (r18 advice, docs softened r19): a
+    // query's probe set is its top-w SUPERS OF THE BATCH-MAX routing,
+    // which need not equal routing that query alone — so results may
+    // depend on batch-mates. This spec DEMONSTRATES the relationship
+    // instead of asserting blind equality: serve the oracled 20-query
+    // mixed batch, then each ivf-route query SOLO through the same
+    // chain, and pin that the batch form's recall against exact
+    // filtered ground truth is >= the solo form's.
+    val batch = Vectors.perQueryWServe(spark, sfDir).cache()
+    val ivfQ = batch.filter(col("route") === "ivf")
+      .select("q_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(ivfQ.nonEmpty, "fixture lost its ivf-route queries")
+    val solo = ivfQ.map { qid =>
+      Vectors.perQueryWServe(spark, sfDir,
+        qPred = Some(col("vec_id") === qid))
+    }.reduce(_ unionByName _).cache()
+    // exact ground truth: brute-force filtered top-3 per query over
+    // the tier-label universe (no index, no routing)
+    val e0 = Vectors.microVecs(spark, sfDir)
+      .select(col("vec_id"), Vectors.tierLabelCol("vec_id").as("label"),
+        col("qe"))
+    val q = e0.filter(col("vec_id").isin(ivfQ.map(java.lang.Long.valueOf): _*))
+      .select(col("vec_id").as("q_id"),
+        Vectors.tierWantedCol(col("label")).as("wl"), col("qe").as("qq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+    val truth = e0.select(col("vec_id").as("c_id"), col("label").as("cl"),
+        col("qe").as("cq"))
+      .join(broadcast(q), col("cl") === col("wl") && col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        aggregate(zip_with(col("qq"), col("cq"), (x, y) => (x - y) * (x - y)),
+          lit(0d), (a, v) => a + v).cast("bigint").as("d2"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select("q_id", "c_id").cache()
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("q_id").isin(ivfQ.map(java.lang.Long.valueOf): _*))
+        .select("q_id", "c_id").intersect(truth).count()
+    val (hb, hs) = (hits(batch), hits(solo))
+    val diverged = batch.filter(col("route") === "ivf")
+      .select("q_id", "c_id", "rnk")
+      .exceptAll(solo.filter(col("route") === "ivf")
+        .select("q_id", "c_id", "rnk")).count()
+    info(s"batch hits $hb, solo hits $hs, diverged rows $diverged of ${ivfQ.length * 3}")
+    assert(hb >= hs,
+      s"batch recall ($hb) fell below solo recall ($hs) — the wMax trim argument no longer holds on this fixture")
+    // solo and batch must agree on ROUTE and WIDTH for every query:
+    // the width formula reads only (cnt, n, perCell, cells) — batch
+    // dependence lives in the probe SET, never in the serving rule
+    val bw = batch.filter(col("q_id").isin(ivfQ.map(java.lang.Long.valueOf): _*))
+      .select(col("q_id"), col("route"), col("w")).distinct()
+    val sw = solo.select(col("q_id"), col("route"), col("w")).distinct()
+    assert(bw.intersect(sw).count() == bw.count() && sw.count() == bw.count(),
+      "a query's width/route changed between solo and batch serving")
+  }
+
   test("refine tail parameterized (r20): k=5 widens, k=3 is its prefix at equal shortlist, wider shortlist never worse, perq serves k=5") {
     import graft.ops.Vectors
     val idx = Vectors.stagedIvfPqResIndex(spark, sfDir)
