@@ -794,7 +794,7 @@ object Vectors {
   private[graft] def vecBucketMod(s: SparkSession, d: String): Long =
     math.max(16L, (emb(s, d).count() + vecBucketRows - 1) / vecBucketRows)
 
-  private val bucketVecSchema = "vec_id BIGINT, qe ARRAY<BIGINT>, shard INT, bucket BIGINT"
+  private[graft] val bucketVecSchema = "vec_id BIGINT, qe ARRAY<BIGINT>, shard INT, bucket BIGINT"
   private val bucketEdgeSchema = "a_id BIGINT, b_id BIGINT, shard INT, bucket BIGINT"
 
   /** Staged, stamped BUCKET-PARTITIONED copy of the micro-unit corpus
@@ -1055,10 +1055,14 @@ object Vectors {
         sqd(col("qq"), col("che")).as("d2")))
     var (beamLeaf, beamRdd) = leaf3(topB(ent))
     // the filtered accumulator's round state rides the same persisted
-    // tuple-RDD leaf discipline as the navigation beam
+    // tuple-RDD leaf discipline as the navigation beam; its
+    // intermediate leaves (superseded accumulator rounds + the shared
+    // per-round scored frames) unpersist together after the one
+    // end-of-loop materialization
     var accState: Option[(DataFrame,
       org.apache.spark.rdd.RDD[(Long, Long, Long)])] =
       labelMod.map(m => leaf3(topB(matching(ent, m))))
+    var sharedLeaves: List[org.apache.spark.rdd.RDD[_]] = Nil
     val cands = scala.collection.mutable.Buffer[DataFrame](ent)
     // rounds retired two materializations back: their blocks are no
     // longer inputs to anything unmaterialized, so unpersist them —
@@ -1097,10 +1101,23 @@ object Vectors {
       // broadcast them into the pruned vector fetch; floats never
       // shuffle. No groupBy(q,c).min pre-pass: duplicate (q, c) rows
       // carry identical d2, and the BeamTopW cut dedups by id itself.
-      val scored = vecsR.join(broadcast(nbrsLeaf), Seq("c_id"))
+      val scored0 = vecsR.join(broadcast(nbrsLeaf), Seq("c_id"))
         .join(broadcast(q), Seq("q_id"))
         .filter(col("c_id") =!= col("q_id"))
         .select(col("q_id"), col("c_id"), sqd(col("qq"), col("ce")).as("d2"))
+      // a FILTERED serve consumes each round's scored frame TWICE
+      // (navigation cut + accumulator cut): persist it as a leaf so
+      // the round's pruned vector buckets are read ONCE — without
+      // this the accumulator chain's materialization re-reads every
+      // round's vector buckets, doubling the per-round I/O the
+      // beamscan octave bounds
+      val scored = labelMod match {
+        case Some(_) =>
+          val (sl, sr) = leaf3(scored0)
+          sharedLeaves = sr :: sharedLeaves
+          sl
+        case None => scored0
+      }
       val (bl, br) = leaf3(topB(scored.unionByName(beamLeaf)))
       retire = List(beamRdd, nbrsRdd)
       // the filtered accumulator takes this round's MATCHING scored
@@ -1108,11 +1125,19 @@ object Vectors {
       // a post-filter of the navigation beam
       accState = accState.map { case (aL, aR) =>
         val nxt = leaf3(topB(matching(scored, labelMod.get).unionByName(aL)))
-        retire = aR :: retire
+        sharedLeaves = aR :: sharedLeaves
         nxt
       }
       beamLeaf = bl; beamRdd = br
     }
+    // filtered serve: ONE materializing action pins the accumulator
+    // through the persisted scored leaves (construction is an action —
+    // the beam serve already collects residues at construction), then
+    // every intermediate leaf unpersists; lineage keeps each
+    // recomputable, and live state returns to the navigation beam's
+    // bounded set plus the one returned accumulator
+    accState.foreach { case (_, aR) => aR.count(); () }
+    sharedLeaves.foreach(_.unpersist(false))
     (cands.toSeq, accState.map(_._1).getOrElse(beamLeaf))
   }
 

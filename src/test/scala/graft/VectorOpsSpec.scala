@@ -1397,6 +1397,28 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("readBucketed: non-empty fetch with no staged shard dir fails loudly, empty fetch degrades to 0 rows") {
+    // r19 advice: the root-path fallback exists for the EMPTY fetch
+    // set only — a non-empty set whose probed shard dirs are all
+    // missing is a broken artifact, and silently reading the root
+    // restores exactly the full-corpus scan the bucket layout
+    // eliminates
+    val (vdir, bMod) = graft.ops.Vectors.stagedVecBuckets(spark, sfDir)
+    // empty fetch: 0 rows, no error
+    assert(graft.ops.Vectors.readBucketed(spark, s"$vdir/vectors",
+      graft.ops.Vectors.bucketVecSchema, Array.empty[Long]).count() == 0)
+    // non-empty fetch against a dir with no shard subtree: loud
+    val bogus = java.nio.file.Files.createTempDirectory("nobuckets").toString
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Vectors.readBucketed(spark, bogus,
+        graft.ops.Vectors.bucketVecSchema, Array(0L, 1L))
+    }
+    assert(ex.getMessage.contains("no staged shard dir"))
+    // sanity: a real fetch still reads its buckets
+    assert(graft.ops.Vectors.readBucketed(spark, s"$vdir/vectors",
+      graft.ops.Vectors.bucketVecSchema, Array(0L)).count() > 0)
+  }
+
   test("beamParts: retired rounds unpersist — live beam state is bounded per serve") {
     // the r18-advice leak: localCheckpointed round state accumulated
     // for the session. The persisted-RDD leaves now retire two
