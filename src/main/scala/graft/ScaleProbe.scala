@@ -813,6 +813,28 @@ object ScaleProbe {
           println(f"""{"shape":"beam_scan","factor":$factor,"rows":$n,"queries":$qb,"edge_rows_total":${n * 8},"edge_rows_read":$eRows,"edge_files_read":$eFiles,"vec_rows_read":$vRows,"vec_files_read":$vFiles,"secs":$secs%.1f}""")
           spark.catalog.clearCache()
         }
+        // FILTERED + TOMBSTONED serve at the same dial (r20): the
+        // label predicate sits below the accumulator's BeamTopW cut
+        // and the tombstone anti-join below the expansion — BOTH are
+        // query-sized broadcasts, so the claim is the per-round
+        // BUCKET reads stay in the unfiltered 20-query dial's class
+        // (navigation is unfiltered by design: hnswlib/FAISS
+        // IDSelector semantics), and the persisted scored leaf means
+        // the accumulator's second consumption of each round's scored
+        // frame re-reads NO vector buckets.
+        {
+          val reads = scala.collection.mutable.Buffer[(DataFrame, DataFrame)]()
+          val t0 = System.nanoTime()
+          val (_, beamDf) = graft.ops.Vectors.beamParts(spark, dir, 20L,
+            beamW = 8, rounds = 3, degree = 8, reads = Some(reads),
+            labelMod = Some(4), tomb = true)
+          beamDf.count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          val eRows = reads.map(_._1.count()).mkString("[", ",", "]")
+          val vRows = reads.map(_._2.count()).mkString("[", ",", "]")
+          println(f"""{"shape":"beam_scan_filtered","factor":$factor,"rows":$n,"queries":20,"edge_rows_total":${n * 8},"edge_rows_read":$eRows,"vec_rows_read":$vRows,"secs":$secs%.1f}""")
+          spark.catalog.clearCache()
+        }
       }
     }
 
