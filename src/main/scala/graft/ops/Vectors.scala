@@ -957,7 +957,8 @@ object Vectors {
       beamW: Int = 8, rounds: Int = 3, degree: Int = 8,
       perCell: Long = ivfPerCell,
       reads: Option[scala.collection.mutable.Buffer[(DataFrame, DataFrame)]] = None,
-      labelMod: Option[Int] = None, tomb: Boolean = false)
+      labelMod: Option[Int] = None, tomb: Boolean = false,
+      qFrame: Option[DataFrame] = None)
       : (Seq[DataFrame], DataFrame) = {
     import s.implicits._
     val e0 = microVecs(s, d)
@@ -969,8 +970,12 @@ object Vectors {
     // HNSW's M lever and production serves the navigable graph).
     val g = stagedKnnGraph(s, d, degree, perCell)
     val (vdir, bMod) = stagedVecBuckets(s, d)
-    val q = e0.filter(col("vec_id") < qBound)
-      .select(col("vec_id").as("q_id"), col("qe").as("qq"))
+    // queries: corpus rows below qBound by default, or an EXTERNAL
+    // (q_id, qq) micro-unit frame (r20, the wire serve) — external
+    // ids need not exist in the corpus; everything downstream is
+    // already id-agnostic (c_id =!= q_id simply never trips)
+    val q = qFrame.getOrElse(e0.filter(col("vec_id") < qBound)
+      .select(col("vec_id").as("q_id"), col("qe").as("qq")))
     def sqd(a: Column, b: Column): Column = sqDist(a, b).cast("bigint")
     // logical deletes below the expansion: the delete-set-sized
     // broadcast anti-join the IVF route already serves
@@ -2246,6 +2251,37 @@ object Vectors {
           x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
       ivfPqTop3(
         resIndexAdistQ(s, s"$idx/lists", idx, qFrame, nprobe, tombstones), k)
+    }
+
+  /** Register the GRAPH-ANN beam serve as an engine transform (r20) —
+    * wire parity for the second production route: after
+    * [[registerAnnServe]] exposed the IVF×PQ index serve, a wire
+    * client could still not reach the HNSW-style beam serve. Same
+    * exchange contract: the input is a (vec_id, embedding) frame of
+    * query vectors (any catalog table; external ids need not exist in
+    * the corpus), projected with the index's OWN micro-unit
+    * quantization, descended through the persisted graph's super
+    * layer and beam-expanded `rounds` times over the stored neighbor
+    * lists ([[beamParts]] — the same code every oracled beam dial
+    * pins), answering (q_id, c_id, rnk, d2) exact integer squared-L2
+    * top-k. `labelMod`/`tomb` thread the filtered/tombstoned tiers
+    * through the wire serve unchanged.
+    */
+  private[graft] def registerGraphAnnServe(e: graft.engine.Engine, d: String,
+      command: String = "ann_topk_graph", beamW: Int = 8, rounds: Int = 3,
+      k: Int = 3, labelMod: Option[Int] = None, tomb: Boolean = false): Unit =
+    e.registerExchanger(command) { qdf =>
+      val s = qdf.sparkSession
+      val qF = qdf.select(col("vec_id").as("q_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qq"))
+      val (_, beamDf) = beamParts(s, d, beamW = beamW, rounds = rounds,
+        labelMod = labelMod, tomb = tomb, qFrame = Some(qF))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+      beamDf.withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("c_id"), col("rnk"), col("d2"))
     }
 
   /** The shared residual-serve tail: plan nprobe cells from the

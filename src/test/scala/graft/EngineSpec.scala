@@ -1049,4 +1049,35 @@ class EngineSpec extends SparkSpec {
       } finally c.close()
     } finally gate.close()
   }
+
+  test("graph-ANN serve through the facade: a wire client runs beam top-k against the persisted knn graph") {
+    import org.apache.spark.sql.functions._
+    val e = fresh()
+    // query vectors in — the SAME catalog-table contract as ann_topk;
+    // vec_id < 20 matches the oracled sim_graph_beam key's query set,
+    // so the wire answer must equal that key's DataFrame output
+    e.put("qvecs_g", Tables.embeddings(e.spark, sfDir)
+      .filter(col("vec_id") < 20).select("vec_id", "embedding"))
+    graft.ops.Vectors.registerGraphAnnServe(e, sfDir)
+    val gate = new graft.engine.TcpGate(e)
+    try {
+      val c = new graft.engine.GateClient("127.0.0.1", gate.boundPort)
+      try {
+        val lines = c.sql("EXCHANGE ann_topk_graph FROM qvecs_g")
+        assert(!lines.exists(_.startsWith("##error")),
+          s"gate error: ${lines.find(_.startsWith("##error")).getOrElse("")}")
+        val exp = SparkEntry.queries("sim_graph_beam")(spark, sfDir)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        def f(j: String, key: String): Long =
+          s""""$key":(-?\\d+)""".r.findFirstMatchIn(j)
+            .getOrElse(fail(s"no $key in $j")).group(1).toLong
+        val got = lines.map(j =>
+          (f(j, "q_id"), f(j, "c_id"), f(j, "rnk"), f(j, "d2"))).toSet
+        assert(got == exp,
+          s"wire beam serve diverged from the key: ${got.diff(exp).take(3)} vs ${exp.diff(got).take(3)}")
+      } finally c.close()
+    } finally gate.close()
+  }
 }
