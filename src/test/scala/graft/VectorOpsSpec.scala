@@ -1438,6 +1438,26 @@ class VectorOpsSpec extends SparkSpec {
         "final + previous beam state + last expansion frame)")
   }
 
+  test("filtered beamParts: shared scored leaves release — live state is the navigation bound plus the accumulator") {
+    // r20: the filtered serve persists each round's scored frame (two
+    // consumers: navigation cut + accumulator cut) and the superseded
+    // accumulator rounds; ALL of them unpersist after the one
+    // end-of-loop materialization, so a filtered serve's live state is
+    // the unfiltered bound (3) plus only the returned accumulator
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    val before = sc.getPersistentRDDs.keySet
+    val (_, acc) = graft.ops.Vectors.beamParts(spark, sfDir,
+      qBound = 5L, beamW = 4, rounds = 4, labelMod = Some(4), tomb = true)
+    assert(acc.count() > 0)
+    val after = sc.getPersistentRDDs.keySet
+    val leaked = (after -- before).size
+    assert(leaked <= 4,
+      s"a 4-round filtered serve left $leaked persisted RDDs (expected " +
+        "<= 4: the navigation bound + the returned accumulator; shared " +
+        "scored leaves and superseded accumulator rounds must release)")
+  }
+
   test("exactRerank: the float fetch reads only the shortlist's buckets") {
     import spark.implicits._
     // shortlist ids chosen ≡ 0 (mod bMod=16 at this fixture), same
