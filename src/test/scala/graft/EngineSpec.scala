@@ -1077,6 +1077,26 @@ class EngineSpec extends SparkSpec {
           (f(j, "q_id"), f(j, "c_id"), f(j, "rnk"), f(j, "d2"))).toSet
         assert(got == exp,
           s"wire beam serve diverged from the key: ${got.diff(exp).take(3)} vs ${exp.diff(got).take(3)}")
+
+        // the filtered/tombstoned tiers thread through the wire
+        // registration unchanged: a second named command at the
+        // sim_graph_beam_filtered dials must answer that key's rows
+        // (the key's extra c_label column is c_id-derived, so the
+        // four shared columns pin the same set)
+        graft.ops.Vectors.registerGraphAnnServe(e, sfDir,
+          command = "ann_topk_graph_f", labelMod = Some(10), tomb = true)
+        val linesF = c.sql("EXCHANGE ann_topk_graph_f FROM qvecs_g")
+        assert(!linesF.exists(_.startsWith("##error")),
+          s"gate error: ${linesF.find(_.startsWith("##error")).getOrElse("")}")
+        val expF = SparkEntry.queries("sim_graph_beam_filtered")(spark, sfDir)
+          .select("q_id", "c_id", "rnk", "d2")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        val gotF = linesF.map(j =>
+          (f(j, "q_id"), f(j, "c_id"), f(j, "rnk"), f(j, "d2"))).toSet
+        assert(gotF == expF,
+          s"filtered wire beam serve diverged: ${gotF.diff(expF).take(3)} vs ${expF.diff(gotF).take(3)}")
       } finally c.close()
     } finally gate.close()
   }
