@@ -815,8 +815,12 @@ object ScaleProbe {
         }
         // FILTERED + TOMBSTONED serve at the same dial (r20): the
         // label predicate sits below the accumulator's BeamTopW cut
-        // and the tombstone anti-join below the expansion — BOTH are
-        // query-sized broadcasts, so the claim is the per-round
+        // (a query-sized wanted-label broadcast) and the tombstone
+        // anti-join below the expansion — the tombstone side is
+        // DELETE-SET-sized (~n/17 under the %17 rule: it grows with
+        // the corpus, and a deployment whose delete set outgrows
+        // broadcast would key it on the candidates' buckets instead —
+        // r20 advice), so the claim here is only that the per-round
         // BUCKET reads stay in the unfiltered 20-query dial's class
         // (navigation is unfiltered by design: hnswlib/FAISS
         // IDSelector semantics), and the persisted scored leaf means

@@ -213,13 +213,16 @@ object Pipeline {
     */
   private[graft] def contractToLabels(corpus: DataFrame,
       half: DataFrame): (DataFrame, DataFrame, Int) = {
-    // symmetrized + materialized once; every iteration reads this
-    // small table instead of re-running shingling/banding
+    // symmetrized + checkpointed once; every iteration reads this
+    // small table instead of re-running shingling/banding. LAZY (r21):
+    // round 1's signature action materializes it — the eager variant
+    // paid a dedicated job (one extra full pass over the edge build's
+    // lineage) before the loop's first round read it anyway.
     val edges = half
       .unionByName(half.select(col("y").as("x"), col("x").as("y")))
       .distinct()
       .withColumnRenamed("x", "src").withColumnRenamed("y", "dst")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // ---- large-star / small-star contraction (Kiveris et al.,
     // "Connected Components in MapReduce and Beyond") -------------------
@@ -244,6 +247,14 @@ object Pipeline {
     // growth without paying a shuffle per sym()
     def sym(e: DataFrame): DataFrame =
       e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    // phase shape DELIBERATELY groupBy(src).min + join-back, not a
+    // window (r21, measured): the per-src min table is ≪ the edge
+    // list, so AQE broadcast-joins it back and the edge list itself
+    // never shuffles; a window over partitionBy(src) would force a
+    // full shuffle+sort of the edges every phase (measured 2.3×
+    // slower at sf0.1). When the min table outgrows the broadcast
+    // threshold AQE falls back to a shuffled join on its own — the
+    // adaptive behaviour a fixed window shape cannot recover.
     def largeStar(e: DataFrame): DataFrame = {
       val m = e.groupBy(col("src"))
         .agg(min(col("dst")).as("mn"))
@@ -277,7 +288,15 @@ object Pipeline {
     var iter = 0
     var stable = false
     while (!stable && iter < 30) {
-      val next = smallStar(sym(largeStar(sym(cur)))).distinct().localCheckpoint(true)
+      // LAZY checkpoint + eager signature = ONE action per round (r21,
+      // guide §1/§2): the eager localCheckpoint ran the round's whole
+      // chain once to persist it, then signature() ran a second job
+      // over the persisted blocks — two passes per round. The lazy
+      // variant persists the blocks as a side effect of the signature
+      // aggregate, halving the loop's job count; `cur` is still backed
+      // by materialized blocks when the next round (or the final roots
+      // aggregate) reads it.
+      val next = smallStar(sym(largeStar(sym(cur)))).distinct().localCheckpoint(false)
       val nsig = signature(next)
       stable = nsig == sig
       sig = nsig
@@ -390,7 +409,10 @@ object Pipeline {
     // sides of the Jaccard verify, and unlike the corpus-sized hs (not
     // cached by design) a BATCH is small by definition — exactly the
     // thing a per-batch job holds
-    val newHs = Text.shingleHashes(newCorpus).localCheckpoint(true)
+    // lazy (r21): the contraction's first signature action materializes
+    // the checkpoint blocks — the eager variant paid a dedicated
+    // shingling pass before any consumer ran
+    val newHs = Text.shingleHashes(newCorpus).localCheckpoint(false)
     val newBands = Text.minhashBands(newHs)
     val oldHs = s.read.parquet(s"$idx/hs")
     val oldBands = s.read.parquet(s"$idx/bands")
@@ -937,14 +959,14 @@ object Pipeline {
           col("source"), col("text")))
         .unionByName(base.select((col("doc_id") + 20000).as("doc_id"), col("source"),
           array_join(slice(tokens, lit(1), size(tokens) - 1), " ").as("text")))
-      // stage 1: Gopher rules (same thresholds as gopher_filter)
-      val sw = array(Text.enStopwords.map(lit): _*)
+      // stage 1: Gopher rules (same thresholds as gopher_filter; the
+      // metrics are the shared codegen'd whole-string expressions —
+      // see Text.gopherSumLen — so every lineage re-pass over keepers
+      // pays compiled regex scans instead of interpreted HOF lambdas)
       val ts = split(col("text"), " ")
       val keepers = corpus.select(col("doc_id"), col("source"), col("text"),
           size(ts).cast("bigint").as("n_tokens"),
-          aggregate(ts, lit(0L), (acc, w) => acc + length(w).cast("bigint")).as("sum_len"),
-          size(filter(ts, w => w.rlike("[a-z]"))).cast("bigint").as("n_alpha"),
-          size(filter(ts, w => array_contains(sw, w))).cast("bigint").as("n_stop"))
+          Text.gopherSumLen, Text.gopherNAlpha, Text.gopherNStop)
         .filter(col("n_tokens").between(30, 100000) &&
           expr("(1000000 * sum_len) div n_tokens").between(3000000, 10000000) &&
           expr("(1000000 * n_alpha) div n_tokens") >= 800000 &&

@@ -166,6 +166,42 @@ object Text {
   private[graft] val enStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "is", "in", "it", "on", "for")
 
+  // ---- Gopher metrics as codegen'd whole-string expressions (r21) -----
+  //
+  // The original forms folded a lambda over split(text, ' ') per row
+  // (higher-order functions are CodegenFallback — every token paid an
+  // interpreted closure call), and pipeline_e2e re-evaluates the
+  // metrics on every lineage pass over its keepers frame. Each rewrite
+  // below is EXACTLY equal to its HOF twin for every string (the
+  // DuckDB oracles keep the original list_* forms, so the oracle gate
+  // pins the equivalence):
+  //
+  //  - sum of token lengths: split on the single char ' ' yields
+  //    n_tokens = (#spaces + 1) pieces whose lengths total
+  //    length(text) − #spaces, so Σ len = length(text) − n_tokens + 1
+  //    (empty pieces from doubled/leading spaces contribute 0 on both
+  //    sides; null text → null on both sides).
+  //  - tokens containing [a-z]: each match of (?:^| )[^ a-z]*[a-z] is
+  //    anchored at one token's start (the [^ a-z]* run cannot cross a
+  //    space and backtrack-free-consumes to the first letter), and a
+  //    token can host at most one match since the next scan resumes
+  //    past the consumed anchor+prefix — one match per qualifying
+  //    token, in one linear compiled-regex pass.
+  //  - stopword tokens: (?:^| )(?:the|a|…)(?= |$) — alternation after
+  //    a token-start anchor with a token-end lookahead counts exactly
+  //    the whole-token equality hits; the lookahead consumes nothing,
+  //    so consecutive stopwords each anchor on their own delimiter.
+  private[graft] def gopherSumLen: org.apache.spark.sql.Column =
+    (length(col("text")) - size(split(col("text"), " ")) + 1)
+      .cast("bigint").as("sum_len")
+  private[graft] def gopherNAlpha: org.apache.spark.sql.Column =
+    regexp_count(col("text"), lit("(?:^| )[^ a-z]*[a-z]"))
+      .cast("bigint").as("n_alpha")
+  private[graft] def gopherNStop: org.apache.spark.sql.Column =
+    regexp_count(col("text"),
+        lit(enStopwords.mkString("(?:^| )(?:", "|", ")(?= |$)")))
+      .cast("bigint").as("n_stop")
+
   /** The quality_score signal factored as one expression so
     * `quality_buckets` (Pipeline) buckets on the IDENTICAL doubles —
     * operator and bucketing key cannot drift apart. TextOpsSpec pins
@@ -835,13 +871,10 @@ object Text {
          |        ELSE 'ok' END) = 'ok' AS keep
          |FROM m ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-      val sw = array(enStopwords.map(lit): _*)
       val ts = split(col("text"), " ")
       val m = docs(s, d).select(col("doc_id"),
         size(ts).cast("bigint").as("n_tokens"),
-        aggregate(ts, lit(0L), (acc, w) => acc + length(w).cast("bigint")).as("sum_len"),
-        size(filter(ts, w => w.rlike("[a-z]"))).cast("bigint").as("n_alpha"),
-        size(filter(ts, w => array_contains(sw, w))).cast("bigint").as("n_stop"))
+        gopherSumLen, gopherNAlpha, gopherNStop)
       val reason = when(!col("n_tokens").between(30, 100000), "word_count")
         .when(!expr("(1000000 * sum_len) div n_tokens").between(3000000, 10000000),
           "mean_word_len")

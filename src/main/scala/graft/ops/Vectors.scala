@@ -846,14 +846,20 @@ object Vectors {
       .distinct.sorted
       .map(k => s"$path/shard=$k")
     val shardDirs = wantDirs.filter(p => graft.ops.hfsIsDir(s, p))
-    // a NON-empty fetch set whose every probed shard dir is missing is
-    // a broken artifact (path typo, store listing failure), not the
-    // empty-fetch edge case — falling through to the root read would
-    // silently restore the full-corpus scan the bucket layout exists
-    // to eliminate (r19 advice)
-    require(buckets.isEmpty || shardDirs.nonEmpty,
-      s"no staged shard dir exists under $path for buckets " +
-        s"${buckets.take(8).mkString(",")}… — staged artifact missing or unlisted")
+    // EVERY wanted shard dir must exist, not just one (r21, closing the
+    // r20 advice): requested buckets are residues of ids that exist in
+    // the corpus, so each wanted shard holds ≥ 1 row by construction —
+    // a missing dir is a torn or partially-listed artifact (path typo,
+    // store listing failure), and reading the surviving shards would
+    // silently drop the missing buckets' rows and return a plausible
+    // but incomplete result. (The r19 any-dir guard already stopped the
+    // silent full-corpus fallback; this names the exact holes.)
+    val missing = wantDirs.filterNot(shardDirs.contains)
+    require(buckets.isEmpty || missing.isEmpty,
+      s"staged shard dirs missing under $path: " +
+        s"${missing.take(8).mkString(",")} (wanted ${wantDirs.length} " +
+        s"shards for buckets ${buckets.take(8).mkString(",")}…) — " +
+        "staged artifact torn or unlisted")
     val r = s.read.option("basePath", path).schema(schema)
     // EMPTY fetch set: the root read with the explicit schema degrades
     // to 0 rows instead of a missing-path error — readLists' own edge
@@ -2240,17 +2246,44 @@ object Vectors {
     * client's own — external ids never need to exist in the corpus
     * ([[resIndexAdistQ]]).
     */
+  /** Run a serve body, copy its (small, wire-bound) result out of the
+    * cluster, and RELEASE every block the serve persisted (r21, r20
+    * advice): a registered wire exchanger is invoked once per EXCHANGE
+    * on a long-running gate, and each invocation's serve-local state —
+    * beamParts' final persisted round leaves, resIndexAdistQ's eagerly
+    * cached probe frames — previously outlived the request, so the
+    * block manager accumulated per-request blocks forever. The result
+    * is ≤ k rows/query (it crosses the wire anyway), so collecting it
+    * is the same driver-value class as the wire write; the unpersist
+    * is the delta of persistent RDDs around the body (non-blocking,
+    * lineage intact — a concurrent request whose block is swept merely
+    * recomputes). The returned frame is a local-rows DataFrame, free
+    * of references into the released plan.
+    */
+  private def servedRows(s: SparkSession)(body: => DataFrame): DataFrame = {
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val out = body
+    val rows = out.collect()
+    s.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !before.contains(id) }
+      .values.foreach(_.unpersist(false))
+    s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   private[graft] def registerAnnServe(e: graft.engine.Engine, d: String,
       command: String = "ann_topk", nprobe: Int = 2, k: Int = 3,
       tombstones: Option[DataFrame] = None): Unit =
     e.registerExchanger(command) { qdf =>
       val s = qdf.sparkSession
-      val idx = stagedIvfPqResIndex(s, d)
-      val qFrame = qdf.select(col("vec_id"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
-      ivfPqTop3(
-        resIndexAdistQ(s, s"$idx/lists", idx, qFrame, nprobe, tombstones), k)
+      servedRows(s) {
+        val idx = stagedIvfPqResIndex(s, d)
+        val qFrame = qdf.select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qe"))
+        ivfPqTop3(
+          resIndexAdistQ(s, s"$idx/lists", idx, qFrame, nprobe, tombstones), k)
+      }
     }
 
   /** Register the GRAPH-ANN beam serve as an engine transform (r20) —
@@ -2272,16 +2305,18 @@ object Vectors {
       k: Int = 3, labelMod: Option[Int] = None, tomb: Boolean = false): Unit =
     e.registerExchanger(command) { qdf =>
       val s = qdf.sparkSession
-      val qF = qdf.select(col("vec_id").as("q_id"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qq"))
-      val (_, beamDf) = beamParts(s, d, beamW = beamW, rounds = rounds,
-        labelMod = labelMod, tomb = tomb, qFrame = Some(qF))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
-      beamDf.withColumn("rnk", row_number().over(w).cast("bigint"))
-        .filter(col("rnk") <= k)
-        .select(col("q_id"), col("c_id"), col("rnk"), col("d2"))
+      servedRows(s) {
+        val qF = qdf.select(col("vec_id").as("q_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))).as("qq"))
+        val (_, beamDf) = beamParts(s, d, beamW = beamW, rounds = rounds,
+          labelMod = labelMod, tomb = tomb, qFrame = Some(qF))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+        beamDf.withColumn("rnk", row_number().over(w).cast("bigint"))
+          .filter(col("rnk") <= k)
+          .select(col("q_id"), col("c_id"), col("rnk"), col("d2"))
+      }
     }
 
   /** The shared residual-serve tail: plan nprobe cells from the

@@ -326,14 +326,20 @@ package object ops {
         if (fs.exists(nested)) fs.delete(nested, true)
       }
       ()
+      // RETIRE superseded generations — only now, with the current one
+      // complete and visible, and ONLY on the path that just built
+      // (r21, advisor finding): a pure READER must never delete — a
+      // concurrent session still scanning the superseded generation
+      // would otherwise lose its files mid-read every time any reader
+      // arrived with a newer stamp. Builders are the natural retire
+      // point (one per supersession instead of one per read), which
+      // also keeps the fresh-path serve free of the O(children)
+      // listing. Pre-r20 flat-layout leftovers reclaim through the
+      // same sweep.
+      hfsList(spark, rootStr)
+        .filter(_.getPath.getName != tag)
+        .foreach(st => fs.delete(st.getPath, true))
     }
-    // RETIRE superseded generations — only now, with the current one
-    // complete and visible. Pre-r20 flat-layout leftovers (data dirs
-    // and the root-level _built marker) reclaim through the same
-    // sweep.
-    hfsList(spark, rootStr)
-      .filter(_.getPath.getName != tag)
-      .foreach(st => fs.delete(st.getPath, true))
     dir.toString
   }
 

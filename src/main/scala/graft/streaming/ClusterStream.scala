@@ -103,12 +103,17 @@ object ClusterStream {
   private[graft] def ingestBatch(spark: SparkSession, batch: DataFrame,
       idxDir: String, key: String): Long = {
     if (BatchLog.isCommitted(spark, idxDir, key)) return 0L
-    // a batch is one ingest window — small by definition; materialize
-    // once, it feeds band build + both Jaccard sides + digest grouping
-    val newDocs = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
+    // a batch is one ingest window — small by definition; checkpoint
+    // once, it feeds band build + both Jaccard sides + digest grouping.
+    // LAZY + count (r21): the count action materializes the checkpoint
+    // blocks in the same pass the old eager variant spent a dedicated
+    // job on — one fewer full pass over the arriving batch.
+    val newDocs = batch.select(col("doc_id"), col("text")).localCheckpoint(false)
     val n = newDocs.count()
     if (n == 0) { BatchLog.commit(spark, idxDir, key); return 0L }
-    val newHs = Text.shingleHashes(newDocs).localCheckpoint(true)
+    // lazy: the first consumer (the newEdges write below) materializes
+    // the shingle blocks; every later consumer reads them
+    val newHs = Text.shingleHashes(newDocs).localCheckpoint(false)
     val newBands = Text.minhashBands(newHs)
     val oldHs = BatchLog.read(spark, idxDir, "hs", hsSchema)
     val oldBands = BatchLog.read(spark, idxDir, "bands", bandSchema)
@@ -122,7 +127,7 @@ object ClusterStream {
     // new to this batch enter the stored map
     val keyed = newDocs.select(col("doc_id"), md5(col("text")).as("k"))
     val reps = keyed.groupBy(col("k")).agg(min(col("doc_id")).as("rep"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materialized by the newEdges write
     val stored = BatchLog.read(spark, idxDir, "digests", digestSchema)
     val stars = keyed.join(reps, Seq("k"))
       .filter(col("doc_id") =!= col("rep"))
@@ -130,8 +135,12 @@ object ClusterStream {
     val cross = reps
       .join(stored.withColumnRenamed("rep", "orep"), Seq("k"))
       .select(col("rep").as("x"), col("orep").as("y"))
+    // edges must be computed BEFORE the index mutates: the write below
+    // is itself the first mutation AND the action that materializes
+    // this lazy checkpoint — ordering preserved with one fewer pass
+    // over the verify chain than the old eager checkpoint paid
     val newEdges = newNear.unionByName(stars).unionByName(cross)
-      .localCheckpoint(true) // edges must be computed BEFORE the index mutates
+      .localCheckpoint(false)
     BatchLog.write(newEdges, s"$idxDir/edges", key)
     BatchLog.write(reps.join(stored, Seq("k"), "left_anti"),
       s"$idxDir/digests", key)

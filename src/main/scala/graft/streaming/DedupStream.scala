@@ -147,13 +147,18 @@ object DedupStream {
   private[graft] def ingestBatch(spark: SparkSession, batch: DataFrame,
       idxDir: String, key: String): Long = {
     if (BatchLog.isCommitted(spark, idxDir, key)) return 0L
-    // materialize once: the three writes below must see the SAME
-    // survivor set even though each triggers its own job
-    val keep = survivors(spark, batch, idxDir).localCheckpoint(true)
+    // checkpoint once: the three writes below must see the SAME
+    // survivor set even though each triggers its own job. LAZY + count
+    // (r21): the count materializes the blocks in one pass — the eager
+    // variant spent a dedicated job on it, and every write still reads
+    // the persisted blocks, never the lineage
+    val keep = survivors(spark, batch, idxDir).localCheckpoint(false)
     val n = keep.count()
     if (n > 0) {
       BatchLog.write(keep, s"$idxDir/texts", key)
-      val hs = graft.ops.Text.shingleHashes(keep).localCheckpoint(true)
+      // lazy: the hs write is the materializing action; the bands
+      // write then reads the persisted shingle blocks
+      val hs = graft.ops.Text.shingleHashes(keep).localCheckpoint(false)
       BatchLog.write(hs, s"$idxDir/hs", key)
       BatchLog.write(graft.ops.Text.minhashBands(hs), s"$idxDir/bands", key)
     }

@@ -1413,7 +1413,23 @@ class VectorOpsSpec extends SparkSpec {
       graft.ops.Vectors.readBucketed(spark, bogus,
         graft.ops.Vectors.bucketVecSchema, Array(0L, 1L))
     }
-    assert(ex.getMessage.contains("no staged shard dir"))
+    assert(ex.getMessage.contains("staged shard dirs missing"))
+    // r21 (r20 advice): a PARTIALLY present layout — some wanted shard
+    // dirs exist, some don't — is a torn artifact, not a smaller
+    // answer: it must fail naming the holes, never silently drop the
+    // missing buckets' rows
+    import spark.implicits._
+    val torn = graft.ops.purgeOnExit(
+      java.nio.file.Files.createTempDirectory("tornshard").toString)
+    Seq((1L, 5L)).toDF("c_id", "bucket")
+      .withColumn("shard", pmod(col("bucket"), lit(256L)).cast("int"))
+      .write.partitionBy("shard", "bucket").parquet(s"$torn/vectors")
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.ops.Vectors.readBucketed(spark, s"file:$torn/vectors",
+        "c_id BIGINT, shard INT, bucket BIGINT", Array(5L, 6L))
+    }
+    assert(ex2.getMessage.contains("staged shard dirs missing") &&
+      ex2.getMessage.contains("shard=6"))
     // sanity: a real fetch still reads its buckets
     assert(graft.ops.Vectors.readBucketed(spark, s"$vdir/vectors",
       graft.ops.Vectors.bucketVecSchema, Array(0L)).count() > 0)
