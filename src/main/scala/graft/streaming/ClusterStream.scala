@@ -142,10 +142,23 @@ object ClusterStream {
     val newEdges = newNear.unionByName(stars).unionByName(cross)
       .localCheckpoint(false)
     BatchLog.write(newEdges, s"$idxDir/edges", key)
-    BatchLog.write(reps.join(stored, Seq("k"), "left_anti"),
-      s"$idxDir/digests", key)
-    BatchLog.write(newHs, s"$idxDir/hs", key)
-    BatchLog.write(newBands, s"$idxDir/bands", key)
+    // the remaining three halves are INDEPENDENT writes over state the
+    // edges write just materialized (newDocs/newHs/reps checkpoint
+    // blocks are warm), so they run as overlapped jobs (guide §2.6 —
+    // actions are only sequential because the driver calls them
+    // sequentially): each write's tail tasks back-fill the others'.
+    // Correctness is unchanged: visibility is the commit marker below,
+    // not write order — BatchLog.read prunes this batch's uncommitted
+    // dirs however the three land or crash, and a retry overwrites its
+    // own partials (the existing exactly-once contract).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val halves = Seq(
+      Future(BatchLog.write(reps.join(stored, Seq("k"), "left_anti"),
+        s"$idxDir/digests", key)),
+      Future(BatchLog.write(newHs, s"$idxDir/hs", key)),
+      Future(BatchLog.write(newBands, s"$idxDir/bands", key)))
+    halves.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
     BatchLog.commit(spark, idxDir, key)
     n
   }
