@@ -129,8 +129,15 @@ object Pipeline {
     * equality for any non-adversarial corpus (the DuckDB oracle groups
     * by raw text; a collision is a ~2^-64·pairs event).
     */
-  private def exactStarEdges(corpus: DataFrame): DataFrame = {
-    val keyed = corpus.select(col("doc_id"), md5(col("text")).as("k"))
+  private def exactStarEdges(corpus: DataFrame): DataFrame =
+    exactStarEdgesKeyed(corpus.select(col("doc_id"), md5(col("text")).as("k")))
+
+  /** [[exactStarEdges]] over an already-digested (doc_id, k) frame —
+    * the entry point for callers that computed the md5 alongside the
+    * shingle hashes in one corpus pass (componentLabels' metadata
+    * checkpoint) and must not re-read the text for the star build.
+    */
+  private def exactStarEdgesKeyed(keyed: DataFrame): DataFrame = {
     val reps = keyed.groupBy(col("k")).agg(min(col("doc_id")).as("rep"))
     keyed.join(reps, Seq("k"))
       .filter(col("doc_id") =!= col("rep"))
@@ -196,10 +203,28 @@ object Pipeline {
     // over 3n docs, and skips the corpus-text digest groupBy entirely —
     // the same index-reuse story dedup_incremental_indexed proves,
     // applied to clustering (VERDICT r8 #3)
-    val hs = pre.map(_._1).getOrElse(Text.shingleHashes(corpus))
-    val bands = pre.map(_._2).getOrElse(Text.minhashBands(hs))
+    val (hs, bands, exactEdges) = pre.getOrElse {
+      // NO stored index: ONE pass over the corpus text computes every
+      // proxy the edge build needs — shingle-hash set AND exact-dup
+      // digest in the same projection — checkpointed (lazily; the
+      // contraction's round-1 signature materializes it) so the band
+      // self-join, both Jaccard hs sides and the star build all read
+      // the metadata blocks instead of each re-running split +
+      // shingling + md5 over the full corpus lineage (r21, guide §8
+      // "decide with small rows": before this the hs lineage was
+      // evaluated 4× and the digest twice per labels() call). The
+      // frame is exactly the (hs + digests) artifact the streaming
+      // ingest path persists per batch — held transiently here, text
+      // column already dropped, MEMORY_AND_DISK so it spills instead
+      // of evicting at scale.
+      val meta = corpus.select(col("doc_id"),
+          Text.hsCol(col("text")).as("hs"), md5(col("text")).as("k"))
+        .localCheckpoint(false)
+      val hs0 = meta.select(col("doc_id"), col("hs"))
+      (hs0, Text.minhashBands(hs0),
+        exactStarEdgesKeyed(meta.select(col("doc_id"), col("k"))))
+    }
     val nearEdges = verifiedNearEdges(hs, bands)
-    val exactEdges = pre.map(_._3).getOrElse(exactStarEdges(corpus))
     val half = nearEdges.unionByName(exactEdges)
     contractToLabels(corpus, half)
   }
@@ -972,9 +997,26 @@ object Pipeline {
           expr("(1000000 * n_alpha) div n_tokens") >= 800000 &&
           col("n_stop") >= 2)
         .select(col("doc_id"), col("source"), col("text"), col("n_tokens"))
+      // ONE pass over the keeper texts computes EVERY downstream proxy
+      // (guide §8: decide with small rows, move/scan big rows once):
+      // shingle-hash set for the near-dup edges, md5 digest for the
+      // exact-dup stars, plus the (source, n_tokens) metadata the mix
+      // and packing stages need. Checkpointed lazily — the
+      // contraction's round-1 signature materializes it — so the band
+      // self-join, both Jaccard sides, the star build, the label
+      // assignment join, the survivor join and the mix aggregates all
+      // read these text-free metadata blocks; before this every one of
+      // those consumers re-ran the scan + union + Gopher metrics +
+      // filter lineage (~8 full text passes per run).
+      val meta = keepers.select(col("doc_id"), col("source"), col("n_tokens"),
+          Text.hsCol(col("text")).as("hs"), md5(col("text")).as("k"))
+        .localCheckpoint(false)
       // stage 2: cluster-dedup survivors (component-min docs) among keepers
-      val (labels, _, _) = componentLabels(keepers.select(col("doc_id"), col("text")))
-      val survivors = keepers.join(
+      val hs = meta.select(col("doc_id"), col("hs"))
+      val exact = exactStarEdgesKeyed(meta.select(col("doc_id"), col("k")))
+      val (labels, _, _) = componentLabels(meta.select(col("doc_id")),
+        pre = Some((hs, Text.minhashBands(hs), exact)))
+      val survivors = meta.join(
         labels.filter(col("id") === col("lbl")).select(col("id").as("doc_id")),
         Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("n_tokens"))

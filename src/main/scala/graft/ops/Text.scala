@@ -129,8 +129,17 @@ object Text {
     * that claims to measure them.
     */
   private[graft] def shingleHashes(df: DataFrame): DataFrame =
-    df.select(col("doc_id"),
-      array_distinct(transform(shingles3(split(col("text"), " ")), x => h32(x))).as("hs"))
+    df.select(col("doc_id"), hsCol(col("text")).as("hs"))
+
+  /** The shingle-hash set as a bare Column over a text column — the
+    * [[shingleHashes]] expression factored out so a caller can compute
+    * it alongside OTHER text-derived proxies (md5 digest, token count)
+    * in ONE projection over the corpus, then checkpoint the combined
+    * metadata frame and never touch the text again (guide §8: decide
+    * with small rows; see Pipeline.componentLabels / pipeline_e2e).
+    */
+  private[graft] def hsCol(text: Column): Column =
+    array_distinct(transform(shingles3(split(text, " ")), x => h32(x)))
 
   /** 12-slot MinHash signature of an `hs` frame (h·a+b mod P per
     * permutation — integer universal hashes over the md5 base hash).
