@@ -436,8 +436,15 @@ object Pipeline {
     // thing a per-batch job holds
     // lazy (r21): the contraction's first signature action materializes
     // the checkpoint blocks — the eager variant paid a dedicated
-    // shingling pass before any consumer ran
-    val newHs = Text.shingleHashes(newCorpus).localCheckpoint(false)
+    // shingling pass before any consumer ran. Fused (r21 §8): the md5
+    // digest rides the same single pass over the batch texts as the
+    // shingle hashes, so the star build and the id-only contraction
+    // join below read these text-free blocks instead of re-scanning
+    // the batch corpus lineage (was: 2 extra md5 passes + 1 id pass).
+    val meta = newCorpus.select(col("doc_id"),
+        Text.hsCol(col("text")).as("hs"), md5(col("text")).as("k"))
+      .localCheckpoint(false)
+    val newHs = meta.select(col("doc_id"), col("hs"))
     val newBands = Text.minhashBands(newHs)
     val oldHs = s.read.parquet(s"$idx/hs")
     val oldBands = s.read.parquet(s"$idx/bands")
@@ -452,7 +459,7 @@ object Pipeline {
     // exact duplicates: new×new star edges + one digest join linking
     // each spanning text-group's new rep to its old rep — connectivity
     // equal to the full-corpus digest groupBy without rescanning old
-    val newKeyed = newCorpus.select(col("doc_id"), md5(col("text")).as("k"))
+    val newKeyed = meta.select(col("doc_id"), col("k"))
     val newReps = newKeyed.groupBy(col("k")).agg(min(col("doc_id")).as("rep"))
     val newStars = newKeyed.join(newReps, Seq("k"))
       .filter(col("doc_id") =!= col("rep"))
@@ -469,7 +476,7 @@ object Pipeline {
     // the stored hs already carries every old id
     contractToLabels(
       oldHs.select(col("doc_id"))
-        .unionByName(newCorpus.select(col("doc_id"))), half)
+        .unionByName(meta.select(col("doc_id"))), half)
   }
 
   /** Shared DuckDB closure for the duplicate-cluster keys
