@@ -203,30 +203,48 @@ object Pipeline {
     // over 3n docs, and skips the corpus-text digest groupBy entirely —
     // the same index-reuse story dedup_incremental_indexed proves,
     // applied to clustering (VERDICT r8 #3)
-    val (hs, bands, exactEdges) = pre.getOrElse {
-      // NO stored index: ONE pass over the corpus text computes every
-      // proxy the edge build needs — shingle-hash set AND exact-dup
-      // digest in the same projection — checkpointed (lazily; the
-      // contraction's round-1 signature materializes it) so the band
-      // self-join, both Jaccard hs sides and the star build all read
-      // the metadata blocks instead of each re-running split +
-      // shingling + md5 over the full corpus lineage (r21, guide §8
-      // "decide with small rows": before this the hs lineage was
-      // evaluated 4× and the digest twice per labels() call). The
-      // frame is exactly the (hs + digests) artifact the streaming
-      // ingest path persists per batch — held transiently here, text
-      // column already dropped, MEMORY_AND_DISK so it spills instead
-      // of evicting at scale.
-      val meta = corpus.select(col("doc_id"),
-          Text.hsCol(col("text")).as("hs"), md5(col("text")).as("k"))
-        .localCheckpoint(false)
-      val hs0 = meta.select(col("doc_id"), col("hs"))
-      (hs0, Text.minhashBands(hs0),
-        exactStarEdgesKeyed(meta.select(col("doc_id"), col("k"))))
+    pre match {
+      case Some((hs, bands, exactEdges)) =>
+        val nearEdges = verifiedNearEdges(hs, bands)
+        contractToLabels(corpus, nearEdges.unionByName(exactEdges))
+      case None =>
+        // NO stored index: ONE pass over the corpus text computes every
+        // proxy the edge build needs — shingle-hash set AND exact-dup
+        // digest in the same projection — checkpointed (lazily; the
+        // contraction's round-1 signature materializes it) so the band
+        // self-join, both Jaccard hs sides and the star build all read
+        // the metadata blocks instead of each re-running split +
+        // shingling + md5 over the full corpus lineage (r21, guide §8
+        // "decide with small rows": before this the hs lineage was
+        // evaluated 4× and the digest twice per labels() call). The
+        // frame is exactly the (hs + digests) artifact the streaming
+        // ingest path persists per batch. SIZE + FAULT-TOLERANCE note
+        // (ADVICE r21): "text-free" does not mean small — hs holds one
+        // 64-bit hash per distinct 3-shingle, the same order of
+        // magnitude as the text itself — and localCheckpoint is
+        // non-fault-tolerant (an executor loss fails the job instead of
+        // recomputing lineage). Both are the r21 §8 decision: one
+        // measured corpus pass instead of ~4, with MEMORY_AND_DISK
+        // spill-not-evict semantics, held only for this labels() call;
+        // a deployment that can't accept the lineage cut would swap in
+        // a reliable checkpoint at the same line.
+        val meta = corpus.select(col("doc_id"),
+            Text.hsCol(col("text")).as("hs"), md5(col("text")).as("k"))
+          .localCheckpoint(false)
+        val hs0 = meta.select(col("doc_id"), col("hs"))
+        val nearEdges = verifiedNearEdges(hs0, Text.minhashBands(hs0))
+        val half = nearEdges.unionByName(
+          exactStarEdgesKeyed(meta.select(col("doc_id"), col("k"))))
+        // label join reads the CORPUS lineage (a column-pruned,
+        // doc_id-only parquet scan), NOT meta (ADVICE r21 suggested
+        // labeling from the checkpoint ids; measured at sf0.1 it is
+        // ~2× SLOWER — checkpoint blocks are whole InternalRows, so an
+        // id projection over the RDD leaf still deserializes every hs
+        // array, while the parquet re-scan reads one integer column.
+        // pipeline_e2e differs: ITS corpus lineage embeds the 3-way
+        // union + Gopher metrics, so the checkpoint read wins there.)
+        contractToLabels(corpus, half)
     }
-    val nearEdges = verifiedNearEdges(hs, bands)
-    val half = nearEdges.unionByName(exactEdges)
-    contractToLabels(corpus, half)
   }
 
   /** Symmetrize + contract a half-edge list to component labels — the
@@ -431,9 +449,11 @@ object Pipeline {
     // is exactly the O(old) work this path exists to avoid)
     // O(batch) MinHash — the only shingling this path ever runs.
     // Materialized once: the batch's hs feeds the band build AND both
-    // sides of the Jaccard verify, and unlike the corpus-sized hs (not
-    // cached by design) a BATCH is small by definition — exactly the
-    // thing a per-batch job holds
+    // sides of the Jaccard verify, and a BATCH is small by definition —
+    // exactly the thing a per-batch job holds. (The full-corpus path
+    // ALSO checkpoints its hs+digest metadata now — the r21 §8
+    // decision: a corpus-sized but text-free frame, one measured pass
+    // instead of ~4; see componentLabels' pre=None note.)
     // lazy (r21): the contraction's first signature action materializes
     // the checkpoint blocks — the eager variant paid a dedicated
     // shingling pass before any consumer ran. Fused (r21 §8): the md5
@@ -1023,10 +1043,16 @@ object Pipeline {
       val exact = exactStarEdgesKeyed(meta.select(col("doc_id"), col("k")))
       val (labels, _, _) = componentLabels(meta.select(col("doc_id")),
         pre = Some((hs, Text.minhashBands(hs), exact)))
-      val survivors = meta.join(
+      // cached (flag-gated): the mix stage reads survivors THREE times
+      // per action — the broadcast(tot) job, the broadcast(rates) job,
+      // and the final sampled/packed chain — and each read otherwise
+      // re-evaluates the meta-checkpoint ⋈ labels join (r22 profile:
+      // two extra ~0.6 s broadcast-subtree jobs per run at sf0.1).
+      // Small rows: (doc_id, source, n_tokens) for the survivor set.
+      val survivors = maybePlanCache(meta.join(
         labels.filter(col("id") === col("lbl")).select(col("id").as("doc_id")),
         Seq("doc_id"))
-        .select(col("doc_id"), col("source"), col("n_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens")))
       // stage 3: temperature mix over the survivor population (the
       // corpus_mix arithmetic, rates computed FROM the survivors)
       val perSrc = survivors.groupBy(col("source"))

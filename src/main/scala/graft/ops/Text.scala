@@ -434,7 +434,17 @@ object Text {
     * positions in memory. Kept as text grams so the DuckDB oracle is
     * byte-identical.
     */
-  private[graft] def spanDedupClean(docsDf: DataFrame): DataFrame = {
+  private[graft] def spanDedupClean(docsDf: DataFrame): DataFrame =
+    spanDedupCleanParts(docsDf)._1
+
+  /** [[spanDedupClean]] plus its internal repeated-gram frame
+    * `(gram, canon)` — exposed so span_dedup_residual's
+    * n_rep_before = count(rep) reads the SAME cached window explode
+    * the clean already paid for, instead of re-exploding the corpus
+    * through spanRepGramCount (r22, guide §1.2: the two are equal by
+    * construction — rep rows ARE the distinct grams in ≥2 docs).
+    */
+  private[graft] def spanDedupCleanParts(docsDf: DataFrame): (DataFrame, DataFrame) = {
     val ts = split(col("text"), " ")
     val toks = docsDf.select(col("doc_id"), ts.as("ts"), size(ts).as("n"))
     // wins feeds BOTH the rep aggregate and the drops join probe —
@@ -479,7 +489,7 @@ object Text {
     val drops = spans
       .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("p"))
       .groupBy(col("doc_id")).agg(collect_set(col("p")).as("drops"))
-    toks.join(drops, Seq("doc_id"), "left")
+    val cleaned = toks.join(drops, Seq("doc_id"), "left")
       .join(nspans, Seq("doc_id"), "left")
       .withColumn("ds", coalesce(col("drops"), array().cast("array<int>")))
       .select(col("doc_id"),
@@ -495,6 +505,7 @@ object Text {
               p => !array_contains(col("ds"), p)),
             p => element_at(col("ts"), p)),
           " ").as("cleaned_text"))
+    (cleaned, rep)
   }
 
   /** Count of distinct 8-grams occurring in ≥2 distinct docs of
@@ -834,8 +845,14 @@ object Text {
          |""".stripMargin) { (s, d) =>
       // cleaned feeds the repAfter re-window AND the totals aggregate —
       // cache (flag-gated) so the full clean pipeline runs once
-      val cleaned = maybePlanCache(spanDedupClean(docs(s, d)))
-      val repBefore = spanRepGramCount(docs(s, d), "text", "n_rep_before")
+      val (cleanedRaw, rep) = spanDedupCleanParts(docs(s, d))
+      val cleaned = maybePlanCache(cleanedRaw)
+      // n_rep_before = |rep|: the clean's OWN repeated-gram set (its
+      // window explode is already cached inside spanDedupCleanParts),
+      // equal by construction to spanRepGramCount over the raw corpus
+      // — which previously re-exploded and re-aggregated every window
+      // a second time per run (r22, guide §1.2).
+      val repBefore = rep.agg(count(lit(1)).cast("bigint").as("n_rep_before"))
       val repAfter = spanRepGramCount(cleaned, "cleaned_text", "n_rep_after")
       val totals = cleaned.agg(
         sum(col("n_tokens")).cast("bigint").as("tokens_before"),

@@ -559,17 +559,20 @@ object Vectors {
     val sub = e0.select(col("vec_id"), ms, col("qe"))
       .select(col("vec_id"), col("m"), slice(col("qe"), col("m") * 8 + 1, lit(8)).as("sv"))
     def sq(a: Column, b: Column): Column = sqDist(a, b)
-    // one distance computation feeds BOTH the encoder and the query
-    // tables — at scale `dist` restricted to vec_id < 20 is the
-    // broadcast-sized query side, while the full stream is the
-    // one-pass encoder
-    val dist = maybeCache(sub.join(broadcast(cb), Seq("m"))
-      .select(col("vec_id"), col("m"), col("c"), sq(col("sv"), col("ce")).as("d2")))
-    val wEnc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("c"))
-    val enc = dist.withColumn("rn", row_number().over(wEnc))
-      .filter(col("rn") === 1)
-      .select(col("vec_id").as("c_id"), col("m"), col("c").as("code"))
+    val dist = sub.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("c"), sq(col("sv"), col("ce")).as("d2"))
+    // encoder argmin as a partially-aggregated min(struct(d2, c)) —
+    // r22, guide §2.3: the window form shuffled + sorted the FULL
+    // n×8×256 (vector, subspace, codeword) expand; the hash aggregate
+    // collapses it map-side to n×8 code rows. Tie-break identical:
+    // min(struct(d2, c)) IS row_number() OVER (ORDER BY d2, c) = 1.
+    // `dist` is deliberately NOT cached any more (was maybeCache):
+    // the only other consumer is the query side, whose vec_id < 20
+    // pushdown recomputes a 20-vector sliver from the pruned scan —
+    // materializing 30M rows to save that sliver was a net loss.
+    val enc = dist.groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("c"))).as("best"))
+      .select(col("vec_id").as("c_id"), col("m"), col("best.c").as("code"))
     val qd = dist.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("m").as("qm"), col("c"), col("d2"))
     (e0, enc, qd)
@@ -723,14 +726,19 @@ object Vectors {
     val asg = if (!twoLevel) {
       val d2 = dot(col("embedding"), col("embedding")) -
         lit(2) * dot(col("embedding"), col("ce")) + dot(col("ce"), col("ce"))
-      val wAsg = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+      // argmin as a partially-aggregated min(struct(d2, cid)) — the
+      // lloydRefined idiom (r22, guide §2.3 "aggregate before you
+      // shuffle"): the window form shuffled + sorted the FULL
+      // cells-per-vector expand (8n rows carrying the embedding);
+      // the hash aggregate collapses it map-side to n rows. Tie-break
+      // identical by construction: min(struct(d2, cid)) IS
+      // row_number() OVER (ORDER BY d2, cid) = 1.
       maybeCache(e.join(broadcast(cent))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(d2.as("d2"), col("cid").as("cid"))).as("best"),
+          first(col("embedding")).as("embedding"))
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
-          col("cid"), d2.as("d2"))
-        .withColumn("rn", row_number().over(wAsg))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell")))
+          col("best.cid").as("cell")))
     } else {
       val (scent, chl) = layer.getOrElse(superLayer(
         cent.select(col("cid"), microCol(col("ce")).as("ce"))))
@@ -747,15 +755,28 @@ object Vectors {
       col("nrm").as("an"), col("cell"))
     val b = asg.select(col("vec_id").as("b_id"), col("embedding").as("be"),
       col("nrm").as("bn"), col("cell").as("bcell"))
-    val wTop = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
+    // top-degree by (cos DESC, b_id) as ONE map-side-combinable
+    // BeamTopW pass over the in-cell candidate expand (r22): the
+    // window form shuffled + sorted all ~n·|cell| scored pairs (the
+    // dominant shuffle of every knn-graph consumer); the aggregate
+    // collapses each a_id's candidates to its ≤ degree best before
+    // the exchange. Keys are (-cos, b_id): BeamTopW orders ascending,
+    // and double negation is an exact sign-bit flip, so the kept set,
+    // the tie-break (equal cos → smaller b_id) and the emitted cos
+    // values are bit-identical to the window's (cos DESC, b_id) rank;
+    // rnk = 1 + position in the best-first array. (Dedup-by-id inside
+    // BeamTopW is a no-op here: b_id is unique within an a_id's cell.)
     maybeCache(
       a.join(b, col("cell") === col("bcell") && col("b_id") =!= col("a_id"))
         .select(col("a_id"), col("b_id"),
           (dot(col("ae"), col("be")) / (col("an") * col("bn"))).as("cos"))
-        .withColumn("rnk", row_number().over(wTop).cast("bigint"))
-        .filter(col("rnk") <= degree)
-        .select(col("a_id"), col("b_id"), col("rnk"), col("cos")))
+        .groupBy(col("a_id"))
+        .agg(graft.functions.BeamTopW.topPairs(degree)(
+          -col("cos"), col("b_id")).as("ps"))
+        .select(col("a_id"), posexplode(col("ps")))
+        .select(col("a_id"), col("col._2").as("b_id"),
+          (col("pos") + 1).cast("bigint").as("rnk"),
+          (-col("col._1")).as("cos")))
   }
 
   /** HNSW-style greedy beam search over the corpus-scaled knn graph
@@ -1648,11 +1669,22 @@ object Vectors {
           d2(col(vecCol), col("sce")), col("sid")).as("sids"),
         first(col(vecCol)).as(vecCol))
       .select(col(idCol), col(vecCol), explode(col("sids")).as("sid"))
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("d2c"), col("cid"))
+    // top-w child rank as ONE map-side-combinable BeamTopW pass (r22):
+    // the window form shuffled + sorted the full items × routed-child
+    // expand (~w·√cells rows per item); the aggregate collapses each
+    // item's candidates to its ≤ w best before the exchange. Every
+    // caller consumes rn ≤ its nprobe ≤ w, so truncating to the top-w
+    // loses nothing; d2c is integer-valued micro-unit L2 (< 2⁵³ —
+    // BeamTopW's exactness contract) and ties break (d2c, cid), the
+    // same lexicographic rule as the window's ORDER BY. Dedup-by-id
+    // is a no-op: child sets of distinct supers are disjoint.
     routed.join(chl, Seq("sid"))
       .select(col(idCol), col("cid"), d2(col(vecCol), col("ce")).as("d2c"))
-      .withColumn("rn", row_number().over(wRank))
+      .groupBy(col(idCol))
+      .agg(graft.functions.BeamTopW.topPairs(w)(col("d2c"), col("cid")).as("ps"))
+      .select(col(idCol), posexplode(col("ps")))
+      .select(col(idCol), col("col._2").as("cid"), col("col._1").as("d2c"),
+        (col("pos") + 1).cast("int").as("rn"))
   }
 
   private[graft] def scaledLloydCent(e0: DataFrame,
@@ -1887,14 +1919,16 @@ object Vectors {
     val sub = resv.select(col("vec_id"), col("cell"), ms, col("res"))
       .select(col("vec_id"), col("cell"), col("m"),
         slice(col("res"), col("m") * 8 + 1, lit(8)).as("sv"))
-    val wEnc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("c"))
+    // encoder argmin as a partially-aggregated min(struct(d2, c)) —
+    // r22, same move as pqParts: collapse the n×8×256 expand map-side
+    // instead of shuffling + sorting it. `cell` joins the grouping key
+    // (functionally dependent on vec_id) so no first() is needed.
     val enc = sub.join(broadcast(cb), Seq("m"))
       .select(col("vec_id"), col("cell"), col("m"), col("c"),
         sqDist(col("sv"), col("cv")).as("d2"))
-      .withColumn("rn", row_number().over(wEnc))
-      .filter(col("rn") === 1)
-      .select(col("vec_id").as("c_id"), col("cell"), col("m"), col("c").as("code"))
+      .groupBy(col("vec_id"), col("cell"), col("m"))
+      .agg(min(struct(col("d2"), col("c"))).as("best"))
+      .select(col("vec_id").as("c_id"), col("cell"), col("m"), col("best.c").as("code"))
     (cb, enc)
   }
 
@@ -3566,14 +3600,16 @@ object Vectors {
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       val d2 = dot(col("embedding"), col("embedding")) -
         lit(2) * dot(col("embedding"), col("ce")) + dot(col("ce"), col("ce"))
-      val wAsg = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+      // argmin cell as a partially-aggregated min(struct(d2, cid)) —
+      // r22, the lloydRefined idiom: collapses the 8n broadcast expand
+      // map-side instead of shuffling + sorting it with the embeddings
+      // aboard; tie-break (d2, cid) identical to the window's rn = 1.
       val asg = maybeCache(e.join(broadcast(cent))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(d2.as("d2"), col("cid").as("cid"))).as("best"),
+          first(col("embedding")).as("embedding"))
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
-          col("cid"), d2.as("d2"))
-        .withColumn("rn", row_number().over(wAsg))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell")))
+          col("best.cid").as("cell")))
       // ^ both sides of the cell join read the assignment
       val q = asg.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),

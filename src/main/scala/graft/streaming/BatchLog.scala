@@ -89,7 +89,17 @@ object BatchLog {
     * windows (review finding). The '-' keeps the key out of the
     * rewrite-generation namespaces (see [[nextGenKey]]).
     */
-  def contentKey(batch: DataFrame): String = {
+  def contentKey(batch: DataFrame): String = contentKeyAndCount(batch)._1
+
+  /** [[contentKey]] AND the window's row count in ONE aggregate job —
+    * the ingest path needs both per batch (the key for the
+    * exactly-once skip, the count for the processed-docs tally), and
+    * computing them separately paid two full passes over the arriving
+    * window (r22, guide §1.2). The key expression is the single
+    * definition [[contentKey]] delegates to, so the two entry points
+    * cannot drift.
+    */
+  def contentKeyAndCount(batch: DataFrame): (String, Long) = {
     import org.apache.spark.sql.functions._
     // per-row term null-guarded (ADVICE r13): a NULL doc_id or text
     // would null the whole concat, and collect_list DROPS nulls — two
@@ -97,12 +107,13 @@ object BatchLog {
     // key and the second would be skipped as already committed. The
     // "null" sentinel cannot collide: a real id renders as digits and
     // a real text term as 32-hex md5.
-    val h = batch.agg(
+    val r = batch.agg(
       md5(concat_ws(",", sort_array(collect_list(
         concat(coalesce(col("doc_id").cast("string"), lit("null")), lit(":"),
           coalesce(md5(col("text")), lit("null")))))))
-        .as("h")).collect()(0).getString(0)
-    s"w-$h"
+        .as("h"),
+      count(lit(1)).as("n")).collect()(0)
+    (s"w-${r.getString(0)}", r.getLong(1))
   }
 
   /** The ingest key for one micro-batch: content-addressed by default,

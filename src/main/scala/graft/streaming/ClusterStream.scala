@@ -74,6 +74,14 @@ object ClusterStream {
     */
   def seedIndex(spark: SparkSession, seed: DataFrame, idxDir: String): Unit = {
     val docs = seed.select(col("doc_id"), col("text"))
+    // EMPTY seed (the whole-corpus-replayed bootstrap, the shape every
+    // bench/oracle run takes): commit the marker and write nothing —
+    // BatchLog.read returns empty-but-typed for a half with no live
+    // directories, and committedDirs tolerates committed keys without
+    // directories by construction, so four empty-frame write jobs plus
+    // two read-backs were pure overhead on every fresh index (r22,
+    // guide §1.2 "don't compute things you throw away").
+    if (docs.isEmpty) { BatchLog.commit(spark, idxDir, "seed"); return }
     BatchLog.write(Text.shingleHashes(docs), s"$idxDir/hs", "seed")
     val written = spark.read.schema(hsSchema).parquet(s"$idxDir/hs/batch=seed")
     BatchLog.write(Text.minhashBands(written), s"$idxDir/bands", "seed")
@@ -103,13 +111,34 @@ object ClusterStream {
   private[graft] def ingestBatch(spark: SparkSession, batch: DataFrame,
       idxDir: String, key: String): Long = {
     if (BatchLog.isCommitted(spark, idxDir, key)) return 0L
-    // a batch is one ingest window — small by definition; checkpoint
-    // once, it feeds band build + both Jaccard sides + digest grouping.
-    // LAZY + count (r21): the count action materializes the checkpoint
-    // blocks in the same pass the old eager variant spent a dedicated
-    // job on — one fewer full pass over the arriving batch.
-    val newDocs = batch.select(col("doc_id"), col("text")).localCheckpoint(false)
-    val n = newDocs.count()
+    val newDocs = prepared(batch)
+    ingestPrepared(spark, newDocs, newDocs.count(), idxDir, key)
+  }
+
+  /** The arriving window, spread across the cluster and lazily
+    * checkpointed — a staged window is ONE parquet part file = one
+    * scan partition, which serialized the whole batch's md5/shingling
+    * on a single core (r22 profile: two ~2 s single-task jobs per
+    * micro-batch at sf0.1). Hash repartition on doc_id is
+    * deterministic under retry; the first action over the frame
+    * (the fused key+count aggregate, or the spec path's count)
+    * materializes the checkpoint blocks in the same pass.
+    */
+  private def prepared(batch: DataFrame): DataFrame = {
+    val par = batch.sparkSession.sparkContext.defaultParallelism
+    batch.select(col("doc_id"), col("text"))
+      .repartition(par, col("doc_id"))
+      .localCheckpoint(false)
+  }
+
+  /** [[ingestBatch]] past the key/count/skip preamble: `newDocs` is
+    * the [[prepared]] (checkpointed) window and `n` its row count —
+    * the streaming path computes both in ONE aggregate
+    * ([[BatchLog.contentKeyAndCount]]); the spec-facing
+    * [[ingestBatch]] wrapper derives them classically.
+    */
+  private def ingestPrepared(spark: SparkSession, newDocs: DataFrame,
+      n: Long, idxDir: String, key: String): Long = {
     if (n == 0) { BatchLog.commit(spark, idxDir, key); return 0L }
     // lazy: the first consumer (the newEdges write below) materializes
     // the shingle blocks; every later consumer reads them
@@ -186,9 +215,23 @@ object ClusterStream {
       .parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        seen.addAndGet(ingestBatch(spark,
-          batch.select(col("doc_id"), col("text")), idxDir,
-          BatchLog.ingestKey(spark, batch, checkpoint, batchId)))
+        // ONE aggregate over the prepared (spread + checkpointed)
+        // window computes the content key AND the count, materializing
+        // the checkpoint blocks in the same pass — the old path paid a
+        // single-task key job over the raw one-partition window plus a
+        // separate count job (r22; key value unchanged — the md5 is
+        // over the same sorted (doc_id, md5(text)) set regardless of
+        // partitioning, so the exactly-once skip contract holds).
+        val docsB = prepared(batch)
+        if (spark.conf.get("spark.graft.ingest.reprocess", "false").toBoolean) {
+          val key = BatchLog.key(checkpoint, batchId)
+          if (!BatchLog.isCommitted(spark, idxDir, key))
+            seen.addAndGet(ingestPrepared(spark, docsB, docsB.count(), idxDir, key))
+        } else {
+          val (key, n) = BatchLog.contentKeyAndCount(docsB)
+          if (!BatchLog.isCommitted(spark, idxDir, key))
+            seen.addAndGet(ingestPrepared(spark, docsB, n, idxDir, key))
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)

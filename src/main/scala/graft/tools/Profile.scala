@@ -20,11 +20,20 @@ object Profile {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val keys = sys.env.getOrElse("SPARK_GRAFT_KEYS", "dedup_components")
       .split(",").map(_.trim).filter(_.nonEmpty)
+    // event log as the RELIABLE attribution channel (r22): the shared
+    // async listener queue can lag minutes behind under load, so the
+    // in-process listener's per-key windows see stale events; the
+    // EventLoggingListener runs on its own queue and the parsed log
+    // carries job group = key attribution regardless of lag.
+    val evDir = sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "/tmp/sparklogs")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(evDir))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.eventLog.enabled", "true")
+      .config("spark.eventLog.dir", evDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -71,6 +80,7 @@ object Profile {
     keys.foreach { key =>
       val fn = graft.SparkEntry.queries(key)
       // run 1 (cold: staged artifacts may build) — timed but not profiled
+      spark.sparkContext.setJobGroup(s"$key#cold", s"$key cold")
       val c0 = System.nanoTime()
       fn(spark, sfDir).count()
       val cold = (System.nanoTime() - c0) / 1e9
@@ -79,6 +89,7 @@ object Profile {
       Thread.sleep(1000) // drain events from the cold run
       jobs.synchronized(jobs.clear())
       (0 until 8).foreach(i => agg.set(i, 0L))
+      spark.sparkContext.setJobGroup(s"$key#warm", s"$key warm")
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val warm = (System.nanoTime() - t0) / 1e9
